@@ -1,0 +1,14 @@
+from .asof import asof_join
+from .joins import disjunctive_join
+from .ranking import latest_per_group, top_k_per_group
+from .sets import union_distinct
+from .incremental import high_watermark
+
+__all__ = [
+    "asof_join",
+    "disjunctive_join",
+    "latest_per_group",
+    "top_k_per_group",
+    "union_distinct",
+    "high_watermark",
+]

@@ -1,0 +1,116 @@
+"""Backward as-of join with tolerance.
+
+Reference semantics (J3/A7): events are priced with the latest token
+price at-or-before the event time, looking back at most 7 days —
+implemented there as a two-pass self-join: (a) range join
+``tp.timestamp BETWEEN ev.epoch_timestamp - 604800 AND ev.epoch_timestamp``
+grouped to ``MAX(tp.timestamp)`` per (event ts, token), then (b) an
+equi-join back on ``(max_ts, token)`` to fetch the price
+(`/root/reference/src/pipelines/analytics/transformations/transformations.sql:2-13,44-48`).
+
+Spark-first implementation: the **union-window** algorithm — ONE shuffle
+on the key, no range-join row explosion, no join back:
+
+1. tag left and right rows and union them on (key, time), each side
+   carrying its payload in a struct column (NULL on the other side);
+2. window ``partitionBy(key).orderBy(t, side, tie)`` — right rows sort
+   before left rows at equal t, so backward matching is inclusive —
+   and take ``last(right_payload, ignoreNulls=True)`` over
+   rowsBetween(unboundedPreceding, currentRow);
+3. keep left rows; null out matches older than ``tolerance``.
+
+At 100 TB this is strictly better than the reference's two-pass plan:
+one hash shuffle + per-key sort, versus a range join whose intermediate
+is |events| x |prices-in-window| followed by a second shuffle and a
+re-aggregation. A hot key (one dominant token) is the residual risk:
+salt upstream or rely on AQE skew splitting for moderate skew.
+
+Tie semantics: the reference's max+join-back FANS OUT when two price
+rows share the max timestamp. We resolve ties deterministically instead
+(last row in ``tie_break`` order wins) — documented divergence per
+SURVEY §7.3.2; the oracle tests encode the same argmax semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    tolerance: int | float | None = None,
+    right_cols: list[str] | None = None,
+    tie_break: Column | str | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right[right_time] <= left[left_time]`` (backward) and, when
+    ``tolerance`` is given, ``left_time - right_time <= tolerance``
+    (same units as the time columns). Unmatched left rows keep NULL
+    right columns (left-outer, like the reference's LEFT JOIN at
+    `transformations.sql:44-48`).
+
+    ``on``         equi key(s)
+    ``right_cols`` right payload columns to attach (default: all
+                   non-key, non-time right columns)
+    ``tie_break``  ordering among right rows with equal time (last wins)
+    """
+    if direction != "backward":
+        raise ValueError("only backward as-of is implemented (reference uses backward)")
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_time]
+    left_cols = [c for c in left.columns]
+
+    tie = (
+        F.col(tie_break)
+        if isinstance(tie_break, str)
+        else (tie_break if tie_break is not None else F.lit(0))
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).cast("double").alias("__t"),
+        F.lit(0).alias("__side"),
+        tie.cast("double").alias("__tie"),
+        F.struct(
+            F.col(right_time).cast("double").alias("__asof_ts"),
+            *[F.col(c).alias(c) for c in right_cols],
+        ).alias("__rpay"),
+    )
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_time).cast("double").alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(0.0).alias("__tie"),
+        F.lit(None).cast(r.schema["__rpay"].dataType).alias("__rpay"),
+        F.struct(*[F.col(c).alias(c) for c in left_cols]).alias("__lpay"),
+    )
+    # align schemas: right side gets a NULL left payload
+    r = r.withColumn("__lpay", F.lit(None).cast(l.schema["__lpay"].dataType))
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t"), F.col("__side"), F.col("__tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("__match", F.last("__rpay", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "__match",
+            F.when(
+                F.col("__t") - F.col("__match.__asof_ts") <= F.lit(float(tolerance)),
+                F.col("__match"),
+            ),
+        )
+    return matched.select(
+        *[F.col(f"__lpay.{c}").alias(c) for c in left_cols],
+        *[F.col(f"__match.{c}").alias(c) for c in right_cols],
+    )

@@ -1,0 +1,103 @@
+"""Unit tests for the reusable operators (SURVEY §7.0 engine/ops)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from defi_features_data_pipeline_spark.operators import (
+    asof_join,
+    disjunctive_join,
+    high_watermark,
+    latest_per_group,
+    top_k_per_group,
+    union_distinct,
+)
+
+
+def test_asof_join_backward_with_tolerance(spark):
+    events = spark.createDataFrame(
+        [("tokA", 100), ("tokA", 250), ("tokA", 1000), ("tokB", 500), ("tokC", 50)],
+        "token string, ts long",
+    )
+    prices = spark.createDataFrame(
+        [
+            ("tokA", 90, 1.0),
+            ("tokA", 100, 2.0),   # equal ts -> matched (inclusive)
+            ("tokA", 240, 3.0),
+            ("tokB", 100, 9.0),   # 400s stale -> outside tolerance 300
+            ("tokD", 1, 5.0),
+        ],
+        "token string, ts long, price double",
+    )
+    out = asof_join(
+        events, prices, on="token", left_time="ts", right_time="ts",
+        tolerance=300, right_cols=["price"],
+    )
+    got = {(r["token"], r["ts"]): r["price"] for r in out.collect()}
+    assert got == {
+        ("tokA", 100): 2.0,
+        ("tokA", 250): 3.0,
+        ("tokA", 1000): None,  # 760s stale
+        ("tokB", 500): None,   # outside window
+        ("tokC", 50): None,    # no prices at all
+    }
+
+
+def test_asof_join_tie_break_deterministic(spark):
+    events = spark.createDataFrame([("t", 100)], "token string, ts long")
+    prices = spark.createDataFrame(
+        [("t", 100, 1.0), ("t", 100, 7.0)], "token string, ts long, price double"
+    )
+    out = asof_join(
+        events, prices, on="token", left_time="ts", right_time="ts",
+        right_cols=["price"], tie_break=F.col("price"),
+    )
+    rows = out.collect()
+    assert len(rows) == 1  # no fan-out on ties (unlike reference two-pass)
+    assert rows[0]["price"] == 7.0  # last in tie order wins
+
+
+def test_latest_per_group_and_topk(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 5.0), ("b", 7, 1.0)],
+        "k string, t long, v double",
+    )
+    latest = {(r["k"]): r["t"] for r in latest_per_group(df, "k", "t").collect()}
+    assert latest == {"a": 2, "b": 7}
+    top = top_k_per_group(df, "k", [F.col("v").desc()], 1)
+    assert {(r["k"], r["v"]) for r in top.collect()} == {("a", 10.0), ("b", 1.0)}
+
+
+def test_disjunctive_join_matches_or_predicate(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99)], "a long, b long"
+    )
+    right = spark.createDataFrame([(1,), (20,), (42,)], "k long")
+    got = disjunctive_join(
+        left, right, [("a", "k"), ("b", "k")], how="inner"
+    )
+    # same rows as ON a=k OR b=k
+    expected = left.join(right, (left.a == right.k) | (left.b == right.k))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_disjunctive_join_left(spark):
+    left = spark.createDataFrame([(1, 10), (3, 99)], "a long, b long")
+    right = spark.createDataFrame([(1,), (42,)], "k long")
+    got = disjunctive_join(left, right, [("a", "k"), ("b", "k")], how="left")
+    rows = {tuple(r) for r in got.collect()}
+    assert rows == {(1, 10, 1), (3, 99, None)}
+
+
+def test_union_distinct(spark):
+    a = spark.createDataFrame([("x",), ("y",)], "addr string")
+    b = spark.createDataFrame([("y",), ("z",)], "other string")
+    out = union_distinct([a, b], out_col="wallet")
+    assert out.columns == ["wallet"]
+    assert {r["wallet"] for r in out.collect()} == {"x", "y", "z"}
+
+
+def test_high_watermark(spark):
+    df = spark.createDataFrame([(5,), (9,)], "ts long")
+    assert high_watermark(df, "ts") == 9
+    empty = df.filter("ts > 100")
+    assert high_watermark(empty, "ts", default=0) == 0
