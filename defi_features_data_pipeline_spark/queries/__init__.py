@@ -1,0 +1,15 @@
+"""Driver-facing query suite: each SURVEY §2 operator as a
+(spark_query, duckdb_oracle_sql) pair over the driver's TPC-H-ish
+testdata. `__spark_entry__.py` re-exports these."""
+
+from .core import CORE_ORACLES, CORE_QUERIES
+
+try:  # extensions are added incrementally
+    from .extensions import EXT_ORACLES, EXT_QUERIES
+except ImportError:  # pragma: no cover
+    EXT_QUERIES, EXT_ORACLES = {}, {}
+
+ALL_QUERIES = {**CORE_QUERIES, **EXT_QUERIES}
+ALL_ORACLES = {**CORE_ORACLES, **EXT_ORACLES}
+
+__all__ = ["ALL_QUERIES", "ALL_ORACLES"]

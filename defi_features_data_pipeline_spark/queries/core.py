@@ -1,0 +1,883 @@
+"""Core relational query suite — SURVEY §2 operator inventory expressed
+over the driver testdata (TPC-H-ish tables + events), each with a
+DuckDB oracle producing identical column names and values.
+
+Determinism contract (applies to every pair here):
+- Money/volume SUMs are computed as exact DECIMAL(38,10) sums and cast
+  back to DOUBLE — bit-identical regardless of partitioning/summation
+  order, so Spark and DuckDB hash-match without tolerance. On the
+  DuckDB side the decimal→double cast goes through VARCHAR because
+  DuckDB's direct decimal→double conversion is not correctly rounded
+  (1-ulp drift vs Spark's BigDecimal.doubleValue).
+- AVGs are decimal-sum / count (again bit-deterministic), never the
+  engines' native double-streaming avg.
+- Timestamps are projected as epoch-second BIGINTs, truncating
+  sub-second parts the way both engines' integer division does.
+- Every computed column is aliased identically in both dialects.
+
+Reference-operator mapping is noted per query (J/A/P/U/O ids from
+SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
+
+from ..operators import (
+    asof_join,
+    disjunctive_join,
+    latest_per_group,
+    top_k_per_group,
+    union_distinct,
+)
+
+DEC = "decimal(38,10)"
+# fixed evaluation timestamp (2026-01-01 UTC) — injected "now" per SURVEY §4.3
+FIXED_NOW = 1_767_225_600
+NEVER = 999_999_999
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table loader. The driver writes ``events.ts`` as parquet
+    TIMESTAMP(NANOS), which Spark's parquet reader rejects by default;
+    read it as nanosecond longs (legacy conf, runtime-settable) and
+    rebuild a microsecond timestamp — the same truncation DuckDB
+    applies when reading the file, so both engines see identical
+    instants."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if isinstance(ev.schema["ts"].dataType, LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def _dsum(c) -> F.Column:
+    """Order-independent exact sum of a double column (see module doc)."""
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def _davg(c) -> F.Column:
+    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+
+
+def _dsum_reagg(c) -> F.Column:
+    """Sum of ALREADY-COMPUTED double aggregates. Scale 6, not 10: a
+    computed double carries ~1e-10 representation error, which sits
+    exactly on the scale-10 rounding boundary — Spark (shortest-repr
+    BigDecimal) and DuckDB (full binary expansion) would round it
+    differently. At scale 6 both land on the same decimal."""
+    return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+
+def dsum_sql(expr: str) -> str:
+    """DuckDB rendering of ``_dsum`` (varchar hop: see module doc)."""
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+
+def dsum_reagg_sql(expr: str) -> str:
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
+
+
+def davg_sql(expr: str) -> str:
+    return f"{dsum_sql(expr)} / COUNT({expr})"
+
+
+def epoch_sql(col: str = "ts") -> str:
+    """DuckDB rendering of Spark's timestamp→long cast (truncation)."""
+    return f"CAST(epoch_us({col}) // 1000000 AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters
+# ---------------------------------------------------------------------------
+
+
+def q_stage_normalize(spark, sf_dir):
+    """P1: stage-layer normalization — enumerate/rename/cast/LOWER
+    (ref `stage_tranformation_queries.py:3-18`). Filter + projection
+    push down to the parquet scan."""
+    ev = _events(spark, sf_dir)
+    return ev.filter(F.col("value") > 0).select(
+        F.col("event_id"),
+        F.lower(F.col("event_type")).alias("event_type_norm"),
+        F.col("ts").cast("long").alias("epoch_ts"),
+        F.col("user_id"),
+        F.col("value").cast("double").alias("value_d"),
+    )
+
+
+ORACLE_STAGE_NORMALIZE = f"""
+SELECT event_id,
+       lower(event_type) AS event_type_norm,
+       {epoch_sql()} AS epoch_ts,
+       user_id,
+       CAST(value AS DOUBLE) AS value_d
+FROM events WHERE value > 0
+"""
+
+
+def q_watermark_filter(spark, sf_dir):
+    """P3: high-watermark incremental predicate (ref
+    `stage_tranformation_queries.py:20`): rows strictly newer than the
+    max 'purchase' timestamp are the next increment."""
+    ev = _events(spark, sf_dir)
+    wm = ev.filter(F.col("event_type") == "purchase").agg(
+        F.max(F.col("ts").cast("long")).alias("wm")
+    )
+    return (
+        ev.join(F.broadcast(wm))
+        .filter(F.col("ts").cast("long") > F.col("wm"))
+        .select(
+            "event_id",
+            F.col("ts").cast("long").alias("epoch_ts"),
+            "event_type",
+            F.col("value").cast("double").alias("value_d"),
+        )
+    )
+
+
+ORACLE_WATERMARK_FILTER = f"""
+SELECT event_id,
+       {epoch_sql()} AS epoch_ts,
+       event_type,
+       CAST(value AS DOUBLE) AS value_d
+FROM events
+WHERE {epoch_sql()} >
+      (SELECT max({epoch_sql()}) FROM events WHERE event_type = 'purchase')
+"""
+
+
+def q_scalar_ladder(spark, sf_dir):
+    """§2.8 scalar-function surface: LOWER/SUBSTR/ABS/POWER/CASE/
+    COALESCE/NULLIF/GREATEST/LEAST (all per-row, bit-deterministic)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.col("p_name")).alias("name_lower"),
+        F.substring(F.col("p_type"), 3, 2).alias("type_sub"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_abs_diff"),
+        F.pow(F.lit(10.0), (F.col("p_size") % 3).cast("double")).alias("size_pow"),
+        F.when(F.col("p_size") > 25, "big")
+        .when(F.col("p_size") > 10, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#13")), F.lit("other")).alias(
+            "brand_or_other"
+        ),
+        F.greatest(F.col("p_size").cast("double"), F.col("p_retailprice") / 100.0).alias(
+            "greatest_v"
+        ),
+        F.least(F.col("p_size").cast("double"), F.col("p_retailprice") / 100.0).alias(
+            "least_v"
+        ),
+    )
+
+
+ORACLE_SCALAR_LADDER = """
+SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       substr(p_type, 3, 2) AS type_sub,
+       abs(p_retailprice - 1000.0) AS price_abs_diff,
+       power(10.0, CAST(p_size % 3 AS DOUBLE)) AS size_pow,
+       CASE WHEN p_size > 25 THEN 'big' WHEN p_size > 10 THEN 'mid' ELSE 'small' END AS size_class,
+       coalesce(nullif(p_brand, 'Brand#13'), 'other') AS brand_or_other,
+       greatest(CAST(p_size AS DOUBLE), p_retailprice / 100.0) AS greatest_v,
+       least(CAST(p_size AS DOUBLE), p_retailprice / 100.0) AS least_v
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """A1: TPC-H Q1-shaped hash aggregate — the reference's per-wallet
+    sum/avg/count-distinct shape (`view_defi_borrow_features.sql:3-9`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _davg(F.col("l_quantity")).alias("avg_qty"),
+            _davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql("l_quantity")} AS sum_qty,
+       {dsum_sql("l_extendedprice")} AS sum_base_price,
+       {dsum_sql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       {davg_sql("l_quantity")} AS avg_qty,
+       {davg_sql("l_discount")} AS avg_disc,
+       COUNT(*) AS count_order,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_conditional_avg(spark, sf_dir):
+    """A5: conditional aggregate with the reference's COUNT(*)=1 wrapper
+    (`view_defi_historical_health_and_risk_factor.sql:479`)."""
+    ev = _events(spark, sf_dir)
+    nonzero = F.when(F.col("value") != 0, F.col("value"))
+    return ev.groupBy("user_id").agg(
+        F.when(F.count(F.lit(1)) == 1, _davg(F.col("value")))
+        .otherwise(_davg(nonzero))
+        .alias("avg_value_cond"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_CONDITIONAL_AVG = f"""
+SELECT user_id,
+       CASE WHEN COUNT(*) = 1
+            THEN {davg_sql("value")}
+            ELSE {davg_sql("CASE WHEN value <> 0 THEN value END")}
+       END AS avg_value_cond,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_time_since(spark, sf_dir):
+    """A2 + sentinel: now - MIN(ts) / now - MAX(ts) with the 999999999
+    never-happened sentinel (`view_defi_liquidation_features.sql:17`,
+    `defi_features_calculation.sql:162-172`). 'now' is injected for
+    determinism (SURVEY §4.3)."""
+    ev = _events(spark, sf_dir)
+    spine = ev.select("user_id").distinct()
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            (F.lit(FIXED_NOW) - F.max(F.col("ts").cast("long"))).alias("t_last"),
+            (F.lit(FIXED_NOW) - F.min(F.col("ts").cast("long"))).alias("t_first"),
+        )
+    )
+    return spine.join(purchases, "user_id", "left").select(
+        "user_id",
+        F.coalesce(F.col("t_first"), F.lit(NEVER)).cast("long").alias(
+            "time_since_first_purchase"
+        ),
+        F.coalesce(F.col("t_last"), F.lit(NEVER)).cast("long").alias(
+            "time_since_last_purchase"
+        ),
+    )
+
+
+ORACLE_TIME_SINCE = f"""
+WITH spine AS (SELECT DISTINCT user_id FROM events),
+p AS (
+  SELECT user_id,
+         {FIXED_NOW} - max({epoch_sql()}) AS t_last,
+         {FIXED_NOW} - min({epoch_sql()}) AS t_first
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT spine.user_id,
+       CAST(coalesce(t_first, {NEVER}) AS BIGINT) AS time_since_first_purchase,
+       CAST(coalesce(t_last, {NEVER}) AS BIGINT) AS time_since_last_purchase
+FROM spine LEFT JOIN p ON spine.user_id = p.user_id
+"""
+
+
+def q_credit_mix(spark, sf_dir):
+    """A3 + GREATEST ladder: COUNT(DISTINCT categorical) per entity, 4
+    conditional variants combined with GREATEST
+    (`view_defi_credit_mix_features.sql:3-69`)."""
+    ev = _events(spark, sf_dir)
+    cd = lambda cond: F.countDistinct(F.when(cond, F.col("event_type")))  # noqa: E731
+    out = ev.groupBy("user_id").agg(
+        cd(F.col("value") > 50).alias("mix_high"),
+        cd(F.col("value") <= 50).alias("mix_low"),
+        cd(F.col("event_id") % 2 == 0).alias("mix_even"),
+        cd(F.col("event_id") % 2 == 1).alias("mix_odd"),
+    )
+    return out.select(
+        "user_id",
+        "mix_high",
+        "mix_low",
+        F.greatest("mix_high", "mix_low", "mix_even", "mix_odd").alias("mix_greatest"),
+    )
+
+
+ORACLE_CREDIT_MIX = """
+WITH m AS (
+  SELECT user_id,
+         COUNT(DISTINCT CASE WHEN value > 50 THEN event_type END) AS mix_high,
+         COUNT(DISTINCT CASE WHEN value <= 50 THEN event_type END) AS mix_low,
+         COUNT(DISTINCT CASE WHEN event_id % 2 = 0 THEN event_type END) AS mix_even,
+         COUNT(DISTINCT CASE WHEN event_id % 2 = 1 THEN event_type END) AS mix_odd
+  FROM events GROUP BY user_id
+)
+SELECT user_id, mix_high, mix_low,
+       greatest(mix_high, mix_low, mix_even, mix_odd) AS mix_greatest
+FROM m
+"""
+
+
+def q_daily_first_event(spark, sf_dir):
+    """A9: calendar rollup — first event id per (y, m, d)
+    (ref daily-first-block `src/pipelines/utils.py:35-44`)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.year("ts").alias("y"), F.month("ts").alias("m"), F.dayofmonth("ts").alias("d")
+    ).agg(F.min("event_id").alias("first_event_id"))
+
+
+ORACLE_DAILY_FIRST_EVENT = """
+SELECT CAST(EXTRACT(year FROM ts) AS INTEGER) AS y,
+       CAST(EXTRACT(month FROM ts) AS INTEGER) AS m,
+       CAST(EXTRACT(day FROM ts) AS INTEGER) AS d,
+       min(event_id) AS first_event_id
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_dq_constraints(spark, sf_dir):
+    """A8/U3: the reference's data-quality constraint query shape —
+    ratio scalar aggregates UNION ALLed into one result
+    (`data_quality/defi_features_constraints_query.sql:1-51`)."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def ratio_row(name: str, cond) -> DataFrame:
+        return li.agg(
+            F.lit(name).alias("constraint_name"),
+            (
+                F.count(F.when(cond, F.lit(1))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * 100.0
+            ).alias("pct"),
+            (F.count(F.when(cond, F.lit(1))) == F.count(F.lit(1))).alias("is_fail"),
+        )
+
+    r1 = ratio_row("qty_zero", F.col("l_quantity") == 0)
+    r2 = ratio_row("discount_full", F.col("l_discount") >= 1.0)
+    r3 = ratio_row("returned", F.col("l_returnflag") == "R")
+    return r1.unionByName(r2).unionByName(r3)
+
+
+ORACLE_DQ_CONSTRAINTS = """
+SELECT 'qty_zero' AS constraint_name,
+       CAST(COUNT(CASE WHEN l_quantity = 0 THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 100.0 AS pct,
+       COUNT(CASE WHEN l_quantity = 0 THEN 1 END) = COUNT(*) AS is_fail
+FROM lineitem
+UNION ALL
+SELECT 'discount_full',
+       CAST(COUNT(CASE WHEN l_discount >= 1.0 THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 100.0,
+       COUNT(CASE WHEN l_discount >= 1.0 THEN 1 END) = COUNT(*)
+FROM lineitem
+UNION ALL
+SELECT 'returned',
+       CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 100.0,
+       COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) = COUNT(*)
+FROM lineitem
+"""
+
+
+def q_agg_of_agg(spark, sf_dir):
+    """A6: aggregate-of-aggregates — per (cust, status) totals re-grouped
+    per cust (`defi_features_calculation.sql:87-95`)."""
+    o = _t(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_custkey", "o_orderstatus").agg(
+        _dsum(F.col("o_totalprice")).alias("status_total"),
+        F.count(F.lit(1)).alias("status_n"),
+    )
+    return per_status.groupBy("o_custkey").agg(
+        _dsum_reagg(F.col("status_total")).alias("total_spend"),
+        F.max("status_total").alias("max_status_total"),
+        F.min("status_n").alias("min_status_n"),
+    )
+
+
+ORACLE_AGG_OF_AGG = f"""
+WITH per_status AS (
+  SELECT o_custkey, o_orderstatus,
+         {dsum_sql("o_totalprice")} AS status_total,
+         COUNT(*) AS status_n
+  FROM orders GROUP BY o_custkey, o_orderstatus
+)
+SELECT o_custkey,
+       {dsum_reagg_sql("status_total")} AS total_spend,
+       MAX(status_total) AS max_status_total,
+       MIN(status_n) AS min_status_n
+FROM per_status GROUP BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+def q_multikey_join(spark, sf_dir):
+    """J1: multi-key inner equi-join (positions x market data analog:
+    `historical_market_data_and_account_positions.py:72-73`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey", "l_returnflag").agg(
+        _dsum(F.col("l_quantity")).alias("grp_qty")
+    )
+    joined = li.join(agg, ["l_orderkey", "l_returnflag"], "inner")
+    return joined.groupBy("l_returnflag").agg(
+        _dsum(F.col("grp_qty")).alias("sum_grp_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_MULTIKEY_JOIN = f"""
+WITH agg AS (
+  SELECT l_orderkey, l_returnflag,
+         {dsum_sql("l_quantity")} AS grp_qty
+  FROM lineitem GROUP BY l_orderkey, l_returnflag
+)
+SELECT li.l_returnflag,
+       {dsum_sql("grp_qty")} AS sum_grp_qty,
+       COUNT(*) AS n_rows
+FROM lineitem li JOIN agg ON li.l_orderkey = agg.l_orderkey AND li.l_returnflag = agg.l_returnflag
+GROUP BY li.l_returnflag
+"""
+
+
+def q_regional_revenue(spark, sf_dir):
+    """J2/J4/J6: TPC-H Q5-shaped star join — fact table joined through
+    broadcastable dims (the reference's numeraire/dim joins, J2). The
+    dim chain (customer→nation→region) is broadcast; only the
+    fact-side join shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(_dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+ORACLE_REGIONAL_REVENUE = f"""
+SELECT n_name,
+       {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """J5: left anti join (tokens-to-drop analog, `transformations.sql:42-43,51`)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """Left semi join (EXISTS) — completes the join-type surface."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+ORACLE_SEMI_JOIN = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+def q_full_outer(spark, sf_dir):
+    """J7: FULL OUTER merge of two per-key aggregates with COALESCE key
+    resurrection (`view_defi_current_health_factor_features.sql:164-177`)."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    ca = c.groupBy(F.col("c_nationkey").alias("c_nk")).agg(
+        _dsum(F.col("c_acctbal")).alias("cust_bal")
+    )
+    sa = s.groupBy(F.col("s_nationkey").alias("s_nk")).agg(
+        _dsum(F.col("s_acctbal")).alias("supp_bal")
+    )
+    return ca.join(sa, ca.c_nk == sa.s_nk, "full_outer").select(
+        F.coalesce(F.col("c_nk"), F.col("s_nk")).alias("nationkey"),
+        F.coalesce(F.col("cust_bal"), F.lit(0.0)).alias("cust_bal"),
+        F.coalesce(F.col("supp_bal"), F.lit(0.0)).alias("supp_bal"),
+    )
+
+
+ORACLE_FULL_OUTER = f"""
+WITH ca AS (
+  SELECT c_nationkey AS nk, {dsum_sql("c_acctbal")} AS cust_bal
+  FROM customer GROUP BY c_nationkey
+),
+sa AS (
+  SELECT s_nationkey AS nk, {dsum_sql("s_acctbal")} AS supp_bal
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT coalesce(ca.nk, sa.nk) AS nationkey,
+       coalesce(cust_bal, 0.0) AS cust_bal,
+       coalesce(supp_bal, 0.0) AS supp_bal
+FROM ca FULL OUTER JOIN sa ON ca.nk = sa.nk
+"""
+
+
+def q_disjunctive_join(spark, sf_dir):
+    """J9: OR-predicate join via union-of-equi-joins rewrite
+    (`view_defi_historical_count_above_threshold.sql:66-67`). The
+    rewrite keeps the join hash-based instead of nested-loop."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = disjunctive_join(s, n, [("s_nationkey", "n_nationkey"), ("s_suppkey", "n_nationkey")])
+    return j.groupBy("s_suppkey").agg(F.countDistinct("n_name").alias("n_matched"))
+
+
+ORACLE_DISJUNCTIVE_JOIN = """
+SELECT s_suppkey, COUNT(DISTINCT n_name) AS n_matched
+FROM supplier JOIN nation
+  ON s_nationkey = n_nationkey OR s_suppkey = n_nationkey
+GROUP BY s_suppkey
+"""
+
+
+def q_asof_price(spark, sf_dir):
+    """J3/A7: backward as-of join with 7-day tolerance — each 'view'
+    event priced with the user's latest prior 'purchase' value
+    (`transformations.sql:2-13,44-48`). Implemented with the
+    union-window asof operator (one shuffle); ties resolved by max
+    value (deterministic, SURVEY §7.3.2)."""
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ets")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("long").alias("pts"), F.col("value").alias("pval")
+    )
+    out = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_time="ets",
+        right_time="pts",
+        tolerance=7 * 86400,
+        right_cols=["pval"],
+        tie_break=F.col("pval"),
+    )
+    return out.select(
+        "event_id", "user_id", "ets", F.col("pval").alias("asof_purchase_value")
+    )
+
+
+ORACLE_ASOF_PRICE = f"""
+WITH v AS (
+  SELECT event_id, user_id, {epoch_sql()} AS ets
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, {epoch_sql()} AS pts, value AS pval
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.event_id, v.user_id, v.ets,
+       (SELECT p.pval FROM p
+        WHERE p.user_id = v.user_id AND p.pts <= v.ets AND v.ets - p.pts <= 604800
+        ORDER BY p.pts DESC, p.pval DESC LIMIT 1) AS asof_purchase_value
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windows / top-k / sorts
+# ---------------------------------------------------------------------------
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """J10 rewrite: latest row per group via window row_number
+    (`view_defi_current_health_factor_features.sql:3-22` does it as
+    MAX + inequality self-join; one shuffle here instead of two)."""
+    ev = _events(spark, sf_dir)
+    latest = latest_per_group(
+        ev, "user_id", "ts", tie_break=[F.col("event_id").desc()]
+    )
+    return latest.select(
+        "user_id",
+        F.col("ts").cast("long").alias("epoch_ts"),
+        "event_id",
+        "event_type",
+    )
+
+
+ORACLE_LATEST_EVENT_PER_USER = f"""
+SELECT user_id, {epoch_sql()} AS epoch_ts, event_id, event_type
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_top3_orders_per_customer(spark, sf_dir):
+    """O-family: top-k per group with deterministic tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    top = top_k_per_group(
+        o, "o_custkey", [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3
+    )
+    return top.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+ORACLE_TOP3_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_top100_orders(spark, sf_dir):
+    """O1: global ORDER BY + LIMIT (deterministic tiebreak so the
+    selected set is unique)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+ORACLE_TOP100_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations / spine / feature assembly
+# ---------------------------------------------------------------------------
+
+
+def q_union_distinct_spine(spark, sf_dir):
+    """U1: multi-source UNION + DISTINCT spine
+    (`view_distinct_defi_events_addresses.sql:2-33`)."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").cast("long"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").cast("long"))
+    e = _events(spark, sf_dir).select(F.col("user_id").cast("long"))
+    return union_distinct([o, c, e], out_col="entity_id")
+
+
+ORACLE_UNION_DISTINCT_SPINE = """
+SELECT DISTINCT entity_id FROM (
+  SELECT CAST(o_custkey AS BIGINT) AS entity_id FROM orders
+  UNION ALL SELECT CAST(c_custkey AS BIGINT) FROM customer
+  UNION ALL SELECT CAST(user_id AS BIGINT) FROM events
+)
+"""
+
+
+def q_distinct_projection(spark, sf_dir):
+    """A10: SELECT DISTINCT as dedup (`defi_features_calculation.sql:69-74`)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_custkey", "o_orderstatus").distinct()
+
+
+ORACLE_DISTINCT_PROJECTION = """
+SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+"""
+
+
+def q_customer_feature_spine(spark, sf_dir):
+    """J6 feature-merge chain — the defi_features assembly shape
+    (`defi_features_calculation.sql:1-68`): spine LEFT JOIN per-entity
+    aggregates, COALESCE(x, 0) everywhere. Flagship query."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+
+    spine = union_distinct(
+        [o.select("o_custkey"), c.select("c_custkey")], out_col="custkey"
+    )
+    order_f = o.groupBy(F.col("o_custkey").alias("k1")).agg(
+        F.countDistinct("o_orderkey").alias("order_count"),
+        _dsum(F.col("o_totalprice")).alias("total_spend"),
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    li_f = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("k2"))
+        .agg(
+            _dsum(revenue).alias("revenue"),
+            _davg(F.col("l_discount")).alias("avg_discount"),
+        )
+    )
+    return (
+        spine.join(order_f, spine.custkey == order_f.k1, "left")
+        .join(li_f, spine.custkey == li_f.k2, "left")
+        .select(
+            "custkey",
+            F.coalesce("order_count", F.lit(0)).alias("order_count"),
+            F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("avg_discount", F.lit(0.0)).alias("avg_discount"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_FEATURE_SPINE = f"""
+WITH spine AS (
+  SELECT DISTINCT custkey FROM (
+    SELECT o_custkey AS custkey FROM orders
+    UNION ALL SELECT c_custkey FROM customer
+  )
+),
+order_f AS (
+  SELECT o_custkey AS k1,
+         COUNT(DISTINCT o_orderkey) AS order_count,
+         {dsum_sql("o_totalprice")} AS total_spend
+  FROM orders GROUP BY o_custkey
+),
+li_f AS (
+  SELECT o_custkey AS k2,
+         {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         {davg_sql("l_discount")} AS avg_discount
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+)
+SELECT custkey,
+       coalesce(order_count, 0) AS order_count,
+       coalesce(total_spend, 0.0) AS total_spend,
+       coalesce(revenue, 0.0) AS revenue,
+       coalesce(avg_discount, 0.0) AS avg_discount
+FROM spine
+LEFT JOIN order_f ON custkey = k1
+LEFT JOIN li_f ON custkey = k2
+"""
+
+
+def q_two_role_union(spark, sf_dir):
+    """J11/U2: two-role join combined with UNION (dedup)
+    (`view_defi_historical_health_and_risk_factor.sql:69-93`): an order
+    relates to a nation via its customer OR via a supplier of one of
+    its items; both legs unioned then deduplicated before aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    leg1 = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", F.col("c_nationkey").alias("nationkey")
+    )
+    leg2 = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .select(F.col("l_orderkey").alias("o_orderkey"), F.col("s_nationkey").alias("nationkey"))
+    )
+    return (
+        leg1.unionByName(leg2)
+        .distinct()
+        .groupBy("nationkey")
+        .agg(F.countDistinct("o_orderkey").alias("n_orders"))
+    )
+
+
+ORACLE_TWO_ROLE_UNION = """
+SELECT nationkey, COUNT(DISTINCT o_orderkey) AS n_orders
+FROM (
+  SELECT o_orderkey, c_nationkey AS nationkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  UNION
+  SELECT l_orderkey AS o_orderkey, s_nationkey AS nationkey
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+)
+GROUP BY nationkey
+"""
+
+
+CORE_QUERIES = {
+    "stage_normalize": q_stage_normalize,
+    "watermark_filter": q_watermark_filter,
+    "scalar_ladder": q_scalar_ladder,
+    "pricing_summary": q_pricing_summary,
+    "conditional_avg": q_conditional_avg,
+    "time_since": q_time_since,
+    "credit_mix": q_credit_mix,
+    "daily_first_event": q_daily_first_event,
+    "dq_constraints": q_dq_constraints,
+    "agg_of_agg": q_agg_of_agg,
+    "multikey_join": q_multikey_join,
+    "regional_revenue": q_regional_revenue,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "full_outer": q_full_outer,
+    "disjunctive_join": q_disjunctive_join,
+    "asof_price": q_asof_price,
+    "latest_event_per_user": q_latest_event_per_user,
+    "top3_orders_per_customer": q_top3_orders_per_customer,
+    "top100_orders": q_top100_orders,
+    "union_distinct_spine": q_union_distinct_spine,
+    "distinct_projection": q_distinct_projection,
+    "customer_feature_spine": q_customer_feature_spine,
+    "two_role_union": q_two_role_union,
+}
+
+CORE_ORACLES = {
+    "stage_normalize": ORACLE_STAGE_NORMALIZE,
+    "watermark_filter": ORACLE_WATERMARK_FILTER,
+    "scalar_ladder": ORACLE_SCALAR_LADDER,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "conditional_avg": ORACLE_CONDITIONAL_AVG,
+    "time_since": ORACLE_TIME_SINCE,
+    "credit_mix": ORACLE_CREDIT_MIX,
+    "daily_first_event": ORACLE_DAILY_FIRST_EVENT,
+    "dq_constraints": ORACLE_DQ_CONSTRAINTS,
+    "agg_of_agg": ORACLE_AGG_OF_AGG,
+    "multikey_join": ORACLE_MULTIKEY_JOIN,
+    "regional_revenue": ORACLE_REGIONAL_REVENUE,
+    "anti_join": ORACLE_ANTI_JOIN,
+    "semi_join": ORACLE_SEMI_JOIN,
+    "full_outer": ORACLE_FULL_OUTER,
+    "disjunctive_join": ORACLE_DISJUNCTIVE_JOIN,
+    "asof_price": ORACLE_ASOF_PRICE,
+    "latest_event_per_user": ORACLE_LATEST_EVENT_PER_USER,
+    "top3_orders_per_customer": ORACLE_TOP3_ORDERS_PER_CUSTOMER,
+    "top100_orders": ORACLE_TOP100_ORDERS,
+    "union_distinct_spine": ORACLE_UNION_DISTINCT_SPINE,
+    "distinct_projection": ORACLE_DISTINCT_PROJECTION,
+    "customer_feature_spine": ORACLE_CUSTOMER_FEATURE_SPINE,
+    "two_role_union": ORACLE_TWO_ROLE_UNION,
+}

@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
+same parquet tables, compare row count, column names, and
+order-insensitive values. Exact value equality (no tolerance) — the
+query suite is designed to be bit-deterministic.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, bool):
+        return bool(v)
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as mod
+    from defi_features_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="check_correctness", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"OK?   {name}: rows-only ({len(s_rows)} rows, no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+
+        sc, sr = norm_rows(s_cols, s_rows)
+        dc, dr = norm_rows(d_cols, d_rows)
+        if sc != dc:
+            print(f"FAIL  {name}: columns {sc} != {dc}")
+            failures.append(name)
+            continue
+        if len(sr) != len(dr):
+            print(f"FAIL  {name}: rowcount {len(sr)} != {len(dr)}")
+            failures.append(name)
+            continue
+        bad = [(a, b) for a, b in zip(sr, dr) if a != b]
+        if bad:
+            print(f"FAIL  {name}: {len(bad)}/{len(sr)} differing rows; first: "
+                  f"spark={bad[0][0]} duck={bad[0][1]}")
+            failures.append(name)
+            continue
+        print(f"OK    {name}: {len(sr)} rows match [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    if failures:
+        print("failing:", ", ".join(failures))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
