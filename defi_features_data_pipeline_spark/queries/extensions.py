@@ -1,0 +1,602 @@
+"""Large-scale training-data pipeline operators (BASELINE.json
+extension surface): deduplication, similarity search, text analysis,
+multimodal plumbing — over the driver's ``documents`` / ``embeddings``
+tables, each with a DuckDB oracle where SQL-expressible.
+
+Portability contract:
+- Hashing uses md5 (present in both engines) reduced to a BIGINT via
+  the first 8 hex chars: Spark ``conv(substr(md5(x),1,8),16,10)``,
+  DuckDB ``CAST('0x'||substr(md5(x),1,8) AS BIGINT)`` — verified to
+  produce identical values.
+- Tokenization is lower + split on ``\\s+`` with empty tokens removed,
+  identical in both dialects.
+- All ratio features are integer-division-to-double (deterministic).
+
+Scale notes are in each docstring: every operator here is designed so
+the same plan shape survives 100 TB (shuffle on content keys, no
+driver-side loops, LSH instead of quadratic self-joins).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+N_MINHASH = 8          # minhash permutations
+N_BANDS = 4            # LSH bands (rows per band = 2)
+SIMHASH_BITS = 16
+JACCARD_THRESHOLD = 0.2
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---- portable hash / token expressions (Spark side) -----------------------
+
+
+def _h(col) -> F.Column:
+    """64->32-bit content hash via md5 prefix (portable to DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+H_SQL = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+TOKENS_SPARK = r"filter(split(lower(text), '\\s+'), t -> t <> '')"
+TOKENS_DUCK = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+# word 3-gram shingles over the token array (0-based in Spark, 1-based in DuckDB)
+SHINGLES_SPARK = (
+    "CASE WHEN size(__toks) >= 3 THEN "
+    "array_distinct(transform(sequence(0, size(__toks) - 3), "
+    "i -> concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2]))) "
+    "ELSE array() END"
+)
+SHINGLES_DUCK = (
+    "CASE WHEN len(__toks) >= 3 THEN "
+    "list_distinct([__toks[i] || ' ' || __toks[i+1] || ' ' || __toks[i+2] "
+    "FOR i IN range(1, len(__toks) - 1)]) "
+    "ELSE [] END"
+)
+
+
+def _doc_shingles(spark, sf_dir) -> DataFrame:
+    """(doc_id, shingle) — exploded distinct word-3-gram shingles."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("__toks", F.expr(TOKENS_SPARK))
+        .withColumn("__sh", F.expr(SHINGLES_SPARK))
+        .select("doc_id", F.explode("__sh").alias("s"))
+    )
+
+
+SHINGLES_CTE_DUCK = f"""
+toks AS (SELECT doc_id, {TOKENS_DUCK} AS __toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest({SHINGLES_DUCK}) AS s FROM toks
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content digest, keep min doc_id
+    (one shuffle on the digest; at 100 TB the digest groupBy is the
+    canonical map-side-combinable dedup)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.col("text")).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS content_md5,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup: distinct word-3-gram shingles, shingle
+    self-join, |A∩B| / |A∪B| >= threshold. Quadratic only within a
+    shingle bucket — the scale path replaces the raw self-join with the
+    LSH variant below; this is the exact baseline."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH {SHINGLES_CTE_DUCK},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       round(CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH candidate generation: shingle → k=8 seeded
+    minhashes → 4 bands of 2 rows → band-bucket self-join. Linear in
+    corpus size (no all-pairs): THE 100 TB dedup plan — each band join
+    shuffles on the band key only."""
+    sh = _doc_shingles(spark, sf_dir)
+    mins = [
+        F.min(_h(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"m{k}")
+        for k in range(N_MINHASH)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            F.col(f"m{2 * b}").cast("string"),
+                            F.col(f"m{2 * b + 1}").cast("string"),
+                        ).alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def _minhash_lsh_oracle() -> str:
+    min_cols = ",\n         ".join(
+        "min({h}) AS m{k}".format(h=H_SQL.format(x=f"'{k}|' || s"), k=k)
+        for k in range(N_MINHASH)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, m{2*b}::VARCHAR || ':' || m{2*b+1}::VARCHAR AS key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {SHINGLES_CTE_DUCK},
+sig AS (
+  SELECT doc_id,
+         {min_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {band_rows}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+ORACLE_DEDUP_MINHASH_LSH = _minhash_lsh_oracle()
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash document signature (16-bit): per distinct token, hash;
+    per bit, sum +1/-1 weighted votes; signature bit = vote > 0.
+    GroupBy doc then a single pass — fully map-side-combinable."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.withColumn("__toks", F.expr(TOKENS_SPARK))
+        .select("doc_id", F.explode(F.array_distinct("__toks")).alias("t"))
+        .withColumn("h", _h(F.col("t")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sig = tok.groupBy("doc_id").agg(*votes)
+    bits = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    return sig.select("doc_id", bits.cast("bigint").alias("simhash16"))
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(SIMHASH_BITS))
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKENS_DUCK} AS __toks FROM documents),
+tok AS (
+  SELECT doc_id, {H_SQL.format(x='t')} AS h
+  FROM (SELECT doc_id, unnest(list_distinct(__toks)) AS t FROM toks)
+),
+sig AS (
+  SELECT doc_id,
+         {votes}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16 FROM sig
+"""
+
+
+ORACLE_DEDUP_SIMHASH = _simhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _cos(a, b) -> F.Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    return dot / (na * nb)
+
+
+def q_knn_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: first 10 vectors as queries, scored
+    against the full corpus, window top-5 per query. The exact
+    baseline; values rounded to 6 dp so Spark's ordered fold and
+    DuckDB's list_cosine_similarity agree bit-wise after rounding.
+    At 100 TB the corpus side stays partitioned; queries broadcast."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_cos(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+ORACLE_KNN_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, cand_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: the ``label`` column acts as the coarse inverted
+    list (cluster assignment); each query searches only its own list
+    (nprobe=1). At scale: partition the corpus by list id → the search
+    is an equi-join on list id + per-partition top-k, no cross join."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, F.col("qlabel") == F.col("clabel"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_cos(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+ORACLE_ANN_IVF_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM q JOIN embeddings e ON e.label = q.qlabel
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, cand_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: token count, avg token length, stopword ratio,
+    BPE-ish token estimate (chars/4), short-doc flag. Pure column
+    arithmetic — JVM codegen end to end."""
+    d = _t(spark, sf_dir, "documents")
+    stop = "('the','a','of','and','in','to','is')"
+    return (
+        d.withColumn("__toks", F.expr(TOKENS_SPARK))
+        .select(
+            "doc_id",
+            F.size("__toks").alias("n_tokens"),
+            (
+                F.aggregate(
+                    F.transform(F.col("__toks"), lambda t: F.length(t)),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / F.size("__toks").cast("double")
+            ).alias("avg_token_len"),
+            (
+                F.size(F.expr(f"filter(__toks, t -> t IN {stop})")).cast("double")
+                / F.size("__toks").cast("double")
+            ).alias("stopword_ratio"),
+            F.ceil(F.length("text") / F.lit(4.0)).cast("bigint").alias("bpe_token_est"),
+            (F.size("__toks") < 20).alias("is_short"),
+        )
+    )
+
+
+ORACLE_TEXT_QUALITY = f"""
+WITH toks AS (SELECT doc_id, text, {TOKENS_DUCK} AS __toks FROM documents)
+SELECT doc_id,
+       CAST(len(__toks) AS INTEGER) AS n_tokens,
+       CAST(list_sum(list_transform(__toks, t -> length(t))) AS DOUBLE)
+         / CAST(len(__toks) AS DOUBLE) AS avg_token_len,
+       CAST(len(list_filter(__toks, t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+         / CAST(len(__toks) AS DOUBLE) AS stopword_ratio,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_token_est,
+       len(__toks) < 20 AS is_short
+FROM toks
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: CJK charset detection + per-language
+    marker-word counts with a deterministic argmax ladder."""
+    d = _t(spark, sf_dir, "documents")
+    markers = {
+        "en": "('the','and','of','is','to')",
+        "es": "('el','la','de','que','los')",
+        "de": "('der','die','und','das','ist')",
+        "fr": "('le','la','et','les','des')",
+    }
+    d = d.withColumn("__toks", F.expr(TOKENS_SPARK))
+    for lang, lst in markers.items():
+        d = d.withColumn(f"c_{lang}", F.size(F.expr(f"filter(__toks, t -> t IN {lst})")))
+    best = F.greatest(*[F.col(f"c_{lang}") for lang in markers])
+    pred = (
+        F.when(F.col("text").rlike("[\\u4e00-\\u9fff]"), F.lit("zh"))
+        .when(best == 0, F.lit("unknown"))
+        .when(F.col("c_en") == best, F.lit("en"))
+        .when(F.col("c_es") == best, F.lit("es"))
+        .when(F.col("c_de") == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return d.select(
+        "doc_id", "lang", pred.alias("lang_pred"), (pred == F.col("lang")).alias("is_correct")
+    )
+
+
+ORACLE_LANG_ID = rf"""
+WITH toks AS (SELECT doc_id, lang, text, {TOKENS_DUCK} AS __toks FROM documents),
+counts AS (
+  SELECT doc_id, lang, text,
+         len(list_filter(__toks, t -> t IN ('the','and','of','is','to'))) AS c_en,
+         len(list_filter(__toks, t -> t IN ('el','la','de','que','los'))) AS c_es,
+         len(list_filter(__toks, t -> t IN ('der','die','und','das','ist'))) AS c_de,
+         len(list_filter(__toks, t -> t IN ('le','la','et','les','des'))) AS c_fr
+  FROM toks
+),
+pred AS (
+  SELECT doc_id, lang,
+         CASE
+           WHEN regexp_matches(text, '[\x{{4e00}}-\x{{9fff}}]') THEN 'zh'
+           WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'unknown'
+           WHEN c_en = greatest(c_en, c_es, c_de, c_fr) THEN 'en'
+           WHEN c_es = greatest(c_en, c_es, c_de, c_fr) THEN 'es'
+           WHEN c_de = greatest(c_en, c_es, c_de, c_fr) THEN 'de'
+           ELSE 'fr'
+         END AS lang_pred
+  FROM counts
+)
+SELECT doc_id, lang, lang_pred, lang_pred = lang AS is_correct FROM pred
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: content digest over normalized text
+    (whitespace-collapsed, lowercased) + a 32-bit rolling-style key —
+    the join key for cross-snapshot dedup."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        _h(norm).alias("fingerprint32"),
+    )
+
+
+_NORM_DUCK = r"regexp_replace(lower(text), '\s+', ' ', 'g')"
+ORACLE_DOC_FINGERPRINT = """
+SELECT doc_id,
+       md5({norm}) AS fingerprint,
+       {h} AS fingerprint32
+FROM documents
+""".format(norm=_NORM_DUCK, h=H_SQL.format(x=_NORM_DUCK))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payloads + Pandas-UDF feature extraction)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_extract(spark, sf_dir):
+    """Multimodal column plumbing: treat content as an opaque binary
+    payload + typed metadata, run feature extraction as an
+    Arrow-batched mapInPandas (the real decode — image/audio libs —
+    is stubbed per environment; the Spark-side schema/batching/
+    partitioning is the part under test). Payload here is the UTF-8
+    encoding of the text column so the oracle can validate byte
+    lengths and digests."""
+    d = _t(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"), "lang"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": [len(b) for b in pdf["payload"]],
+                    "content_md5": [
+                        hashlib.md5(bytes(b)).hexdigest() for b in pdf["payload"]
+                    ],
+                    "lang": pdf["lang"],
+                }
+            )
+
+    return payloads.mapInPandas(
+        extract, schema="doc_id long, byte_len long, content_md5 string, lang string"
+    )
+
+
+ORACLE_MULTIMODAL_EXTRACT = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5,
+       lang
+FROM documents
+"""
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """Placeholder for environments with an actual image codec.
+
+    The container has no image/audio libraries; the Spark-side plumbing
+    (binary column → mapInPandas batches → typed struct out) is real
+    and tested via q_multimodal_extract. Wire PIL/ffmpeg here when
+    available."""
+    raise NotImplementedError(
+        "image/audio decode requires codec libraries not present in this environment"
+    )
+
+
+EXT_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "knn_cosine_topk": q_knn_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_extract": q_multimodal_extract,
+}
+
+EXT_ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "knn_cosine_topk": ORACLE_KNN_COSINE_TOPK,
+    "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "lang_id": ORACLE_LANG_ID,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "multimodal_extract": ORACLE_MULTIMODAL_EXTRACT,
+}
