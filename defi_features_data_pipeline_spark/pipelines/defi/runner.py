@@ -1,0 +1,138 @@
+"""Pipeline runner — the Airflow DAG collapsed to function-call order
+(`/root/reference/devops/airflow/dags/dag_defi_features.py:211-222`):
+
+per-event raw→stage→analytics (fan-out), market-data + positions
+branches, the merge join point, features assembly, the DQ gate, and
+the serving upsert. Incremental layers use the high-watermark append;
+re-running with no new raw data appends nothing (idempotent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ...sources.catalog import Catalog
+from ...sources.sinks import incremental_insert, upsert_parquet
+from .analytics import (
+    current_collateral_positions,
+    enrich_events,
+    merge_market_positions,
+)
+from .config import EVENTS
+from .features import (
+    assemble_defi_features,
+    view_borrow_features,
+    view_credit_mix,
+    view_current_health_factor,
+    view_distinct_addresses,
+    view_historical_count_above_threshold,
+    view_historical_health_and_risk,
+    view_lending_sum_redeems,
+    view_lending_time_and_count,
+    view_liquidation_features,
+    view_repay_features,
+)
+from .quality import run_quality_gate
+from .stage import stage_account_positions, stage_events, stage_market_data
+
+
+def run_pipeline(spark: SparkSession, base_dir: str, now_epoch: int) -> DataFrame:
+    """Full raw→features run over a fixture lake at ``base_dir``.
+    Returns the final 27-column defi_features DataFrame (also written
+    to the analytics layer + upserted into the serving sink)."""
+    cat = Catalog(spark, base_dir)
+
+    # --- stage layer: per-event incremental normalization -------------------
+    for name in EVENTS:
+        raw = cat.read("raw", f"transpose_{name}_events")
+        staged = stage_events(raw, liquidation=(name == "liquidation"))
+        incremental_insert(
+            spark,
+            staged,
+            cat.path("stage", f"transpose_{name}_events"),
+            watermark_col="epoch_timestamp",
+            partition_by=["year", "month"],
+        )
+
+    stage_md = stage_market_data(cat.read("raw", "the_graph_historical_market_data"))
+    incremental_insert(
+        spark, stage_md, cat.path("stage", "the_graph_historical_market_data"),
+        watermark_col="block_number",
+    )
+    stage_ap = stage_account_positions(
+        cat.read("raw", "the_graph_historical_account_positions")
+    )
+    incremental_insert(
+        spark, stage_ap, cat.path("stage", "the_graph_historical_account_positions"),
+        watermark_col="block_number",
+    )
+
+    # --- analytics layer -----------------------------------------------------
+    tokens_metadata = cat.read("stage", "ethereum_tokens_metadata")
+    tokens_to_drop = cat.read("sandbox", "defi_events_tokens_to_drop")
+    token_prices = cat.read("analytics", "features_daily_token_prices")
+
+    analytics_events: dict[str, DataFrame] = {}
+    for name, cfg in EVENTS.items():
+        staged = cat.read("stage", f"transpose_{name}_events")
+        enriched = enrich_events(staged, tokens_metadata, tokens_to_drop, token_prices, cfg)
+        path = cat.path("analytics", f"transpose_{name}_events")
+        incremental_insert(
+            spark, enriched, path, watermark_col="epoch_timestamp",
+            partition_by=["year", "month"],
+        )
+        analytics_events[name] = spark.read.parquet(path)
+
+    merged = merge_market_positions(
+        cat.read("stage", "the_graph_historical_market_data"),
+        cat.read("stage", "the_graph_historical_account_positions"),
+    )
+    merged_path = cat.path(
+        "analytics", "the_graph_historical_market_data_and_account_positions"
+    )
+    incremental_insert(spark, merged, merged_path, watermark_col="block_number")
+    positions = spark.read.parquet(merged_path)
+
+    current_pos = current_collateral_positions(
+        cat.read("raw", "the_graph_current_collateral_positions"),
+        cat.read("sandbox", "test_set_wallet_addresses"),
+    )
+    current_pos.write.mode("overwrite").parquet(
+        cat.path("analytics", "the_graph_current_collateral_positions")
+    )
+    current_pos = cat.read("analytics", "the_graph_current_collateral_positions")
+
+    # --- feature views --------------------------------------------------------
+    spine = view_distinct_addresses(analytics_events)
+    borrow_f = view_borrow_features(analytics_events["borrow"])
+    repay_f = view_repay_features(analytics_events["repay"])
+    redeems_f = view_lending_sum_redeems(analytics_events["withdraw"])
+    lending_f = view_lending_time_and_count(analytics_events["deposit"], now_epoch)
+    liquidation_f = view_liquidation_features(analytics_events["liquidation"], now_epoch)
+    credit_mix_f = view_credit_mix(analytics_events, spine)
+    historical_f = view_historical_health_and_risk(analytics_events["borrow"], positions)
+    threshold_f = view_historical_count_above_threshold(
+        analytics_events["borrow"], positions
+    )
+    current_hf_f = view_current_health_factor(
+        cat.read("stage", "the_graph_historical_market_data"), current_pos
+    )
+
+    features = assemble_defi_features(
+        spine, repay_f, borrow_f, credit_mix_f, redeems_f, lending_f,
+        historical_f, threshold_f, liquidation_f, current_hf_f,
+        analytics_events["borrow"],
+    )
+    features = features.cache()  # computed once, written to two sinks (SURVEY §4)
+
+    run_quality_gate(features)
+
+    features.write.mode("overwrite").parquet(cat.path("analytics", "defi_features"))
+    # serving sink: key-upsert keyed on walletAddress
+    upsert_parquet(
+        spark,
+        features.withColumnRenamed("wallet_address", "walletAddress"),
+        cat.path("features", "defi_features_serving"),
+        key="walletAddress",
+    )
+    return features

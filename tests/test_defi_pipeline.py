@@ -1,0 +1,143 @@
+"""End-to-end DeFi pipeline test: deterministic fixtures →
+raw→stage→analytics→features, asserting the FIXTURES.md output
+contract + the reference's own DQ constraints + watermark idempotency."""
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from defi_features_data_pipeline_spark.pipelines.defi import run_pipeline
+from defi_features_data_pipeline_spark.pipelines.defi.fixtures import generate
+
+NOW = 1_767_225_600  # injected evaluation timestamp
+
+EXPECTED_COLUMNS = [
+    "wallet_address",
+    "unique_borrow_protocol_count",
+    "unique_lending_protocol_count",
+    "total_collateral_eth",
+    "risk_factor",
+    "total_available_borrows_eth",
+    "deposit_count",
+    "time_since_first_deposit",
+    "deposit_amount_sum_eth",
+    "liquidation_count",
+    "liquidation_amount_sum_eth",
+    "time_since_last_liquidated",
+    "withdraw_amount_sum_eth",
+    "borrow_amount_sum_eth",
+    "borrow_amount_avg_eth",
+    "borrow_count",
+    "repay_amount_sum_eth",
+    "repay_amount_avg_eth",
+    "repay_count",
+    "borrow_repay_diff_eth",
+    "withdraw_deposit_diff_if_positive_eth",
+    "total_available_borrows_avg_eth",
+    "avg_weighted_risk_factor",
+    "avg_risk_factor",
+    "max_risk_factor",
+    "risk_factor_above_threshold_daily_count",
+    "total_collateral_avg_eth",
+]
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("defi_lake"))
+    generate(spark, base)
+    yield base
+    shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def features(spark, lake):
+    return run_pipeline(spark, lake, now_epoch=NOW)
+
+
+def test_27_column_contract(features):
+    assert features.columns == EXPECTED_COLUMNS
+
+
+def test_one_row_per_spine_wallet(features, spark, lake):
+    n = features.count()
+    assert n == features.select("wallet_address").distinct().count()
+    assert n > 0
+
+
+def test_no_null_features(features):
+    conds = [F.sum(F.col(c).isNull().cast("int")).alias(c) for c in features.columns]
+    nulls = features.agg(*conds).first().asDict()
+    assert all(v == 0 for v in nulls.values()), {k: v for k, v in nulls.items() if v}
+
+
+def test_sentinels(features):
+    """999999999 for wallets that never deposited / were never liquidated."""
+    no_dep = features.filter(F.col("deposit_count") == 0)
+    assert no_dep.filter(F.col("time_since_first_deposit") != 999999999).count() == 0
+    # never-liquidated wallets carry the sentinel...
+    no_liq = features.filter(F.col("liquidation_count") == 0)
+    assert no_liq.filter(F.col("time_since_last_liquidated") != 999999999).count() == 0
+    # ...and at least some liquidated wallet has a real time-since.
+    # (A wallet with BOTH liquidated and non-liquidated borrow accounts
+    # still gets the sentinel — the reference's COALESCE-0 + MIN + CASE
+    # semantics, `defi_features_calculation.sql:87-95,166-172`.)
+    assert (
+        features.filter(F.col("time_since_last_liquidated") != 999999999).count() > 0
+    )
+
+
+def test_clamped_diffs_non_negative(features):
+    assert features.filter(F.col("borrow_repay_diff_eth") < 0).count() == 0
+    assert (
+        features.filter(F.col("withdraw_deposit_diff_if_positive_eth") < 0).count() == 0
+    )
+
+
+def test_risk_factor_clamp_range(features):
+    bad = features.filter(
+        (F.col("risk_factor") < 0) | (F.col("risk_factor") > 1_000_000)
+    )
+    assert bad.count() == 0
+
+
+def test_dq_constraints_pass(features):
+    from defi_features_data_pipeline_spark.pipelines.defi.quality import (
+        run_quality_gate,
+    )
+
+    result = run_quality_gate(features)  # raises on failure
+    assert result.count() == 4
+
+
+def test_anti_join_dropped_tokens(spark, lake, features):
+    """Tokens in defi_events_tokens_to_drop must not survive into the
+    analytics event tables (transformations.sql:42-43,51)."""
+    drop = {
+        r["contract_address"]
+        for r in spark.read.parquet(f"{lake}/sandbox/defi_events_tokens_to_drop").collect()
+    }
+    borrow = spark.read.parquet(f"{lake}/analytics/transpose_borrow_events")
+    assert borrow.filter(F.col("token_address").isin(*drop)).count() == 0
+
+
+def test_addresses_lowercased(spark, lake, features):
+    stage_b = spark.read.parquet(f"{lake}/stage/transpose_borrow_events")
+    mixed = stage_b.filter(F.col("market_address") != F.lower(F.col("market_address")))
+    assert mixed.count() == 0
+
+
+def test_incremental_idempotent(spark, lake, features):
+    """Second run with no new raw data: stage row counts unchanged
+    (the reference's watermark property, SURVEY §5.4)."""
+    before = spark.read.parquet(f"{lake}/stage/transpose_borrow_events").count()
+    run_pipeline(spark, lake, now_epoch=NOW)
+    after = spark.read.parquet(f"{lake}/stage/transpose_borrow_events").count()
+    assert before == after
+
+
+def test_serving_upsert(spark, lake, features):
+    served = spark.read.parquet(f"{lake}/features/defi_features_serving")
+    assert "walletAddress" in served.columns
+    assert served.count() == features.count()
