@@ -64,13 +64,32 @@ SHINGLES_DUCK = (
 )
 
 
+def _spread(spark, df: DataFrame) -> DataFrame:
+    """Re-spread an under-partitioned scan across the cluster. The
+    testdata tables are single parquet files → 1-partition scans, which
+    serializes CPU-heavy work (shingling, hashing). On a real cluster a
+    100 TB table arrives in thousands of splits and this is a no-op."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def _doc_shingles(spark, sf_dir) -> DataFrame:
-    """(doc_id, shingle) — exploded distinct word-3-gram shingles."""
-    d = _t(spark, sf_dir, "documents")
+    """(doc_id, shingle) — exploded distinct word-3-gram shingles.
+
+    explode_outer, not explode: plain explode makes Catalyst infer a
+    ``size(shingles) > 0`` filter that embeds the whole shingle
+    expression and gets pushed below the repartition exchange — the
+    expensive expression would then run twice, once on the
+    single-partition scan side. explode_outer infers nothing; the
+    null rows (docs with < 3 tokens) are dropped after."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return (
         d.withColumn("__toks", F.expr(TOKENS_SPARK))
         .withColumn("__sh", F.expr(SHINGLES_SPARK))
-        .select("doc_id", F.explode("__sh").alias("s"))
+        .select("doc_id", F.explode_outer("__sh").alias("s"))
+        .filter(F.col("s").isNotNull())
     )
 
 
@@ -231,7 +250,7 @@ def q_dedup_simhash(spark, sf_dir):
     """SimHash document signature (16-bit): per distinct token, hash;
     per bit, sum +1/-1 weighted votes; signature bit = vote > 0.
     GroupBy doc then a single pass — fully map-side-combinable."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     tok = (
         d.withColumn("__toks", F.expr(TOKENS_SPARK))
         .select("doc_id", F.explode(F.array_distinct("__toks")).alias("t"))
@@ -404,7 +423,7 @@ def q_text_quality(spark, sf_dir):
     """Quality scoring: token count, avg token length, stopword ratio,
     BPE-ish token estimate (chars/4), short-doc flag. Pure column
     arithmetic — JVM codegen end to end."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     stop = "('the','a','of','and','in','to','is')"
     return (
         d.withColumn("__toks", F.expr(TOKENS_SPARK))
@@ -446,7 +465,7 @@ FROM toks
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic: CJK charset detection + per-language
     marker-word counts with a deterministic argmax ladder."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     markers = {
         "en": "('the','and','of','is','to')",
         "es": "('el','la','de','que','los')",
@@ -531,7 +550,7 @@ def q_multimodal_extract(spark, sf_dir):
     partitioning is the part under test). Payload here is the UTF-8
     encoding of the text column so the oracle can validate byte
     lengths and digests."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     payloads = d.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"), "lang"
     )
