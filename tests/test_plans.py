@@ -1,0 +1,70 @@
+"""Physical-plan assertions: correctness tests prove the WHAT, these
+prove the HOW — the plan shapes that matter at 100 TB (broadcasts where
+intended, filters/projections reaching the parquet scan, single-shuffle
+as-of join)."""
+
+import pyspark.sql.functions as F
+
+from defi_features_data_pipeline_spark.plans import explain_str
+from defi_features_data_pipeline_spark.queries.core import (
+    q_asof_price,
+    q_regional_revenue,
+    q_stage_normalize,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dim_joins_broadcast(spark):
+    plan = explain_str(q_regional_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation/region dims + dim-bundle
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = explain_str(q_regional_revenue(spark, SF))
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+
+
+def test_projection_pruning(spark):
+    """The stage-normalize projection must not read unused columns."""
+    plan = explain_str(q_stage_normalize(spark, SF))
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines and all("props" not in l for l in scan_lines)
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-window as-of join must shuffle exactly once (vs the
+    reference's two-pass range-join + re-join). Simple mode: formatted
+    mode lists each node twice (tree + details)."""
+    plan = explain_str(q_asof_price(spark, SF), mode="simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_whole_stage_codegen_in_aggregate(spark):
+    """Codegen stage markers ``*(n)`` only show in simple mode."""
+    from defi_features_data_pipeline_spark.queries.core import q_pricing_summary
+
+    df = q_pricing_summary(spark, SF)
+    df.collect()  # finalize THIS df's AQE plan (a write would plan anew)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in plan  # WholeStageCodegen spans present
+
+
+def test_broadcast_in_defi_enrichment(spark, tmp_path):
+    """Token metadata + tokens-to-drop are broadcast in event enrichment."""
+    from defi_features_data_pipeline_spark.pipelines.defi.analytics import enrich_events
+    from defi_features_data_pipeline_spark.pipelines.defi.config import EVENTS
+
+    events = spark.createDataFrame(
+        [(1, 1000, "0xaa", 5.0, "a", "b", "h1", "2023", "1")],
+        "block_number long, epoch_timestamp long, token_address string, quantity double,"
+        "sender_address string, account_address string, transaction_hash string,"
+        "year string, month string",
+    )
+    tm = spark.createDataFrame([("0xaa", 18)], "contract_address string, decimals long")
+    ttd = spark.createDataFrame([("0xdead",)], "contract_address string")
+    prices = spark.createDataFrame([("0xaa", 900, 1.5)], "address string, timestamp long, price double")
+    out = enrich_events(events, tm, ttd, prices, EVENTS["borrow"])
+    plan = explain_str(out)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert out.select("quantity_in_eth").first()[0] is not None
