@@ -881,3 +881,154 @@ CORE_ORACLES = {
     "customer_feature_spine": ORACLE_CUSTOMER_FEATURE_SPINE,
     "two_role_union": ORACLE_TWO_ROLE_UNION,
 }
+
+# ---------------------------------------------------------------------------
+# Wider analytics surface: pivot / rollup / sessionization / running
+# windows / JSON extraction — Spark-idiomatic patterns a user of the
+# engine gets beyond the reference's own SQL.
+# ---------------------------------------------------------------------------
+
+
+def q_pivot_order_status(spark, sf_dir):
+    """Pivot: per-customer totals fanned out by order status
+    (groupBy().pivot() — map-side CASE aggregation, single shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_custkey")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"))
+    )
+    return piv.select(
+        "o_custkey",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("total_open"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("total_filled"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("total_pending"),
+    )
+
+
+ORACLE_PIVOT_ORDER_STATUS = f"""
+SELECT o_custkey,
+       coalesce({dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}, 0.0) AS total_open,
+       coalesce({dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")}, 0.0) AS total_filled,
+       coalesce({dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")}, 0.0) AS total_pending
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP hierarchy totals (returnflag → linestatus → grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_dsum(F.col("l_extendedprice")).alias("revenue"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_ROLLUP_REVENUE = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql("l_extendedprice")} AS revenue,
+       COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Sessionization: lag() gap detection + cumulative session ids —
+    sessions split on >30 min inactivity. One shuffle on user_id."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        ev.withColumn("is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_SESSIONIZE_EVENTS = f"""
+WITH g AS (
+  SELECT user_id, event_id,
+         {epoch_sql()} - lag({epoch_sql()}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+s AS (
+  SELECT user_id, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS is_new FROM g
+)
+SELECT user_id,
+       CAST(sum(is_new) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+def q_running_user_value(spark, sf_dir):
+    """Running (cumulative) per-user sum — window frame
+    unboundedPreceding..current with a deterministic order; decimal
+    accumulation so both engines agree bitwise."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+    )
+
+
+ORACLE_RUNNING_USER_VALUE = """
+SELECT event_id, user_id,
+       CAST(CAST(sum(CAST(value AS DECIMAL(38,10))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+def q_json_extract_props(spark, sf_dir):
+    """JSON extraction from the events.props payload column +
+    aggregation (get_json_object stays in the JVM)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.when(k > 50, F.lit(1))).alias("n_high"),
+    )
+
+
+ORACLE_JSON_EXTRACT_PROPS = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_high
+FROM events GROUP BY event_type
+"""
+
+
+CORE_QUERIES.update({
+    "pivot_order_status": q_pivot_order_status,
+    "rollup_revenue": q_rollup_revenue,
+    "sessionize_events": q_sessionize_events,
+    "running_user_value": q_running_user_value,
+    "json_extract_props": q_json_extract_props,
+})
+
+CORE_ORACLES.update({
+    "pivot_order_status": ORACLE_PIVOT_ORDER_STATUS,
+    "rollup_revenue": ORACLE_ROLLUP_REVENUE,
+    "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
+    "running_user_value": ORACLE_RUNNING_USER_VALUE,
+    "json_extract_props": ORACLE_JSON_EXTRACT_PROPS,
+})
