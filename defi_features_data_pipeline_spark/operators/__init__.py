@@ -2,6 +2,7 @@ from .asof import asof_join
 from .joins import disjunctive_join
 from .ranking import latest_per_group, top_k_per_group
 from .sets import union_distinct
+from .skew import salted_join
 from .incremental import high_watermark
 
 __all__ = [
@@ -10,5 +11,6 @@ __all__ = [
     "latest_per_group",
     "top_k_per_group",
     "union_distinct",
+    "salted_join",
     "high_watermark",
 ]

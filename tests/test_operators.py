@@ -101,3 +101,23 @@ def test_high_watermark(spark):
     assert high_watermark(df, "ts") == 9
     empty = df.filter("ts > 100")
     assert high_watermark(empty, "ts", default=0) == 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    from defi_features_data_pipeline_spark.operators import salted_join
+
+    # hot key: 80% of fact rows share key 1
+    fact = spark.createDataFrame(
+        [(1 if i % 5 else 2, i, float(i)) for i in range(200)], "k long, i long, v double"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], "k long, name string")
+    got = salted_join(fact, dim, "k", "inner", salt_buckets=8)
+    want = fact.join(dim, "k", "inner")
+    assert sorted(map(tuple, got.select("k", "i", "v", "name").collect())) == sorted(
+        map(tuple, want.select("k", "i", "v", "name").collect())
+    )
+    # left: unmatched fact rows kept
+    fact2 = fact.union(spark.createDataFrame([(9, 999, 9.0)], "k long, i long, v double"))
+    got_l = salted_join(fact2, dim, "k", "left", salt_buckets=4)
+    assert got_l.filter("k = 9").count() == 1
+    assert got_l.filter("k = 9").first()["name"] is None

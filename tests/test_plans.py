@@ -68,3 +68,22 @@ def test_broadcast_in_defi_enrichment(spark, tmp_path):
     plan = explain_str(out)
     assert plan.count("BroadcastHashJoin") >= 2
     assert out.select("quantity_in_eth").first()[0] is not None
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Stage-style year/month partitioned write → a filtered read must
+    prune partitions at plan time (PartitionFilters on the scan)."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "ptab")
+    df = spark.createDataFrame(
+        [(i, str(2020 + i % 3), str(1 + i % 12)) for i in range(100)],
+        "id long, year string, month string",
+    )
+    df.write.mode("overwrite").partitionBy("year", "month").parquet(out)
+    rd = spark.read.parquet(out).filter((F.col("year") == "2021") & (F.col("month") == "3"))
+    plan = explain_str(rd)
+    assert "PartitionFilters" in plan
+    assert "isnotnull(year" in plan  # filter landed in partition filters
+    # and the data actually pruned
+    assert rd.count() == df.filter("year = '2021' and month = '3'").count()
