@@ -1032,3 +1032,33 @@ CORE_ORACLES.update({
     "running_user_value": ORACLE_RUNNING_USER_VALUE,
     "json_extract_props": ORACLE_JSON_EXTRACT_PROPS,
 })
+
+
+def q_salted_skew_join(spark, sf_dir):
+    """Skew-robust join: lineitem (l_suppkey is the hot-ish key) joined
+    to supplier through the salted-join operator — same semantics as a
+    plain equi-join (the oracle), bounded task sizes under skew."""
+    from ..operators import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    )
+    j = salted_join(li, s, "l_suppkey", "inner", salt_buckets=8)
+    return j.groupBy("s_nationkey").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_SALTED_SKEW_JOIN = f"""
+SELECT s_nationkey,
+       {dsum_sql("l_quantity")} AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+CORE_QUERIES["salted_skew_join"] = q_salted_skew_join
+CORE_ORACLES["salted_skew_join"] = ORACLE_SALTED_SKEW_JOIN
