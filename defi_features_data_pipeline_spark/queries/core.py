@@ -41,6 +41,10 @@ NEVER = 999_999_999
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver runs these queries in ITS OWN session; calendar
+    # functions (year(), date-string casts) are session-timezone
+    # dependent while DuckDB is UTC-naive — pin UTC here (runtime conf).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -1062,3 +1066,123 @@ GROUP BY s_nationkey
 
 CORE_QUERIES["salted_skew_join"] = q_salted_skew_join
 CORE_ORACLES["salted_skew_join"] = ORACLE_SALTED_SKEW_JOIN
+
+
+def q_sql_api_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped query through the SQL API (temp views + CTE) —
+    Catalyst produces the same plan as the DataFrame chain; included to
+    pin SQL-surface parity."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(f"""
+        WITH base AS (
+          SELECT l_orderkey, o_orderdate,
+                 CAST(l_extendedprice * (1 - l_discount) AS {DEC}) AS rev
+          FROM v_customer
+          JOIN v_orders ON c_custkey = o_custkey
+          JOIN v_lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1995-03-15'
+        )
+        SELECT l_orderkey,
+               CAST(SUM(rev) AS DOUBLE) AS revenue,
+               CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) AS orderdate_epoch
+        FROM base
+        GROUP BY l_orderkey, o_orderdate
+    """)
+
+
+ORACLE_SQL_API_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey,
+       {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       {epoch_sql("o_orderdate")} AS orderdate_epoch
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+"""
+
+
+def q_set_ops_except_intersect(spark, sf_dir):
+    """EXCEPT / INTERSECT completion of the set-op surface (the
+    reference uses neither — SURVEY §2.7 — but a complete engine needs
+    them): customers with orders but no high-value orders, plus the
+    intersect count as a second column."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    high_value = (
+        o.filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    except_df = with_orders.exceptAll(high_value).select(
+        "c_custkey", F.lit("except").alias("op")
+    )
+    intersect_df = c.intersect(high_value).select(
+        "c_custkey", F.lit("intersect").alias("op")
+    )
+    return except_df.unionByName(intersect_df)
+
+
+ORACLE_SET_OPS_EXCEPT_INTERSECT = """
+SELECT c_custkey, 'except' AS op FROM (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000
+)
+UNION ALL
+SELECT c_custkey, 'intersect' AS op FROM (
+  SELECT c_custkey FROM customer
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000
+)
+"""
+
+
+def q_grouped_median_pandas(spark, sf_dir):
+    """Custom grouped operator through applyInPandas (Arrow-batched
+    per-group pandas): per-user median + IQR of event values — the
+    escape hatch pattern for semantics built-ins can't express
+    (here they can, which is what makes it oracle-checkable)."""
+    import pandas as pd
+
+    ev = _events(spark, sf_dir).select("user_id", "value")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "median_value": [round(float(v.median()), 6)],
+                "iqr": [round(float(v.quantile(0.75) - v.quantile(0.25)), 6)],
+                "n": [len(v)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        stats, schema="user_id long, median_value double, iqr double, n long"
+    )
+
+
+ORACLE_GROUPED_MEDIAN_PANDAS = """
+SELECT user_id,
+       round(median(value), 6) AS median_value,
+       round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr,
+       COUNT(*) AS n
+FROM events GROUP BY user_id
+"""
+
+
+CORE_QUERIES.update({
+    "sql_api_shipping_priority": q_sql_api_shipping_priority,
+    "set_ops_except_intersect": q_set_ops_except_intersect,
+    "grouped_median_pandas": q_grouped_median_pandas,
+})
+CORE_ORACLES.update({
+    "sql_api_shipping_priority": ORACLE_SQL_API_SHIPPING_PRIORITY,
+    "set_ops_except_intersect": ORACLE_SET_OPS_EXCEPT_INTERSECT,
+    "grouped_median_pandas": ORACLE_GROUPED_MEDIAN_PANDAS,
+})

@@ -33,6 +33,7 @@ JACCARD_THRESHOLD = 0.2
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see core._t
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
