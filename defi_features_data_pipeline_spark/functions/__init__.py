@@ -1,6 +1,5 @@
 from .scalars import (
     address_bucket,
-    clamp_health_factor,
     epoch_seconds,
     normalize_address,
     scale_by_decimals,
@@ -8,7 +7,6 @@ from .scalars import (
 
 __all__ = [
     "address_bucket",
-    "clamp_health_factor",
     "epoch_seconds",
     "normalize_address",
     "scale_by_decimals",

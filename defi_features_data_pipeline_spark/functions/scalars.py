@@ -44,22 +44,3 @@ def scale_by_decimals(quantity: Column | str, decimals: Column | str) -> Column:
     q = F.col(quantity) if isinstance(quantity, str) else quantity
     d = F.col(decimals) if isinstance(decimals, str) else decimals
     return q / F.pow(F.lit(10.0), d)
-
-
-def clamp_health_factor(collateral_eth: Column, borrow_eth: Column) -> Column:
-    """The reference's 6-branch health-factor clamp ladder
-    (`view_defi_current_health_factor_features.sql:81-88`, repeated at
-    `:137-144` and `view_defi_historical_health_and_risk_factor.sql:32-39`):
-
-    - no/zero borrow            → 1000000 (cap: "infinitely healthy")
-    - hf > 1000000              → 1000000
-    - hf < 0.000001             → 0.000001 (floor)
-    - else                      → collateral/borrow
-    """
-    hf = collateral_eth / borrow_eth
-    return (
-        F.when(borrow_eth.isNull() | (borrow_eth == 0), F.lit(HF_CAP))
-        .when(hf > HF_CAP, F.lit(HF_CAP))
-        .when(hf < HF_FLOOR, F.lit(HF_FLOOR))
-        .otherwise(hf)
-    )

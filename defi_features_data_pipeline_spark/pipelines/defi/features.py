@@ -14,8 +14,6 @@ a left-join chain onto the wallet spine (fragments are wallet-grained
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, functions as F
 
 from ...functions.scalars import HF_CAP, HF_FLOOR, NEVER_SENTINEL

@@ -9,7 +9,7 @@ re-running with no new raw data appends nothing (idempotent).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from ...sources.catalog import Catalog
 from ...sources.sinks import incremental_insert, upsert_parquet

@@ -1,7 +1,6 @@
 """Unit tests for the reusable operators (SURVEY §7.0 engine/ops)."""
 
 import pyspark.sql.functions as F
-import pytest
 
 from defi_features_data_pipeline_spark.operators import (
     asof_join,
