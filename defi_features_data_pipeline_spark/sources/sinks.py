@@ -62,13 +62,17 @@ def incremental_insert(
     else:
         wm = None
     fresh = source if wm is None else source.filter(F.col(watermark_col) > F.lit(wm))
-    n = fresh.count()
-    if n:
-        w = fresh.write.mode("append")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(target_path)
-    return n
+    # Single pass over the source: a pre-count would scan it twice (2x
+    # read at scale). Observation attaches the count to the write job.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    fresh = fresh.observe(obs, F.count(F.lit(1)).alias("n"))
+    w = fresh.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(target_path)
+    return obs.get["n"]
 
 
 def upsert_parquet(

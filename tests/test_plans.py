@@ -87,3 +87,28 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     assert "isnotnull(year" in plan  # filter landed in partition filters
     # and the data actually pruned
     assert rd.count() == df.filter("year = '2021' and month = '3'").count()
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """bucketBy co-located join: two tables bucketed on the join key
+    join WITHOUT an Exchange on either side — the Spark mapping of the
+    reference's 256-way address partitioning (SURVEY §1.2)."""
+    import pyspark.sql.functions as F
+
+    a = spark.createDataFrame([(i, float(i)) for i in range(1000)], "k long, v double")
+    b = spark.createDataFrame([(i, str(i)) for i in range(1000)], "k long, s string")
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_a")
+    b.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_b")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = explain_str(j, mode="simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing removed both shuffles
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
