@@ -85,13 +85,22 @@ def upsert_parquet(
     this is a single ``MERGE INTO``."""
     import os
 
+    import shutil
+
     if os.path.isdir(path) and any(
         f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(path)
     ):
         target = spark.read.parquet(path)
         merged = target.join(df.select(key), on=key, how="left_anti").unionByName(df)
-        # checkpoint to break lineage on the path we are about to overwrite
-        merged = spark.createDataFrame(merged.collect(), merged.schema) if merged.count() < 1_000_000 else merged.cache()
-        merged.write.mode("overwrite").parquet(path)
+        # can't overwrite a path we're still reading: write the merge to a
+        # sibling tmp dir, then atomically swap (distributed, no driver
+        # materialization; on object stores this is the staging-dir commit)
+        tmp = path.rstrip("/") + ".__upsert_tmp__"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = path.rstrip("/") + ".__upsert_old__"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
     else:
         df.write.mode("overwrite").parquet(path)
