@@ -34,8 +34,21 @@ HEADLINE = [
     # extensions (present from round 1+; skipped silently if renamed)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "text_quality",
+    "lang_id",
+    "doc_fingerprint",
     "knn_cosine_topk",
+    "ann_ivf_topk",
+    "multimodal_extract",
+    "sessionize_events",
+    "running_user_value",
+    "grouped_median_pandas",
+    "sql_api_shipping_priority",
+    "pivot_order_status",
+    "rollup_revenue",
+    "salted_skew_join",
 ]
 
 

@@ -64,3 +64,64 @@ def test_windowed_streaming_aggregation(spark, tmp_path):
     rows = spark.sql("SELECT n, sv FROM win_agg ORDER BY sv").collect()
     assert sum(r["n"] for r in rows) == 30
     assert len(rows) == 3  # 30 minutes of events in 10-minute windows
+
+
+def test_stateful_custom_operator(spark, tmp_path):
+    """applyInPandasWithState: custom stateful streaming operator —
+    per-key cumulative counts surviving across micro-batches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    src = str(tmp_path / "state_src")
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v long"
+    ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    out_schema = StructType(
+        [StructField("k", StringType()), StructField("total", LongType())]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+
+    def count_keys(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"k": [key[0]], "total": [n]})
+
+    collected = []
+
+    def run_batch():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .groupBy("k")
+            .applyInPandasWithState(
+                count_keys, out_schema, state_schema, "update",
+                GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.foreachBatch(
+                lambda df, _epoch: collected.extend(
+                    (r["k"], r["total"]) for r in df.collect()
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_batch()
+    assert dict(collected) == {"a": 2, "b": 1}
+
+    # second micro-batch: state carries over via the checkpoint (a: 2+1, c: new)
+    spark.createDataFrame([("a", 9), ("c", 5)], "k string, v long").write.mode(
+        "append"
+    ).parquet(src)
+    collected.clear()
+    run_batch()
+    assert dict(collected) == {"a": 3, "c": 1}  # b unchanged -> not re-emitted
