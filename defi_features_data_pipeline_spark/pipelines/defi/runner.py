@@ -43,7 +43,13 @@ def run_pipeline(spark: SparkSession, base_dir: str, now_epoch: int) -> DataFram
     cat = Catalog(spark, base_dir)
 
     # --- stage layer: per-event incremental normalization -------------------
-    for name in EVENTS:
+    # The reference DAG fans the 5 events out in parallel ECS tasks
+    # (`dag_defi_features.py:60-102`); here the fan-out is concurrent
+    # job submission — Spark's scheduler interleaves the jobs across
+    # executor slots (thread-safe; FIFO pools share the cluster).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _stage_one(name: str) -> None:
         raw = cat.read("raw", f"transpose_{name}_events")
         staged = stage_events(raw, liquidation=(name == "liquidation"))
         incremental_insert(
@@ -53,6 +59,9 @@ def run_pipeline(spark: SparkSession, base_dir: str, now_epoch: int) -> DataFram
             watermark_col="epoch_timestamp",
             partition_by=["year", "month"],
         )
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        list(pool.map(_stage_one, EVENTS))
 
     stage_md = stage_market_data(cat.read("raw", "the_graph_historical_market_data"))
     incremental_insert(

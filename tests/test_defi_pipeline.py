@@ -141,3 +141,18 @@ def test_serving_upsert(spark, lake, features):
     served = spark.read.parquet(f"{lake}/features/defi_features_serving")
     assert "walletAddress" in served.columns
     assert served.count() == features.count()
+
+
+def test_daily_first_blocks(spark, lake):
+    """A9/J12: daily-first-block grid from ethereum_blocks
+    (`src/pipelines/utils.py:35-44`)."""
+    from defi_features_data_pipeline_spark.pipelines.defi.analytics import (
+        daily_first_blocks,
+    )
+
+    blocks = spark.read.parquet(f"{lake}/raw/ethereum_blocks")
+    grid = daily_first_blocks(blocks).collect()
+    assert len(grid) in (60, 61)  # one row per fixture day (+1 partial)
+    assert all(len(r["year"]) == 2 and len(r["month"]) == 2 for r in grid)
+    nums = [r["block_number"] for r in grid]
+    assert nums == sorted(nums)
