@@ -620,3 +620,35 @@ EXT_ORACLES = {
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "multimodal_extract": ORACLE_MULTIMODAL_EXTRACT,
 }
+
+
+COSINE_DUP_THRESHOLD = 0.35  # top ~0.1% of random-pair similarity in testdata
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup: all pairs above the similarity
+    threshold. Exact quadratic baseline for the gate; the scale path
+    blocks candidates first (LSH bands or the IVF lists of
+    q_ann_ivf_topk) so the pair join is linear per bucket."""
+    e = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.round(
+        _cos(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 6
+    )
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+ORACLE_DEDUP_EMBEDDING_COSINE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= {COSINE_DUP_THRESHOLD}
+"""
+
+EXT_QUERIES["dedup_embedding_cosine"] = q_dedup_embedding_cosine
+EXT_ORACLES["dedup_embedding_cosine"] = ORACLE_DEDUP_EMBEDDING_COSINE
