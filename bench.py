@@ -41,6 +41,7 @@ HEADLINE = [
     "doc_fingerprint",
     "knn_cosine_topk",
     "ann_ivf_topk",
+    "dedup_embedding_cosine",
     "multimodal_extract",
     "sessionize_events",
     "running_user_value",

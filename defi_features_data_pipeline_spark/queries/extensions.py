@@ -313,6 +313,33 @@ def _cos(a, b) -> F.Column:
     return dot / (na * nb)
 
 
+def _norm(vec) -> F.Column:
+    return F.sqrt(
+        F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _vectors(spark, sf_dir, id_alias: str, vec_alias: str, norm_alias: str):
+    """Embedding side with its L2 norm precomputed ONCE per vector —
+    the naive per-pair cosine recomputes both norms for every pair
+    (2/3 of the fold work for O(n^2) pairs). Same bits: the fold per
+    vector is unchanged, only hoisted out of the join."""
+    e = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        F.col("vec_id").alias(id_alias),
+        v.alias(vec_alias),
+        _norm(v).alias(norm_alias),
+        F.col("label"),
+    )
+
+
 def q_knn_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k: first 10 vectors as queries, scored
     against the full corpus, window top-5 per query. The exact
@@ -321,19 +348,18 @@ def q_knn_cosine_topk(spark, sf_dir):
     At 100 TB the corpus side stays partitioned; queries broadcast."""
     from pyspark.sql import Window
 
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    cand = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    q = _vectors(spark, sf_dir, "query_id", "qv", "qn").filter(F.col("query_id") < 10)
+    cand = _vectors(spark, sf_dir, "cand_id", "cv", "cn")
     scored = (
-        F.broadcast(q)
-        .crossJoin(cand)
+        F.broadcast(q.drop("label"))
+        .crossJoin(cand.drop("label"))
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
             "cand_id",
-            F.round(_cos(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -368,16 +394,13 @@ def q_ann_ivf_topk(spark, sf_dir):
     is an equi-join on list id + per-partition top-k, no cross join."""
     from pyspark.sql import Window
 
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("label").alias("qlabel"),
+    q = (
+        _vectors(spark, sf_dir, "query_id", "qv", "qn")
+        .filter(F.col("query_id") < 10)
+        .withColumnRenamed("label", "qlabel")
     )
-    cand = e.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("cv"),
-        F.col("label").alias("clabel"),
+    cand = _vectors(spark, sf_dir, "cand_id", "cv", "cn").withColumnRenamed(
+        "label", "clabel"
     )
     scored = (
         F.broadcast(q)
@@ -386,7 +409,9 @@ def q_ann_ivf_topk(spark, sf_dir):
         .select(
             "query_id",
             "cand_id",
-            F.round(_cos(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -630,13 +655,10 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     threshold. Exact quadratic baseline for the gate; the scale path
     blocks candidates first (LSH bands or the IVF lists of
     q_ann_ivf_topk) so the pair join is linear per bucket."""
-    e = _spread(spark, _t(spark, sf_dir, "embeddings"))
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    a = _vectors(spark, sf_dir, "id_a", "va", "na_").drop("label")
+    b = _vectors(spark, sf_dir, "id_b", "vb", "nb_").drop("label")
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = F.round(
-        _cos(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 6
-    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na_") * F.col("nb_")), 6)
     return (
         pairs.select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
