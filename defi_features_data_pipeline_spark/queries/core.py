@@ -1186,3 +1186,109 @@ CORE_ORACLES.update({
     "set_ops_except_intersect": ORACLE_SET_OPS_EXCEPT_INTERSECT,
     "grouped_median_pandas": ORACLE_GROUPED_MEDIAN_PANDAS,
 })
+
+
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-group threshold — lineitems
+    below 20% of their part's average quantity. Catalyst decorrelates
+    the scalar subquery into an aggregate + join; expressed here
+    directly as the join (same plan, explicit)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("l_quantity"))
+        .alias("avg_qty")
+    )
+    return (
+        li.join(part_avg, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+ORACLE_SMALL_QUANTITY_REVENUE = f"""
+WITH part_avg AS (
+  SELECT l_partkey AS pk, {davg_sql("l_quantity")} AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {dsum_sql("l_extendedprice")} / 7.0 AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem JOIN part_avg ON l_partkey = pk
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def q_top_supplier_share(spark, sf_dir):
+    """TPC-H Q15 shape: scalar-subquery max — suppliers whose revenue
+    equals the global maximum (broadcast of a 1-row aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(s, F.col("sk") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+ORACLE_TOP_SUPPLIER_SHARE = f"""
+WITH rev AS (
+  SELECT l_suppkey AS sk, {dsum_sql("l_extendedprice * (1 - l_discount)")} AS total_rev
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON sk = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+
+def q_range_frame_weekly_sum(spark, sf_dir):
+    """RANGE window frame: per-user trailing-7-day value sum keyed on
+    the epoch ordering column (value-based frame, not row-based)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ets"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ets")
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ets",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("trailing_7d_sum"),
+    )
+
+
+ORACLE_RANGE_FRAME_WEEKLY_SUM = f"""
+SELECT event_id, user_id, ets,
+       CAST(CAST(sum(CAST(value AS DECIMAL(38,10))) OVER (
+         PARTITION BY user_id ORDER BY ets
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS trailing_7d_sum
+FROM (SELECT event_id, user_id, {epoch_sql()} AS ets, value FROM events)
+"""
+
+
+CORE_QUERIES.update({
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "top_supplier_share": q_top_supplier_share,
+    "range_frame_weekly_sum": q_range_frame_weekly_sum,
+})
+CORE_ORACLES.update({
+    "small_quantity_revenue": ORACLE_SMALL_QUANTITY_REVENUE,
+    "top_supplier_share": ORACLE_TOP_SUPPLIER_SHARE,
+    "range_frame_weekly_sum": ORACLE_RANGE_FRAME_WEEKLY_SUM,
+})
