@@ -674,3 +674,158 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embeddi
 
 EXT_QUERIES["dedup_embedding_cosine"] = q_dedup_embedding_cosine
 EXT_ORACLES["dedup_embedding_cosine"] = ORACLE_DEDUP_EMBEDDING_COSINE
+
+
+def _cosine_pair_edges(spark, sf_dir):
+    """Symmetric edge list of the near-dup pair graph."""
+    pairs = q_dedup_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
+    return pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the cosine pair
+    graph via iterative min-label propagation — the step that turns
+    pairwise matches into dedup groups (keep min id per component).
+
+    Iterative algorithm with a driver-side convergence loop; each
+    iteration is one join + aggregate (large-star/small-star style).
+    Components in dedup graphs are shallow, so few iterations; at
+    100 TB each iteration shuffles on node id only."""
+    # localCheckpoint each iteration: iterative plans grow exponentially
+    # otherwise (every round re-plans all previous joins) — the classic
+    # Spark iterative-algorithm trap. On a cluster use checkpoint() to
+    # reliable storage instead.
+    edges = _cosine_pair_edges(spark, sf_dir).localCheckpoint()
+    labels = (
+        edges.select(F.col("id_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; converges much earlier
+        neighbor_min = (
+            edges.join(labels, edges.id_b == labels.node)
+            .groupBy(F.col("id_a").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("node").alias("keeper_doc_id"),
+    )
+    return out.select(
+        F.col("label").alias("cluster_id"), "cluster_size", "keeper_doc_id"
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= {COSINE_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+tc AS (
+  WITH RECURSIVE walk(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT walk.src, e.b FROM walk JOIN edges e ON walk.dst = e.a
+  )
+  SELECT src, dst FROM walk
+),
+labels AS (
+  SELECT n.node, least(n.node, min(tc.dst)) AS label
+  FROM nodes n LEFT JOIN tc ON tc.src = n.node
+  GROUP BY n.node
+)
+SELECT label AS cluster_id,
+       COUNT(*) AS cluster_size,
+       min(node) AS keeper_doc_id
+FROM labels GROUP BY label
+"""
+
+
+def q_ivf_kmeans_build(spark, sf_dir):
+    """IVF index BUILD: Lloyd's k-means (k=8, 5 iterations,
+    deterministic first-k init) over the embedding corpus — assignment
+    is a broadcast-centroid crossJoin + argmin, update a groupBy mean.
+    Iterative + floating-point order dependent → no SQL oracle
+    (rows-only check): the shape of the result (k rows, sizes summing
+    to corpus size) is asserted in tests."""
+    import numpy as np
+
+    e = _vectors(spark, sf_dir, "vec_id", "v", "vn").drop("label").cache()
+    k = 8
+    centroids = [
+        (i, r["v"]) for i, r in enumerate(e.orderBy("vec_id").limit(k).collect())
+    ]
+    for _ in range(5):
+        cdf = F.broadcast(
+            spark.createDataFrame(centroids, "cid int, cv array<double>")
+        )
+        assigned = (
+            e.crossJoin(cdf)
+            .withColumn("dist2", F.aggregate(
+                F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, val: acc + val,
+            ))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("cid").asc())
+        best = assigned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        new_centroids = (
+            best.groupBy("cid")
+            .agg(F.collect_list("v").alias("vs"))
+            .collect()
+        )
+        centroids = [
+            (r["cid"], [float(x) for x in np.mean(np.array(r["vs"]), axis=0)])
+            for r in sorted(new_centroids, key=lambda r: r["cid"])
+        ]
+    cdf = F.broadcast(spark.createDataFrame(centroids, "cid int, cv array<double>"))
+    assigned = (
+        e.crossJoin(cdf)
+        .withColumn("dist2", F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, val: acc + val,
+        ))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("cid").asc())
+    best = assigned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    out = best.groupBy("cid").agg(F.count(F.lit(1)).alias("list_size"))
+    e.unpersist()
+    return out.orderBy("cid")
+
+
+EXT_QUERIES["dedup_clusters"] = q_dedup_clusters
+EXT_ORACLES["dedup_clusters"] = ORACLE_DEDUP_CLUSTERS
+EXT_QUERIES["ivf_kmeans_build"] = q_ivf_kmeans_build
+# ivf_kmeans_build: intentionally NO oracle (iterative, float-order
+# dependent) -> driver records the weaker rows-only check.
