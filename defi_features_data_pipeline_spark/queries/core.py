@@ -1292,3 +1292,91 @@ CORE_ORACLES.update({
     "top_supplier_share": ORACLE_TOP_SUPPLIER_SHARE,
     "range_frame_weekly_sum": ORACLE_RANGE_FRAME_WEEKLY_SUM,
 })
+
+
+def q_waiting_orders_by_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: semi + anti correlation on the same table —
+    suppliers whose item was the ONLY late one in a multi-supplier
+    order. Exercises EXISTS and NOT EXISTS against the same fact with
+    different correlated predicates (both become hash joins)."""
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    other_supp = li.select("l_orderkey", F.col("l_suppkey").alias("s2")).filter(
+        F.col("s2").isNotNull()
+    )
+    # EXISTS: another supplier in the same order
+    has_other = late.join(
+        other_supp,
+        (late.l_orderkey == other_supp.l_orderkey) & (late.l_suppkey != F.col("s2")),
+        "left_semi",
+    )
+    # NOT EXISTS: no OTHER supplier was late in that order
+    other_late = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("ls2")
+    )
+    only_late = has_other.join(
+        other_late,
+        (has_other.l_orderkey == F.col("ok2")) & (has_other.l_suppkey != F.col("ls2")),
+        "left_anti",
+    )
+    return only_late.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+ORACLE_WAITING_ORDERS_BY_SUPPLIER = """
+SELECT l_suppkey, COUNT(*) AS numwait
+FROM lineitem l1
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY l_suppkey
+"""
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated MIN — for each part, the supplier(s)
+    with its minimum account balance among its suppliers (min computed
+    per correlation group, joined back)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    with_bal = ps.join(s, ps.l_suppkey == s.s_suppkey).select(
+        "l_partkey", "l_suppkey", "s_acctbal"
+    )
+    min_bal = with_bal.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        with_bal.join(
+            min_bal,
+            (F.col("l_partkey") == F.col("pk"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("l_partkey", "l_suppkey", "s_acctbal")
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+wb AS (
+  SELECT l_partkey, l_suppkey, s_acctbal
+  FROM ps JOIN supplier ON l_suppkey = s_suppkey
+)
+SELECT l_partkey, l_suppkey, s_acctbal
+FROM wb
+WHERE s_acctbal = (SELECT min(s_acctbal) FROM wb w2 WHERE w2.l_partkey = wb.l_partkey)
+"""
+
+
+CORE_QUERIES.update({
+    "waiting_orders_by_supplier": q_waiting_orders_by_supplier,
+    "min_cost_supplier": q_min_cost_supplier,
+})
+CORE_ORACLES.update({
+    "waiting_orders_by_supplier": ORACLE_WAITING_ORDERS_BY_SUPPLIER,
+    "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
+})
