@@ -829,3 +829,90 @@ EXT_ORACLES["dedup_clusters"] = ORACLE_DEDUP_CLUSTERS
 EXT_QUERIES["ivf_kmeans_build"] = q_ivf_kmeans_build
 # ivf_kmeans_build: intentionally NO oracle (iterative, float-order
 # dependent) -> driver records the weaker rows-only check.
+
+
+def q_udtf_ngram_explode(spark, sf_dir):
+    """Python UDTF (Spark 4 table function): explode char-4-grams of
+    each document title prefix — the UDTF surface of §2.10. The UDTF
+    yields multiple rows per input row; downstream is a plain
+    aggregate. Oracle reproduces the same 4-grams with list ops."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, gram: string")
+    class CharNgrams:
+        def eval(self, doc_id: int, text: str):
+            prefix = (text or "")[:40].lower()
+            for i in range(max(0, len(prefix) - 3)):
+                yield doc_id, prefix[i : i + 4]
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    d.createOrReplaceTempView("udtf_docs_src")
+    spark.udtf.register("char_ngrams", CharNgrams)
+    grams = spark.sql(
+        "SELECT g.doc_id, g.gram FROM udtf_docs_src, "
+        "LATERAL char_ngrams(doc_id, text) AS g"
+    )
+    return grams.groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("distinct_grams"),
+        F.count(F.lit(1)).alias("total_grams"),
+    )
+
+
+ORACLE_UDTF_NGRAM_EXPLODE = """
+WITH grams AS (
+  SELECT doc_id,
+         unnest([substr(lower(substr(text, 1, 40)), i, 4)
+                 FOR i IN range(1, greatest(length(substr(text, 1, 40)) - 2, 1))]) AS gram
+  FROM documents
+  WHERE length(substr(text, 1, 40)) >= 4
+)
+SELECT doc_id,
+       COUNT(DISTINCT gram) AS distinct_grams,
+       COUNT(*) AS total_grams
+FROM grams GROUP BY doc_id
+"""
+
+
+def q_token_rarity_score(spark, sf_dir):
+    """Corpus-level quality scoring v2: per-document mean token rarity
+    (-log2 of corpus frequency) — a two-pass plan: token frequency
+    aggregate (broadcastable dim) joined back to the exploded corpus.
+    The canonical 'compute a statistic over the corpus, score each
+    document with it' shape of training-data pipelines."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = d.withColumn("__toks", F.expr(TOKENS_SPARK)).select(
+        "doc_id", F.explode_outer("__toks").alias("t")
+    ).filter(F.col("t").isNotNull())
+    total = toks.count()
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    scored = toks.join(F.broadcast(freq), "t").withColumn(
+        "rarity", -F.log2(F.col("tf").cast("double") / F.lit(float(total)))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("rarity").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_rarity"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+ORACLE_TOKEN_RARITY_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_DUCK}) AS t FROM documents
+),
+total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+freq AS (SELECT t, COUNT(*) AS tf FROM toks GROUP BY t)
+SELECT doc_id,
+       round(CAST(CAST(SUM(CAST(-log2(CAST(tf AS DOUBLE) / total.n) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*), 6) AS mean_rarity,
+       COUNT(*) AS n_tokens
+FROM toks JOIN freq USING (t) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+EXT_QUERIES["udtf_ngram_explode"] = q_udtf_ngram_explode
+EXT_ORACLES["udtf_ngram_explode"] = ORACLE_UDTF_NGRAM_EXPLODE
+EXT_QUERIES["token_rarity_score"] = q_token_rarity_score
+EXT_ORACLES["token_rarity_score"] = ORACLE_TOKEN_RARITY_SCORE
