@@ -125,3 +125,45 @@ def test_stateful_custom_operator(spark, tmp_path):
     collected.clear()
     run_batch()
     assert dict(collected) == {"a": 3, "c": 1}  # b unchanged -> not re-emitted
+
+
+def test_streaming_dedup_with_watermark(spark, tmp_path):
+    """Streaming dropDuplicates within a watermark — the streaming
+    flavor of exact dedup (duplicate events across micro-batches are
+    emitted once; state expires past the watermark)."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "dd_src")
+    spark.createDataFrame(
+        [(1, "k1", 1_700_000_000), (2, "k2", 1_700_000_010), (3, "k1", 1_700_000_020)],
+        "event_id long, dedup_key string, epoch long",
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch"))).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    collected = []
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicates(["dedup_key"])
+            .writeStream.foreachBatch(
+                lambda df, _e: collected.extend(r["dedup_key"] for r in df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert sorted(collected) == ["k1", "k2"]  # duplicate k1 suppressed
+
+    # duplicates arriving in a later batch are suppressed by state
+    spark.createDataFrame(
+        [(4, "k1", 1_700_000_030), (5, "k3", 1_700_000_040)],
+        "event_id long, dedup_key string, epoch long",
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch"))).write.mode("append").parquet(src)
+    collected.clear()
+    run()
+    assert collected == ["k3"]
