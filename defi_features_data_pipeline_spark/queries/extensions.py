@@ -916,3 +916,52 @@ EXT_QUERIES["udtf_ngram_explode"] = q_udtf_ngram_explode
 EXT_ORACLES["udtf_ngram_explode"] = ORACLE_UDTF_NGRAM_EXPLODE
 EXT_QUERIES["token_rarity_score"] = q_token_rarity_score
 EXT_ORACLES["token_rarity_score"] = ORACLE_TOKEN_RARITY_SCORE
+
+
+def q_knn_cosine_topk_vectorized(spark, sf_dir):
+    """kNN via the vectorized fast path: queries collected (tiny) and
+    closed over, corpus scored per Arrow batch with one numpy matmul
+    (mapInPandas) — the 10-100x-over-row-at-a-time pattern for the
+    numeric hot path. Same output contract as knn_cosine_topk (round-6
+    + id tiebreak), verified against the same oracle."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    e = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    qrows = e.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in qrows]
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(list(pdf["embedding"]), dtype=np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            sims = np.round(Qn @ Cn.T, 6)
+            for qi, qid in enumerate(qids):
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "cand_id": pdf["vec_id"].values,
+                        "cos_sim": sims[qi],
+                    }
+                )
+
+    out = e.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, cand_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        out.filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+EXT_QUERIES["knn_cosine_topk_vectorized"] = q_knn_cosine_topk_vectorized
+# same contract as the fold-based variant -> same oracle
+EXT_ORACLES["knn_cosine_topk_vectorized"] = ORACLE_KNN_COSINE_TOPK
