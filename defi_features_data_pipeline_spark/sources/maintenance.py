@@ -1,0 +1,90 @@
+"""Lakehouse maintenance operations.
+
+A daily incremental pipeline (the reference appends per-run parquet
+files — `src/pipelines/raw/defi_events.py:38-45`) accumulates small
+files and stale aggregates; at 100 TB these utilities are part of the
+operating surface, not an afterthought.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 512,
+    partition_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet dir into ~target-sized
+    files (bin-packed by current on-disk bytes). Returns
+    (files_before, files_after). Swap-based like upsert_parquet so
+    readers never see a partial state."""
+    import shutil
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    writer = df.repartition(n_out).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+
+    old = path.rstrip("/") + ".__compact_old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+    after = sum(
+        1
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    return len(files), after
+
+
+def merge_incremental_aggregate(
+    stored: DataFrame | None,
+    increment: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental aggregate-view maintenance: fold a new increment's
+    partial aggregates into the stored per-key aggregate WITHOUT
+    rescanning history — the scale path for daily feature refresh
+    (full recompute of a 100 TB history every day is the naive
+    alternative). Additive measures only (sums/counts); avg = sum/n at
+    read time."""
+    inc_agg = increment.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.count(F.lit(1)).alias(count_col),
+    )
+    if stored is None:
+        return inc_agg
+    both = stored.unionByName(inc_agg)
+    return both.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.sum(count_col).alias(count_col),
+    )
+
+
+def read_with_schema_evolution(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant read: merge schemas across files so a
+    table whose writer added columns mid-stream (the reference's raw
+    layer appends whatever the API returned — SURVEY §1.4) reads as the
+    union schema with NULLs for missing columns."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

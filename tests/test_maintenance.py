@@ -1,0 +1,56 @@
+"""Lakehouse maintenance ops: compaction, incremental aggregate
+maintenance, schema-evolution reads."""
+
+import pyspark.sql.functions as F
+
+from defi_features_data_pipeline_spark.sources.maintenance import (
+    compact_parquet,
+    merge_incremental_aggregate,
+    read_with_schema_evolution,
+)
+
+
+def test_compact_parquet(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    # 20 tiny appends -> many small files
+    for i in range(20):
+        spark.createDataFrame([(i, float(i))], "id long, v double").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+    before_rows = spark.read.parquet(path).count()
+    n_before, n_after = compact_parquet(spark, path, target_file_mb=512)
+    assert n_before >= 20
+    assert n_after == 1  # tiny data -> single target file
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert {r["id"] for r in after.collect()} == set(range(20))
+
+
+def test_merge_incremental_aggregate(spark):
+    day1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "k string, v double"
+    )
+    day2 = spark.createDataFrame([("a", 4.0), ("c", 7.0)], "k string, v double")
+    stored = merge_incremental_aggregate(None, day1, ["k"], ["v"])
+    merged = merge_incremental_aggregate(stored, day2, ["k"], ["v"])
+    got = {r["k"]: (r["v"], r["n"]) for r in merged.collect()}
+    assert got == {"a": (7.0, 3), "b": (10.0, 1), "c": (7.0, 1)}
+    # equivalent to the full recompute
+    full = (
+        day1.unionByName(day2)
+        .groupBy("k")
+        .agg(F.sum("v").alias("v"), F.count(F.lit(1)).alias("n"))
+    )
+    assert got == {r["k"]: (r["v"], r["n"]) for r in full.collect()}
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "x")], "id long, a string").write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(2, "y", 9.5)], "id long, a string, new_col double"
+    ).write.mode("append").parquet(path)
+    df = read_with_schema_evolution(spark, path)
+    assert "new_col" in df.columns
+    rows = {r["id"]: r["new_col"] for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}
