@@ -503,7 +503,7 @@ def q_anti_join(spark, sf_dir):
     """J5: left anti join (tokens-to-drop analog, `transformations.sql:42-43,51`)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+    return c.join(o.filter(F.col("o_totalprice") > 300000), c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
 
@@ -1379,4 +1379,117 @@ CORE_QUERIES.update({
 CORE_ORACLES.update({
     "waiting_orders_by_supplier": ORACLE_WAITING_ORDERS_BY_SUPPLIER,
     "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
+})
+
+
+def q_nation_pair_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bi-dimensional entity-pair rollup — revenue by
+    (supplier nation, customer nation, year). Two dim chains broadcast
+    onto one fact scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cust_nation = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    supp_nation = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_nation), o.o_custkey == cust_nation.c_custkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_dsum(revenue).alias("revenue"))
+    )
+
+
+ORACLE_NATION_PAIR_VOLUME = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+       {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l_shipdate)
+"""
+
+
+def q_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING against a global scalar — parts whose
+    inventory value exceeds 0.1% of the total (global aggregate
+    broadcast as a 1-row frame)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # l_quantity carries full double precision here, so the product sits
+    # on scale-10 decimal rounding boundaries (see _dsum_reagg) — sum at
+    # scale 6.
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = li.groupBy("l_partkey").agg(_dsum_reagg(value).alias("part_value"))
+    total = per_part.agg(_dsum_reagg(F.col("part_value")).alias("total_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * 0.0006)
+        .select("l_partkey", "part_value")
+    )
+
+
+ORACLE_IMPORTANT_STOCK = f"""
+WITH per_part AS (
+  SELECT l_partkey, {dsum_reagg_sql("l_extendedprice * l_quantity")} AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT {dsum_reagg_sql("part_value")} FROM per_part) * 0.0006
+"""
+
+
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average filter (scalar subquery over a
+    restricted population) + NOT EXISTS anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        _davg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o.filter(F.col("o_totalprice") > 300000), c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            _dsum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+ORACLE_IDLE_RICH_CUSTOMERS = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_custs,
+       {dsum_sql("c_acctbal")} AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT {davg_sql("c_acctbal")} FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_mktsegment
+"""
+
+
+CORE_QUERIES.update({
+    "nation_pair_volume": q_nation_pair_volume,
+    "important_stock": q_important_stock,
+    "idle_rich_customers": q_idle_rich_customers,
+})
+CORE_ORACLES.update({
+    "nation_pair_volume": ORACLE_NATION_PAIR_VOLUME,
+    "important_stock": ORACLE_IMPORTANT_STOCK,
+    "idle_rich_customers": ORACLE_IDLE_RICH_CUSTOMERS,
 })
