@@ -35,10 +35,11 @@ def _hash(rng: np.random.Generator, n: int) -> list[str]:
     return ["0x" + "".join(rng.choice(list("0123456789abcdef"), 64)) for _ in range(n)]
 
 
-def generate(spark: SparkSession, base_dir: str) -> dict[str, str]:
+def generate(spark: SparkSession, base_dir: str, scale: float = 1.0) -> dict[str, str]:
     """Write all fixture tables as parquet under ``base_dir/raw/...``;
     returns {table: path}."""
     rng = np.random.default_rng(SEED)
+    ev_n = int(EVENTS_PER_TABLE * scale)
     wallets = _addr(rng, N_WALLETS)
     tokens = [ZERO_ADDRESS] + _addr(rng, N_TOKENS - 1)
     drop_tokens = tokens[1:3]  # appear in events; anti-join must remove
@@ -54,7 +55,7 @@ def generate(spark: SparkSession, base_dir: str) -> dict[str, str]:
 
     # --- event tables -----------------------------------------------------
     for event in ("borrow", "deposit", "repay", "withdraw", "liquidation"):
-        n = EVENTS_PER_TABLE if event != "liquidation" else 400
+        n = ev_n if event != "liquidation" else int(400 * scale)
         ts = BASE_TS + rng.integers(0, N_DAYS * 86400, n)
         senders = rng.choice(wallets, n)
         # some rows have account != sender (two-role join paths)
@@ -113,7 +114,7 @@ def generate(spark: SparkSession, base_dir: str) -> dict[str, str]:
     rows = []
     pos_id = 0
     for d in range(0, N_DAYS, 2):
-        for _ in range(90):
+        for _ in range(int(90 * scale)):
             mi = int(rng.integers(0, N_MARKETS))
             side = "BORROWER" if rng.random() < 0.45 else "LENDER"
             bal = float(rng.uniform(1e-9, 5.0)) * 10.0 ** 18
