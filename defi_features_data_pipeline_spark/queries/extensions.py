@@ -965,3 +965,31 @@ def q_knn_cosine_topk_vectorized(spark, sf_dir):
 EXT_QUERIES["knn_cosine_topk_vectorized"] = q_knn_cosine_topk_vectorized
 # same contract as the fold-based variant -> same oracle
 EXT_ORACLES["knn_cosine_topk_vectorized"] = ORACLE_KNN_COSINE_TOPK
+
+
+def q_dedup_simhash_buckets(spark, sf_dir):
+    """SimHash bucket dedup: documents sharing an identical 16-bit
+    signature are near-dup candidates — the groupBy completion of the
+    signature computation (hamming-radius search would OR together
+    k bit-flipped probes of the same groupBy)."""
+    sig = q_dedup_simhash(spark, sf_dir)
+    return (
+        sig.groupBy("simhash16")
+        .agg(
+            F.count(F.lit(1)).alias("bucket_size"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("bucket_size") > 1)
+    )
+
+
+ORACLE_DEDUP_SIMHASH_BUCKETS = f"""
+WITH sig AS ({ORACLE_DEDUP_SIMHASH})
+SELECT simhash16,
+       COUNT(*) AS bucket_size,
+       min(doc_id) AS keeper_doc_id
+FROM sig GROUP BY simhash16 HAVING COUNT(*) > 1
+"""
+
+EXT_QUERIES["dedup_simhash_buckets"] = q_dedup_simhash_buckets
+EXT_ORACLES["dedup_simhash_buckets"] = ORACLE_DEDUP_SIMHASH_BUCKETS

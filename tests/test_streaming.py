@@ -167,3 +167,37 @@ def test_streaming_dedup_with_watermark(spark, tmp_path):
     collected.clear()
     run()
     assert collected == ["k3"]
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: a streaming event source enriched against a
+    static dimension (the streaming expression of the pipeline's
+    token-metadata join)."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "ss_src")
+    spark.createDataFrame(
+        [(1, "tokA", 5.0), (2, "tokB", 7.0), (3, "tokX", 1.0)],
+        "event_id long, token string, qty double",
+    ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    dim = spark.createDataFrame(
+        [("tokA", 18), ("tokB", 6)], "token string, decimals long"
+    )
+
+    collected = []
+    q = (
+        spark.readStream.schema(schema).parquet(src)
+        .join(dim, "token", "inner")  # static side broadcast per micro-batch
+        .withColumn("scaled", F.col("qty") / F.pow(F.lit(10.0), F.col("decimals")))
+        .writeStream.foreachBatch(
+            lambda df, _e: collected.extend(
+                (r["event_id"], r["decimals"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(collected) == [(1, 18), (2, 6)]  # tokX dropped (inner)
