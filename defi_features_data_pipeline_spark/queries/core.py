@@ -503,7 +503,7 @@ def q_anti_join(spark, sf_dir):
     """J5: left anti join (tokens-to-drop analog, `transformations.sql:42-43,51`)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return c.join(o.filter(F.col("o_totalprice") > 300000), c.c_custkey == o.o_custkey, "left_anti").select(
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
 
