@@ -1,4 +1,4 @@
-from .catalog import Catalog, load_testdata, register_testdata_views
+from .catalog import Catalog, MetastoreCatalog, load_testdata, register_testdata_views
 from .sinks import (
     create_table_like,
     incremental_insert,
@@ -8,6 +8,7 @@ from .sinks import (
 
 __all__ = [
     "Catalog",
+    "MetastoreCatalog",
     "load_testdata",
     "register_testdata_views",
     "create_table_like",

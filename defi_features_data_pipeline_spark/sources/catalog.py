@@ -92,3 +92,49 @@ class Catalog:
         df = self.read(layer, table)
         df.createOrReplaceTempView(view_name or table)
         return df
+
+
+class MetastoreCatalog:
+    """Metastore-backed variant of Catalog: medallion layers as real
+    Spark catalog DATABASES (`CREATE DATABASE db_raw` ... — the SURVEY
+    §1.1 mapping of the reference's Glue databases), tables registered
+    via saveAsTable so they are queryable by name from SQL and show up
+    in ``spark.catalog``. Same read/write surface as the path Catalog."""
+
+    def __init__(self, spark: SparkSession, prefix: str = "db"):
+        self.spark = spark
+        self.prefix = prefix
+        for layer in Catalog.LAYERS:
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS {self._db(layer)}")
+
+    def _db(self, layer: str) -> str:
+        return f"{self.prefix}_{layer}"
+
+    def qualified(self, layer: str, table: str) -> str:
+        return f"{self._db(layer)}.{table}"
+
+    def write(
+        self,
+        df: DataFrame,
+        layer: str,
+        table: str,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+        bucket_by: tuple[int, str] | None = None,
+    ) -> None:
+        w = df.write.mode(mode).format("parquet")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        if bucket_by:
+            n, col = bucket_by
+            w = w.bucketBy(n, col).sortBy(col)
+        w.saveAsTable(self.qualified(layer, table))
+
+    def read(self, layer: str, table: str) -> DataFrame:
+        return self.spark.table(self.qualified(layer, table))
+
+    def tables(self, layer: str) -> list[str]:
+        return [t.name for t in self.spark.catalog.listTables(self._db(layer))]
+
+    def drop(self, layer: str, table: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.qualified(layer, table)}")

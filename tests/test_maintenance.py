@@ -54,3 +54,22 @@ def test_schema_evolution_read(spark, tmp_path):
     assert "new_col" in df.columns
     rows = {r["id"]: r["new_col"] for r in df.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_metastore_catalog(spark):
+    """Medallion layers as real catalog databases; SQL-by-name access
+    and bucketed table registration."""
+    from defi_features_data_pipeline_spark.sources import MetastoreCatalog
+
+    cat = MetastoreCatalog(spark, prefix="t_db")
+    try:
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        cat.write(df, "raw", "events_t", mode="overwrite")
+        assert spark.sql("SELECT count(*) AS n FROM t_db_raw.events_t").first()["n"] == 2
+        assert "events_t" in cat.tables("raw")
+        # bucketed write registers bucket metadata
+        cat.write(df, "analytics", "events_b", mode="overwrite", bucket_by=(4, "id"))
+        assert cat.read("analytics", "events_b").count() == 2
+    finally:
+        cat.drop("raw", "events_t")
+        cat.drop("analytics", "events_b")
