@@ -1493,3 +1493,43 @@ CORE_ORACLES.update({
     "important_stock": ORACLE_IMPORTANT_STOCK,
     "idle_rich_customers": ORACLE_IDLE_RICH_CUSTOMERS,
 })
+
+
+def q_incremental_agg_equivalence(spark, sf_dir):
+    """Incremental aggregate-view maintenance (S7 at the aggregate
+    level, `sources/maintenance.py::merge_incremental_aggregate`): the
+    corpus split at a time cutoff into two increments, each partially
+    aggregated, then folded — must equal the full recompute (the
+    oracle). Decimal partials so the fold is order-independent."""
+    ev = _events(spark, sf_dir)
+    cutoff = "2024-04-01"
+
+    def partial(df):
+        return df.groupBy("user_id").agg(
+            F.sum(F.col("value").cast(DEC)).alias("sv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    inc1 = partial(ev.filter(F.col("ts") < cutoff))
+    inc2 = partial(ev.filter(F.col("ts") >= cutoff))
+    folded = (
+        inc1.unionByName(inc2)
+        .groupBy("user_id")
+        .agg(F.sum("sv").alias("sv"), F.sum("n").alias("n"))
+    )
+    return folded.select(
+        "user_id",
+        F.col("sv").cast("double").alias("total_value"),
+        F.col("n").alias("n_events"),
+    )
+
+
+ORACLE_INCREMENTAL_AGG_EQUIVALENCE = f"""
+SELECT user_id,
+       {dsum_sql("value")} AS total_value,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+CORE_QUERIES["incremental_agg_equivalence"] = q_incremental_agg_equivalence
+CORE_ORACLES["incremental_agg_equivalence"] = ORACLE_INCREMENTAL_AGG_EQUIVALENCE

@@ -73,3 +73,16 @@ def test_metastore_catalog(spark):
     finally:
         cat.drop("raw", "events_t")
         cat.drop("analytics", "events_b")
+
+
+def test_create_table_like(spark, tmp_path):
+    """S11: empty-schema create (the reference's WHERE year='1970'
+    zero-row CTAS trick, expressed honestly)."""
+    from defi_features_data_pipeline_spark.sources import create_table_like
+
+    df = spark.createDataFrame([(1, "a", 2.5)], "id long, k string, v double")
+    path = str(tmp_path / "empty_t")
+    create_table_like(df, path)
+    got = spark.read.parquet(path)
+    assert got.count() == 0
+    assert got.schema == df.schema
