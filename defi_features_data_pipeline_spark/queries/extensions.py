@@ -993,3 +993,35 @@ FROM sig GROUP BY simhash16 HAVING COUNT(*) > 1
 
 EXT_QUERIES["dedup_simhash_buckets"] = q_dedup_simhash_buckets
 EXT_ORACLES["dedup_simhash_buckets"] = ORACLE_DEDUP_SIMHASH_BUCKETS
+
+
+def q_deterministic_split(spark, sf_dir):
+    """Deterministic train/test split: hash-bucket the stable document
+    key (portable md5 hash mod 100 < 20 → test) — rerun-safe and
+    engine-independent, unlike randomSplit. Output: per-(lang, split)
+    counts proving stratification holds under the hash."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(_h(F.col("doc_id").cast("string")), F.lit(100))
+    split = F.when(bucket < 20, F.lit("test")).otherwise(F.lit("train"))
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+ORACLE_DETERMINISTIC_SPLIT = """
+SELECT lang,
+       CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 20
+            THEN 'test' ELSE 'train' END AS split,
+       COUNT(*) AS n_docs,
+       min(doc_id) AS min_doc_id
+FROM documents
+GROUP BY 1, 2
+"""
+
+EXT_QUERIES["deterministic_split"] = q_deterministic_split
+EXT_ORACLES["deterministic_split"] = ORACLE_DETERMINISTIC_SPLIT
