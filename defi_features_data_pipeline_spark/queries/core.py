@@ -1533,3 +1533,29 @@ FROM events GROUP BY user_id
 
 CORE_QUERIES["incremental_agg_equivalence"] = q_incremental_agg_equivalence
 CORE_ORACLES["incremental_agg_equivalence"] = ORACLE_INCREMENTAL_AGG_EQUIVALENCE
+
+
+def q_grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (distinct from ROLLUP): chosen aggregation
+    grains in one pass — by flag, by status, and the grand total."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("v_li_gs")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM v_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+ORACLE_GROUPING_SETS_REVENUE = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql("l_extendedprice")} AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+CORE_QUERIES["grouping_sets_revenue"] = q_grouping_sets_revenue
+CORE_ORACLES["grouping_sets_revenue"] = ORACLE_GROUPING_SETS_REVENUE

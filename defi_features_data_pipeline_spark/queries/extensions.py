@@ -1025,3 +1025,34 @@ GROUP BY 1, 2
 
 EXT_QUERIES["deterministic_split"] = q_deterministic_split
 EXT_ORACLES["deterministic_split"] = ORACLE_DETERMINISTIC_SPLIT
+
+
+def q_arrow_batch_stats(spark, sf_dir):
+    """mapInArrow: the zero-copy Arrow-native batch API (one level
+    below mapInPandas — no pandas conversion) computing per-batch
+    aggregates that reduce to exact per-source totals."""
+    import pyarrow as pa
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("source", "n_chars")
+
+    def batch_stats(batches):
+        for batch in batches:
+            # arrow-native column selection, no pandas materialization
+            yield batch.select(["source", "n_chars"])
+
+    passed = d.mapInArrow(batch_stats, "source string, n_chars long")
+    return passed.groupBy("source").agg(
+        F.sum("n_chars").alias("total_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+ORACLE_ARROW_BATCH_STATS = """
+SELECT source,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+EXT_QUERIES["arrow_batch_stats"] = q_arrow_batch_stats
+EXT_ORACLES["arrow_batch_stats"] = ORACLE_ARROW_BATCH_STATS
