@@ -128,10 +128,12 @@ FROM documents GROUP BY md5(text)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """N-gram Jaccard near-dup: distinct word-3-gram shingles, shingle
-    self-join, |A∩B| / |A∪B| >= threshold. Quadratic only within a
-    shingle bucket — the scale path replaces the raw self-join with the
-    LSH variant below; this is the exact baseline."""
+    """N-gram Jaccard near-dup — EXACT BASELINE ONLY (recall
+    measurement at small SF): distinct word-3-gram shingles, shingle
+    self-join, |A∩B| / |A∪B| >= threshold. Quadratic within a shingle
+    bucket; do NOT run at scale — the production plan is
+    ``dedup_lsh_verified`` (LSH candidates → exact Jaccard on
+    candidates only)."""
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -219,7 +221,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def _minhash_lsh_oracle() -> str:
+def _lsh_ctes() -> str:
+    """Shared DuckDB CTE block: shingles → minhash signature → LSH
+    bands → candidate pairs (used by the LSH gate and the
+    LSH→exact-verify composition)."""
     min_cols = ",\n         ".join(
         "min({h}) AS m{k}".format(h=H_SQL.format(x=f"'{k}|' || s"), k=k)
         for k in range(N_MINHASH)
@@ -228,8 +233,7 @@ def _minhash_lsh_oracle() -> str:
         f"SELECT doc_id, {b} AS band, m{2*b}::VARCHAR || ':' || m{2*b+1}::VARCHAR AS key FROM sig"
         for b in range(N_BANDS)
     )
-    return f"""
-WITH {SHINGLES_CTE_DUCK},
+    return f"""{SHINGLES_CTE_DUCK},
 sig AS (
   SELECT doc_id,
          {min_cols}
@@ -237,14 +241,18 @@ sig AS (
 ),
 bands AS (
   {band_rows}
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)"""
+
+
+ORACLE_DEDUP_MINHASH_LSH = f"""
+WITH {_lsh_ctes()}
+SELECT doc_a, doc_b, n_shared_bands FROM cand
 """
-
-
-ORACLE_DEDUP_MINHASH_LSH = _minhash_lsh_oracle()
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -651,10 +659,11 @@ COSINE_DUP_THRESHOLD = 0.35  # top ~0.1% of random-pair similarity in testdata
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup: all pairs above the similarity
-    threshold. Exact quadratic baseline for the gate; the scale path
-    blocks candidates first (LSH bands or the IVF lists of
-    q_ann_ivf_topk) so the pair join is linear per bucket."""
+    """Embedding-cosine near-dup — EXACT BASELINE ONLY (recall
+    measurement at small SF): all pairs above the similarity
+    threshold, quadratic. Do NOT run at scale — the production plan
+    is ``dedup_embedding_blocked`` (exact cosine within IVF blocks
+    only; equi-join on the block key)."""
     a = _vectors(spark, sf_dir, "id_a", "va", "na_").drop("label")
     b = _vectors(spark, sf_dir, "id_b", "vb", "nb_").drop("label")
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -769,59 +778,73 @@ FROM labels GROUP BY label
 """
 
 
+def _kmeans_assign(centroids) -> F.Column:
+    """Nearest-centroid id for column ``v`` against driver-held
+    centroids embedded as LITERAL arrays — a pure narrow column
+    expression: no crossJoin, no window, no shuffle for assignment.
+    Ties break to the lowest cid (array_position returns the first
+    minimum; centroids are ordered by cid)."""
+    ordered = sorted(centroids)
+    c_arr = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in ordered])
+    cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in ordered])
+    dists = F.transform(
+        c_arr,
+        lambda cv: F.aggregate(
+            F.zip_with(F.col("v"), cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        ),
+    )
+    return F.element_at(cid_arr, F.array_position(dists, F.array_min(dists)).cast("int"))
+
+
 def q_ivf_kmeans_build(spark, sf_dir):
     """IVF index BUILD: Lloyd's k-means (k=8, 5 iterations,
-    deterministic first-k init) over the embedding corpus — assignment
-    is a broadcast-centroid crossJoin + argmin, update a groupBy mean.
-    Iterative + floating-point order dependent → no SQL oracle
-    (rows-only check): the shape of the result (k rows, sizes summing
-    to corpus size) is asserted in tests."""
-    import numpy as np
+    deterministic first-k init) over the embedding corpus.
 
+    100 TB design: assignment embeds the k x d centroids as literal
+    arrays (they ARE driver state — k*d floats, not data) so it is a
+    narrow map with no join; the centroid update is a per-(cid, dim)
+    ``posexplode`` + sum/count groupBy — map-side combinable, k*d
+    output rows — and only those k*d partial sums ever reach the
+    driver. Sums run in decimal so the result is independent of
+    partition/merge order (floating-point addition is not
+    associative; decimal is), keeping the build bit-deterministic
+    across runs and cluster layouts. Iterative + data-dependent →
+    no SQL oracle (rows-only check); structural invariants are
+    asserted in tests/test_operators.py."""
     e = _vectors(spark, sf_dir, "vec_id", "v", "vn").drop("label").cache()
     k = 8
     centroids = [
-        (i, r["v"]) for i, r in enumerate(e.orderBy("vec_id").limit(k).collect())
+        (i, [float(x) for x in r["v"]])
+        for i, r in enumerate(e.orderBy("vec_id").limit(k).collect())
     ]
     for _ in range(5):
-        cdf = F.broadcast(
-            spark.createDataFrame(centroids, "cid int, cv array<double>")
-        )
-        assigned = (
-            e.crossJoin(cdf)
-            .withColumn("dist2", F.aggregate(
-                F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda acc, val: acc + val,
-            ))
-        )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("cid").asc())
-        best = assigned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-        new_centroids = (
-            best.groupBy("cid")
-            .agg(F.collect_list("v").alias("vs"))
+        sums = (
+            e.withColumn("cid", _kmeans_assign(centroids))
+            .select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,15)")).alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
+        by_cid: dict[int, list] = {}
+        for r in sums:
+            by_cid.setdefault(r["cid"], []).append((r["pos"], float(r["sx"]) / r["n"]))
         centroids = [
-            (r["cid"], [float(x) for x in np.mean(np.array(r["vs"]), axis=0)])
-            for r in sorted(new_centroids, key=lambda r: r["cid"])
+            (cid, [x for _, x in sorted(dims)])
+            for cid, dims in sorted(by_cid.items())
         ]
-    cdf = F.broadcast(spark.createDataFrame(centroids, "cid int, cv array<double>"))
-    assigned = (
-        e.crossJoin(cdf)
-        .withColumn("dist2", F.aggregate(
-            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, val: acc + val,
-        ))
+    out = (
+        e.withColumn("cid", _kmeans_assign(centroids))
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("list_size"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("cid").asc())
-    best = assigned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    out = best.groupBy("cid").agg(F.count(F.lit(1)).alias("list_size"))
+    out = out.orderBy("cid")
     e.unpersist()
-    return out.orderBy("cid")
+    return out
 
 
 EXT_QUERIES["dedup_clusters"] = q_dedup_clusters
@@ -878,15 +901,22 @@ def q_token_rarity_score(spark, sf_dir):
     (-log2 of corpus frequency) — a two-pass plan: token frequency
     aggregate (broadcastable dim) joined back to the exploded corpus.
     The canonical 'compute a statistic over the corpus, score each
-    document with it' shape of training-data pipelines."""
+    document with it' shape of training-data pipelines.
+
+    100 TB notes: no broadcast hint on ``freq`` — the vocabulary is
+    unbounded (billions of rows at corpus scale), so the join strategy
+    is left to AQE, which broadcasts only if the built stats say it
+    fits. The corpus total comes from aggregating ``freq`` itself
+    (vocab-sized input), not a second ``count()`` pass over the
+    exploded tokens."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = d.withColumn("__toks", F.expr(TOKENS_SPARK)).select(
         "doc_id", F.explode_outer("__toks").alias("t")
     ).filter(F.col("t").isNotNull())
-    total = toks.count()
     freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
-    scored = toks.join(F.broadcast(freq), "t").withColumn(
-        "rarity", -F.log2(F.col("tf").cast("double") / F.lit(float(total)))
+    total = freq.agg(F.sum("tf").cast("double").alias("__total"))
+    scored = toks.join(freq, "t").crossJoin(total).withColumn(
+        "rarity", -F.log2(F.col("tf").cast("double") / F.col("__total"))
     )
     return scored.groupBy("doc_id").agg(
         F.round(
@@ -1056,3 +1086,159 @@ FROM documents GROUP BY source
 
 EXT_QUERIES["arrow_batch_stats"] = q_arrow_batch_stats
 EXT_ORACLES["arrow_batch_stats"] = ORACLE_ARROW_BATCH_STATS
+
+
+# ---------------------------------------------------------------------------
+# Blocked dedup compositions — the actual 100 TB plans
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_lsh_verified(spark, sf_dir):
+    """LSH → exact-verify: THE 100 TB near-dup plan. MinHash LSH
+    proposes candidate pairs (linear — band-bucket equi-join only, no
+    all-pairs), then exact Jaccard runs ONLY on those candidates: the
+    candidate list joins back to the shingle table on doc id, so the
+    verify cost is O(candidates x shingles-per-doc), never O(n^2).
+    ``dedup_ngram_jaccard`` is the exact-baseline twin kept for recall
+    measurement; this composition is what ships at scale."""
+    cand = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+ORACLE_DEDUP_LSH_VERIFIED = f"""
+WITH {_lsh_ctes()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, n_common,
+       round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+"""
+
+EXT_QUERIES["dedup_lsh_verified"] = q_dedup_lsh_verified
+EXT_ORACLES["dedup_lsh_verified"] = ORACLE_DEDUP_LSH_VERIFIED
+
+
+def q_dedup_embedding_blocked(spark, sf_dir):
+    """Blocked embedding near-dup: candidates come from the IVF
+    coarse lists (the ``label`` column — in production the k-means
+    assignment of ``ivf_kmeans_build``), exact cosine runs only
+    WITHIN a block. The pair join is an equi-join on the block id —
+    linear per block, shuffle on the block key only — vs the
+    quadratic all-pairs of ``dedup_embedding_cosine`` (kept as the
+    exact-recall baseline)."""
+    a = _vectors(spark, sf_dir, "id_a", "va", "na_").withColumnRenamed("label", "la")
+    b = _vectors(spark, sf_dir, "id_b", "vb", "nb_").withColumnRenamed("label", "lb")
+    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na_") * F.col("nb_")), 6)
+    return (
+        pairs.select("id_a", "id_b", F.col("la").alias("block"), cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+ORACLE_DEDUP_EMBEDDING_BLOCKED = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= {COSINE_DUP_THRESHOLD}
+"""
+
+EXT_QUERIES["dedup_embedding_blocked"] = q_dedup_embedding_blocked
+EXT_ORACLES["dedup_embedding_blocked"] = ORACLE_DEDUP_EMBEDDING_BLOCKED
+
+
+def q_dedup_simhash_hamming(spark, sf_dir):
+    """SimHash Hamming-radius-1 probe search: each signature emits 17
+    probes (itself + its 16 one-bit flips); a probe→signature equi-join
+    finds every pair within Hamming distance <= 1 without comparing all
+    pairs — the multi-probe completion of ``dedup_simhash_buckets``
+    (which only catches distance 0). Each qualifying pair matches
+    exactly one probe (the identity probe for distance 0, the smaller
+    doc's flipped bit for distance 1), so no dedup pass is needed.
+    At scale: probes multiply rows by 17 but the join stays an
+    equi-shuffle on the 16-bit key."""
+    sig = q_dedup_simhash(spark, sf_dir)
+    probes = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash16").alias("sig_a"),
+        F.explode(
+            F.array(
+                F.col("simhash16"),
+                *[
+                    F.col("simhash16").bitwiseXOR(F.lit(1 << j))
+                    for j in range(SIMHASH_BITS)
+                ],
+            )
+        ).alias("probe"),
+    )
+    right = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash16").alias("sig_b")
+    )
+    return (
+        probes.join(
+            right,
+            (F.col("probe") == F.col("sig_b")) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+
+
+def _simhash_hamming_oracle() -> str:
+    return f"""
+WITH sig AS ({ORACLE_DEDUP_SIMHASH}),
+probes AS (
+  SELECT doc_id AS doc_a, simhash16 AS sig_a,
+         unnest([simhash16] +
+                [xor(simhash16, CAST(1 << j AS BIGINT)) FOR j IN range(0, {SIMHASH_BITS})]) AS probe
+  FROM sig
+)
+SELECT p.doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(p.sig_a, b.simhash16)) AS INTEGER) AS hamming
+FROM probes p JOIN sig b ON p.probe = b.simhash16 AND p.doc_a < b.doc_id
+"""
+
+
+ORACLE_DEDUP_SIMHASH_HAMMING = _simhash_hamming_oracle()
+
+EXT_QUERIES["dedup_simhash_hamming"] = q_dedup_simhash_hamming
+EXT_ORACLES["dedup_simhash_hamming"] = ORACLE_DEDUP_SIMHASH_HAMMING

@@ -155,9 +155,17 @@ def test_ivf_kmeans_build_invariants(spark):
     dependent) — assert its structural invariants instead."""
     from defi_features_data_pipeline_spark.queries.extensions import q_ivf_kmeans_build
 
-    out = q_ivf_kmeans_build(spark, "/root/testdata/sf0.001").collect()
+    df = q_ivf_kmeans_build(spark, "/root/testdata/sf0.001")
+    # assignment is a literal-centroid column expression: no join of any
+    # kind in the final plan, and no collect_list anywhere (the centroid
+    # update ships only k*d partial sums to the driver)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "collect_list" not in plan
+    out = df.collect()
     assert len(out) <= 8 and len(out) >= 2           # k lists (some may empty out)
     assert sum(r["list_size"] for r in out) == 500   # every vector assigned once
-    # deterministic across runs (fixed init + iteration count)
+    # deterministic across runs (fixed init + iteration count; decimal
+    # partial sums make the update order-independent)
     out2 = q_ivf_kmeans_build(spark, "/root/testdata/sf0.001").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
