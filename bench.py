@@ -1,7 +1,17 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
-(per-query sec), "sf"}.
+(per-query sec), "sf"} plus bench-hygiene keys {"runs", "scaling"}.
+
+Hygiene (machine noise here is ~±25% run-to-run):
+- every query is timed $SPARK_GRAFT_BENCH_RUNS times (default 3) and
+  the MEDIAN is reported, so round-over-round deltas reflect plan
+  changes, not scheduler jitter;
+- a small representative subset is re-timed once at the next SF down
+  and reported as wall-clock ratios next to the data ratio — a
+  shuffle-bound plan should scale sublinearly; a driver-bound one
+  shows ~1× and a quadratic one >>data-ratio, so scaling regressions
+  are visible per round.
 
 Each query is forced to full materialization with the noop sink (no
 driver-side collect skew). A JVM/session warm-up query runs first so
@@ -12,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -34,27 +45,53 @@ HEADLINE = [
     # extensions (present from round 1+; skipped silently if renamed)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_lsh_verified",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_simhash_hamming",
     "text_quality",
     "lang_id",
     "doc_fingerprint",
+    "token_rarity_score",
     "knn_cosine_topk",
     "ann_ivf_topk",
     "dedup_embedding_cosine",
+    "dedup_embedding_blocked",
     "multimodal_extract",
     "sessionize_events",
     "running_user_value",
     "grouped_median_pandas",
+    "grouped_median_builtin",
     "sql_api_shipping_priority",
     "pivot_order_status",
     "rollup_revenue",
     "salted_skew_join",
 ]
 
+# representative subset for the cross-SF scaling row: one scan-bound
+# agg, the flagship join pipeline, the one-shuffle as-of, the banded
+# LSH, and a pure-codegen text op
+SCALING_SUBSET = [
+    "pricing_summary",
+    "customer_feature_spine",
+    "asof_price",
+    "dedup_minhash_lsh",
+    "text_quality",
+]
+
+# next SF down from the bench SF (testdata ships 0.001 / 0.01 / 0.1)
+SMALLER_SF = {"0.1": "0.01", "0.01": "0.001"}
+
+
+def _time_once(spark, fn, sf_dir: str) -> float:
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
@@ -68,9 +105,23 @@ def main() -> None:
         fn = ALL_QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = [_time_once(spark, fn, sf_dir) for _ in range(runs)]
+        timings[name] = round(statistics.median(samples), 3)
+
+    scaling: dict[str, object] = {}
+    small_sf = SMALLER_SF.get(sf)
+    small_dir = (
+        sf_dir.rstrip("/").rsplit("sf", 1)[0] + "sf" + small_sf if small_sf else None
+    )
+    if small_dir and os.path.isdir(small_dir):
+        ratios = {}
+        for name in SCALING_SUBSET:
+            fn = ALL_QUERIES.get(name)
+            if fn is None or name not in timings:
+                continue
+            small_t = _time_once(spark, fn, small_dir)
+            ratios[name] = round(timings[name] / max(small_t, 1e-3), 2)
+        scaling = {"sf_small": float(small_sf), "data_ratio": 10.0, "wall_ratio": ratios}
 
     print(
         json.dumps(
@@ -80,6 +131,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": runs,
+                "scaling": scaling,
             }
         )
     )

@@ -35,6 +35,30 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+_INTEGRAL = {"byte", "short", "integer", "long"}
+_NUMERIC = _INTEGRAL | {"float", "double", "decimal"}
+
+
+def _common_time_type(lt, rt) -> str:
+    """Common SQL type for the union'd time column, chosen to keep
+    int64 epochs EXACT: two integral types stay ``bigint`` (a double
+    would silently lose precision above 2^53 — e.g. nanosecond
+    epochs); a decimal side widens to decimal; only genuinely
+    floating inputs use double (the caller is already in the float
+    domain there). Non-numeric (e.g. timestamp) raises: convert to an
+    epoch number first so tolerance arithmetic is well-defined."""
+    ln, rn = lt.typeName(), rt.typeName()
+    if ln not in _NUMERIC or rn not in _NUMERIC:
+        raise TypeError(
+            f"asof_join time columns must be numeric (epoch), got {lt} / {rt}; "
+            "cast timestamps to epoch seconds/micros first"
+        )
+    if ln in _INTEGRAL and rn in _INTEGRAL:
+        return "bigint"
+    if "decimal" in (ln, rn) and "float" not in (ln, rn) and "double" not in (ln, rn):
+        return "decimal(38,9)"
+    return "double"
+
 
 def asof_join(
     left: DataFrame,
@@ -57,7 +81,10 @@ def asof_join(
     ``on``         equi key(s)
     ``right_cols`` right payload columns to attach (default: all
                    non-key, non-time right columns)
-    ``tie_break``  ordering among right rows with equal time (last wins)
+    ``tie_break``  ordering among right rows with equal time (last
+                   wins); kept in its NATIVE orderable type — no
+                   silent cast (a non-numeric tie column orders by its
+                   own type's semantics instead of becoming NULL)
     """
     if direction != "backward":
         raise ValueError("only backward as-of is implemented (reference uses backward)")
@@ -66,6 +93,9 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in keys and c != right_time]
     left_cols = [c for c in left.columns]
 
+    t_type = _common_time_type(
+        left.schema[left_time].dataType, right.schema[right_time].dataType
+    )
     tie = (
         F.col(tie_break)
         if isinstance(tie_break, str)
@@ -73,19 +103,22 @@ def asof_join(
     )
     r = right.select(
         *[F.col(k) for k in keys],
-        F.col(right_time).cast("double").alias("__t"),
+        F.col(right_time).cast(t_type).alias("__t"),
         F.lit(0).alias("__side"),
-        tie.cast("double").alias("__tie"),
+        tie.alias("__tie"),
         F.struct(
-            F.col(right_time).cast("double").alias("__asof_ts"),
+            F.col(right_time).cast(t_type).alias("__asof_ts"),
             *[F.col(c).alias(c) for c in right_cols],
         ).alias("__rpay"),
     )
+    # left rows sort after right rows at equal __t via __side, and each
+    # left row's window frame is its own — the left-side tie value never
+    # affects which right row wins, so NULL (of the tie's native type).
     l = left.select(
         *[F.col(k) for k in keys],
-        F.col(left_time).cast("double").alias("__t"),
+        F.col(left_time).cast(t_type).alias("__t"),
         F.lit(1).alias("__side"),
-        F.lit(0.0).alias("__tie"),
+        F.lit(None).cast(r.schema["__tie"].dataType).alias("__tie"),
         F.lit(None).cast(r.schema["__rpay"].dataType).alias("__rpay"),
         F.struct(*[F.col(c).alias(c) for c in left_cols]).alias("__lpay"),
     )
@@ -106,7 +139,7 @@ def asof_join(
         matched = matched.withColumn(
             "__match",
             F.when(
-                F.col("__t") - F.col("__match.__asof_ts") <= F.lit(float(tolerance)),
+                F.col("__t") - F.col("__match.__asof_ts") <= F.lit(tolerance),
                 F.col("__match"),
             ),
         )

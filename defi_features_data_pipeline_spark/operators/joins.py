@@ -6,14 +6,18 @@ The reference joins borrow events to health factors with
 An OR of equalities defeats hash joins — Catalyst falls back to
 BroadcastNestedLoopJoin, which is O(n*m) and a non-starter at scale.
 
-Rewrite: UNION of per-disjunct equi-joins, then DISTINCT on the
-combined key (a row matching via both disjuncts must appear once, as
-in the OR semantics). Each leg is hash-joinable and AQE-broadcastable;
-the distinct is one extra shuffle — linear, not quadratic.
+Rewrite: UNION of per-disjunct equi-joins where leg *i* additionally
+requires that NO earlier disjunct matched (a residual non-equi filter
+on the hash join). Every qualifying (left row, right row) pair then
+matches EXACTLY ONE leg, so the union reproduces ``JOIN ... ON a OR b``
+row multiplicity exactly — genuinely duplicate input rows and distinct
+matches with coinciding projections are preserved, and no DISTINCT
+shuffle is needed. Each leg stays hash-joinable and AQE-broadcastable.
 """
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
@@ -24,7 +28,10 @@ def disjunctive_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join ``left`` and ``right`` where ANY of ``left[a] == right[b]``
-    for (a, b) in ``key_pairs`` holds — as a union of equi-joins.
+    for (a, b) in ``key_pairs`` holds — as a union of equi-joins, one
+    per disjunct, each excluding pairs already matched by an earlier
+    disjunct (null-safe: an earlier NULL comparison counts as
+    not-matched, as in SQL OR).
 
     Column collisions must be resolved by the caller (select/alias
     before the call). ``how`` supports 'inner' and 'left' ('left'
@@ -32,22 +39,22 @@ def disjunctive_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
-    legs = [
-        left.join(right, left[a] == right[b], "inner")
-        for a, b in key_pairs
-    ]
+    legs = []
+    for i, (a, b) in enumerate(key_pairs):
+        cond = left[a] == right[b]
+        for pa, pb in key_pairs[:i]:
+            # NOT (earlier disjunct is TRUE); NULL comparisons = not matched
+            cond = cond & ~F.coalesce(left[pa] == right[pb], F.lit(False))
+        legs.append(left.join(right, cond, "inner"))
     matched = legs[0]
     for leg in legs[1:]:
         matched = matched.unionByName(leg)
-    matched = matched.distinct()
     if how == "inner":
         return matched
     # left: add rows with no match under ANY disjunct, right columns NULL
     unmatched = left
     for a, b in key_pairs:
         unmatched = unmatched.join(right.select(right[b]), left[a] == right[b], "left_anti")
-    import pyspark.sql.functions as F
-
     for c in right.columns:
         unmatched = unmatched.withColumn(c, F.lit(None))
     return matched.unionByName(unmatched.select(matched.columns))

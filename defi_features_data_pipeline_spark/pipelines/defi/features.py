@@ -251,9 +251,18 @@ def _account_health_factor(positions: DataFrame) -> DataFrame:
 def _historical_per_protocol(
     borrow_events: DataFrame, hf: DataFrame, protocol: str
 ) -> DataFrame:
-    """union_cte + aggregate (`view_defi_historical_health_and_risk_factor.sql:444-487`):
+    """union_cte + aggregate (`view_defi_historical_health_and_risk_factor.sql:69-103`):
     borrow rows joined to health factors by account-role and by
-    sender-role, UNION (dedup), then the conditional AVG ladder."""
+    sender-role, UNION (dedup), then the conditional AVG ladder.
+
+    INNER legs, not left: the reference writes ``LEFT JOIN ...
+    WHERE hf.protocol = x`` — the WHERE on a right-side column
+    rejects the NULL-extended rows, so the join is effectively inner
+    and senders with no health-factor row for the protocol are
+    absent from this view (they re-enter downstream via the feature
+    spine with COALESCE-0). A true left join would keep all-NULL
+    groups, which flips the COUNT(*)=1 branch of avg_health_factor
+    for single-capped-row senders."""
     b = borrow_events.select("sender_address", "account_address").distinct()
     hfp = hf.filter(F.col("protocol") == protocol).select(
         "account",
@@ -263,8 +272,8 @@ def _historical_per_protocol(
         "misc_available_borrows_eth",
         "misc_total_collateral_eth",
     )
-    leg1 = b.join(hfp, b.account_address == hfp.account, "left")
-    leg2 = b.join(hfp, b.sender_address == hfp.account, "left")
+    leg1 = b.join(hfp, b.account_address == hfp.account, "inner")
+    leg2 = b.join(hfp, b.sender_address == hfp.account, "inner")
     cols = [
         "sender_address",
         "block_number_hf",

@@ -36,10 +36,22 @@ from .quality import run_quality_gate
 from .stage import stage_account_positions, stage_events, stage_market_data
 
 
-def run_pipeline(spark: SparkSession, base_dir: str, now_epoch: int) -> DataFrame:
+def run_pipeline(
+    spark: SparkSession, base_dir: str, now_epoch: int, streaming: bool = False
+) -> DataFrame:
     """Full raw→features run over a fixture lake at ``base_dir``.
     Returns the final 27-column defi_features DataFrame (also written
-    to the analytics layer + upserted into the serving sink)."""
+    to the analytics layer + upserted into the serving sink).
+
+    ``streaming=True`` swaps the event-stage increment from the
+    high-watermark predicate to a ``Trigger.AvailableNow`` file-source
+    stream with checkpoint-tracked offsets — the same incremental
+    contract as the reference's watermark INSERT
+    (`stage_tranformation_queries.py:20`) but exactly-once by FILE, so
+    late rows whose timestamp is <= the current max (invisible to a
+    max-timestamp predicate) are still ingested. Both modes produce the
+    identical 27-column output on a static lake
+    (`tests/test_defi_pipeline.py::test_streaming_mode_equivalence`)."""
     cat = Catalog(spark, base_dir)
 
     # --- stage layer: per-event incremental normalization -------------------
@@ -50,12 +62,29 @@ def run_pipeline(spark: SparkSession, base_dir: str, now_epoch: int) -> DataFram
     from concurrent.futures import ThreadPoolExecutor
 
     def _stage_one(name: str) -> None:
+        target = cat.path("stage", f"transpose_{name}_events")
+        if streaming:
+            from ...streaming.incremental import stream_append_incremental
+
+            raw_path = cat.path("raw", f"transpose_{name}_events")
+            stream_append_incremental(
+                spark,
+                raw_path,
+                spark.read.parquet(raw_path).schema,
+                lambda df, liq=(name == "liquidation"): stage_events(
+                    df, liquidation=liq
+                ),
+                target,
+                cat.path("_checkpoints", f"stage_transpose_{name}_events"),
+                partition_by=["year", "month"],
+            )
+            return
         raw = cat.read("raw", f"transpose_{name}_events")
         staged = stage_events(raw, liquidation=(name == "liquidation"))
         incremental_insert(
             spark,
             staged,
-            cat.path("stage", f"transpose_{name}_events"),
+            target,
             watermark_col="epoch_timestamp",
             partition_by=["year", "month"],
         )

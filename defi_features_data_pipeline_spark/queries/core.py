@@ -135,9 +135,11 @@ def q_watermark_filter(spark, sf_dir):
     wm = ev.filter(F.col("event_type") == "purchase").agg(
         F.max(F.col("ts").cast("long")).alias("wm")
     )
+    # scalar subquery, not a 1-row broadcast join: Catalyst runs the
+    # aggregate once and embeds the result as a literal in the filter —
+    # no BroadcastNestedLoopJoin node in the main plan at all
     return (
-        ev.join(F.broadcast(wm))
-        .filter(F.col("ts").cast("long") > F.col("wm"))
+        ev.filter(F.col("ts").cast("long") > wm.scalar())
         .select(
             "event_id",
             F.col("ts").cast("long").alias("epoch_ts"),
@@ -1176,15 +1178,37 @@ FROM events GROUP BY user_id
 """
 
 
+def q_grouped_median_builtin(spark, sf_dir):
+    """JVM twin of ``grouped_median_pandas``: identical contract via
+    the built-in exact ``percentile`` aggregate — stays in whole-stage
+    codegen with map-side partial aggregation, no Python worker, no
+    Arrow transfer. The pandas variant exists to exercise the
+    applyInPandas escape hatch; THIS is the plan you run when the
+    semantics fit a built-in (same linear-interpolation definition as
+    pandas.quantile / DuckDB quantile_cont)."""
+    ev = _events(spark, sf_dir).select("user_id", "value")
+    return ev.groupBy("user_id").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        F.round(
+            F.percentile("value", F.lit(0.75)) - F.percentile("value", F.lit(0.25)),
+            6,
+        ).alias("iqr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 CORE_QUERIES.update({
     "sql_api_shipping_priority": q_sql_api_shipping_priority,
     "set_ops_except_intersect": q_set_ops_except_intersect,
     "grouped_median_pandas": q_grouped_median_pandas,
+    "grouped_median_builtin": q_grouped_median_builtin,
 })
 CORE_ORACLES.update({
     "sql_api_shipping_priority": ORACLE_SQL_API_SHIPPING_PRIORITY,
     "set_ops_except_intersect": ORACLE_SET_OPS_EXCEPT_INTERSECT,
     "grouped_median_pandas": ORACLE_GROUPED_MEDIAN_PANDAS,
+    # same contract, same oracle — the JVM twin must match bit-for-bit
+    "grouped_median_builtin": ORACLE_GROUPED_MEDIAN_PANDAS,
 })
 
 
@@ -1434,11 +1458,11 @@ def q_important_stock(spark, sf_dir):
     value = F.col("l_extendedprice") * F.col("l_quantity")
     per_part = li.groupBy("l_partkey").agg(_dsum_reagg(value).alias("part_value"))
     total = per_part.agg(_dsum_reagg(F.col("part_value")).alias("total_value"))
-    return (
-        per_part.join(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("total_value") * 0.0006)
-        .select("l_partkey", "part_value")
-    )
+    # global scalar via subquery expression — HAVING against a literal
+    # once the subquery runs; no join node in the main plan
+    return per_part.filter(
+        F.col("part_value") > total.scalar() * 0.0006
+    ).select("l_partkey", "part_value")
 
 
 ORACLE_IMPORTANT_STOCK = f"""
@@ -1460,9 +1484,10 @@ def q_idle_rich_customers(spark, sf_dir):
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
         _davg(F.col("c_acctbal")).alias("avg_bal")
     )
+    # .scalar(): the subquery runs once, its value lands as a literal in
+    # the filter (a real SQL scalar subquery, not a 1-row BNLJ attach)
     return (
-        c.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        c.filter(F.col("c_acctbal") > avg_bal.scalar())
         .join(o.filter(F.col("o_totalprice") > 300000), c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(

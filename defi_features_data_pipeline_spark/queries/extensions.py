@@ -915,8 +915,10 @@ def q_token_rarity_score(spark, sf_dir):
     ).filter(F.col("t").isNotNull())
     freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
     total = freq.agg(F.sum("tf").cast("double").alias("__total"))
-    scored = toks.join(freq, "t").crossJoin(total).withColumn(
-        "rarity", -F.log2(F.col("tf").cast("double") / F.col("__total"))
+    # corpus total as a scalar subquery (runs once, embeds as literal)
+    # instead of a 1-row crossJoin — drops the BNLJ node entirely
+    scored = toks.join(freq, "t").withColumn(
+        "rarity", -F.log2(F.col("tf").cast("double") / total.scalar())
     )
     return scored.groupBy("doc_id").agg(
         F.round(
@@ -1242,3 +1244,121 @@ ORACLE_DEDUP_SIMHASH_HAMMING = _simhash_hamming_oracle()
 
 EXT_QUERIES["dedup_simhash_hamming"] = q_dedup_simhash_hamming
 EXT_ORACLES["dedup_simhash_hamming"] = ORACLE_DEDUP_SIMHASH_HAMMING
+
+
+# ---------------------------------------------------------------------------
+# Round 2: repetition filter, decontamination, sketch aggregates
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_ngram_ratio(spark, sf_dir):
+    """Gopher-style repetition filter: fraction of DUPLICATE word
+    3-grams per document (1 - distinct/total), the standard
+    within-document repetition signal for LLM training-data curation.
+
+    Scale: pure array expressions per row — tokenize, count, distinct —
+    all inside whole-stage codegen. ZERO shuffles, no explode, no join;
+    at 100 TB this is a single map-only pass over the corpus."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    d = d.withColumn("__toks", F.expr(TOKENS_SPARK)).withColumn(
+        "__sh", F.expr(SHINGLES_SPARK)
+    )
+    total = F.greatest(F.size("__toks") - F.lit(2), F.lit(0)).cast("bigint")
+    dup = F.when(
+        total > 0,
+        F.round(
+            F.lit(1.0) - F.size("__sh").cast("double") / total.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        total.alias("n_3grams"),
+        dup.alias("dup_3gram_ratio"),
+        (dup > 0.1).alias("is_repetitive"),
+    )
+
+
+ORACLE_REPETITION_NGRAM_RATIO = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_DUCK} AS __toks FROM documents),
+stats AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(__toks) >= 3 THEN len(__toks) - 2 ELSE 0 END AS BIGINT) AS n_3grams,
+         len({SHINGLES_DUCK}) AS n_distinct
+  FROM toks
+)
+SELECT doc_id, n_3grams,
+       CASE WHEN n_3grams > 0
+            THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_3grams, 6)
+            ELSE 0.0 END AS dup_3gram_ratio,
+       (CASE WHEN n_3grams > 0
+             THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_3grams, 6)
+             ELSE 0.0 END) > 0.1 AS is_repetitive
+FROM stats
+"""
+
+EXT_QUERIES["repetition_ngram_ratio"] = q_repetition_ngram_ratio
+EXT_ORACLES["repetition_ngram_ratio"] = ORACLE_REPETITION_NGRAM_RATIO
+
+
+def q_decontaminate_overlap(spark, sf_dir):
+    """Benchmark decontamination: count, for every corpus document, the
+    word-3-gram shingles it shares with a (small) benchmark set — here
+    the shingles of docs 0-4 stand in for the benchmark suite. Docs
+    with any overlap are contamination candidates for removal before
+    training.
+
+    Scale: the benchmark side is tiny by construction (a test suite,
+    not a corpus) → explicit broadcast; the corpus side streams through
+    a map-side hash semi-lookup — no corpus shuffle at all. The
+    groupBy shuffles only the MATCHED rows (rare at real scale)."""
+    sh = _doc_shingles(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") < 5).select(F.col("s").alias("bs")).distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= 5)
+    return (
+        corpus.join(F.broadcast(bench), corpus.s == bench.bs)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+
+
+ORACLE_DECONTAMINATE_OVERLAP = f"""
+WITH {SHINGLES_CTE_DUCK},
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5)
+SELECT doc_id, COUNT(*) AS n_contaminated_shingles
+FROM sh JOIN bench USING (s)
+WHERE doc_id >= 5
+GROUP BY doc_id
+"""
+
+EXT_QUERIES["decontaminate_overlap"] = q_decontaminate_overlap
+EXT_ORACLES["decontaminate_overlap"] = ORACLE_DECONTAMINATE_OVERLAP
+
+
+def q_approx_distinct_users(spark, sf_dir):
+    """Sketch aggregates: HyperLogLog++ distinct-user counts and a
+    t-digest-style quantile per event type. NO SQL oracle — sketch
+    values are engine-specific by nature (rows-only driver check; the
+    accuracy bound vs the exact answer is asserted in
+    tests/test_operators.py::test_approx_distinct_accuracy).
+
+    Scale: this is THE cardinality pattern at 100 TB — a fixed-size
+    sketch (HLL registers / quantile buffer) merges associatively
+    map-side, so the shuffle carries kilobytes per group instead of
+    the distinct-user set itself (compare exact COUNT DISTINCT, which
+    shuffles every distinct value)."""
+    from .core import _events
+
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx(F.col("value").cast("double"), 0.5, 1000).alias(
+            "p50_value_approx"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+EXT_QUERIES["approx_distinct_users"] = q_approx_distinct_users
+# no oracle on purpose: sketches are engine-specific (rows-only check)

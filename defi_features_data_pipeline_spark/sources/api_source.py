@@ -14,12 +14,19 @@ staging hop).
 The remote API itself is environment-specific; ``fetch_page`` is a
 deterministic synthetic backend standing in for the HTTP call (same
 pagination contract: page-size cap, offset, half-open time window).
-Point it at a real endpoint by replacing that one function.
+The backend is the SINGLE replacement seam, and it is mechanically
+injectable: pass ``.option("backend", "your.module:your_fetch")`` and
+every InputPartition resolves that function ON THE EXECUTOR (import by
+dotted path — the spec string pickles, a closure wouldn't), so a real
+HTTP client drops in without touching reader/partition logic.
+``tests/test_operators.py::test_api_source_backend_seam`` proves the
+claim with a fake backend.
 """
 
 from __future__ import annotations
 
 import hashlib
+import importlib
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -52,6 +59,18 @@ def fetch_page(
     return rows
 
 
+DEFAULT_BACKEND = f"{__name__}:fetch_page"
+
+
+def _resolve_backend(spec: str):
+    """Import ``module.path:function`` — called in the executor task so
+    the worker process does its own import (cloudpickle would serialize
+    a driver-side function by reference anyway; the explicit spec makes
+    the seam visible and configurable from SQL/option land)."""
+    mod_name, _, fn_name = spec.partition(":")
+    return getattr(importlib.import_module(mod_name), fn_name)
+
+
 class _WindowPartition(InputPartition):
     def __init__(self, event: str, start: int, end: int):
         self.event = event
@@ -64,6 +83,7 @@ class LendingEventsReader(DataSourceReader):
         self.event = options.get("event", "borrow")
         self.start = int(options["start"])
         self.end = int(options["end"])
+        self.backend = options.get("backend", DEFAULT_BACKEND)
 
     def partitions(self):
         return [
@@ -72,9 +92,10 @@ class LendingEventsReader(DataSourceReader):
         ]
 
     def read(self, partition: _WindowPartition) -> Iterator[tuple]:
+        fetch = _resolve_backend(self.backend)
         offset = 0
         while True:  # keyset/offset pagination inside the window (S1/S3)
-            page = fetch_page(
+            page = fetch(
                 partition.event, partition.start, partition.end, offset, PAGE_SIZE
             )
             for r in page:

@@ -63,11 +63,11 @@ class Catalog:
         return os.path.join(self.base, layer, table)
 
     def exists(self, layer: str, table: str) -> bool:
-        p = self.path(layer, table)
-        # _SUCCESS / parquet part files indicate a committed write
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
-        )
+        # _SUCCESS / parquet part files indicate a committed write;
+        # checked via the Hadoop FS API so object-store bases work too
+        from .fsutil import has_committed_data
+
+        return has_committed_data(self.spark, self.path(layer, table))
 
     def read(self, layer: str, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(layer, table))

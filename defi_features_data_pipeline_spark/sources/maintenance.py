@@ -22,16 +22,12 @@ def compact_parquet(
     """Small-file compaction: rewrite a parquet dir into ~target-sized
     files (bin-packed by current on-disk bytes). Returns
     (files_before, files_after). Swap-based like upsert_parquet so
-    readers never see a partial state."""
-    import shutil
+    readers never see a partial state; listing + swap go through the
+    Hadoop FS API (fsutil) so HDFS/S3A paths compact the same way."""
+    from .fsutil import list_parquet_files, swap_dirs
 
-    files = [
-        os.path.join(dp, f)
-        for dp, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    ]
-    total_bytes = sum(os.path.getsize(f) for f in files)
+    files = list_parquet_files(spark, path)
+    total_bytes = sum(sz for _, sz in files)
     n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
 
     df = spark.read.parquet(path)
@@ -40,19 +36,9 @@ def compact_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
+    swap_dirs(spark, tmp, path)
 
-    old = path.rstrip("/") + ".__compact_old__"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
-
-    after = sum(
-        1
-        for dp, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    after = len(list_parquet_files(spark, path))
     return len(files), after
 
 

@@ -48,12 +48,12 @@ def incremental_insert(
     (column-pruned parquet scan); the filter on the source is a plain
     predicate that Catalyst pushes into the scan, so an incremental run
     over a 100 TB source reads only row groups whose min/max stats pass.
+    Target detection goes through the Hadoop FileSystem API (fsutil), so
+    the idempotency contract holds on HDFS/S3A, not just local disk.
     """
-    import os
+    from .fsutil import has_committed_data
 
-    if os.path.isdir(target_path) and any(
-        f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(target_path)
-    ):
+    if has_committed_data(spark, target_path):
         wm = (
             spark.read.parquet(target_path)
             .agg(F.max(watermark_col).alias("wm"))
@@ -81,15 +81,14 @@ def upsert_parquet(
     """S10: generic key-upsert sink (the reference upserts into MongoDB
     keyed on walletAddress). Without Delta in this image we emulate
     MERGE with anti-join + union: keep target rows whose key is absent
-    from the batch, add the batch, rewrite. On a Delta/Iceberg cluster
-    this is a single ``MERGE INTO``."""
-    import os
+    from the batch, add the batch, rewrite. Detection + swap go through
+    the Hadoop FileSystem API (fsutil) so the same code runs against
+    HDFS/S3A paths; on a Delta/Iceberg cluster this whole function is a
+    single ``MERGE INTO`` (the swap's atomicity caveat on S3 is in
+    fsutil's docstring / KNOWN_LIMITS §5)."""
+    from .fsutil import has_committed_data, swap_dirs
 
-    import shutil
-
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(path)
-    ):
+    if has_committed_data(spark, path):
         target = spark.read.parquet(path)
         merged = target.join(df.select(key), on=key, how="left_anti").unionByName(df)
         # can't overwrite a path we're still reading: write the merge to a
@@ -97,10 +96,6 @@ def upsert_parquet(
         # materialization; on object stores this is the staging-dir commit)
         tmp = path.rstrip("/") + ".__upsert_tmp__"
         merged.write.mode("overwrite").parquet(tmp)
-        old = path.rstrip("/") + ".__upsert_old__"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        swap_dirs(spark, tmp, path)
     else:
         df.write.mode("overwrite").parquet(path)

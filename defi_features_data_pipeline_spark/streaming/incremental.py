@@ -23,6 +23,7 @@ def stream_append_incremental(
     transform: Callable[[DataFrame], DataFrame],
     target_dir: str,
     checkpoint_dir: str,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Run one available-now micro-batch pass: read new parquet files
     under ``source_dir``, apply ``transform``, append to ``target_dir``.
@@ -32,13 +33,15 @@ def stream_append_incremental(
         .schema(schema)
         .load(source_dir)
     )
-    q = (
+    writer = (
         transform(stream)
         .writeStream.format("parquet")
         .option("path", target_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    q = writer.start()
     q.awaitTermination()

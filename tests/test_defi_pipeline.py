@@ -143,6 +143,26 @@ def test_serving_upsert(spark, lake, features):
     assert served.count() == features.count()
 
 
+def test_streaming_mode_equivalence(spark, lake, features, tmp_path_factory):
+    """§2.9 e2e: ``run_pipeline(streaming=True)`` stages the events via
+    an availableNow file stream (checkpointed, exactly-once by file)
+    and must emit the identical 27-column table the batch watermark
+    path emits from the same fixtures."""
+    base = str(tmp_path_factory.mktemp("defi_lake_stream"))
+    generate(spark, base)  # deterministic: same content as `lake`
+    try:
+        stream_features = run_pipeline(spark, base, now_epoch=NOW, streaming=True)
+        assert stream_features.columns == features.columns
+        batch_rows = sorted(map(tuple, features.collect()))
+        stream_rows = sorted(map(tuple, stream_features.collect()))
+        assert stream_rows == batch_rows
+        # re-run: checkpoint marks all files processed -> nothing new
+        again = run_pipeline(spark, base, now_epoch=NOW, streaming=True)
+        assert sorted(map(tuple, again.collect())) == batch_rows
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_daily_first_blocks(spark, lake):
     """A9/J12: daily-first-block grid from ethereum_blocks
     (`src/pipelines/utils.py:35-44`)."""

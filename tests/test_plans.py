@@ -89,6 +89,32 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     assert rd.count() == df.filter("year = '2021' and month = '3'").count()
 
 
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """DPP: joining a partitioned fact to a FILTERED dim must prune the
+    fact's partitions at RUNTIME from the dim-side broadcast — the scan
+    carries a dynamicpruning subquery in its PartitionFilters. At 100 TB
+    this is the difference between scanning 3 date partitions and all of
+    them when the filter is on the dim (not the partition column
+    itself)."""
+    import pyspark.sql.functions as F
+
+    fact_dir = str(tmp_path / "fact_part")
+    fact = spark.createDataFrame(
+        [(i, i % 10, float(i)) for i in range(2000)], "id long, dkey long, v double"
+    )
+    fact.write.mode("overwrite").partitionBy("dkey").parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [(k, "keep" if k < 3 else "drop") for k in range(10)], "dkey long, flag string"
+    )
+    j = (
+        spark.read.parquet(fact_dir)
+        .join(dim.filter(F.col("flag") == "keep"), "dkey")
+    )
+    plan = explain_str(j)
+    assert "dynamicpruning" in plan.lower()
+    assert j.count() == 600  # 3 of 10 partitions survive
+
+
 def test_bucketed_join_no_shuffle(spark, tmp_path):
     """bucketBy co-located join: two tables bucketed on the join key
     join WITHOUT an Exchange on either side — the Spark mapping of the
