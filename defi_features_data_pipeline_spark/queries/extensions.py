@@ -76,8 +76,9 @@ def _spread(spark, df: DataFrame) -> DataFrame:
     return df
 
 
-def _doc_shingles(spark, sf_dir) -> DataFrame:
-    """(doc_id, shingle) — exploded distinct word-3-gram shingles.
+def doc_shingles_df(spark, d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — exploded distinct word-3-gram shingles from
+    a documents DataFrame (needs ``doc_id``, ``text``).
 
     explode_outer, not explode: plain explode makes Catalyst infer a
     ``size(shingles) > 0`` filter that embeds the whole shingle
@@ -85,13 +86,28 @@ def _doc_shingles(spark, sf_dir) -> DataFrame:
     expensive expression would then run twice, once on the
     single-partition scan side. explode_outer infers nothing; the
     null rows (docs with < 3 tokens) are dropped after."""
-    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    d = _spread(spark, d)
     return (
         d.withColumn("__toks", F.expr(TOKENS_SPARK))
         .withColumn("__sh", F.expr(SHINGLES_SPARK))
         .select("doc_id", F.explode_outer("__sh").alias("s"))
         .filter(F.col("s").isNotNull())
     )
+
+
+def _doc_shingles(spark, sf_dir) -> DataFrame:
+    return doc_shingles_df(spark, _t(spark, sf_dir, "documents"))
+
+
+def minhash_signature(sh: DataFrame) -> DataFrame:
+    """Per-doc k=N_MINHASH MinHash signature from (doc_id, s) shingle
+    rows — one map-side-combinable groupBy (min is associative), the
+    only shuffle in signature building."""
+    mins = [
+        F.min(_h(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"m{k}")
+        for k in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
 
 
 SHINGLES_CTE_DUCK = f"""
@@ -184,11 +200,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     corpus size (no all-pairs): THE 100 TB dedup plan — each band join
     shuffles on the band key only."""
     sh = _doc_shingles(spark, sf_dir)
-    mins = [
-        F.min(_h(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"m{k}")
-        for k in range(N_MINHASH)
-    ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    sig = minhash_signature(sh)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -1362,3 +1374,135 @@ def q_approx_distinct_users(spark, sf_dir):
 
 EXT_QUERIES["approx_distinct_users"] = q_approx_distinct_users
 # no oracle on purpose: sketches are engine-specific (rows-only check)
+
+
+def q_ann_ivf_multiprobe(spark, sf_dir):
+    """IVF ANN with nprobe=2: each query fans out to a PROBE LIST
+    (its own inverted list + one neighbor list), explode → equi-join
+    on list id → windowed top-k. Better recall than nprobe=1 at the
+    cost of probing 2/k of the corpus instead of 1/k — still no cross
+    join, and the probe fan-out is a constant factor, not a data one.
+
+    Probe selection here is the deterministic ring neighbor
+    ((label+1) mod 10) so a SQL oracle can replicate it; in production
+    the probe list comes from ranking centroid distances (see
+    ``ivf_kmeans_build``) — the PLAN SHAPE (explode probes → hash join
+    → top-k window) is identical either way."""
+    from pyspark.sql import Window
+
+    q = (
+        _vectors(spark, sf_dir, "query_id", "qv", "qn")
+        .filter(F.col("query_id") < 10)
+        .withColumnRenamed("label", "qlabel")
+    )
+    probes = q.select(
+        "query_id",
+        "qv",
+        "qn",
+        F.explode(
+            F.array(F.col("qlabel"), (F.col("qlabel") + 1) % 10)
+        ).alias("plabel"),
+    )
+    cand = _vectors(spark, sf_dir, "cand_id", "cv", "cn").withColumnRenamed(
+        "label", "clabel"
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cand, F.col("plabel") == F.col("clabel"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+ORACLE_ANN_IVF_MULTIPROBE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, qv, unnest([qlabel, (qlabel + 1) % 10]) AS plabel FROM q
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS cand_id,
+         round(list_cosine_similarity(CAST(p.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM probes p JOIN embeddings e ON e.label = p.plabel
+  WHERE e.vec_id <> p.query_id
+)
+SELECT query_id, cand_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+EXT_QUERIES["ann_ivf_multiprobe"] = q_ann_ivf_multiprobe
+EXT_ORACLES["ann_ivf_multiprobe"] = ORACLE_ANN_IVF_MULTIPROBE
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation decision: the composition a real
+    training-data pipeline runs per snapshot — length filter +
+    repetition filter + exact-dedup keeper election — folded into ONE
+    pass over the corpus.
+
+    Plan shape: all quality/repetition signals are row-local array
+    expressions (same codegen stage as the scan); the only shuffle is
+    the dedup-keeper window on the content digest. At 100 TB: one scan,
+    one hash-partition by digest, decision written alongside the doc —
+    no per-filter re-scans of the corpus (the naive pipeline-of-jobs
+    runs 3+ scans)."""
+    from pyspark.sql import Window
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    d = d.withColumn("__toks", F.expr(TOKENS_SPARK)).withColumn(
+        "__sh", F.expr(SHINGLES_SPARK)
+    )
+    total = F.greatest(F.size("__toks") - F.lit(2), F.lit(0))
+    dup = F.when(
+        total > 0,
+        F.round(
+            F.lit(1.0) - F.size("__sh").cast("double") / total.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy(F.md5(F.col("text")))
+    d = d.select(
+        "doc_id",
+        (F.size("__toks") < 20).alias("is_short"),
+        (dup > 0.1).alias("is_repetitive"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+    )
+    return d.withColumn(
+        "keep",
+        ~F.col("is_short") & ~F.col("is_repetitive") & ~F.col("is_duplicate"),
+    )
+
+
+ORACLE_CURATION_PIPELINE = f"""
+WITH toks AS (SELECT doc_id, text, {TOKENS_DUCK} AS __toks FROM documents),
+flags AS (
+  SELECT doc_id,
+         len(__toks) < 20 AS is_short,
+         (CASE WHEN len(__toks) >= 3
+               THEN round(1.0 - CAST(len({SHINGLES_DUCK}) AS DOUBLE) / (len(__toks) - 2), 6)
+               ELSE 0.0 END) > 0.1 AS is_repetitive,
+         doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+  FROM toks
+)
+SELECT doc_id, is_short, is_repetitive, is_duplicate,
+       NOT is_short AND NOT is_repetitive AND NOT is_duplicate AS keep
+FROM flags
+"""
+
+EXT_QUERIES["curation_pipeline"] = q_curation_pipeline
+EXT_ORACLES["curation_pipeline"] = ORACLE_CURATION_PIPELINE
