@@ -360,6 +360,183 @@ def _vectors(spark, sf_dir, id_alias: str, vec_alias: str, norm_alias: str):
     )
 
 
+# ---- IVF coarse index: build once, consumed by ANN + blocked dedup --------
+
+IVF_K = 8
+IVF_ITERS = 5
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+IVF_ARTIFACT_ROOT = os.path.join(_REPO_ROOT, "artifacts", "ivf")
+_IVF_CACHE: dict[str, list] = {}
+
+
+def ivf_artifact_dir(sf_dir: str) -> str:
+    """Artifact dir for one scale factor: artifacts/ivf/<sf-basename>."""
+    return os.path.join(IVF_ARTIFACT_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+
+
+# Oracle strings are built against the driver's sf0.01 gate; the local
+# gate rebinds them for other SFs via rebind_ivf_oracle().
+IVF_ORACLE_DIR = ivf_artifact_dir("/root/testdata/sf0.01")
+
+
+def rebind_ivf_oracle(sql: str, sf_dir: str) -> str:
+    """Point an IVF-consumer oracle at the artifact dir for ``sf_dir``."""
+    return sql.replace(IVF_ORACLE_DIR, ivf_artifact_dir(sf_dir))
+
+
+def _kmeans_assign(centroids, vec=None) -> F.Column:
+    """Nearest-centroid id for vector column ``vec`` against driver-held
+    centroids embedded as LITERAL arrays — a pure narrow column
+    expression: no crossJoin, no window, no shuffle for assignment.
+    Ties break to the lowest cid (array_position returns the first
+    minimum; centroids are ordered by cid)."""
+    vec = F.col("v") if vec is None else vec
+    ordered = sorted(centroids)
+    c_arr = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in ordered])
+    cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in ordered])
+    dists = F.transform(
+        c_arr,
+        lambda cv: F.aggregate(
+            F.zip_with(vec, cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        ),
+    )
+    return F.element_at(cid_arr, F.array_position(dists, F.array_min(dists)).cast("int"))
+
+
+def _ivf_probes(centroids, vec, nprobe: int = 2) -> F.Column:
+    """Probe list for multiprobe search: the vector's own assignment
+    first (identical to ``_kmeans_assign`` — keeps the nprobe=1
+    candidate set a strict subset), then the next nearest centroids by
+    squared L2 distance ROUNDED to 6 dp with cid tie-break. The
+    rounding makes the ranking reproducible in the DuckDB oracle
+    (cross-engine float sums can differ in the last bits); the first
+    probe never depends on it."""
+    ordered = sorted(centroids)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(float(x)) for x in cv]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, val: acc + val,
+                    ),
+                    6,
+                ).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, cv in ordered
+        ]
+    )
+    by_dist = F.transform(F.array_sort(pairs), lambda s: s["cid"])
+    own = _kmeans_assign(centroids, vec)
+    rest = F.filter(by_dist, lambda c: c != own)
+    return F.concat(F.array(own), F.slice(rest, 1, nprobe - 1))
+
+
+def _kmeans_fit(e: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS):
+    """Lloyd's k-means (deterministic first-k init, decimal partial
+    sums → bit-deterministic across partition layouts). Returns
+    ``[(cid, centroid), ...]``. See q_ivf_kmeans_build for the 100 TB
+    design notes."""
+    centroids = [
+        (i, [float(x) for x in r["v"]])
+        for i, r in enumerate(e.orderBy("vec_id").limit(k).collect())
+    ]
+    for _ in range(iters):
+        sums = (
+            e.withColumn("cid", _kmeans_assign(centroids))
+            .select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,15)")).alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, list] = {}
+        for r in sums:
+            by_cid.setdefault(r["cid"], []).append((r["pos"], float(r["sx"]) / r["n"]))
+        centroids = [
+            (cid, [x for _, x in sorted(dims)]) for cid, dims in sorted(by_cid.items())
+        ]
+    return centroids
+
+
+def _write_ivf_artifacts(spark, adir: str, centroids, assign: DataFrame) -> None:
+    from ..sources.fsutil import swap_dirs
+
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in centroids],
+        "cid int, centroid array<double>",
+    )
+    # coalesce(1): the artifacts are k rows / n_vec 2-col rows — at real
+    # scale the assignment table would stay partitioned (drop the
+    # coalesce); the swap keeps readers off partial writes.
+    for sub, df in (("centroids", cdf), ("assignments", assign)):
+        final = os.path.join(adir, sub)
+        tmp = final + ".__tmp__"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        swap_dirs(spark, tmp, final)
+
+
+def _ivf_artifacts_current(spark, adir: str, centroids, assign: DataFrame) -> bool:
+    """True if the on-disk artifacts already hold exactly this index
+    (float64 parquet round-trip is exact, so dict equality is safe).
+    Centroids are means of the data, so matching centroids + matching
+    assignment row count ⇒ same build; steady state is read-only."""
+    from ..sources.fsutil import has_committed_data
+
+    cpath = os.path.join(adir, "centroids")
+    apath = os.path.join(adir, "assignments")
+    if not (
+        has_committed_data(spark, cpath) and has_committed_data(spark, apath)
+    ):
+        return False
+    try:
+        disk = {
+            int(r["cid"]): list(r["centroid"])
+            for r in spark.read.parquet(cpath).collect()
+        }
+    except Exception:  # noqa: BLE001 — unreadable/corrupt ⇒ rewrite
+        return False
+    if disk != {int(cid): list(cv) for cid, cv in centroids}:
+        return False
+    return spark.read.parquet(apath).count() == assign.count()
+
+
+def _ivf_index(spark, sf_dir: str):
+    """Build-or-load the IVF coarse index for ``sf_dir`` and return the
+    centroid list. Guarantees the materialized index under
+    ``artifacts/ivf/<sf>/`` (``assignments/`` vec_id→cid,
+    ``centroids/`` cid→vector) matches the current embeddings — the
+    ANN / blocked-dedup DuckDB oracles read those tables. The build is
+    bit-deterministic, so when the on-disk index already matches, the
+    call is read-only; results are memoized per process."""
+    key = os.path.normpath(sf_dir)
+    if key in _IVF_CACHE:
+        return _IVF_CACHE[key]
+    e = _vectors(spark, sf_dir, "vec_id", "v", "vn").drop("label").cache()
+    try:
+        centroids = _kmeans_fit(e)
+        assign = e.withColumn("cid", _kmeans_assign(centroids)).select("vec_id", "cid")
+        adir = ivf_artifact_dir(sf_dir)
+        if not _ivf_artifacts_current(spark, adir, centroids, assign):
+            _write_ivf_artifacts(spark, adir, centroids, assign)
+    finally:
+        e.unpersist()
+    _IVF_CACHE[key] = centroids
+    return centroids
+
+
 def q_knn_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k: first 10 vectors as queries, scored
     against the full corpus, window top-5 per query. The exact
@@ -408,19 +585,28 @@ SELECT query_id, cand_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: the ``label`` column acts as the coarse inverted
-    list (cluster assignment); each query searches only its own list
-    (nprobe=1). At scale: partition the corpus by list id → the search
-    is an equi-join on list id + per-partition top-k, no cross join."""
+    """IVF ANN (nprobe=1) searching the BUILT index: the coarse
+    inverted list is the k-means assignment from ``ivf_kmeans_build``
+    (materialized under artifacts/ivf/<sf>; the DuckDB oracle reads
+    that same assignment table). Assignment is a narrow literal-array
+    expression (centroids are driver state — k×d floats), so the
+    search plan is: equi-join on list id + per-query top-k window —
+    no cross join, no extra shuffle. At 100 TB the corpus side would
+    read its PRE-computed assignment column instead of recomputing;
+    either way the join shape is identical."""
     from pyspark.sql import Window
 
+    centroids = _ivf_index(spark, sf_dir)
     q = (
         _vectors(spark, sf_dir, "query_id", "qv", "qn")
+        .drop("label")
         .filter(F.col("query_id") < 10)
-        .withColumnRenamed("label", "qlabel")
+        .withColumn("qlabel", _kmeans_assign(centroids, F.col("qv")))
     )
-    cand = _vectors(spark, sf_dir, "cand_id", "cv", "cn").withColumnRenamed(
-        "label", "clabel"
+    cand = (
+        _vectors(spark, sf_dir, "cand_id", "cv", "cn")
+        .drop("label")
+        .withColumn("clabel", _kmeans_assign(centroids, F.col("cv")))
     )
     scored = (
         F.broadcast(q)
@@ -444,13 +630,16 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
-ORACLE_ANN_IVF_TOPK = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
-           FROM embeddings WHERE vec_id < 10),
+ORACLE_ANN_IVF_TOPK = f"""
+WITH a AS (SELECT * FROM read_parquet('{IVF_ORACLE_DIR}/assignments/*.parquet')),
+q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, qa.cid AS qcid
+      FROM embeddings e JOIN a qa ON qa.vec_id = e.vec_id
+      WHERE e.vec_id < 10),
 scored AS (
   SELECT q.query_id, e.vec_id AS cand_id,
          round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
-  FROM q JOIN embeddings e ON e.label = q.qlabel
+  FROM q JOIN a ca ON ca.cid = q.qcid
+  JOIN embeddings e ON e.vec_id = ca.vec_id
   WHERE e.vec_id <> q.query_id
 )
 SELECT query_id, cand_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
@@ -790,29 +979,13 @@ FROM labels GROUP BY label
 """
 
 
-def _kmeans_assign(centroids) -> F.Column:
-    """Nearest-centroid id for column ``v`` against driver-held
-    centroids embedded as LITERAL arrays — a pure narrow column
-    expression: no crossJoin, no window, no shuffle for assignment.
-    Ties break to the lowest cid (array_position returns the first
-    minimum; centroids are ordered by cid)."""
-    ordered = sorted(centroids)
-    c_arr = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in ordered])
-    cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in ordered])
-    dists = F.transform(
-        c_arr,
-        lambda cv: F.aggregate(
-            F.zip_with(F.col("v"), cv, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, val: acc + val,
-        ),
-    )
-    return F.element_at(cid_arr, F.array_position(dists, F.array_min(dists)).cast("int"))
-
-
 def q_ivf_kmeans_build(spark, sf_dir):
     """IVF index BUILD: Lloyd's k-means (k=8, 5 iterations,
-    deterministic first-k init) over the embedding corpus.
+    deterministic first-k init) over the embedding corpus, then
+    MATERIALIZE the index (vec_id→cid assignments + centroids) under
+    ``artifacts/ivf/<sf>/`` — the tables ``ann_ivf_topk``,
+    ``ann_ivf_multiprobe`` and ``dedup_embedding_blocked`` (and their
+    DuckDB oracles) consume.
 
     100 TB design: assignment embeds the k x d centroids as literal
     arrays (they ARE driver state — k*d floats, not data) so it is a
@@ -823,40 +996,16 @@ def q_ivf_kmeans_build(spark, sf_dir):
     partition/merge order (floating-point addition is not
     associative; decimal is), keeping the build bit-deterministic
     across runs and cluster layouts. Iterative + data-dependent →
-    no SQL oracle (rows-only check); structural invariants are
-    asserted in tests/test_operators.py."""
-    e = _vectors(spark, sf_dir, "vec_id", "v", "vn").drop("label").cache()
-    k = 8
-    centroids = [
-        (i, [float(x) for x in r["v"]])
-        for i, r in enumerate(e.orderBy("vec_id").limit(k).collect())
-    ]
-    for _ in range(5):
-        sums = (
-            e.withColumn("cid", _kmeans_assign(centroids))
-            .select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(
-                F.sum(F.col("x").cast("decimal(38,15)")).alias("sx"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        by_cid: dict[int, list] = {}
-        for r in sums:
-            by_cid.setdefault(r["cid"], []).append((r["pos"], float(r["sx"]) / r["n"]))
-        centroids = [
-            (cid, [x for _, x in sorted(dims)])
-            for cid, dims in sorted(by_cid.items())
-        ]
-    out = (
+    no SQL oracle (rows-only check); structural invariants and
+    recall-vs-exact-kNN are asserted in tests/test_operators.py."""
+    centroids = _ivf_index(spark, sf_dir)
+    e = _vectors(spark, sf_dir, "vec_id", "v", "vn").drop("label")
+    return (
         e.withColumn("cid", _kmeans_assign(centroids))
         .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("list_size"))
+        .orderBy("cid")
     )
-    out = out.orderBy("cid")
-    e.unpersist()
-    return out
 
 
 EXT_QUERIES["dedup_clusters"] = q_dedup_clusters
@@ -1167,15 +1316,24 @@ EXT_ORACLES["dedup_lsh_verified"] = ORACLE_DEDUP_LSH_VERIFIED
 
 
 def q_dedup_embedding_blocked(spark, sf_dir):
-    """Blocked embedding near-dup: candidates come from the IVF
-    coarse lists (the ``label`` column — in production the k-means
-    assignment of ``ivf_kmeans_build``), exact cosine runs only
-    WITHIN a block. The pair join is an equi-join on the block id —
-    linear per block, shuffle on the block key only — vs the
-    quadratic all-pairs of ``dedup_embedding_cosine`` (kept as the
-    exact-recall baseline)."""
-    a = _vectors(spark, sf_dir, "id_a", "va", "na_").withColumnRenamed("label", "la")
-    b = _vectors(spark, sf_dir, "id_b", "vb", "nb_").withColumnRenamed("label", "lb")
+    """Blocked embedding near-dup: candidates come from the BUILT IVF
+    coarse lists (the k-means assignment materialized by
+    ``ivf_kmeans_build``); exact cosine runs only WITHIN a block. The
+    pair join is an equi-join on the block id — linear per block,
+    shuffle on the block key only — vs the quadratic all-pairs of
+    ``dedup_embedding_cosine`` (kept as the exact-recall baseline).
+    The oracle reads the same materialized assignment table."""
+    centroids = _ivf_index(spark, sf_dir)
+    a = (
+        _vectors(spark, sf_dir, "id_a", "va", "na_")
+        .drop("label")
+        .withColumn("la", _kmeans_assign(centroids, F.col("va")))
+    )
+    b = (
+        _vectors(spark, sf_dir, "id_b", "vb", "nb_")
+        .drop("label")
+        .withColumn("lb", _kmeans_assign(centroids, F.col("vb")))
+    )
     pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
     cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na_") * F.col("nb_")), 6)
     return (
@@ -1185,9 +1343,13 @@ def q_dedup_embedding_blocked(spark, sf_dir):
 
 
 ORACLE_DEDUP_EMBEDDING_BLOCKED = f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+WITH asg AS (SELECT * FROM read_parquet('{IVF_ORACLE_DIR}/assignments/*.parquet'))
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, aa.cid AS block,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM embeddings a
+JOIN asg aa ON aa.vec_id = a.vec_id
+JOIN asg ba ON ba.cid = aa.cid
+JOIN embeddings b ON b.vec_id = ba.vec_id AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= {COSINE_DUP_THRESHOLD}
 """
 
@@ -1377,34 +1539,32 @@ EXT_QUERIES["approx_distinct_users"] = q_approx_distinct_users
 
 
 def q_ann_ivf_multiprobe(spark, sf_dir):
-    """IVF ANN with nprobe=2: each query fans out to a PROBE LIST
-    (its own inverted list + one neighbor list), explode → equi-join
-    on list id → windowed top-k. Better recall than nprobe=1 at the
-    cost of probing 2/k of the corpus instead of 1/k — still no cross
-    join, and the probe fan-out is a constant factor, not a data one.
-
-    Probe selection here is the deterministic ring neighbor
-    ((label+1) mod 10) so a SQL oracle can replicate it; in production
-    the probe list comes from ranking centroid distances (see
-    ``ivf_kmeans_build``) — the PLAN SHAPE (explode probes → hash join
-    → top-k window) is identical either way."""
+    """IVF ANN with nprobe=2 searching the BUILT index: each query
+    fans out to a PROBE LIST — its own k-means list plus the next
+    nearest centroid by actual L2 distance (see ``_ivf_probes``) —
+    explode → equi-join on list id → windowed top-k. Better recall
+    than nprobe=1 at the cost of probing 2/k of the corpus — still no
+    cross join, and the probe fan-out is a constant factor, not a
+    data one. The DuckDB oracle reproduces the probe choice from the
+    materialized centroids/assignments tables."""
     from pyspark.sql import Window
 
+    centroids = _ivf_index(spark, sf_dir)
     q = (
         _vectors(spark, sf_dir, "query_id", "qv", "qn")
+        .drop("label")
         .filter(F.col("query_id") < 10)
-        .withColumnRenamed("label", "qlabel")
     )
     probes = q.select(
         "query_id",
         "qv",
         "qn",
-        F.explode(
-            F.array(F.col("qlabel"), (F.col("qlabel") + 1) % 10)
-        ).alias("plabel"),
+        F.explode(_ivf_probes(centroids, F.col("qv"), 2)).alias("plabel"),
     )
-    cand = _vectors(spark, sf_dir, "cand_id", "cv", "cn").withColumnRenamed(
-        "label", "clabel"
+    cand = (
+        _vectors(spark, sf_dir, "cand_id", "cv", "cn")
+        .drop("label")
+        .withColumn("clabel", _kmeans_assign(centroids, F.col("cv")))
     )
     scored = (
         F.broadcast(probes)
@@ -1428,17 +1588,36 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
     )
 
 
-ORACLE_ANN_IVF_MULTIPROBE = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
-           FROM embeddings WHERE vec_id < 10),
+ORACLE_ANN_IVF_MULTIPROBE = f"""
+WITH asg AS (SELECT * FROM read_parquet('{IVF_ORACLE_DIR}/assignments/*.parquet')),
+cent AS (SELECT * FROM read_parquet('{IVF_ORACLE_DIR}/centroids/*.parquet')),
+q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, qa.cid AS qcid
+      FROM embeddings e JOIN asg qa ON qa.vec_id = e.vec_id
+      WHERE e.vec_id < 10),
+second AS (
+  SELECT query_id, cid AS plabel FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_sum([(z[1] - z[2]) * (z[1] - z[2])
+                              FOR z IN list_zip(CAST(q.qv AS DOUBLE[]), c.centroid)]), 6),
+                      c.cid
+           ) AS rn
+    FROM q JOIN cent c ON c.cid <> q.qcid
+  ) WHERE rn = 1
+),
 probes AS (
-  SELECT query_id, qv, unnest([qlabel, (qlabel + 1) % 10]) AS plabel FROM q
+  SELECT query_id, qcid AS plabel FROM q
+  UNION ALL
+  SELECT query_id, plabel FROM second
 ),
 scored AS (
-  SELECT p.query_id, e.vec_id AS cand_id,
-         round(list_cosine_similarity(CAST(p.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
-  FROM probes p JOIN embeddings e ON e.label = p.plabel
-  WHERE e.vec_id <> p.query_id
+  SELECT q.query_id, e.vec_id AS cand_id,
+         round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM q JOIN probes p ON p.query_id = q.query_id
+  JOIN asg ca ON ca.cid = p.plabel
+  JOIN embeddings e ON e.vec_id = ca.vec_id
+  WHERE e.vec_id <> q.query_id
 )
 SELECT query_id, cand_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rank

@@ -220,3 +220,63 @@ def test_ivf_kmeans_build_invariants(spark):
     # partial sums make the update order-independent)
     out2 = q_ivf_kmeans_build(spark, "/root/testdata/sf0.001").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_ivf_index_materialized_and_consistent(spark):
+    """The built index is materialized (assignments + centroids
+    parquet) and the on-disk assignment table equals the narrow
+    assignment expression the consumers compute — the contract the
+    DuckDB oracles rely on."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _ivf_index,
+        _kmeans_assign,
+        _vectors,
+        ivf_artifact_dir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    centroids = _ivf_index(spark, sf)
+    adir = ivf_artifact_dir(sf)
+    disk = {
+        r["vec_id"]: r["cid"]
+        for r in spark.read.parquet(f"{adir}/assignments").collect()
+    }
+    e = _vectors(spark, sf, "vec_id", "v", "vn").drop("label")
+    expr = {
+        r["vec_id"]: r["cid"]
+        for r in e.withColumn("cid", _kmeans_assign(centroids)).collect()
+    }
+    assert disk == expr and len(disk) == 500
+    cids = {r["cid"] for r in spark.read.parquet(f"{adir}/centroids").collect()}
+    assert set(disk.values()) <= cids
+
+
+def test_ann_recall_vs_exact_knn(spark):
+    """Recall@3 of the IVF searches against exact-kNN ground truth:
+    multiprobe (nprobe=2) candidates are a superset of nprobe=1 (the
+    first probe IS the assignment list), so its recall must be >= —
+    and both must beat a sanity floor (an index that never finds true
+    neighbors is decorative)."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        q_ann_ivf_multiprobe,
+        q_ann_ivf_topk,
+        q_knn_cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    truth = {}
+    for r in q_knn_cosine_topk(spark, sf).filter(F.col("rank") <= 3).collect():
+        truth.setdefault(r["query_id"], set()).add(r["cand_id"])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["cand_id"])
+        return sum(
+            len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ) / len(truth)
+
+    r1 = recall(q_ann_ivf_topk(spark, sf))
+    r2 = recall(q_ann_ivf_multiprobe(spark, sf))
+    assert r2 >= r1, (r1, r2)
+    assert r2 >= 0.5, (r1, r2)

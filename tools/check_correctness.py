@@ -47,6 +47,7 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as mod
+    from defi_features_data_pipeline_spark.queries.extensions import rebind_ivf_oracle
     from defi_features_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="check_correctness", shuffle_partitions=8)
@@ -75,7 +76,9 @@ def main():
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
+            # IVF-consumer oracles embed the sf0.01 artifact path
+            # (the driver's gate); rebind for other scale factors.
+            res = con.execute(rebind_ivf_oracle(oracles[name], sf_dir))
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
