@@ -16,6 +16,11 @@ Hygiene (machine noise here is ~±25% run-to-run):
 Each query is forced to full materialization with the noop sink (no
 driver-side collect skew). A JVM/session warm-up query runs first so
 cold-start cost isn't attributed to the first query.
+
+Two ``pipeline_e2e_*_sec`` keys time the full DeFi pipeline
+(raw→stage→analytics→features→DQ→serving, batch and streaming modes)
+on a fresh fixture lake so regressions in the join chain are visible
+per round, not just per-query.
 """
 
 from __future__ import annotations
@@ -66,17 +71,26 @@ HEADLINE = [
     "pivot_order_status",
     "rollup_revenue",
     "salted_skew_join",
+    # round-3 additions
+    "ann_ivf_multiprobe",
+    "repetition_ngram_ratio",
+    "decontaminate_overlap",
+    "curation_pipeline",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
 # agg, the flagship join pipeline, the one-shuffle as-of, the banded
-# LSH, and a pure-codegen text op
+# LSH, a pure-codegen text op, and the shipping 100 TB compositions
 SCALING_SUBSET = [
     "pricing_summary",
     "customer_feature_spine",
     "asof_price",
     "dedup_minhash_lsh",
     "text_quality",
+    "dedup_lsh_verified",
+    "dedup_embedding_blocked",
+    "token_rarity_score",
+    "curation_pipeline",
 ]
 
 # next SF down from the bench SF (testdata ships 0.001 / 0.01 / 0.1)
@@ -87,6 +101,33 @@ def _time_once(spark, fn, sf_dir: str) -> float:
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.time() - t0
+
+
+def _time_median(spark, fn, sf_dir: str, runs: int) -> float:
+    return statistics.median(_time_once(spark, fn, sf_dir) for _ in range(runs))
+
+
+def _pipeline_e2e(spark, streaming: bool) -> float:
+    """Wall-time of the full DeFi pipeline (raw→stage→analytics→
+    features→DQ→serving) on a fresh fixture lake — fresh because the
+    layers are incremental: a re-run on a warm lake appends nothing
+    and would time the no-op path. Fixture generation is excluded."""
+    import shutil
+    import tempfile
+
+    from defi_features_data_pipeline_spark.pipelines.defi import run_pipeline
+    from defi_features_data_pipeline_spark.pipelines.defi.fixtures import generate
+
+    base = tempfile.mkdtemp(prefix="bench_defi_lake_")
+    try:
+        generate(spark, base, scale=4.0)
+        t0 = time.time()
+        run_pipeline(
+            spark, base, now_epoch=1_700_000_000, streaming=streaming
+        ).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def main() -> None:
@@ -119,9 +160,21 @@ def main() -> None:
             fn = ALL_QUERIES.get(name)
             if fn is None or name not in timings:
                 continue
-            small_t = _time_once(spark, fn, small_dir)
+            # same median-of-runs sampling as the headline timings —
+            # a single-run denominator would reintroduce the ±25%
+            # jitter the median machinery exists to suppress
+            small_t = _time_median(spark, fn, small_dir, runs)
             ratios[name] = round(timings[name] / max(small_t, 1e-3), 2)
-        scaling = {"sf_small": float(small_sf), "data_ratio": 10.0, "wall_ratio": ratios}
+        scaling = {
+            "sf_small": float(small_sf),
+            "data_ratio": round(float(sf) / float(small_sf), 2),
+            "wall_ratio": ratios,
+        }
+
+    pipe = {
+        "pipeline_e2e_batch_sec": round(_pipeline_e2e(spark, streaming=False), 3),
+        "pipeline_e2e_streaming_sec": round(_pipeline_e2e(spark, streaming=True), 3),
+    }
 
     print(
         json.dumps(
@@ -133,6 +186,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": runs,
                 "scaling": scaling,
+                **pipe,
             }
         )
     )

@@ -23,7 +23,13 @@ At 100 TB this is strictly better than the reference's two-pass plan:
 one hash shuffle + per-key sort, versus a range join whose intermediate
 is |events| x |prices-in-window| followed by a second shuffle and a
 re-aggregation. A hot key (one dominant token) is the residual risk:
-salt upstream or rely on AQE skew splitting for moderate skew.
+AQE skew splitting cannot help here (a window partition cannot be
+split), so pass ``salt_buckets=n`` — left rows salt deterministically
+into n sub-partitions, right rows replicate into every sub-partition,
+and the window runs per (key, salt). Any single task's input is then
+bounded by ``|hot-key left rows|/n + |hot-key right rows|``, at the
+cost of an n× right-side inflation (cheap when the right side is a
+dimension-like price series, exactly the reference's shape).
 
 Tie semantics: the reference's max+join-back FANS OUT when two price
 rows share the max timestamp. We resolve ties deterministically instead
@@ -56,7 +62,10 @@ def _common_time_type(lt, rt) -> str:
     if ln in _INTEGRAL and rn in _INTEGRAL:
         return "bigint"
     if "decimal" in (ln, rn) and "float" not in (ln, rn) and "double" not in (ln, rn):
-        return "decimal(38,9)"
+        # widen to the widest input scale (a fixed scale would truncate
+        # or NULL-on-overflow finer-grained decimal epochs)
+        scale = max(t.scale for t in (lt, rt) if t.typeName() == "decimal")
+        return f"decimal(38,{scale})"
     return "double"
 
 
@@ -70,6 +79,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     tie_break: Column | str | None = None,
     direction: str = "backward",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right[right_time] <= left[left_time]`` (backward) and, when
@@ -85,6 +95,9 @@ def asof_join(
                    wins); kept in its NATIVE orderable type — no
                    silent cast (a non-numeric tie column orders by its
                    own type's semantics instead of becoming NULL)
+    ``salt_buckets`` split each key's window into n salted
+                   sub-partitions (hot-key mitigation, see module
+                   docstring); identical results, bounded task size
     """
     if direction != "backward":
         raise ValueError("only backward as-of is implemented (reference uses backward)")
@@ -125,8 +138,24 @@ def asof_join(
     # align schemas: right side gets a NULL left payload
     r = r.withColumn("__lpay", F.lit(None).cast(l.schema["__lpay"].dataType))
 
+    part_cols = [F.col(k) for k in keys]
+    if salt_buckets is not None:
+        if salt_buckets < 2:
+            raise ValueError(f"salt_buckets must be >= 2, got {salt_buckets}")
+        # deterministic salt (no rand(): task retries must repartition
+        # identically); right rows go to EVERY bucket so each salted
+        # window still sees the key's full price history
+        l = l.withColumn(
+            "__bsalt",
+            F.pmod(F.hash(F.col("__t"), F.col("__lpay")), F.lit(salt_buckets)),
+        )
+        r = r.withColumn(
+            "__bsalt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+        )
+        part_cols.append(F.col("__bsalt"))
+
     w = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(*part_cols)
         .orderBy(F.col("__t"), F.col("__side"), F.col("__tie"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -136,10 +165,23 @@ def asof_join(
         .filter(F.col("__side") == 1)
     )
     if tolerance is not None:
+        # keep the comparison in the time domain's own type: a raw float
+        # literal would promote a bigint/decimal __t to double and
+        # silently reintroduce the >2^53 precision loss the integral
+        # path exists to avoid
+        if t_type == "bigint" and isinstance(tolerance, float):
+            if not tolerance.is_integer():
+                raise TypeError(
+                    f"fractional tolerance {tolerance!r} with integral time "
+                    "columns would force a lossy double comparison; pass an "
+                    "integral tolerance or cast the time columns to double"
+                )
+            tolerance = int(tolerance)
         matched = matched.withColumn(
             "__match",
             F.when(
-                F.col("__t") - F.col("__match.__asof_ts") <= F.lit(tolerance),
+                F.col("__t") - F.col("__match.__asof_ts")
+                <= F.lit(tolerance).cast(t_type),
                 F.col("__match"),
             ),
         )

@@ -613,6 +613,35 @@ def q_asof_price(spark, sf_dir):
     )
 
 
+def q_asof_price_salted(spark, sf_dir):
+    """J3 hot-key variant: identical semantics to ``asof_price`` with
+    ``salt_buckets=8`` — the window splits into salted sub-partitions
+    so one dominant user/token cannot concentrate a task (AQE cannot
+    split a window partition). Same oracle as asof_price: salting must
+    be invisible in the results."""
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ets")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("long").alias("pts"), F.col("value").alias("pval")
+    )
+    out = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_time="ets",
+        right_time="pts",
+        tolerance=7 * 86400,
+        right_cols=["pval"],
+        tie_break=F.col("pval"),
+        salt_buckets=8,
+    )
+    return out.select(
+        "event_id", "user_id", "ets", F.col("pval").alias("asof_purchase_value")
+    )
+
+
 ORACLE_ASOF_PRICE = f"""
 WITH v AS (
   SELECT event_id, user_id, {epoch_sql()} AS ets
@@ -852,6 +881,7 @@ CORE_QUERIES = {
     "full_outer": q_full_outer,
     "disjunctive_join": q_disjunctive_join,
     "asof_price": q_asof_price,
+    "asof_price_salted": q_asof_price_salted,
     "latest_event_per_user": q_latest_event_per_user,
     "top3_orders_per_customer": q_top3_orders_per_customer,
     "top100_orders": q_top100_orders,
@@ -879,6 +909,7 @@ CORE_ORACLES = {
     "full_outer": ORACLE_FULL_OUTER,
     "disjunctive_join": ORACLE_DISJUNCTIVE_JOIN,
     "asof_price": ORACLE_ASOF_PRICE,
+    "asof_price_salted": ORACLE_ASOF_PRICE,
     "latest_event_per_user": ORACLE_LATEST_EVENT_PER_USER,
     "top3_orders_per_customer": ORACLE_TOP3_ORDERS_PER_CUSTOMER,
     "top100_orders": ORACLE_TOP100_ORDERS,

@@ -41,24 +41,45 @@ def has_committed_data(spark: SparkSession, path: str) -> bool:
 
 def swap_dirs(spark: SparkSession, tmp_path: str, final_path: str) -> None:
     """Promote ``tmp_path`` to ``final_path``: current target moves
-    aside, tmp renames in, the old copy is dropped. Readers never see a
-    partial state on filesystems with atomic rename (local, HDFS)."""
+    aside, tmp renames in, the old copy is dropped. Each rename is
+    atomic on local/HDFS, so readers never observe a HALF-written
+    directory — but there is a brief window between moving the old
+    target aside and promoting tmp in which the target path is ABSENT.
+    A failed promote rolls the old target back; a crash inside the
+    window is repaired by the next call (the recovery step below).
+    True no-window atomicity needs a table-format snapshot commit
+    (Delta/Iceberg — KNOWN_LIMITS.md §5)."""
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs, final_p = _fs(spark, final_path)
     tmp_p = jvm_path(tmp_path)
     old_p = jvm_path(final_path.rstrip("/") + ".__swap_old__")
+    # recover from a prior crash mid-swap: the old copy is the only
+    # surviving data — restore it before (re)swapping
+    if fs.exists(old_p) and not fs.exists(final_p):
+        fs.rename(old_p, final_p)
     fs.delete(old_p, True)
+    moved_aside = False
     if fs.exists(final_p):
         if not fs.rename(final_p, old_p):
             raise IOError(f"could not move {final_path} aside for swap")
-    if not fs.rename(tmp_p, final_p):
-        raise IOError(f"could not promote {tmp_path} to {final_path}")
+        moved_aside = True
+    try:
+        if not fs.rename(tmp_p, final_p):
+            raise IOError(f"could not promote {tmp_path} to {final_path}")
+    except BaseException:
+        if moved_aside:
+            fs.rename(old_p, final_p)  # roll back so the target reappears
+        raise
     fs.delete(old_p, True)
 
 
 def list_parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
-    """Recursive (path, size_bytes) listing of parquet part files."""
+    """Recursive (path, size_bytes) listing of parquet part files.
+    A missing directory is an empty listing, not an error — so e.g.
+    compacting a not-yet-written table is a no-op."""
     fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
     out: list[tuple[str, int]] = []
     it = fs.listFiles(p, True)
     while it.hasNext():

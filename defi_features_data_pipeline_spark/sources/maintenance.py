@@ -27,6 +27,8 @@ def compact_parquet(
     from .fsutil import list_parquet_files, swap_dirs
 
     files = list_parquet_files(spark, path)
+    if not files:
+        return (0, 0)  # not-yet-written table: nothing to compact
     total_bytes = sum(sz for _, sz in files)
     n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
 

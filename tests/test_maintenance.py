@@ -26,6 +26,32 @@ def test_compact_parquet(spark, tmp_path):
     assert {r["id"] for r in after.collect()} == set(range(20))
 
 
+def test_compact_missing_table_is_noop(spark, tmp_path):
+    """Compacting (listing) a not-yet-written table must be a no-op,
+    not a JVM FileNotFoundException."""
+    from defi_features_data_pipeline_spark.sources.fsutil import list_parquet_files
+
+    missing = str(tmp_path / "never_written")
+    assert list_parquet_files(spark, missing) == []
+    assert compact_parquet(spark, missing, target_file_mb=512) == (0, 0)
+
+
+def test_swap_dirs_rolls_back_on_failed_promote(spark, tmp_path):
+    """If promoting tmp fails (here: tmp does not exist), the old
+    target must be restored — a reader never ends up with NO table."""
+    import pytest
+
+    from defi_features_data_pipeline_spark.sources.fsutil import swap_dirs
+
+    final = str(tmp_path / "tbl")
+    spark.createDataFrame([(1,)], "id long").write.parquet(final)
+    # local FS raises from the JVM (Py4JJavaError); HDFS returns False
+    # (IOError path) — either way the rollback must run
+    with pytest.raises(Exception):
+        swap_dirs(spark, str(tmp_path / "no_such_tmp"), final)
+    assert spark.read.parquet(final).count() == 1  # rolled back, not gone
+
+
 def test_merge_incremental_aggregate(spark):
     day1 = spark.createDataFrame(
         [("a", 1.0), ("a", 2.0), ("b", 10.0)], "k string, v double"

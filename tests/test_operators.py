@@ -41,6 +41,50 @@ def test_asof_join_backward_with_tolerance(spark):
     }
 
 
+def test_asof_join_fractional_tolerance_rejected_on_bigint(spark):
+    """A fractional float tolerance on integral time columns would
+    silently promote the comparison to double (losing >2^53 epochs);
+    it must raise. An integral-valued float is accepted as int."""
+    import pytest
+
+    events = spark.createDataFrame([("t", 100)], "token string, ts long")
+    prices = spark.createDataFrame(
+        [("t", 90, 1.0)], "token string, ts long, price double"
+    )
+    with pytest.raises(TypeError, match="fractional tolerance"):
+        asof_join(
+            events, prices, on="token", left_time="ts", right_time="ts",
+            tolerance=0.5, right_cols=["price"],
+        ).collect()
+    out = asof_join(
+        events, prices, on="token", left_time="ts", right_time="ts",
+        tolerance=300.0, right_cols=["price"],
+    )
+    assert out.collect()[0]["price"] == 1.0
+
+
+def test_asof_join_decimal_scale_widens_to_input(spark):
+    """Decimal epochs keep their own scale (a fixed decimal(38,9)
+    would truncate finer-grained inputs)."""
+    events = spark.createDataFrame([("t", "100.0000000000005")], "token string, ts string")
+    events = events.select("token", F.col("ts").cast("decimal(38,13)").alias("ts"))
+    prices = spark.createDataFrame(
+        [("t", "100.0000000000001", 1.0), ("t", "100.0000000000009", 9.0)],
+        "token string, ts string, price double",
+    )
+    prices = prices.select(
+        "token", F.col("ts").cast("decimal(38,13)").alias("ts"), "price"
+    )
+    out = asof_join(
+        events, prices, on="token", left_time="ts", right_time="ts",
+        right_cols=["price"],
+    )
+    # at scale 9 both prices would collapse onto the event ts and the
+    # later (9.0) would win; full scale-13 resolution keeps only the
+    # at-or-before row
+    assert out.collect()[0]["price"] == 1.0
+
+
 def test_asof_join_tie_break_deterministic(spark):
     events = spark.createDataFrame([("t", 100)], "token string, ts long")
     prices = spark.createDataFrame(
@@ -53,6 +97,49 @@ def test_asof_join_tie_break_deterministic(spark):
     rows = out.collect()
     assert len(rows) == 1  # no fan-out on ties (unlike reference two-pass)
     assert rows[0]["price"] == 7.0  # last in tie order wins
+
+
+def test_asof_join_salted_matches_unsalted_under_skew(spark):
+    """Hot-key mitigation: with ~100:1 skew (one token owning almost all
+    events), ``salt_buckets=8`` must (a) return exactly the unsalted
+    result and (b) split the hot key's window input across buckets so no
+    single task sees the whole key — AQE cannot split a window
+    partition, so this salt IS the scale story for a dominant token."""
+    n_buckets = 8
+    events = spark.createDataFrame(
+        [("HOT", 10 * i) for i in range(2000)]
+        + [(f"c{j}", 10 * i) for j in range(5) for i in range(4)],
+        "token string, ts long",
+    )
+    prices = spark.createDataFrame(
+        [(t, 100 * i, float(i)) for t in ["HOT"] + [f"c{j}" for j in range(5)]
+         for i in range(10)],
+        "token string, ts long, price double",
+    )
+    kwargs = dict(
+        on="token", left_time="ts", right_time="ts",
+        tolerance=600, right_cols=["price"],
+    )
+    plain = asof_join(events, prices, **kwargs)
+    salted = asof_join(events, prices, salt_buckets=n_buckets, **kwargs)
+    key = lambda r: (r["token"], r["ts"], r["price"])
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+    # bounded per-task input: recompute the operator's deterministic
+    # salt on the hot key's left rows; every bucket must stay well under
+    # the unsalted 2000-row window (uniform share is 250/bucket)
+    hot = events.filter(F.col("token") == "HOT").select(
+        F.pmod(
+            F.hash(
+                F.col("ts").cast("bigint"),
+                F.struct(F.col("token"), F.col("ts")),
+            ),
+            F.lit(n_buckets),
+        ).alias("salt")
+    )
+    sizes = {r["salt"]: r["n"] for r in hot.groupBy("salt").agg(F.count("*").alias("n")).collect()}
+    assert len(sizes) == n_buckets  # all buckets used
+    assert max(sizes.values()) < 2 * 2000 / n_buckets  # no bucket re-concentrates
 
 
 def test_latest_per_group_and_topk(spark):
