@@ -1,4 +1,5 @@
 from .asof import asof_join
+from .graph import connected_components
 from .joins import disjunctive_join
 from .ranking import latest_per_group, top_k_per_group
 from .sets import union_distinct
@@ -7,6 +8,7 @@ from .incremental import high_watermark
 
 __all__ = [
     "asof_join",
+    "connected_components",
     "disjunctive_join",
     "latest_per_group",
     "top_k_per_group",

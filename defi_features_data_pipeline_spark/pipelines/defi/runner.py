@@ -43,14 +43,18 @@ def run_pipeline(
     Returns the final 27-column defi_features DataFrame (also written
     to the analytics layer + upserted into the serving sink).
 
-    ``streaming=True`` swaps the event-stage increment from the
-    high-watermark predicate to a ``Trigger.AvailableNow`` file-source
-    stream with checkpoint-tracked offsets — the same incremental
-    contract as the reference's watermark INSERT
-    (`stage_tranformation_queries.py:20`) but exactly-once by FILE, so
-    late rows whose timestamp is <= the current max (invisible to a
-    max-timestamp predicate) are still ingested. Both modes produce the
-    identical 27-column output on a static lake
+    ``streaming=True`` swaps ALL THREE staged inputs (the 5 event
+    streams, market data, account positions) from the high-watermark
+    predicate to ``Trigger.AvailableNow`` file-source streams with
+    checkpoint-tracked offsets — the same incremental contract as the
+    reference's watermark INSERT (`stage_tranformation_queries.py:20`)
+    but exactly-once by FILE, so late rows whose timestamp is <= the
+    current max (invisible to a max-timestamp predicate) are still
+    ingested. The Graph snapshots' trailing ``.distinct()`` becomes
+    Spark's stateful streaming dedup (state in the checkpoint), which
+    also dedups ACROSS increments — strictly stronger than the batch
+    path's per-run distinct. Both modes produce the identical
+    27-column output on a static lake
     (`tests/test_defi_pipeline.py::test_streaming_mode_equivalence`)."""
     cat = Catalog(spark, base_dir)
 
@@ -92,18 +96,30 @@ def run_pipeline(
     with ThreadPoolExecutor(max_workers=5) as pool:
         list(pool.map(_stage_one, EVENTS))
 
-    stage_md = stage_market_data(cat.read("raw", "the_graph_historical_market_data"))
-    incremental_insert(
-        spark, stage_md, cat.path("stage", "the_graph_historical_market_data"),
-        watermark_col="block_number",
-    )
-    stage_ap = stage_account_positions(
-        cat.read("raw", "the_graph_historical_account_positions")
-    )
-    incremental_insert(
-        spark, stage_ap, cat.path("stage", "the_graph_historical_account_positions"),
-        watermark_col="block_number",
-    )
+    def _stage_snapshot(raw_name: str, transform) -> None:
+        target = cat.path("stage", raw_name)
+        if streaming:
+            from ...streaming.incremental import stream_append_incremental
+
+            raw_path = cat.path("raw", raw_name)
+            stream_append_incremental(
+                spark,
+                raw_path,
+                spark.read.parquet(raw_path).schema,
+                transform,
+                target,
+                cat.path("_checkpoints", f"stage_{raw_name}"),
+            )
+            return
+        incremental_insert(
+            spark,
+            transform(cat.read("raw", raw_name)),
+            target,
+            watermark_col="block_number",
+        )
+
+    _stage_snapshot("the_graph_historical_market_data", stage_market_data)
+    _stage_snapshot("the_graph_historical_account_positions", stage_account_positions)
 
     # --- analytics layer -----------------------------------------------------
     tokens_metadata = cat.read("stage", "ethereum_tokens_metadata")

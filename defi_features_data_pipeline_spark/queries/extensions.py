@@ -37,6 +37,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# Circuit breaker for the intentionally-quadratic recall baselines
+# (``dedup_ngram_jaccard``, ``dedup_embedding_cosine``): they exist to
+# measure the recall of their scale twins at SMALL sf, but a user who
+# grabs one by name at cluster scale gets an O(n^2) plan. Above this
+# input size they refuse to run and point at the twin instead.
+EXACT_BASELINE_MAX_ROWS = 50_000
+
+
+def _guard_exact_baseline(inputs: DataFrame, name: str, twin: str) -> None:
+    """Refuse to launch an all-pairs plan over a large input. The count
+    is a cheap metadata/scan action next to the quadratic join it
+    prevents. Override for a deliberately-sized recall study via
+    SPARK_GRAFT_EXACT_BASELINE_MAX_ROWS."""
+    limit = int(
+        os.environ.get("SPARK_GRAFT_EXACT_BASELINE_MAX_ROWS", EXACT_BASELINE_MAX_ROWS)
+    )
+    n = inputs.count()
+    if n > limit:
+        raise ValueError(
+            f"{name} is an exact all-pairs recall baseline, guarded at "
+            f"{limit} input rows (got {n}): quadratic at scale. Use "
+            f"{twin} instead, or raise SPARK_GRAFT_EXACT_BASELINE_MAX_ROWS "
+            "for a deliberately-sized recall study."
+        )
+
+
 # ---- portable hash / token expressions (Spark side) -----------------------
 
 
@@ -147,9 +173,12 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     """N-gram Jaccard near-dup — EXACT BASELINE ONLY (recall
     measurement at small SF): distinct word-3-gram shingles, shingle
     self-join, |A∩B| / |A∪B| >= threshold. Quadratic within a shingle
-    bucket; do NOT run at scale — the production plan is
-    ``dedup_lsh_verified`` (LSH candidates → exact Jaccard on
+    bucket; guarded by a row-count circuit breaker — the production
+    plan is ``dedup_lsh_verified`` (LSH candidates → exact Jaccard on
     candidates only)."""
+    _guard_exact_baseline(
+        _t(spark, sf_dir, "documents"), "dedup_ngram_jaccard", "dedup_lsh_verified"
+    )
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -862,9 +891,14 @@ COSINE_DUP_THRESHOLD = 0.35  # top ~0.1% of random-pair similarity in testdata
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup — EXACT BASELINE ONLY (recall
     measurement at small SF): all pairs above the similarity
-    threshold, quadratic. Do NOT run at scale — the production plan
-    is ``dedup_embedding_blocked`` (exact cosine within IVF blocks
-    only; equi-join on the block key)."""
+    threshold, quadratic; guarded by a row-count circuit breaker — the
+    production plan is ``dedup_embedding_blocked`` (exact cosine within
+    IVF blocks only; equi-join on the block key)."""
+    _guard_exact_baseline(
+        _t(spark, sf_dir, "embeddings"),
+        "dedup_embedding_cosine",
+        "dedup_embedding_blocked",
+    )
     a = _vectors(spark, sf_dir, "id_a", "va", "na_").drop("label")
     b = _vectors(spark, sf_dir, "id_b", "vb", "nb_").drop("label")
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -896,49 +930,16 @@ def _cosine_pair_edges(spark, sf_dir):
 
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: connected components over the cosine pair
-    graph via iterative min-label propagation — the step that turns
-    pairwise matches into dedup groups (keep min id per component).
+    graph — the step that turns pairwise matches into dedup groups
+    (keep min id per component). The iteration lives in
+    ``operators.graph.connected_components``: min-label propagation
+    with pointer jumping (O(log diameter) rounds), loud RuntimeError
+    if the round budget is exhausted instead of a silently
+    under-merged result."""
+    from ..operators.graph import connected_components
 
-    Iterative algorithm with a driver-side convergence loop; each
-    iteration is one join + aggregate (large-star/small-star style).
-    Components in dedup graphs are shallow, so few iterations; at
-    100 TB each iteration shuffles on node id only."""
-    # localCheckpoint each iteration: iterative plans grow exponentially
-    # otherwise (every round re-plans all previous joins) — the classic
-    # Spark iterative-algorithm trap. On a cluster use checkpoint() to
-    # reliable storage instead.
-    edges = _cosine_pair_edges(spark, sf_dir).localCheckpoint()
-    labels = (
-        edges.select(F.col("id_a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    for _ in range(20):  # diameter bound; converges much earlier
-        neighbor_min = (
-            edges.join(labels, edges.id_b == labels.node)
-            .groupBy(F.col("id_a").alias("node2"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    edges = _cosine_pair_edges(spark, sf_dir)
+    labels = connected_components(edges, "id_a", "id_b")
     out = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("node").alias("keeper_doc_id"),

@@ -142,6 +142,47 @@ def test_asof_join_salted_matches_unsalted_under_skew(spark):
     assert max(sizes.values()) < 2 * 2000 / n_buckets  # no bucket re-concentrates
 
 
+def _chain_edges(spark, n):
+    """Symmetric path graph 0-1-2-...-n-1 (diameter n-1)."""
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(sym, "id_a long, id_b long")
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 300-node path (diameter 299) must converge well inside the
+    round budget — pointer jumping makes rounds O(log diameter), so a
+    plain-propagation budget of 25 that would under-merge a long chain
+    is ample here."""
+    from defi_features_data_pipeline_spark.operators import connected_components
+
+    out = connected_components(_chain_edges(spark, 300)).collect()
+    assert len(out) == 300
+    assert {r["label"] for r in out} == {0}  # one component, min id 0
+
+
+def test_connected_components_raises_on_exhausted_rounds(spark):
+    """Exhausting the round budget must be a loud error, never a
+    silently under-merged labeling."""
+    import pytest
+
+    from defi_features_data_pipeline_spark.operators import connected_components
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_chain_edges(spark, 64), max_iters=1)
+
+
+def test_connected_components_multiple_components(spark):
+    from defi_features_data_pipeline_spark.operators import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (10, 11), (11, 10)],
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_latest_per_group_and_topk(spark):
     df = spark.createDataFrame(
         [("a", 1, 10.0), ("a", 2, 5.0), ("b", 7, 1.0)],

@@ -4,11 +4,16 @@ same parquet tables, compare row count, column names, and
 order-insensitive values. Exact value equality (no tolerance) — the
 query suite is designed to be bit-deterministic.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes a machine-readable artifact (per-query
+status/rows/seconds) so full-suite gate runs are auditable
+round-over-round alongside the driver's fixed-list CORRECTNESS file.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -43,8 +48,14 @@ def norm_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as mod
     from defi_features_data_pipeline_spark.queries.extensions import rebind_ivf_oracle
@@ -59,6 +70,7 @@ def main():
 
     qs, oracles = mod.queries(), mod.oracle_sql()
     failures = []
+    record = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -70,10 +82,16 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            record[name] = {"status": "fail", "error": f"spark: {e}"[:300]}
             continue
         if name not in oracles:
             print(f"OK?   {name}: rows-only ({len(s_rows)} rows, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
+            record[name] = {
+                "status": "ok_rows_only",
+                "rows": len(s_rows),
+                "sec": round(time.time() - t0, 2),
+            }
             continue
         try:
             # IVF-consumer oracles embed the sf0.01 artifact path
@@ -84,27 +102,49 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            record[name] = {"status": "fail", "error": f"duckdb: {e}"[:300]}
             continue
 
         sc, sr = norm_rows(s_cols, s_rows)
         dc, dr = norm_rows(d_cols, d_rows)
+        err = None
         if sc != dc:
-            print(f"FAIL  {name}: columns {sc} != {dc}")
+            err = f"columns {sc} != {dc}"
+        elif len(sr) != len(dr):
+            err = f"rowcount {len(sr)} != {len(dr)}"
+        else:
+            bad = [(a, b) for a, b in zip(sr, dr) if a != b]
+            if bad:
+                err = (f"{len(bad)}/{len(sr)} differing rows; first: "
+                       f"spark={bad[0][0]} duck={bad[0][1]}")
+        if err:
+            print(f"FAIL  {name}: {err}")
             failures.append(name)
-            continue
-        if len(sr) != len(dr):
-            print(f"FAIL  {name}: rowcount {len(sr)} != {len(dr)}")
-            failures.append(name)
-            continue
-        bad = [(a, b) for a, b in zip(sr, dr) if a != b]
-        if bad:
-            print(f"FAIL  {name}: {len(bad)}/{len(sr)} differing rows; first: "
-                  f"spark={bad[0][0]} duck={bad[0][1]}")
-            failures.append(name)
+            record[name] = {"status": "fail", "error": err[:300]}
             continue
         print(f"OK    {name}: {len(sr)} rows match [{time.time()-t0:.1f}s]")
+        record[name] = {
+            "status": "ok",
+            "rows": len(sr),
+            "sec": round(time.time() - t0, 2),
+        }
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    n_run = len(record)
+    print(f"\n{n_run - len(failures)}/{n_run} queries match")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "total": n_run,
+                    "matched": n_run - len(failures),
+                    "results": record,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}")
     if failures:
         print("failing:", ", ".join(failures))
         sys.exit(1)
