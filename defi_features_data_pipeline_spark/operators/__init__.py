@@ -1,7 +1,7 @@
 from .asof import asof_join
 from .graph import connected_components
 from .joins import disjunctive_join
-from .ranking import latest_per_group, top_k_per_group
+from .ranking import global_ntile, global_rank, latest_per_group, top_k_per_group
 from .sets import union_distinct
 from .skew import salted_join
 from .incremental import high_watermark
@@ -9,6 +9,8 @@ from .incremental import high_watermark
 __all__ = [
     "asof_join",
     "connected_components",
+    "global_ntile",
+    "global_rank",
     "disjunctive_join",
     "latest_per_group",
     "top_k_per_group",

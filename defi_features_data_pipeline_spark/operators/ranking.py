@@ -41,3 +41,68 @@ def latest_per_group(
     """The single latest row per group (J10 rewrite)."""
     order = [F.col(time_col).desc()] + (tie_break or [])
     return top_k_per_group(df, group_by, order, 1)
+
+
+def global_rank(df: DataFrame, order_by: list[str], rank_col: str = "rank") -> DataFrame:
+    """1-based dense global rank under a TOTAL order (include a unique
+    column in ``order_by``) — without the single-partition collapse.
+
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY moves the
+    whole dataset to ONE task (Spark warns and then does it anyway) —
+    instant death at 100 TB. This is the scalable rewrite:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order
+       columns — a parallel range sort (sampled boundaries), the same
+       machinery as a global ORDER BY;
+    2. count rows per physical partition (tiny: P rows to the driver);
+    3. rank = partition's cumulative offset + local row_number, where
+       the window partitions BY spark_partition_id — fully parallel.
+
+    Ranks are exact regardless of where the sampled range boundaries
+    land, because ranges are non-overlapping and ordered: offset +
+    local position IS the global position. Cost: one extra pass to
+    count (cheap scan of the sorted intermediate), no extra shuffle.
+    """
+    cols = [F.col(c) for c in order_by]
+    n_part = max(df.rdd.getNumPartitions(), 1)
+    ranged = (
+        df.repartitionByRange(n_part, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    sizes = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offset_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        ),
+        F.col("__pid"),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return ranged.withColumn(
+        rank_col, (offset_expr + F.row_number().over(w)).cast("long")
+    ).drop("__pid")
+
+
+def global_ntile(
+    df: DataFrame, k: int, order_by: list[str], bucket_col: str = "bucket"
+) -> DataFrame:
+    """Exact NTILE(k) over a total order, scalable (see global_rank).
+    Matches SQL NTILE bucket-size semantics: with n = total rows,
+    q = n // k, r = n % k, the first r buckets hold q+1 rows and the
+    rest hold q."""
+    ranked = global_rank(df, order_by, rank_col="__grank")
+    n = ranked.count()
+    q, r = divmod(n, k)
+    big = (q + 1) * r  # rows covered by the q+1-sized buckets
+    rank = F.col("__grank")
+    bucket = F.when(
+        F.lit(q == 0) | (rank <= big), F.ceil(rank / (q + 1))
+    ).otherwise(F.lit(r) + F.ceil((rank - big) / F.lit(max(q, 1))))
+    return ranked.withColumn(bucket_col, bucket.cast("int")).drop("__grank")

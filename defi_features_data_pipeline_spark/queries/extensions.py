@@ -1686,3 +1686,149 @@ FROM flags
 
 EXT_QUERIES["curation_pipeline"] = q_curation_pipeline
 EXT_ORACLES["curation_pipeline"] = ORACLE_CURATION_PIPELINE
+
+
+# ---------------------------------------------------------------------------
+# Round 3: PII redaction, quality deciles, stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction — the scrub pass every training-data pipeline
+    runs before release. The synthetic corpus carries no contact info,
+    so the query first INJECTS deterministic fake emails/phones on a
+    subset of rows (doc_id % 3 / % 4), then redacts with the
+    production regexes; counts come from regexp_extract_all so the
+    detector and the redactor share one pattern definition.
+
+    Plan shape: pure row-local regex expressions — map-only,
+    zero-shuffle, whole-stage codegen; at 100 TB this runs at scan
+    speed. Patterns are intersection-of-dialects (Java regex + RE2)
+    so the DuckDB oracle runs the identical definition."""
+    email_re = r"[a-z0-9]+@[a-z]+\.com"
+    phone_re = r"\+1-555-[0-9]{4}"
+    d = _t(spark, sf_dir, "documents")
+    aug = (
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" tel +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, email_re, "[EMAIL]"), phone_re, "[PHONE]"
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(email_re), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(phone_re), F.lit(0))).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+ORACLE_PII_REDACT = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.com')) AS n_emails,
+       len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z]+\.com', '[EMAIL]', 'g'),
+                          '\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
+FROM aug
+"""
+
+EXT_QUERIES["pii_redact"] = q_pii_redact
+EXT_ORACLES["pii_redact"] = ORACLE_PII_REDACT
+
+
+def q_quality_deciles(spark, sf_dir):
+    """Quality-decile bucketing: rank every document into 10 equal
+    buckets by a quality score (token count here), then profile each
+    bucket — the standard shape for 'train on the top-k deciles'
+    curation decisions.
+
+    Plan shape: NTILE with no PARTITION BY would collapse the corpus
+    onto one task, so this uses ``operators.ranking.global_ntile`` —
+    a parallel range sort plus per-partition offsets (two tiny driver
+    collects: partition counts and the total), then a 10-group
+    aggregate. Ties are broken by doc_id so the decile assignment is
+    total-order deterministic and oracle-exact."""
+    from ..operators.ranking import global_ntile
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    score = F.size(F.expr(TOKENS_SPARK)).alias("score")
+    deciled = global_ntile(
+        d.select("doc_id", score), 10, ["score", "doc_id"], bucket_col="decile"
+    )
+    return deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
+
+
+ORACLE_QUALITY_DECILES = f"""
+WITH scored AS (
+  SELECT doc_id, len({TOKENS_DUCK}) AS score FROM documents
+),
+deciled AS (
+  SELECT doc_id, score, ntile(10) OVER (ORDER BY score, doc_id) AS decile
+  FROM scored
+)
+SELECT decile, count(*) AS n_docs, min(score) AS min_score, max(score) AS max_score
+FROM deciled GROUP BY decile
+"""
+
+EXT_QUERIES["quality_deciles"] = q_quality_deciles
+EXT_ORACLES["quality_deciles"] = ORACLE_QUALITY_DECILES
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Stratified deterministic sampling: a per-source sampling rate
+    (downweight over-represented sources, keep the rare ones whole) via
+    the portable md5-prefix hash — rerun-stable, join-free, map-only.
+    The SAME rows are selected in any engine that computes the hash,
+    which is what makes the sample auditable; contrast rand()-based
+    sampling, which is neither reproducible nor oracle-checkable.
+
+    At 100 TB: zero shuffle — the filter runs in the scan stage, and
+    per-source rates come from a CASE on the partition-friendly
+    ``source`` column."""
+    d = _t(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(25))
+        .when(F.col("source").isin("src3", "src4"), F.lit(50))
+        .otherwise(F.lit(100))
+    )
+    bucket = F.pmod(_h(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), F.lit(100))
+    return d.filter(bucket < rate).select("doc_id", "source", "lang")
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE {H_SQL.format(x="'strat:' || CAST(doc_id AS VARCHAR)")} % 100
+      < CASE WHEN source IN ('src0','src1','src2') THEN 25
+             WHEN source IN ('src3','src4') THEN 50
+             ELSE 100 END
+"""
+
+EXT_QUERIES["stratified_sample"] = q_stratified_sample
+EXT_ORACLES["stratified_sample"] = ORACLE_STRATIFIED_SAMPLE

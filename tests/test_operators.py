@@ -142,6 +142,36 @@ def test_asof_join_salted_matches_unsalted_under_skew(spark):
     assert max(sizes.values()) < 2 * 2000 / n_buckets  # no bucket re-concentrates
 
 
+def test_global_rank_and_ntile_match_window_semantics(spark):
+    """global_rank/global_ntile must reproduce the single-partition
+    window's exact output (rank and SQL NTILE bucket sizes) while
+    partitioning the sort — including the n < k and remainder cases."""
+    from pyspark.sql import Window
+
+    from defi_features_data_pipeline_spark.operators import global_ntile, global_rank
+
+    for n, k in [(137, 10), (5, 10), (40, 7), (1, 3)]:
+        df = spark.createDataFrame(
+            [((i * 7919) % 97, i) for i in range(n)], "score long, id long"
+        ).repartition(8)
+        got_rank = {
+            r["id"]: r["rank"]
+            for r in global_rank(df, ["score", "id"]).collect()
+        }
+        w = Window.orderBy("score", "id")
+        want = df.select(
+            "id",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(k).over(w).alias("nt"),
+        ).collect()
+        assert got_rank == {r["id"]: r["rn"] for r in want}, (n, k)
+        got_nt = {
+            r["id"]: r["bucket"]
+            for r in global_ntile(df, k, ["score", "id"]).collect()
+        }
+        assert got_nt == {r["id"]: r["nt"] for r in want}, (n, k)
+
+
 def _chain_edges(spark, n):
     """Symmetric path graph 0-1-2-...-n-1 (diameter n-1)."""
     pairs = [(i, i + 1) for i in range(n - 1)]
