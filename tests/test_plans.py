@@ -116,20 +116,32 @@ def test_dynamic_partition_pruning(spark, tmp_path):
 
 
 def test_bucketed_join_no_shuffle(spark, tmp_path):
-    """bucketBy co-located join: two tables bucketed on the join key
-    join WITHOUT an Exchange on either side — the Spark mapping of the
-    reference's 256-way address partitioning (SURVEY §1.2)."""
-    import pyspark.sql.functions as F
+    """bucketBy co-located join via ``sources.bucketing``: two tables
+    bucketed on the join key join WITHOUT an Exchange on either side —
+    the Spark mapping of the reference's 256-way address partitioning
+    (SURVEY §1.2). Also pins the writer's small-files hygiene: exactly
+    one file per bucket (a naive bucketed write emits
+    tasks x buckets files)."""
+    import os
+
+    from defi_features_data_pipeline_spark.sources.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
 
     a = spark.createDataFrame([(i, float(i)) for i in range(1000)], "k long, v double")
     b = spark.createDataFrame([(i, str(i)) for i in range(1000)], "k long, s string")
     spark.sql("DROP TABLE IF EXISTS bkt_a")
     spark.sql("DROP TABLE IF EXISTS bkt_b")
-    a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_a")
-    b.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_b")
+    pa, pb = str(tmp_path / "bkt_a"), str(tmp_path / "bkt_b")
+    write_bucketed(a, "bkt_a", ["k"], 8, sort_cols=["k"], path=pa)
+    write_bucketed(b, "bkt_b", ["k"], 8, sort_cols=["k"], path=pb)
     try:
+        for p in (pa, pb):
+            files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+            assert len(files) == 8, f"expected one file per bucket, got {len(files)}"
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
-        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        j = read_bucketed(spark, "bkt_a").join(read_bucketed(spark, "bkt_b"), "k")
         plan = explain_str(j, mode="simple")
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan  # bucketing removed both shuffles
