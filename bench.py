@@ -76,6 +76,11 @@ HEADLINE = [
     "repetition_ngram_ratio",
     "decontaminate_overlap",
     "curation_pipeline",
+    "asof_price_salted",
+    "pii_redact",
+    "quality_deciles",
+    "stratified_sample",
+    "range_join_windows",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

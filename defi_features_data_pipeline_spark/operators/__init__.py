@@ -5,6 +5,7 @@ from .ranking import global_ntile, global_rank, latest_per_group, top_k_per_grou
 from .sets import union_distinct
 from .skew import salted_join
 from .incremental import high_watermark
+from .interval import point_in_interval_join
 
 __all__ = [
     "asof_join",
@@ -17,4 +18,5 @@ __all__ = [
     "union_distinct",
     "salted_join",
     "high_watermark",
+    "point_in_interval_join",
 ]

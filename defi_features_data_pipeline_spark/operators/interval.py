@@ -1,0 +1,108 @@
+"""Point-in-interval (range) join without a nested loop.
+
+Reference scope: the reference's range predicates are per-key time
+windows (J3/P7, `transformations.sql:2-13`) which the as-of operator
+covers; this operator handles the KEYLESS (or weakly-keyed) case —
+"which events fall inside which windows" — where Spark's only native
+plan for ``p.t BETWEEN i.start AND i.end`` is a
+BroadcastNestedLoopJoin: O(|points| x |intervals|) comparisons and an
+unbounded broadcast. Banned by this repo's plan sweep.
+
+Bucketized rewrite (the standard range-join trick, cf. the interval
+join in stream processors and range-join hints in other Spark
+distributions):
+
+1. pick a bucket width ``w`` (about the MEDIAN interval length: too
+   small explodes interval replication, too large explodes the
+   residual-filter candidate count);
+2. each point maps to bucket ``floor(t / w)`` — one row;
+3. each interval replicates to every bucket it overlaps
+   (``sequence(floor(start/w), floor(end/w))`` exploded) —
+   ``len/w + 1`` rows;
+4. equi-join on the bucket id, then re-check the exact
+   ``BETWEEN`` as a cheap residual filter.
+
+The join is now a hash join on an integer key: shuffle-partitionable,
+AQE-splittable, no broadcast of the big side. Replication cost is
+explicit and bounded: ``max_buckets_per_interval`` fails loudly if an
+interval would fan out more than expected (an open-ended interval
+would otherwise silently explode the build side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_time: str,
+    start: str,
+    end: str,
+    bucket_width: int,
+    how: str = "inner",
+    max_buckets_per_interval: int = 64,
+) -> DataFrame:
+    """All (point, interval) pairs with
+    ``interval[start] <= point[point_time] <= interval[end]``,
+    as an equi-join on ``floor(time / bucket_width)``.
+
+    Time columns must be numeric (epoch); ``how`` is 'inner' or
+    'left' (left = keep unmatched points with NULL interval columns).
+    Column names must not collide across the two inputs (select/alias
+    first — same contract as a plain join)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    overlap = (
+        F.floor(F.col(end) / bucket_width) - F.floor(F.col(start) / bucket_width) + 1
+    )
+    # the fan-out guard lives INSIDE the exploded expression (an
+    # unused side column would be pruned by Catalyst, silently
+    # disabling the check): assert_true returns NULL when the bound
+    # holds, so the `when` always selects the sequence — or raises.
+    guard = F.assert_true(
+        overlap <= max_buckets_per_interval,
+        F.concat(
+            F.lit("point_in_interval_join: an interval spans "),
+            overlap.cast("string"),
+            F.lit(
+                f" buckets (> {max_buckets_per_interval}); raise "
+                "bucket_width or max_buckets_per_interval"
+            ),
+        ),
+    )
+    exploded = intervals.filter(F.col(start) <= F.col(end)).withColumn(
+        "__bucket",
+        F.explode(
+            F.when(
+                guard.isNull(),
+                F.sequence(
+                    F.floor(F.col(start) / bucket_width),
+                    F.floor(F.col(end) / bucket_width),
+                ),
+            )
+        ),
+    )
+    p = points.withColumn(
+        "__bucket", F.floor(F.col(point_time) / bucket_width)
+    )
+    residual = (F.col(start) <= F.col(point_time)) & (
+        F.col(point_time) <= F.col(end)
+    )
+    if how == "inner":
+        return p.join(exploded, on="__bucket", how="inner").filter(residual).drop(
+            "__bucket"
+        )
+    # left: join on bucket AND residual so unmatched points survive;
+    # a point in several buckets' intervals still matches each interval
+    # exactly once (its own bucket row is unique on the point side).
+    cond = (p["__bucket"] == exploded["__bucket"]) & residual
+    return (
+        p.join(exploded, on=cond, how="left")
+        .drop(exploded["__bucket"])
+        .drop(p["__bucket"])
+    )

@@ -1832,3 +1832,56 @@ WHERE {H_SQL.format(x="'strat:' || CAST(doc_id AS VARCHAR)")} % 100
 
 EXT_QUERIES["stratified_sample"] = q_stratified_sample
 EXT_ORACLES["stratified_sample"] = ORACLE_STRATIFIED_SAMPLE
+
+
+def q_range_join_windows(spark, sf_dir):
+    """Keyless point-in-interval (range) join, bucketized: count the
+    'view' events falling inside a ±1 h window around every 'purchase'
+    event. Spark's native plan for ``t BETWEEN lo AND hi`` with no
+    equi-key is a BroadcastNestedLoopJoin — O(|points| x |intervals|)
+    and an unbounded broadcast, banned by this repo's plan sweep.
+    ``operators.interval.point_in_interval_join`` rewrites it as an
+    equi-join on ``floor(t / bucket_width)`` with interval replication
+    bounded at 2 buckets here (width = window length), plus a residual
+    BETWEEN filter — shuffle-partitionable and AQE-splittable at any
+    scale."""
+    from ..operators.interval import point_in_interval_join
+    from .core import _events
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").cast("long").alias("t")
+    )
+    wins = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("win_id"),
+        (F.col("ts").cast("long") - 3600).alias("win_start"),
+        (F.col("ts").cast("long") + 3600).alias("win_end"),
+    )
+    joined = point_in_interval_join(
+        views, wins, "t", "win_start", "win_end", bucket_width=7200
+    )
+    return joined.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.countDistinct("user_id").alias("n_view_users"),
+    )
+
+
+from .core import epoch_sql as _epoch_sql  # noqa: E402
+
+ORACLE_RANGE_JOIN_WINDOWS = f"""
+WITH p AS (
+  SELECT user_id, {_epoch_sql()} AS t FROM events WHERE event_type = 'view'
+),
+i AS (
+  SELECT event_id AS win_id,
+         {_epoch_sql()} - 3600 AS win_start,
+         {_epoch_sql()} + 3600 AS win_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT win_id, count(*) AS n_views, count(DISTINCT user_id) AS n_view_users
+FROM i JOIN p ON p.t BETWEEN i.win_start AND i.win_end
+GROUP BY win_id
+"""
+
+EXT_QUERIES["range_join_windows"] = q_range_join_windows
+EXT_ORACLES["range_join_windows"] = ORACLE_RANGE_JOIN_WINDOWS

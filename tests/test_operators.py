@@ -142,6 +142,58 @@ def test_asof_join_salted_matches_unsalted_under_skew(spark):
     assert max(sizes.values()) < 2 * 2000 / n_buckets  # no bucket re-concentrates
 
 
+def test_point_in_interval_join_matches_naive(spark):
+    """Bucketized range join == naive theta-join on BETWEEN, for
+    inner and left, across bucket boundaries and inclusive endpoints."""
+    from defi_features_data_pipeline_spark.operators import point_in_interval_join
+
+    points = spark.createDataFrame(
+        [(i, i * 37 % 1000) for i in range(300)], "pid long, t long"
+    )
+    intervals = spark.createDataFrame(
+        [(j, j * 91 % 900, j * 91 % 900 + (j % 5) * 60) for j in range(80)],
+        "iid long, lo long, hi long",
+    )
+    naive = points.crossJoin(intervals).filter(
+        (F.col("lo") <= F.col("t")) & (F.col("t") <= F.col("hi"))
+    )
+    want_inner = sorted((r["pid"], r["iid"]) for r in naive.collect())
+    got_inner = sorted(
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(
+            points, intervals, "t", "lo", "hi", bucket_width=100
+        ).collect()
+    )
+    assert got_inner == want_inner
+
+    left = point_in_interval_join(
+        points, intervals, "t", "lo", "hi", bucket_width=100, how="left"
+    )
+    got_left = sorted((r["pid"], r["iid"]) for r in left.collect())
+    matched_pids = {p for p, _ in want_inner}
+    want_left = sorted(
+        want_inner
+        + [(r["pid"], None) for r in points.collect() if r["pid"] not in matched_pids]
+    )
+    assert got_left == want_left
+
+
+def test_point_in_interval_join_guard_on_wide_interval(spark):
+    """An interval spanning more buckets than the bound must raise
+    (silent fan-out would explode the build side at scale)."""
+    import pytest
+
+    from defi_features_data_pipeline_spark.operators import point_in_interval_join
+
+    points = spark.createDataFrame([(1, 50)], "pid long, t long")
+    wide = spark.createDataFrame([(1, 0, 10_000)], "iid long, lo long, hi long")
+    out = point_in_interval_join(
+        points, wide, "t", "lo", "hi", bucket_width=10, max_buckets_per_interval=8
+    )
+    with pytest.raises(Exception, match="spans"):
+        out.collect()
+
+
 def test_global_rank_and_ntile_match_window_semantics(spark):
     """global_rank/global_ntile must reproduce the single-partition
     window's exact output (rank and SQL NTILE bucket sizes) while
