@@ -1,0 +1,66 @@
+"""Z-order layout: each output file must be a tight multi-dimensional
+tile so parquet min/max stats prune on EVERY z column — compared
+against a linear sort, where the secondary column's per-file span is
+the whole domain (no pruning possible)."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+
+from defi_features_data_pipeline_spark.sources.layout import write_zordered
+
+DOMAIN = 1000
+
+
+def _mean_span(path: str, col: str) -> float:
+    """Mean per-file (max-min)/domain for ``col`` from parquet footers."""
+    fractions = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        mn = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        mx = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        fractions.append((mx - mn) / (DOMAIN - 1))
+    assert fractions
+    return sum(fractions) / len(fractions)
+
+
+def test_zorder_layout_tightens_minmax(spark, tmp_path):
+    df = spark.range(40_000).select(
+        F.pmod(F.hash(F.col("id")), F.lit(DOMAIN)).alias("x"),
+        F.pmod(F.hash(F.col("id") + 7), F.lit(DOMAIN)).alias("y"),
+    )
+    linear = str(tmp_path / "linear")
+    zorder = str(tmp_path / "zorder")
+    (
+        df.repartitionByRange(8, F.col("x"))
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    write_zordered(df, zorder, ["x", "y"], n_files=8)
+
+    # same rows either way
+    assert spark.read.parquet(zorder).count() == 40_000
+
+    # linear sort: x prunes, y cannot (every file spans ~the whole domain)
+    assert _mean_span(linear, "x") < 0.35
+    assert _mean_span(linear, "y") > 0.9
+    # z-order: BOTH columns' per-file spans are fractions of the domain
+    assert _mean_span(zorder, "x") < 0.6
+    assert _mean_span(zorder, "y") < 0.6
+
+
+def test_zorder_rejects_bad_args(spark):
+    import pytest
+
+    df = spark.range(10).select(F.col("id").alias("x"), (F.col("id") * 2).alias("y"))
+    from defi_features_data_pipeline_spark.sources.layout import zorder_code
+
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        zorder_code(df, ["x"])
+    with pytest.raises(ValueError, match="64-bit"):
+        zorder_code(df, ["x", "y"], bits=32)
