@@ -82,10 +82,12 @@ def asof_join(
     salt_buckets: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    ``right[right_time] <= left[left_time]`` (backward) and, when
-    ``tolerance`` is given, ``left_time - right_time <= tolerance``
-    (same units as the time columns). Unmatched left rows keep NULL
-    right columns (left-outer, like the reference's LEFT JOIN at
+    ``right[right_time] <= left[left_time]`` (backward, the
+    reference's shape) or the earliest right row with
+    ``right[right_time] >= left[left_time]`` (forward); with
+    ``tolerance``, the time gap is bounded by it (same units as the
+    time columns). Unmatched left rows keep NULL right columns
+    (left-outer, like the reference's LEFT JOIN at
     `transformations.sql:44-48`).
 
     ``on``         equi key(s)
@@ -98,9 +100,14 @@ def asof_join(
     ``salt_buckets`` split each key's window into n salted
                    sub-partitions (hot-key mitigation, see module
                    docstring); identical results, bounded task size
+    ``direction``  'backward' (latest right at-or-before, the
+                   reference's shape) or 'forward' (earliest right
+                   at-or-after) — forward is backward on negated time,
+                   so both share one plan; tolerance then bounds
+                   ``right_time - left_time``
     """
-    if direction != "backward":
-        raise ValueError("only backward as-of is implemented (reference uses backward)")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_time]
@@ -114,13 +121,21 @@ def asof_join(
         if isinstance(tie_break, str)
         else (tie_break if tie_break is not None else F.lit(0))
     )
+
+    # forward = backward on negated time (UnaryMinus keeps the exact
+    # bigint/decimal type, unlike a multiply, which would re-derive
+    # decimal precision)
+    def _t(col: str):
+        e = F.col(col).cast(t_type)
+        return (-e) if direction == "forward" else e
+
     r = right.select(
         *[F.col(k) for k in keys],
-        F.col(right_time).cast(t_type).alias("__t"),
+        _t(right_time).alias("__t"),
         F.lit(0).alias("__side"),
         tie.alias("__tie"),
         F.struct(
-            F.col(right_time).cast(t_type).alias("__asof_ts"),
+            _t(right_time).alias("__asof_ts"),
             *[F.col(c).alias(c) for c in right_cols],
         ).alias("__rpay"),
     )
@@ -129,7 +144,7 @@ def asof_join(
     # affects which right row wins, so NULL (of the tie's native type).
     l = left.select(
         *[F.col(k) for k in keys],
-        F.col(left_time).cast(t_type).alias("__t"),
+        _t(left_time).alias("__t"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(r.schema["__tie"].dataType).alias("__tie"),
         F.lit(None).cast(r.schema["__rpay"].dataType).alias("__rpay"),

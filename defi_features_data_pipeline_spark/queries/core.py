@@ -659,6 +659,54 @@ FROM v
 """
 
 
+def q_asof_forward(spark, sf_dir):
+    """J3 forward variant: each 'view' event matched to the EARLIEST
+    'purchase' at-or-after it within 1 day — conversion attribution,
+    the mirror of the reference's backward pricing. Same union-window
+    plan on negated time (one shuffle)."""
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ets")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("long").alias("pts"), F.col("value").alias("pval")
+    )
+    out = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_time="ets",
+        right_time="pts",
+        tolerance=86400,
+        right_cols=["pval"],
+        tie_break=F.col("pval"),
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ets", F.col("pval").alias("next_purchase_value")
+    )
+
+
+# forward ties: among equal pts the LAST in (pts DESC on negated time,
+# pval) order wins, i.e. max pval — mirrored in ORDER BY pts ASC,
+# pval DESC LIMIT 1.
+ORACLE_ASOF_FORWARD = f"""
+WITH v AS (
+  SELECT event_id, user_id, {epoch_sql()} AS ets
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, {epoch_sql()} AS pts, value AS pval
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.event_id, v.user_id, v.ets,
+       (SELECT p.pval FROM p
+        WHERE p.user_id = v.user_id AND p.pts >= v.ets AND p.pts - v.ets <= 86400
+        ORDER BY p.pts ASC, p.pval DESC LIMIT 1) AS next_purchase_value
+FROM v
+"""
+
+
 # ---------------------------------------------------------------------------
 # Windows / top-k / sorts
 # ---------------------------------------------------------------------------
@@ -882,6 +930,7 @@ CORE_QUERIES = {
     "disjunctive_join": q_disjunctive_join,
     "asof_price": q_asof_price,
     "asof_price_salted": q_asof_price_salted,
+    "asof_forward": q_asof_forward,
     "latest_event_per_user": q_latest_event_per_user,
     "top3_orders_per_customer": q_top3_orders_per_customer,
     "top100_orders": q_top100_orders,
@@ -910,6 +959,7 @@ CORE_ORACLES = {
     "disjunctive_join": ORACLE_DISJUNCTIVE_JOIN,
     "asof_price": ORACLE_ASOF_PRICE,
     "asof_price_salted": ORACLE_ASOF_PRICE,
+    "asof_forward": ORACLE_ASOF_FORWARD,
     "latest_event_per_user": ORACLE_LATEST_EVENT_PER_USER,
     "top3_orders_per_customer": ORACLE_TOP3_ORDERS_PER_CUSTOMER,
     "top100_orders": ORACLE_TOP100_ORDERS,

@@ -85,6 +85,25 @@ def test_asof_join_decimal_scale_widens_to_input(spark):
     assert out.collect()[0]["price"] == 1.0
 
 
+def test_asof_join_forward(spark):
+    """Forward as-of: earliest right at-or-after each left row, with
+    tolerance bounding right - left; equal times match (inclusive)."""
+    events = spark.createDataFrame(
+        [("t", 100), ("t", 205), ("t", 900)], "token string, ts long"
+    )
+    prices = spark.createDataFrame(
+        [("t", 100, 1.0), ("t", 200, 2.0), ("t", 300, 3.0)],
+        "token string, ts long, price double",
+    )
+    out = asof_join(
+        events, prices, on="token", left_time="ts", right_time="ts",
+        tolerance=150, right_cols=["price"], direction="forward",
+    )
+    got = {r["ts"]: r["price"] for r in out.collect()}
+    # 100 -> itself (inclusive); 205 -> 300 (gap 95 <= 150); 900 -> none
+    assert got == {100: 1.0, 205: 3.0, 900: None}
+
+
 def test_asof_join_tie_break_deterministic(spark):
     events = spark.createDataFrame([("t", 100)], "token string, ts long")
     prices = spark.createDataFrame(
