@@ -1885,3 +1885,76 @@ GROUP BY win_id
 
 EXT_QUERIES["range_join_windows"] = q_range_join_windows
 EXT_ORACLES["range_join_windows"] = ORACLE_RANGE_JOIN_WINDOWS
+
+
+def q_streaming_hourly_counts(spark, sf_dir):
+    """§2.9, oracle-verified STREAMING: a Structured-Streaming windowed
+    aggregation (tumbling 1 h on event time, watermarked) run with
+    ``Trigger.AvailableNow`` in COMPLETE mode over the static events
+    table. Over bounded input, streaming semantics equal batch
+    semantics, so the result hash-matches the same SQL every batch
+    query is held to — the strongest correctness statement available
+    for the streaming path (the per-increment behavior is covered in
+    tests/test_streaming.py).
+
+    Plan: file-source micro-batches feed a stateful window aggregate
+    (partial per batch, merged in the state store); sums go through
+    decimal(38,10) like every gated aggregate so the state-merge order
+    cannot perturb the float result. COMPLETE mode + memory sink is
+    the VERIFICATION harness only (result cardinality = windows x
+    types, driver-collected); the production shape at scale is append
+    mode to a real sink with watermark-finalized windows — that
+    per-increment path is what tests/test_streaming.py covers."""
+    import uuid
+
+    from .core import DEC
+
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    static = spark.read.parquet(path)
+    # the file stream source requires a DIRECTORY; expose the single
+    # parquet file through a temp dir symlink (no data copy)
+    d = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(path, os.path.join(d, "events.parquet"))
+    ev = spark.readStream.schema(static.schema).parquet(d)
+    if dict(ev.dtypes)["ts"] == "bigint":  # nanos-as-long (see core._events)
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").cast("long").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+ORACLE_STREAMING_HOURLY_COUNTS = """
+SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS hour_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+EXT_QUERIES["streaming_hourly_counts"] = q_streaming_hourly_counts
+EXT_ORACLES["streaming_hourly_counts"] = ORACLE_STREAMING_HOURLY_COUNTS

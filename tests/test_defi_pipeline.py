@@ -195,6 +195,18 @@ def test_streaming_mode_equivalence(spark, lake, features, tmp_path_factory):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_cli_entry_point(spark, lake, features, capsys):
+    """`python -m defi_features_data_pipeline_spark` contract: runs the
+    pipeline over a lake dir and reports the wallet count (idempotent
+    re-run on the already-built module-scoped lake)."""
+    from defi_features_data_pipeline_spark.__main__ import main
+
+    rc = main(["--base-dir", lake, "--now-epoch", str(NOW)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"defi_features: {features.count()} wallets" in out
+
+
 def test_daily_first_blocks(spark, lake):
     """A9/J12: daily-first-block grid from ethereum_blocks
     (`src/pipelines/utils.py:35-44`)."""
