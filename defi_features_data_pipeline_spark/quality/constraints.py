@@ -29,10 +29,16 @@ class DataQualityError(RuntimeError):
 class Constraint:
     """name + a lazily-built boolean AGGREGATE expression that is True
     on FAILURE. Lazy (a thunk, not a Column) so suites can be declared
-    at module import time, before any SparkSession exists."""
+    at module import time, before any SparkSession exists.
+
+    ``row_fail`` (optional): a ROW-level predicate attributing the
+    failure to individual rows — powers ``ConstraintSuite.split``
+    (quarantine). Table-level constraints (not-all-zero, min-rows)
+    have no row attribution and leave it None."""
 
     name: str
     is_fail: Callable[[], Column]
+    row_fail: Callable[[], Column] | None = None
 
     # ---- builders for the common shapes -----------------------------------
 
@@ -47,20 +53,25 @@ class Constraint:
 
     @staticmethod
     def no_negatives(*cols: str) -> "Constraint":
-        def build() -> Column:
+        def row() -> Column:
             cond = None
             for c in cols:
                 term = F.col(c) < 0
                 cond = term if cond is None else (cond | term)
-            return F.count(F.when(cond, F.lit(1))) > 0
+            return cond
 
-        return Constraint("exist_negative_count", build)
+        return Constraint(
+            "exist_negative_count",
+            lambda: F.count(F.when(row(), F.lit(1))) > 0,
+            row,
+        )
 
     @staticmethod
     def non_null(col: str) -> "Constraint":
         return Constraint(
             f"{col}_has_nulls",
             lambda: F.count(F.when(F.col(col).isNull(), F.lit(1))) > 0,
+            lambda: F.col(col).isNull(),
         )
 
     @staticmethod
@@ -75,6 +86,7 @@ class Constraint:
         return Constraint(
             f"{col}_unexpected_values",
             lambda: F.count(F.when(~F.col(col).isin(*values), F.lit(1))) > 0,
+            lambda: ~F.col(col).isin(*values),
         )
 
     @staticmethod
@@ -102,3 +114,30 @@ class ConstraintSuite:
         if failed:
             raise DataQualityError(f"data quality constraints failed: {failed}")
         return results
+
+    def split(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Quarantine mode: (clean, quarantined) where ``quarantined``
+        carries a ``dq_reasons`` array naming every ROW-attributable
+        constraint the row violates. The serve-the-good-rows
+        alternative to ``enforce``'s halt-the-pipeline: write the
+        quarantine frame to a sink for triage and keep shipping.
+
+        Only constraints with ``row_fail`` participate (table-level
+        ones cannot blame a row); the reason expression is computed
+        once per row — a plain projection + filter, no extra job, and
+        the two outputs share the scan when written in one lineage."""
+        attributable = [c for c in self.constraints if c.row_fail is not None]
+        if not attributable:
+            raise ValueError("no row-attributable constraints in this suite")
+        reasons = F.array_compact(
+            F.array(
+                *[
+                    F.when(c.row_fail(), F.lit(c.name))
+                    for c in attributable
+                ]
+            )
+        )
+        tagged = df.withColumn("dq_reasons", reasons)
+        quarantined = tagged.filter(F.size("dq_reasons") > 0)
+        clean = tagged.filter(F.size("dq_reasons") == 0).drop("dq_reasons")
+        return clean, quarantined
