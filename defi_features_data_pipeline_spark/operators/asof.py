@@ -101,13 +101,17 @@ def asof_join(
                    sub-partitions (hot-key mitigation, see module
                    docstring); identical results, bounded task size
     ``direction``  'backward' (latest right at-or-before, the
-                   reference's shape) or 'forward' (earliest right
-                   at-or-after) — forward is backward on negated time,
-                   so both share one plan; tolerance then bounds
-                   ``right_time - left_time``
+                   reference's shape), 'forward' (earliest right
+                   at-or-after — backward on negated time, same plan),
+                   or 'nearest' (closer of the two, backward wins a
+                   distance tie; both frames evaluate over ONE sort,
+                   still a single shuffle). Tolerance bounds the time
+                   gap in every direction.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_time]
@@ -116,6 +120,18 @@ def asof_join(
     t_type = _common_time_type(
         left.schema[left_time].dataType, right.schema[right_time].dataType
     )
+    if tolerance is not None and t_type == "bigint" and isinstance(tolerance, float):
+        # keep the comparison in the time domain's own type: a raw float
+        # literal would promote a bigint/decimal __t to double and
+        # silently reintroduce the >2^53 precision loss the integral
+        # path exists to avoid
+        if not tolerance.is_integer():
+            raise TypeError(
+                f"fractional tolerance {tolerance!r} with integral time "
+                "columns would force a lossy double comparison; pass an "
+                "integral tolerance or cast the time columns to double"
+            )
+        tolerance = int(tolerance)
     tie = (
         F.col(tie_break)
         if isinstance(tie_break, str)
@@ -169,37 +185,63 @@ def asof_join(
         )
         part_cols.append(F.col("__bsalt"))
 
-    w = (
+    order = [F.col("__t"), F.col("__side"), F.col("__tie")]
+    w_back = (
         Window.partitionBy(*part_cols)
-        .orderBy(F.col("__t"), F.col("__side"), F.col("__tie"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = (
-        r.unionByName(l)
-        .withColumn("__match", F.last("__rpay", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
-    )
-    if tolerance is not None:
-        # keep the comparison in the time domain's own type: a raw float
-        # literal would promote a bigint/decimal __t to double and
-        # silently reintroduce the >2^53 precision loss the integral
-        # path exists to avoid
-        if t_type == "bigint" and isinstance(tolerance, float):
-            if not tolerance.is_integer():
-                raise TypeError(
-                    f"fractional tolerance {tolerance!r} with integral time "
-                    "columns would force a lossy double comparison; pass an "
-                    "integral tolerance or cast the time columns to double"
-                )
-            tolerance = int(tolerance)
-        matched = matched.withColumn(
+    tol = F.lit(tolerance).cast(t_type) if tolerance is not None else None
+
+    if direction == "nearest":
+        # both frames over the SAME partitioning+sort: Spark evaluates
+        # them in one WindowExec pass chain after a single shuffle.
+        # Right rows at equal __t sort before left (__side), so the
+        # backward frame owns distance-0 matches; the forward frame
+        # sees strictly-later rights only (tie among those: first in
+        # tie order, the mirror of backward's last-wins).
+        w_fwd = (
+            Window.partitionBy(*part_cols)
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        u = (
+            r.unionByName(l)
+            .withColumn("__back", F.last("__rpay", ignorenulls=True).over(w_back))
+            .withColumn("__fwd", F.first("__rpay", ignorenulls=True).over(w_fwd))
+            .filter(F.col("__side") == 1)
+        )
+        back_d = F.col("__t") - F.col("__back.__asof_ts")
+        fwd_d = F.col("__fwd.__asof_ts") - F.col("__t")
+        back_ok = F.col("__back").isNotNull() & (
+            F.lit(True) if tol is None else back_d <= tol
+        )
+        fwd_ok = F.col("__fwd").isNotNull() & (
+            F.lit(True) if tol is None else fwd_d <= tol
+        )
+        matched = u.withColumn(
             "__match",
             F.when(
-                F.col("__t") - F.col("__match.__asof_ts")
-                <= F.lit(tolerance).cast(t_type),
-                F.col("__match"),
-            ),
+                back_ok & fwd_ok,
+                F.when(fwd_d < back_d, F.col("__fwd")).otherwise(F.col("__back")),
+            )
+            .when(back_ok, F.col("__back"))
+            .when(fwd_ok, F.col("__fwd")),
         )
+    else:
+        matched = (
+            r.unionByName(l)
+            .withColumn("__match", F.last("__rpay", ignorenulls=True).over(w_back))
+            .filter(F.col("__side") == 1)
+        )
+        if tol is not None:
+            matched = matched.withColumn(
+                "__match",
+                F.when(
+                    F.col("__t") - F.col("__match.__asof_ts") <= tol,
+                    F.col("__match"),
+                ),
+            )
     return matched.select(
         *[F.col(f"__lpay.{c}").alias(c) for c in left_cols],
         *[F.col(f"__match.{c}").alias(c) for c in right_cols],

@@ -104,6 +104,41 @@ def test_asof_join_forward(spark):
     assert got == {100: 1.0, 205: 3.0, 900: None}
 
 
+def test_asof_join_nearest(spark):
+    """Nearest: closer of backward/forward wins; a distance tie goes
+    backward; tolerance disqualifies per side; equal time is distance
+    0 (backward frame)."""
+    events = spark.createDataFrame(
+        [("t", 100), ("t", 149), ("t", 151), ("t", 200), ("t", 500)],
+        "token string, ts long",
+    )
+    prices = spark.createDataFrame(
+        [("t", 100, 1.0), ("t", 200, 2.0)], "token string, ts long, price double"
+    )
+    out = asof_join(
+        events, prices, on="token", left_time="ts", right_time="ts",
+        right_cols=["price"], direction="nearest",
+    )
+    got = {r["ts"]: r["price"] for r in out.collect()}
+    # 100 equal-time; 149 closer to 100 (49 vs 51); 151 closer to 200;
+    # 200 equal-time; 500 nearest is 200 (no tolerance)
+    assert got == {100: 1.0, 149: 1.0, 151: 2.0, 200: 2.0, 500: 2.0}
+
+    mid = spark.createDataFrame([("t", 150)], "token string, ts long")
+    tie = asof_join(
+        mid, prices, on="token", left_time="ts", right_time="ts",
+        right_cols=["price"], direction="nearest",
+    ).collect()
+    assert tie[0]["price"] == 1.0  # equidistant -> backward wins
+
+    tol = asof_join(
+        events, prices, on="token", left_time="ts", right_time="ts",
+        right_cols=["price"], direction="nearest", tolerance=60,
+    )
+    got_tol = {r["ts"]: r["price"] for r in tol.collect()}
+    assert got_tol == {100: 1.0, 149: 1.0, 151: 2.0, 200: 2.0, 500: None}
+
+
 def test_asof_join_tie_break_deterministic(spark):
     events = spark.createDataFrame([("t", 100)], "token string, ts long")
     prices = spark.createDataFrame(
