@@ -1665,3 +1665,40 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 
 CORE_QUERIES["grouping_sets_revenue"] = q_grouping_sets_revenue
 CORE_ORACLES["grouping_sets_revenue"] = ORACLE_GROUPING_SETS_REVENUE
+
+
+def q_orders_per_customer_histogram(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of orders-per-customer including
+    the zero bucket — LEFT join with the non-urgent filter ON THE
+    JOIN CONDITION (a WHERE would silently turn it inner and drop
+    order-less customers; this synthetic TPC-H has no o_comment, so
+    o_orderpriority stands in for Q13's comment filter), then a two-level aggregate. Both aggregations are
+    map-side combinable; the join shuffles once on custkey."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & ~F.col("o_orderpriority").like("%URGENT%"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+ORACLE_ORDERS_PER_CUSTOMER_HISTOGRAM = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+CORE_QUERIES["orders_per_customer_histogram"] = q_orders_per_customer_histogram
+CORE_ORACLES["orders_per_customer_histogram"] = ORACLE_ORDERS_PER_CUSTOMER_HISTOGRAM

@@ -1958,3 +1958,60 @@ GROUP BY 1, 2
 
 EXT_QUERIES["streaming_hourly_counts"] = q_streaming_hourly_counts
 EXT_ORACLES["streaming_hourly_counts"] = ORACLE_STREAMING_HOURLY_COUNTS
+
+
+def q_streaming_enriched_revenue(spark, sf_dir):
+    """§2.9, oracle-verified stream-STATIC join: streaming purchase
+    events broadcast-joined to the static customer dimension inside
+    the micro-batch, aggregated per market segment — the standard
+    'enrich the stream with a dim table' topology. AvailableNow +
+    complete mode over bounded input equals the batch join+aggregate,
+    so it is held to the same DuckDB oracle as every batch query.
+    Decimal sums neutralize state-merge order (core.py discipline)."""
+    import tempfile
+    import uuid
+
+    from .core import DEC
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    static_schema = spark.read.parquet(path).schema
+    d = tempfile.mkdtemp(prefix="stream_enrich_")
+    os.symlink(path, os.path.join(d, "events.parquet"))
+    ev = spark.readStream.schema(static_schema).parquet(d)
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("revenue"),
+        )
+    )
+    name = f"stream_enriched_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAMING_ENRICHED_REVENUE = """
+SELECT c_mktsegment,
+       count(*) AS n_purchases,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+GROUP BY c_mktsegment
+"""
+
+EXT_QUERIES["streaming_enriched_revenue"] = q_streaming_enriched_revenue
+EXT_ORACLES["streaming_enriched_revenue"] = ORACLE_STREAMING_ENRICHED_REVENUE
