@@ -1702,3 +1702,69 @@ GROUP BY c_count
 
 CORE_QUERIES["orders_per_customer_histogram"] = q_orders_per_customer_histogram
 CORE_ORACLES["orders_per_customer_histogram"] = ORACLE_ORDERS_PER_CUSTOMER_HISTOGRAM
+
+
+def q_asof_nearest(spark, sf_dir):
+    """J3 nearest variant: each 'view' matched to the temporally
+    CLOSEST 'purchase' within 1 day either way (backward wins exact
+    ties). One shuffle: both direction frames share the union-window
+    sort (operators/asof.py)."""
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ets")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("long").alias("pts"), F.col("value").alias("pval")
+    )
+    out = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_time="ets",
+        right_time="pts",
+        tolerance=86400,
+        right_cols=["pval"],
+        tie_break=F.col("pval"),
+        direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", "ets", F.col("pval").alias("nearest_purchase_value")
+    )
+
+
+# struct-valued scalar subqueries carry (pts, pval) per direction so the
+# CASE can compare distances; tie handling mirrors the operator: among
+# equal-time backward rows max pval wins (pts DESC, pval DESC), among
+# equal-time forward rows min... the operator takes FIRST in tie order
+# for forward (pval ASC mirrors that); equal DISTANCE prefers backward.
+ORACLE_ASOF_NEAREST = f"""
+WITH v AS (
+  SELECT event_id, user_id, {epoch_sql()} AS ets
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, {epoch_sql()} AS pts, value AS pval
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT v.event_id, v.user_id, v.ets,
+         (SELECT struct_pack(pts := p.pts, pval := p.pval) FROM p
+          WHERE p.user_id = v.user_id AND p.pts <= v.ets AND v.ets - p.pts <= 86400
+          ORDER BY p.pts DESC, p.pval DESC LIMIT 1) AS back,
+         (SELECT struct_pack(pts := p.pts, pval := p.pval) FROM p
+          WHERE p.user_id = v.user_id AND p.pts > v.ets AND p.pts - v.ets <= 86400
+          ORDER BY p.pts ASC, p.pval ASC LIMIT 1) AS fwd
+  FROM v
+)
+SELECT event_id, user_id, ets,
+       CASE
+         WHEN back IS NULL THEN fwd.pval
+         WHEN fwd IS NULL THEN back.pval
+         WHEN (fwd.pts - ets) < (ets - back.pts) THEN fwd.pval
+         ELSE back.pval
+       END AS nearest_purchase_value
+FROM m
+"""
+
+CORE_QUERIES["asof_nearest"] = q_asof_nearest
+CORE_ORACLES["asof_nearest"] = ORACLE_ASOF_NEAREST
