@@ -96,6 +96,7 @@ SCALING_SUBSET = [
     "dedup_embedding_blocked",
     "token_rarity_score",
     "curation_pipeline",
+    "range_join_windows",
 ]
 
 # next SF down from the bench SF (testdata ships 0.001 / 0.01 / 0.1)

@@ -56,6 +56,15 @@ def point_in_interval_join(
         raise ValueError(f"unsupported how={how!r}")
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
+    numeric = {"byte", "short", "integer", "long", "float", "double", "decimal"}
+    for df, col in ((points, point_time), (intervals, start), (intervals, end)):
+        t = df.schema[col].dataType
+        if t.typeName() not in numeric:
+            raise TypeError(
+                f"time column {col!r} must be numeric (epoch), got {t}; "
+                "cast timestamps to epoch seconds/micros first (floor-"
+                "division bucketing is ill-defined on temporal types)"
+            )
 
     overlap = (
         F.floor(F.col(end) / bucket_width) - F.floor(F.col(start) / bucket_width) + 1

@@ -232,6 +232,42 @@ def test_point_in_interval_join_matches_naive(spark):
     assert got_left == want_left
 
 
+def test_point_in_interval_join_rejects_temporal_types(spark):
+    import pytest
+
+    from defi_features_data_pipeline_spark.operators import point_in_interval_join
+
+    points = spark.sql("SELECT timestamp'2024-01-01' AS t, 1 AS pid")
+    intervals = spark.createDataFrame([(1, 0, 10)], "iid long, lo long, hi long")
+    with pytest.raises(TypeError, match="must be numeric"):
+        point_in_interval_join(points, intervals, "t", "lo", "hi", bucket_width=10)
+
+
+def test_asof_join_nearest_salted(spark):
+    """nearest + salt_buckets compose: salted result identical to
+    unsalted nearest (the forward frame also sees the full right side
+    in every salted sub-partition)."""
+    events = spark.createDataFrame(
+        [("HOT", 10 * i + 3) for i in range(500)], "token string, ts long"
+    )
+    prices = spark.createDataFrame(
+        [("HOT", 100 * i, float(i)) for i in range(20)],
+        "token string, ts long, price double",
+    )
+    kwargs = dict(
+        on="token", left_time="ts", right_time="ts",
+        tolerance=70, right_cols=["price"], direction="nearest",
+    )
+    plain = sorted(
+        (r["ts"], r["price"]) for r in asof_join(events, prices, **kwargs).collect()
+    )
+    salted = sorted(
+        (r["ts"], r["price"])
+        for r in asof_join(events, prices, salt_buckets=4, **kwargs).collect()
+    )
+    assert salted == plain
+
+
 def test_point_in_interval_join_guard_on_wide_interval(spark):
     """An interval spanning more buckets than the bound must raise
     (silent fan-out would explode the build side at scale)."""
