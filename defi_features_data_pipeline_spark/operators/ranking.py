@@ -62,6 +62,14 @@ def global_rank(df: DataFrame, order_by: list[str], rank_col: str = "rank") -> D
     land, because ranges are non-overlapping and ordered: offset +
     local position IS the global position. Cost: one extra pass to
     count (cheap scan of the sorted intermediate), no extra shuffle.
+
+    The sorted intermediate is localCheckpoint()ed before the size
+    collect: repartitionByRange re-samples its boundaries per job (the
+    sampler seed hangs off the fresh RDD id), so without freezing the
+    partitioning, the sizes collected in job 1 could disagree with the
+    __pid assignment in the consuming job and ranks would silently
+    collide. Checkpointing pins one materialized partitioning that the
+    size-collect, the ntile count, and the caller's action all share.
     """
     cols = [F.col(c) for c in order_by]
     n_part = max(df.rdd.getNumPartitions(), 1)
@@ -69,6 +77,7 @@ def global_rank(df: DataFrame, order_by: list[str], rank_col: str = "rank") -> D
         df.repartitionByRange(n_part, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     sizes = {
         r["__pid"]: r["n"]

@@ -46,7 +46,12 @@ def write_bucketed(
     """Write ``df`` as a bucketed (and optionally bucket-sorted)
     parquet table in the session catalog; ``path`` makes it an
     external table at that location."""
-    out = df.repartition(*[df[c] for c in bucket_cols])  # one file per bucket
+    # Spark's repartition hash partitioning and bucketBy both assign via
+    # pmod(murmur3(keys), n) — with MATCHING counts each task holds
+    # exactly one bucket's keys, so each bucket is one file. Without the
+    # explicit count the shuffle uses spark.sql.shuffle.partitions and a
+    # bucket's keys spread across many tasks (tasks × buckets files).
+    out = df.repartition(n_buckets, *[df[c] for c in bucket_cols])
     w = (
         out.write.format("parquet")
         .mode(mode)

@@ -49,6 +49,8 @@ def zorder_code(df: DataFrame, cols: list[str], bits: int = 8) -> "F.Column":
     parts = []
     for i, c in enumerate(cols):
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None:  # empty / all-NULL column: constant code
+            mn, mx = 0.0, 0.0
         span = (mx - mn) or 1.0
         norm = F.least(
             F.lit(top),

@@ -52,6 +52,10 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            sys.exit(
+                "usage: check_correctness.py [--json OUT.json] [sf_dir] [query ...]"
+            )
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
