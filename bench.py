@@ -143,17 +143,26 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     # warm-up: JVM codegen + parquet footer caches
-    ALL_QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    try:
+        ALL_QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass  # a broken warm-up query must not abort the whole run
 
+    # Per-query error isolation: one failing query records its error and
+    # the sweep continues — a partial artifact beats an aborted one.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = ALL_QUERIES.get(name)
         if fn is None:
             continue
-        samples = [_time_once(spark, fn, sf_dir) for _ in range(runs)]
-        timings[name] = round(statistics.median(samples), 3)
+        try:
+            samples = [_time_once(spark, fn, sf_dir) for _ in range(runs)]
+            timings[name] = round(statistics.median(samples), 3)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     scaling: dict[str, object] = {}
     small_sf = SMALLER_SF.get(sf)
@@ -169,7 +178,10 @@ def main() -> None:
             # same median-of-runs sampling as the headline timings —
             # a single-run denominator would reintroduce the ±25%
             # jitter the median machinery exists to suppress
-            small_t = _time_median(spark, fn, small_dir, runs)
+            try:
+                small_t = _time_median(spark, fn, small_dir, runs)
+            except Exception:  # noqa: BLE001
+                continue
             ratios[name] = round(timings[name] / max(small_t, 1e-3), 2)
         scaling = {
             "sf_small": float(small_sf),
@@ -177,25 +189,36 @@ def main() -> None:
             "wall_ratio": ratios,
         }
 
-    pipe = {
-        "pipeline_e2e_batch_sec": round(_pipeline_e2e(spark, streaming=False), 3),
-        "pipeline_e2e_streaming_sec": round(_pipeline_e2e(spark, streaming=True), 3),
-    }
+    pipe: dict[str, object] = {}
+    for key, streaming in (
+        ("pipeline_e2e_batch_sec", False),
+        ("pipeline_e2e_streaming_sec", True),
+    ):
+        try:
+            pipe[key] = round(_pipeline_e2e(spark, streaming=streaming), 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[key] = f"{type(exc).__name__}: {exc}"[:500]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs": runs,
-                "scaling": scaling,
-                **pipe,
-            }
-        )
-    )
+    recall = {}
+    try:
+        recall = _ivf_recall(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        errors["recall"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs": runs,
+        "scaling": scaling,
+        "recall": recall,
+        **pipe,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

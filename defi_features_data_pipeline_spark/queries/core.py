@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from ..operators import (
     asof_join,
@@ -49,16 +49,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table loader. The driver writes ``events.ts`` as parquet
-    TIMESTAMP(NANOS), which Spark's parquet reader rejects by default;
-    read it as nanosecond longs (legacy conf, runtime-settable) and
-    rebuild a microsecond timestamp — the same truncation DuckDB
-    applies when reading the file, so both engines see identical
-    instants."""
+    """Events table loader, normalizing ``ts`` to a session-UTC
+    TIMESTAMP whatever physical type the driver wrote:
+
+    - parquet TIMESTAMP(NANOS): Spark's reader rejects it by default —
+      read as nanosecond longs (legacy conf, runtime-settable) and
+      rebuild a microsecond timestamp (same truncation DuckDB applies);
+    - tz-naive TIMESTAMP(MICROS): Spark 4 infers TIMESTAMP_NTZ, which
+      forbids a direct BIGINT cast — re-type as TIMESTAMP. The session
+      timezone is pinned UTC in ``_t``, so the wall-clock is reread as
+      the same instant DuckDB's UTC-naive ``epoch()`` computes.
+
+    Downstream queries can therefore always ``cast('long')``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     if isinstance(ev.schema["ts"].dataType, LongType):
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ev.schema["ts"].dataType, TimestampNTZType):
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 

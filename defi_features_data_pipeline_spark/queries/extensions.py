@@ -1922,6 +1922,8 @@ def q_streaming_hourly_counts(spark, sf_dir):
     ev = spark.readStream.schema(static.schema).parquet(d)
     if dict(ev.dtypes)["ts"] == "bigint":  # nanos-as-long (see core._events)
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(ev.dtypes)["ts"] == "timestamp_ntz":  # tz-naive micros
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -1982,6 +1984,8 @@ def q_streaming_enriched_revenue(spark, sf_dir):
     ev = spark.readStream.schema(static_schema).parquet(d)
     if dict(ev.dtypes)["ts"] == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(ev.dtypes)["ts"] == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = (
         ev.filter(F.col("event_type") == "purchase")
