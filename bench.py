@@ -81,6 +81,9 @@ HEADLINE = [
     "quality_deciles",
     "stratified_sample",
     "range_join_windows",
+    # round-5 additions
+    "dedup_clusters_blocked",
+    "dedup_incremental_minhash",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
@@ -111,6 +114,26 @@ def _time_once(spark, fn, sf_dir: str) -> float:
 
 def _time_median(spark, fn, sf_dir: str, runs: int) -> float:
     return statistics.median(_time_once(spark, fn, sf_dir) for _ in range(runs))
+
+
+def _ivf_recall(spark, sf_dir: str) -> dict[str, float]:
+    """recall@3 of the IVF ANN paths vs the exact kNN baseline, recorded
+    per round so index-quality regressions show up next to wall-time.
+    Driver-side work is 10 queries x 3 rows per variant — metadata."""
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in ALL_QUERIES["knn_cosine_topk"](spark, sf_dir)
+        .filter("rank <= 3")
+        .collect()
+    }
+    out: dict[str, float] = {}
+    for name in ("ann_ivf_topk", "ann_ivf_multiprobe"):
+        got = {
+            (r["query_id"], r["cand_id"])
+            for r in ALL_QUERIES[name](spark, sf_dir).collect()
+        }
+        out[f"{name}_recall_at_3"] = round(len(exact & got) / max(len(exact), 1), 4)
+    return out
 
 
 def _pipeline_e2e(spark, streaming: bool) -> float:

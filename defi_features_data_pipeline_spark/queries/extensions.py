@@ -223,14 +223,12 @@ WHERE round(CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUB
 """
 
 
-def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash + LSH candidate generation: shingle → k=8 seeded
-    minhashes → 4 bands of 2 rows → band-bucket self-join. Linear in
-    corpus size (no all-pairs): THE 100 TB dedup plan — each band join
-    shuffles on the band key only."""
-    sh = _doc_shingles(spark, sf_dir)
-    sig = minhash_signature(sh)
-    bands = sig.select(
+def lsh_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band rows from a MinHash signature frame
+    — N_BANDS bands of 2 rows each. This IS the persistable signature
+    index: the incremental path writes these rows once per batch and
+    later batches probe them by (band, key) equi-join."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -248,6 +246,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH candidate generation: shingle → k=8 seeded
+    minhashes → 4 bands of 2 rows → band-bucket self-join. Linear in
+    corpus size (no all-pairs): THE 100 TB dedup plan — each band join
+    shuffles on the band key only."""
+    sh = _doc_shingles(spark, sf_dir)
+    sig = minhash_signature(sh)
+    bands = lsh_bands(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -566,6 +574,17 @@ def _ivf_index(spark, sf_dir: str):
     return centroids
 
 
+def _ivf_assignments(spark, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED vec_id→cid coarse-list assignment built by
+    ``ivf_kmeans_build`` (ensured current here). Search/dedup consumers
+    join this table instead of re-evaluating the k×d nearest-centroid
+    expression over every corpus row on every query — at 100 TB the
+    assignment is computed once at index-build time and read back as a
+    (co-partitionable) column, never recomputed per search."""
+    _ivf_index(spark, sf_dir)  # ensure built + current
+    return spark.read.parquet(os.path.join(ivf_artifact_dir(sf_dir), "assignments"))
+
+
 def q_knn_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k: first 10 vectors as queries, scored
     against the full corpus, window top-5 per query. The exact
@@ -620,22 +639,26 @@ def q_ann_ivf_topk(spark, sf_dir):
     that same assignment table). Assignment is a narrow literal-array
     expression (centroids are driver state — k×d floats), so the
     search plan is: equi-join on list id + per-query top-k window —
-    no cross join, no extra shuffle. At 100 TB the corpus side would
-    read its PRE-computed assignment column instead of recomputing;
-    either way the join shape is identical."""
+    no cross join, no extra shuffle. The corpus side reads its
+    PRE-computed assignment from the materialized index (a join
+    against ``artifacts/ivf/<sf>/assignments``) — recomputing the k×d
+    distance expression per corpus row per search would redo the
+    index build's work on every query."""
     from pyspark.sql import Window
 
-    centroids = _ivf_index(spark, sf_dir)
+    asg = _ivf_assignments(spark, sf_dir)
     q = (
         _vectors(spark, sf_dir, "query_id", "qv", "qn")
         .drop("label")
         .filter(F.col("query_id") < 10)
-        .withColumn("qlabel", _kmeans_assign(centroids, F.col("qv")))
+        .join(asg, F.col("query_id") == asg["vec_id"])
+        .select("query_id", "qv", "qn", F.col("cid").alias("qlabel"))
     )
     cand = (
         _vectors(spark, sf_dir, "cand_id", "cv", "cn")
         .drop("label")
-        .withColumn("clabel", _kmeans_assign(centroids, F.col("cv")))
+        .join(asg, F.col("cand_id") == asg["vec_id"])
+        .select("cand_id", "cv", "cn", F.col("cid").alias("clabel"))
     )
     scored = (
         F.broadcast(q)
@@ -1323,17 +1346,21 @@ def q_dedup_embedding_blocked(spark, sf_dir):
     pair join is an equi-join on the block id — linear per block,
     shuffle on the block key only — vs the quadratic all-pairs of
     ``dedup_embedding_cosine`` (kept as the exact-recall baseline).
-    The oracle reads the same materialized assignment table."""
-    centroids = _ivf_index(spark, sf_dir)
+    Both sides read the block id from the MATERIALIZED assignment
+    table (the oracle reads the same one) — the k×d nearest-centroid
+    expression runs only at index-build time, never here."""
+    asg = _ivf_assignments(spark, sf_dir)
     a = (
         _vectors(spark, sf_dir, "id_a", "va", "na_")
         .drop("label")
-        .withColumn("la", _kmeans_assign(centroids, F.col("va")))
+        .join(asg, F.col("id_a") == F.col("vec_id"))
+        .select("id_a", "va", "na_", F.col("cid").alias("la"))
     )
     b = (
         _vectors(spark, sf_dir, "id_b", "vb", "nb_")
         .drop("label")
-        .withColumn("lb", _kmeans_assign(centroids, F.col("vb")))
+        .join(asg, F.col("id_b") == F.col("vec_id"))
+        .select("id_b", "vb", "nb_", F.col("cid").alias("lb"))
     )
     pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
     cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na_") * F.col("nb_")), 6)
@@ -1356,6 +1383,69 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embeddi
 
 EXT_QUERIES["dedup_embedding_blocked"] = q_dedup_embedding_blocked
 EXT_ORACLES["dedup_embedding_blocked"] = ORACLE_DEDUP_EMBEDDING_BLOCKED
+
+
+def q_dedup_clusters_blocked(spark, sf_dir):
+    """Near-dup clusters AT SCALE: connected components over the edge
+    list from ``dedup_embedding_blocked`` (IVF-blocked candidate pairs,
+    linear per block) instead of the circuit-breaker-guarded quadratic
+    baseline ``dedup_clusters`` composes. This is the 100 TB
+    composition: blocked pair generation → O(log diameter) pointer-
+    jumping components → keeper election — no stage enumerates all
+    pairs, no driver-side data. The exact-edge variant stays as the
+    recall baseline at small SF."""
+    from ..operators.graph import connected_components
+
+    pairs = q_dedup_embedding_blocked(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    labels = connected_components(edges, "id_a", "id_b")
+    out = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("node").alias("keeper_doc_id"),
+    )
+    return out.select(
+        F.col("label").alias("cluster_id"), "cluster_size", "keeper_doc_id"
+    )
+
+
+ORACLE_DEDUP_CLUSTERS_BLOCKED = f"""
+WITH asg AS (SELECT * FROM read_parquet('{IVF_ORACLE_DIR}/assignments/*.parquet')),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a
+  JOIN asg aa ON aa.vec_id = a.vec_id
+  JOIN asg ba ON ba.cid = aa.cid
+  JOIN embeddings b ON b.vec_id = ba.vec_id AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= {COSINE_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+tc AS (
+  WITH RECURSIVE walk(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT walk.src, e.b FROM walk JOIN edges e ON walk.dst = e.a
+  )
+  SELECT src, dst FROM walk
+),
+labels AS (
+  SELECT n.node, least(n.node, min(tc.dst)) AS label
+  FROM nodes n LEFT JOIN tc ON tc.src = n.node
+  GROUP BY n.node
+)
+SELECT label AS cluster_id,
+       COUNT(*) AS cluster_size,
+       min(node) AS keeper_doc_id
+FROM labels GROUP BY label
+"""
+
+EXT_QUERIES["dedup_clusters_blocked"] = q_dedup_clusters_blocked
+EXT_ORACLES["dedup_clusters_blocked"] = ORACLE_DEDUP_CLUSTERS_BLOCKED
 
 
 def q_dedup_simhash_hamming(spark, sf_dir):
@@ -1556,6 +1646,8 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
         .drop("label")
         .filter(F.col("query_id") < 10)
     )
+    # probe ranking needs centroid DISTANCES, so the k×d literal
+    # expression stays — but only over the 10 query rows, never the corpus
     probes = q.select(
         "query_id",
         "qv",
@@ -1565,7 +1657,8 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
     cand = (
         _vectors(spark, sf_dir, "cand_id", "cv", "cn")
         .drop("label")
-        .withColumn("clabel", _kmeans_assign(centroids, F.col("cv")))
+        .join(_ivf_assignments(spark, sf_dir), F.col("cand_id") == F.col("vec_id"))
+        .select("cand_id", "cv", "cn", F.col("cid").alias("clabel"))
     )
     scored = (
         F.broadcast(probes)
@@ -2019,3 +2112,191 @@ GROUP BY c_mktsegment
 
 EXT_QUERIES["streaming_enriched_revenue"] = q_streaming_enriched_revenue
 EXT_ORACLES["streaming_enriched_revenue"] = ORACLE_STREAMING_ENRICHED_REVENUE
+
+
+def q_dedup_incremental_minhash(spark, sf_dir):
+    """INCREMENTAL near-dup — the operator a daily 100 TB corpus
+    actually runs (mirrors the reference's high-watermark incremental
+    pattern, `stage_tranformation_queries.py:20`, applied to dedup):
+
+    1. the EXISTING corpus's LSH band signatures are a PERSISTED index
+       (parquet table of (doc_id, band, key) rows — written by the
+       previous batch run, read back here, never recomputed);
+    2. the new batch computes signatures for ITS docs only, then finds
+       (a) new↔existing pairs by probe-joining the index and
+       (b) new↔new pairs by self-join — both equi-joins on (band, key);
+    3. the index is maintained by APPENDING the new batch's rows.
+
+    Per-batch cost is O(|batch| + matches), not O(|corpus|): the corpus
+    is touched only through the index equi-join. Over bounded input,
+    prior-batch pairs ∪ probe pairs ∪ intra-batch pairs must equal the
+    full recompute — this query IS that equivalence, gated against the
+    same DuckDB full-recompute oracle as ``dedup_minhash_lsh``.
+
+    Batch split is ``doc_id % 4 == 0`` (deterministic, interleaved ids
+    so pair normalization via least/greatest is exercised)."""
+    import tempfile
+
+    sh = _doc_shingles(spark, sf_dir)
+    bands = lsh_bands(minhash_signature(sh))
+    is_new = F.col("doc_id") % 4 == 0
+
+    # previous batch state: persisted index over the existing corpus
+    idx_path = os.path.join(tempfile.mkdtemp(prefix="lsh_index_"), "bands")
+    bands.filter(~is_new).write.mode("overwrite").parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    new_bands = bands.filter(is_new)
+
+    def _pairs(left: DataFrame, right: DataFrame, anti_sym: bool) -> DataFrame:
+        """One row per shared band; pair normalized (doc_a < doc_b).
+        anti_sym=True for self-joins (a < b dedups the symmetric
+        match); False for the cross probe (memberships are disjoint,
+        so each unordered pair matches exactly once)."""
+        l, r = left.alias("l"), right.alias("r")
+        cond = (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key"))
+        cond = cond & (
+            (F.col("l.doc_id") < F.col("r.doc_id"))
+            if anti_sym
+            else (F.col("l.doc_id") != F.col("r.doc_id"))
+        )
+        return l.join(r, cond).select(
+            F.least(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_a"),
+            F.greatest(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_b"),
+        )
+
+    known = _pairs(idx, idx, anti_sym=True)        # prior batch's output
+    probe = _pairs(new_bands, idx, anti_sym=False) # new ↔ existing
+    intra = _pairs(new_bands, new_bands, anti_sym=True)  # new ↔ new
+
+    # index maintenance: next batch sees old + new signatures
+    new_bands.write.mode("append").parquet(idx_path)
+
+    return (
+        known.union(probe)
+        .union(intra)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# full-recompute oracle — incremental maintenance must be invisible
+ORACLE_DEDUP_INCREMENTAL_MINHASH = ORACLE_DEDUP_MINHASH_LSH
+
+EXT_QUERIES["dedup_incremental_minhash"] = q_dedup_incremental_minhash
+EXT_ORACLES["dedup_incremental_minhash"] = ORACLE_DEDUP_INCREMENTAL_MINHASH
+
+
+def _stream_events(spark, sf_dir):
+    """readStream over the events table (single parquet exposed through
+    a tempdir symlink — the file source requires a directory), with the
+    same ts physical-type normalization as ``core._events``."""
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    static_schema = spark.read.parquet(path).schema
+    d = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(path, os.path.join(d, "events.parquet"))
+    ev = spark.readStream.schema(static_schema).parquet(d)
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(ev.dtypes)["ts"] == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
+
+
+def _run_stream(df, mode: str):
+    """Execute a bounded stream to a memory sink and return the result
+    table (AvailableNow; the VERIFICATION harness — production writes
+    append-mode to a real sink)."""
+    import uuid
+
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """§2.9 stateful streaming DEDUP: ``dropDuplicates`` on the key
+    inside the stream — every key's first arrival passes, repeats are
+    absorbed by the state store across micro-batches. Output restricted
+    to the dedup key columns so which physical row survived is
+    invisible (deterministic vs the DISTINCT oracle). At scale the
+    state store is keyed RocksDB per shuffle partition; with a
+    watermark (``dropDuplicatesWithinWatermark``) state is bounded —
+    unbounded here because the gate input is bounded."""
+    ev = _stream_events(spark, sf_dir)
+    dedup = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    name = _run_stream(dedup, "append")
+    return spark.table(name)
+
+
+ORACLE_STREAMING_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+EXT_QUERIES["streaming_dedup"] = q_streaming_dedup
+EXT_ORACLES["streaming_dedup"] = ORACLE_STREAMING_DEDUP
+
+
+def q_streaming_sessionize(spark, sf_dir):
+    """§2.9 stream SESSIONIZATION: native ``session_window`` (gap 30
+    min) — the stateful merging-window operator; sessions extend while
+    successive events arrive strictly within the gap. ts truncated to
+    whole seconds first so the window arithmetic is exactly the epoch
+    arithmetic the oracle runs. Over bounded input the session set
+    equals the batch gap-rule sessionization (same rule as the batch
+    ``sessionize_events`` gate, there via lag + running sum)."""
+    ev = _stream_events(spark, sf_dir)
+    ev = ev.withColumn("ts", F.col("ts").cast("long").cast("timestamp"))
+    sess = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = _run_stream(sess, "complete")
+    return spark.table(name).select(
+        "user_id",
+        F.col("w.start").cast("long").alias("session_start"),
+        F.col("w.end").cast("long").alias("session_end"),
+        "n_events",
+    )
+
+
+# gap rule: a session window covers [min t, max t + gap); the next event
+# MERGES iff it lands strictly inside, i.e. diff < 1800 — diff >= 1800
+# starts a new session.
+ORACLE_STREAMING_SESSIONIZE = f"""
+WITH e AS (SELECT user_id, {{epoch}} AS t FROM events),
+marks AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL
+              OR t - lag(t) OVER w >= 1800 THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t)
+),
+sess AS (
+  SELECT user_id, t,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT user_id,
+       min(t) AS session_start,
+       max(t) + 1800 AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""".format(epoch=_epoch_sql())
+
+EXT_QUERIES["streaming_sessionize"] = q_streaming_sessionize
+EXT_ORACLES["streaming_sessionize"] = ORACLE_STREAMING_SESSIONIZE
