@@ -25,3 +25,41 @@ def newer_than_watermark(source: DataFrame, target: DataFrame, col: str) -> Data
     late-data policy (SURVEY §2.9)."""
     wm = high_watermark(target, col)
     return source if wm is None else source.filter(F.col(col) > F.lit(wm))
+
+
+def with_calendar_partitions(ev: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Derive the year/month partition columns the reference's raw
+    layer writes (`src/pipelines/raw/defi_events.py:38-45`, SURVEY
+    §1.2) from the event timestamp — write this frame with
+    ``sinks.write_partitioned(..., ["year", "month"])`` to get a
+    partition-prunable events lake."""
+    return ev.withColumn("year", F.year(ts_col)).withColumn(
+        "month", F.month(ts_col)
+    )
+
+
+def incremental_read_pruned(
+    lake: DataFrame,
+    wm_epoch: int,
+    ts_col: str = "ts",
+    year_col: str = "year",
+    month_col: str = "month",
+) -> DataFrame:
+    """Watermark-incremental read of a year/month-partitioned lake
+    with STATIC partition pruning: the epoch watermark is mapped to
+    literal predicates on the partition columns (month floor), so the
+    scan skips every wholly-processed partition at plan time — the
+    exact ``ts > wm`` residual then applies within the boundary
+    partition. Without this a 100 TB daily increment re-lists and
+    re-filters the entire history; with it the scan touches only the
+    watermark month onward. Late-arriving rows (<= wm) are dropped,
+    matching ``newer_than_watermark``."""
+    import datetime
+
+    d = datetime.datetime.fromtimestamp(wm_epoch, datetime.timezone.utc)
+    boundary = (F.col(year_col) > d.year) | (
+        (F.col(year_col) == d.year) & (F.col(month_col) >= d.month)
+    )
+    return lake.filter(boundary).filter(
+        F.col(ts_col).cast("timestamp").cast("long") > wm_epoch
+    )

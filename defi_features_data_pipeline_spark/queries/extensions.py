@@ -2300,3 +2300,135 @@ FROM sess GROUP BY user_id, sid
 
 EXT_QUERIES["streaming_sessionize"] = q_streaming_sessionize
 EXT_ORACLES["streaming_sessionize"] = ORACLE_STREAMING_SESSIONIZE
+
+
+def q_streaming_interval_join(spark, sf_dir):
+    """§2.9 STREAM-STREAM join: purchases stream ⋈ views stream on
+    user_id with an event-time interval constraint (view within ±1 h of
+    the purchase) — the topology that correlates two live feeds. Both
+    sides carry watermarks and the join condition bounds event-time
+    distance, so the state store provably expires rows older than
+    watermark + interval (without the time bound a stream-stream join
+    would buffer forever). Append mode: inner-join matches emit as
+    found. Over bounded input this equals the batch interval join, so
+    it is held to the same DuckDB oracle as every batch query."""
+    p = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", "1 hour")
+    )
+    v = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("vts"),
+        )
+        .withWatermark("vts", "1 hour")
+    )
+    j = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("vts") <= F.col("pts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    name = _run_stream(j, "append")
+    return spark.table(name).select(
+        "p_id",
+        "v_id",
+        F.col("p_user").alias("user_id"),
+        F.col("pts").cast("long").alias("purchase_ts"),
+        F.col("vts").cast("long").alias("view_ts"),
+    )
+
+
+ORACLE_STREAMING_INTERVAL_JOIN = f"""
+SELECT p.event_id AS p_id,
+       v.event_id AS v_id,
+       p.user_id,
+       {_epoch_sql('p.ts')} AS purchase_ts,
+       {_epoch_sql('v.ts')} AS view_ts
+FROM events p
+JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts <= p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
+EXT_QUERIES["streaming_interval_join"] = q_streaming_interval_join
+EXT_ORACLES["streaming_interval_join"] = ORACLE_STREAMING_INTERVAL_JOIN
+
+
+def q_dedup_clusters_lsh(spark, sf_dir):
+    """Text-side near-dup CLUSTERS at scale: connected components over
+    the LSH→exact-verified pair list (``dedup_lsh_verified`` — linear
+    candidate generation, verify on candidates only). The document
+    twin of ``dedup_clusters_blocked``: pair generation, component
+    labeling, and keeper election are all equi-join/groupBy stages —
+    nothing quadratic, nothing driver-side but O(rounds) counters."""
+    from ..operators.graph import connected_components
+
+    pairs = q_dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = connected_components(edges, "doc_a", "doc_b")
+    out = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("node").alias("keeper_doc_id"),
+    )
+    return out.select(
+        F.col("label").alias("cluster_id"), "cluster_size", "keeper_doc_id"
+    )
+
+
+ORACLE_DEDUP_CLUSTERS_LSH = f"""
+WITH {_lsh_ctes()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+tc AS (
+  WITH RECURSIVE walk(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT walk.src, e.b FROM walk JOIN edges e ON walk.dst = e.a
+  )
+  SELECT src, dst FROM walk
+),
+labels AS (
+  SELECT n.node, least(n.node, min(tc.dst)) AS label
+  FROM nodes n LEFT JOIN tc ON tc.src = n.node
+  GROUP BY n.node
+)
+SELECT label AS cluster_id,
+       COUNT(*) AS cluster_size,
+       min(node) AS keeper_doc_id
+FROM labels GROUP BY label
+"""
+
+EXT_QUERIES["dedup_clusters_lsh"] = q_dedup_clusters_lsh
+EXT_ORACLES["dedup_clusters_lsh"] = ORACLE_DEDUP_CLUSTERS_LSH

@@ -73,6 +73,98 @@ def swap_dirs(spark: SparkSession, tmp_path: str, final_path: str) -> None:
     fs.delete(old_p, True)
 
 
+# --- manifest-pointer commit: no-absent-window table promotion ------------
+#
+# swap_dirs has a reader-visible window where the target path is absent
+# (old moved aside, new not yet promoted). The manifest scheme removes
+# it: data lands in immutable versioned dirs (``data-v<N>``) and the
+# COMMIT is the appearance of a zero-byte marker file
+# (``manifest-v<N>``) — a single atomic create. Readers resolve the
+# highest manifest version and read that data dir; until the marker
+# exists they keep resolving the previous version, so at every instant
+# there is a complete, committed table to read. This is the same
+# pointer-flip idea as a lakehouse snapshot commit (Delta's _last_
+# checkpoint / Iceberg's version-hint), minimal-ized to a filename.
+#
+# Crash safety: a data dir without its marker is an uncommitted orphan
+# (invisible to readers; GC'd by the next commit). GC keeps ``keep``
+# previous versions so in-flight readers that resolved an older
+# manifest finish their scan before the dir disappears.
+
+MANIFEST_PREFIX = "manifest-v"
+DATA_PREFIX = "data-v"
+
+
+def _versioned(fs, root_p, prefix: str) -> list[int]:
+    if not fs.exists(root_p):
+        return []
+    out = []
+    for st in fs.listStatus(root_p):
+        name = st.getPath().getName()
+        if name.startswith(prefix):
+            try:
+                out.append(int(name[len(prefix):]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def manifest_resolve(spark: SparkSession, table_root: str) -> str | None:
+    """Data-dir path of the current committed version, or None if no
+    commit exists yet. One directory listing — no file contents read
+    (the version number IS the pointer)."""
+    fs, root_p = _fs(spark, table_root)
+    versions = _versioned(fs, root_p, MANIFEST_PREFIX)
+    if not versions:
+        return None
+    return f"{table_root.rstrip('/')}/{DATA_PREFIX}{versions[-1]:010d}"
+
+
+def manifest_commit(
+    spark: SparkSession, table_root: str, tmp_data_path: str, keep: int = 1
+) -> str:
+    """Promote ``tmp_data_path`` as the next version of the manifest
+    table at ``table_root``. Readers never observe an absent or partial
+    table: the data dir renames in under a fresh (never-read) name,
+    then the marker create publishes it. Returns the committed data
+    path."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs, root_p = _fs(spark, table_root)
+    fs.mkdirs(root_p)
+    root = table_root.rstrip("/")
+    n = (
+        max(
+            _versioned(fs, root_p, MANIFEST_PREFIX)
+            + _versioned(fs, root_p, DATA_PREFIX),
+            default=0,
+        )
+        + 1
+    )
+    data_p = jvm_path(f"{root}/{DATA_PREFIX}{n:010d}")
+    if not fs.rename(jvm_path(tmp_data_path), data_p):
+        raise IOError(f"could not stage {tmp_data_path} as version {n}")
+    fs.create(jvm_path(f"{root}/{MANIFEST_PREFIX}{n:010d}"), True).close()  # COMMIT
+    # GC: uncommitted orphans and versions older than the keep horizon
+    manifests = _versioned(fs, root_p, MANIFEST_PREFIX)
+    horizon = n - keep
+    for v in _versioned(fs, root_p, DATA_PREFIX):
+        committed = v in manifests
+        if v < horizon or (v < n and not committed):
+            if committed:  # marker first: the dir must outlive its pointer
+                fs.delete(jvm_path(f"{root}/{MANIFEST_PREFIX}{v:010d}"), False)
+            fs.delete(jvm_path(f"{root}/{DATA_PREFIX}{v:010d}"), True)
+    return f"{root}/{DATA_PREFIX}{n:010d}"
+
+
+def read_manifested(spark: SparkSession, table_root: str):
+    """DataFrame over the current committed version (raises if the
+    table has never been committed)."""
+    path = manifest_resolve(spark, table_root)
+    if path is None:
+        raise FileNotFoundError(f"no committed version under {table_root}")
+    return spark.read.parquet(path)
+
+
 def list_parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """Recursive (path, size_bytes) listing of parquet part files.
     A missing directory is an empty listing, not an error — so e.g.

@@ -99,3 +99,24 @@ def upsert_parquet(
         swap_dirs(spark, tmp, path)
     else:
         df.write.mode("overwrite").parquet(path)
+
+
+def upsert_manifested(spark, df: DataFrame, table_root: str, key: str) -> None:
+    """S10 upsert through the MANIFEST-pointer commit (fsutil): merge
+    against the current committed version, write the result as a fresh
+    versioned data dir, publish with one atomic marker create. Unlike
+    ``upsert_parquet``'s dir swap there is NO window where the table
+    path is absent — readers polling ``read_manifested`` during a
+    commit always see a complete version (the previous one until the
+    marker lands, the new one after)."""
+    from .fsutil import manifest_commit, manifest_resolve
+
+    current = manifest_resolve(spark, table_root)
+    if current is None:
+        merged = df
+    else:
+        target = spark.read.parquet(current)
+        merged = target.join(df.select(key), on=key, how="left_anti").unionByName(df)
+    tmp = table_root.rstrip("/") + ".__stage__"
+    merged.write.mode("overwrite").parquet(tmp)
+    manifest_commit(spark, table_root, tmp)

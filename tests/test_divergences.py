@@ -45,3 +45,60 @@ def test_engine_asof_dedups_ties_deterministically(spark):
     rows = out.collect()
     assert len(rows) == 1          # no fan-out
     assert rows[0]["price"] == 7.0  # deterministic: max price among ties
+
+
+def test_feature_spine_keeps_all_null_borrow_fragment(spark, tmp_path_factory):
+    """Q13-class trap (same failure mode as
+    ``orders_per_customer_histogram``): the reference's COALESCE-0
+    left-join feature chain silently converts to an inner join if any
+    later predicate touches a right-side column. A wallet with
+    deposits but ZERO borrow events produces an all-NULL borrow
+    fragment — it must (a) survive into the final spine and (b) carry
+    the COALESCE'd zero/sentinel borrow features, matching the
+    independent DuckDB oracle wallet-by-wallet."""
+    import os
+    import sys
+
+    import duckdb
+
+    from defi_features_data_pipeline_spark.pipelines.defi import run_pipeline
+    from defi_features_data_pipeline_spark.pipelines.defi.fixtures import generate
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from defi_oracle_sql import build_oracle_sql
+    from test_defi_oracle import INT_COLS, NOW, _close
+
+    base = str(tmp_path_factory.mktemp("qtrap_lake"))
+    generate(spark, base, scale=0.3)
+
+    # inject a deposit-ONLY wallet: clone a deposit row, point every
+    # wallet column at a fresh address that exists in no other table
+    w = "0x" + "ab" * 20
+    dep_path = f"{base}/raw/transpose_deposit_events"
+    dep = spark.read.parquet(dep_path)
+    tmpl = dep.filter(F.col("quantity") > 0).limit(1)
+    extra = tmpl.withColumn("sender_address", F.lit(w)).withColumn(
+        "account_address", F.lit(w)
+    ).withColumn("transaction_hash", F.lit("0x" + "cd" * 32))
+    extra.write.mode("append").parquet(dep_path)
+
+    features = run_pipeline(spark, base, now_epoch=NOW)
+    rows = features.filter(F.col("wallet_address") == w).collect()
+    assert len(rows) == 1, "deposit-only wallet fell out of the left-join chain"
+    got = rows[0].asDict()
+    assert got["deposit_count"] >= 1
+    assert got["borrow_count"] == 0  # COALESCE-0, not NULL, not dropped
+
+    con = duckdb.connect()
+    res = con.execute(build_oracle_sql(base, NOW))
+    cols = [d[0] for d in res.description]
+    want_rows = [dict(zip(cols, r)) for r in res.fetchall() if r[0] == w]
+    assert len(want_rows) == 1, "oracle lost the deposit-only wallet"
+    want = want_rows[0]
+    mismatches = [
+        (c, got[c], want[c])
+        for c in got
+        if c != "wallet_address"
+        and not (got[c] == want[c] if c in INT_COLS else _close(got[c], want[c]))
+    ]
+    assert not mismatches, mismatches

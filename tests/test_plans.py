@@ -150,3 +150,91 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def _events_lake(spark, tmp_path) -> str:
+    """A year/month-partitioned events lake built from the driver
+    testdata — the layout SURVEY §1.2 prescribes for the raw layer."""
+    from defi_features_data_pipeline_spark.operators.incremental import (
+        with_calendar_partitions,
+    )
+    from defi_features_data_pipeline_spark.queries.core import _events
+    from defi_features_data_pipeline_spark.sources.sinks import write_partitioned
+
+    path = str(tmp_path / "events_lake")
+    write_partitioned(
+        with_calendar_partitions(_events(spark, SF)),
+        path,
+        ["year", "month"],
+        mode="overwrite",
+    )
+    return path
+
+
+def test_events_lake_calendar_partition_pruning(spark, tmp_path):
+    """The calendar rollup restricted to one month must prune at plan
+    time: the events scan carries non-empty PartitionFilters and no
+    data filter on ts."""
+    lake = spark.read.parquet(_events_lake(spark, tmp_path))
+    q = (
+        lake.filter((F.col("year") == 2025) & (F.col("month") == 3))
+        .groupBy("event_type")
+        .count()
+    )
+    plan = explain_str(q)
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and any("year" in l and "month" in l for l in scan)
+    assert "PartitionFilters: []" not in plan
+    # pruning is semantics-preserving
+    from defi_features_data_pipeline_spark.queries.core import _events
+
+    ev = _events(spark, SF)
+    expect = (
+        ev.filter((F.year("ts") == 2025) & (F.month("ts") == 3))
+        .groupBy("event_type")
+        .count()
+    )
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_events_lake_watermark_incremental_pruning(spark, tmp_path):
+    """The high-watermark incremental read maps the epoch watermark to
+    partition predicates: whole months before the watermark are pruned
+    statically; the exact ts residual applies within the boundary."""
+    from defi_features_data_pipeline_spark.operators.incremental import (
+        incremental_read_pruned,
+    )
+    from defi_features_data_pipeline_spark.queries.core import _events
+
+    lake = spark.read.parquet(_events_lake(spark, tmp_path))
+    ev = _events(spark, SF)
+    # watermark = the 75th-percentile event time (mid-history increment)
+    wm = int(
+        ev.select(F.percentile_approx(F.col("ts").cast("long"), 0.75)).first()[0]
+    )
+    inc = incremental_read_pruned(lake, wm)
+    plan = explain_str(inc)
+    assert "PartitionFilters: []" not in plan
+    assert any(
+        "PartitionFilters" in l and "year" in l for l in plan.splitlines()
+    )
+    expect = ev.filter(F.col("ts").cast("long") > wm).count()
+    assert inc.count() == expect
+    assert 0 < inc.count() < ev.count()
+
+
+def test_events_lake_dynamic_partition_pruning(spark, tmp_path):
+    """DPP on the events lake: joining to a FILTERED month dimension
+    (filter on a dim attribute, not the partition column) must inject a
+    dynamicpruning subquery into the fact scan's PartitionFilters."""
+    lake = spark.read.parquet(_events_lake(spark, tmp_path))
+    months = spark.createDataFrame(
+        [(y, m, "Q1" if m <= 3 else "rest") for y in (2024, 2025, 2026) for m in range(1, 13)],
+        "year int, month int, quarter string",
+    )
+    j = lake.join(months.filter(F.col("quarter") == "Q1"), ["year", "month"])
+    plan = explain_str(j)
+    assert "dynamicpruning" in plan.lower()
+    # pruned join result equals the plain month-filter
+    expect = lake.filter(F.col("month") <= 3).count()
+    assert j.count() == expect
