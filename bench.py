@@ -83,7 +83,10 @@ HEADLINE = [
     "range_join_windows",
     # round-5 additions
     "dedup_clusters_blocked",
+    "dedup_clusters_lsh",
     "dedup_incremental_minhash",
+    "multimodal_frame_sample",
+    "embedding_quantize",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

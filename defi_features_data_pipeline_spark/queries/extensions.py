@@ -2432,3 +2432,115 @@ FROM labels GROUP BY label
 
 EXT_QUERIES["dedup_clusters_lsh"] = q_dedup_clusters_lsh
 EXT_ORACLES["dedup_clusters_lsh"] = ORACLE_DEDUP_CLUSTERS_LSH
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Multimodal FRAME SAMPLING plumbing: the binary payload is
+    "decoded" (here: utf-8 — the deterministic stand-in for a video
+    codec, see ``decode_image_stub``) inside an Arrow-batched
+    mapInPandas, then fixed-stride frames are sampled and fingerprinted
+    — one output row per frame (row-multiplying UDF output, the shape a
+    real frame sampler has). Stride 256 / frame 64; per-frame md5 lets
+    the oracle validate every sampled window byte-for-byte. At 100 TB
+    the payload column stays off-heap in Arrow batches; only frame
+    metadata + digests leave the UDF."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    STRIDE, FLEN = 256, 64
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")  # the "decode" stage
+                for i in range(0, (len(text) + STRIDE - 1) // STRIDE):
+                    frame = text[i * STRIDE : i * STRIDE + FLEN]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_off"].append(i * STRIDE)
+                    out["frame_md5"].append(
+                        hashlib.md5(frame.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(
+        sample,
+        schema="doc_id long, frame_idx long, frame_off long, frame_md5 string",
+    )
+
+
+ORACLE_MULTIMODAL_FRAME_SAMPLE = """
+WITH p AS (
+  SELECT doc_id, text, length(text)::BIGINT AS n FROM documents
+),
+f AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS frame_idx
+  FROM p
+)
+SELECT doc_id,
+       frame_idx,
+       frame_idx * 256 AS frame_off,
+       md5(substr(text, CAST(frame_idx * 256 + 1 AS BIGINT), 64)) AS frame_md5
+FROM f
+"""
+
+EXT_QUERIES["multimodal_frame_sample"] = q_multimodal_frame_sample
+EXT_ORACLES["multimodal_frame_sample"] = ORACLE_MULTIMODAL_FRAME_SAMPLE
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Vector COMPRESSION for the embedding column: symmetric int8
+    quantization per vector (scale = max|x| / 127, code = floor(x/scale
+    + 0.5)) with the reconstruction L1 error reported per vector — the
+    storage-reduction pass a 100 TB embedding corpus runs before
+    indexing (4 bytes/dim → 1). Pure array arithmetic: transform +
+    aggregate folds, JVM codegen end to end, no UDF, no shuffle (the
+    output is row-local). floor(x+0.5) not round(): both engines define
+    floor identically, while their round() half-case conventions
+    differ."""
+    e = _vectors(spark, sf_dir, "vec_id", "v", "vn").drop("label")
+    absmax = F.aggregate(
+        F.transform(F.col("v"), lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    e = e.select("vec_id", "v", absmax.alias("am")).filter(F.col("am") > 0)
+    scale = F.col("am") / F.lit(127.0)
+    codes = F.transform(F.col("v"), lambda x: F.floor(x / scale + F.lit(0.5)))
+    recon_l1 = F.aggregate(
+        F.zip_with(F.col("v"), codes, lambda x, c: F.abs(x - c * scale)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    return e.select(
+        "vec_id",
+        F.round(scale, 9).alias("q_scale"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda acc, c: acc + c).alias(
+            "code_sum"
+        ),
+        F.round(recon_l1, 6).alias("recon_l1"),
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS q_scale_raw
+  FROM e
+  WHERE list_max(list_transform(v, x -> abs(x))) > 0
+)
+SELECT vec_id,
+       round(q_scale_raw, 9) AS q_scale,
+       CAST(list_sum(list_transform(v, x -> floor(x / q_scale_raw + 0.5))) AS BIGINT) AS code_sum,
+       round(list_sum(list_transform(v, x -> abs(x - floor(x / q_scale_raw + 0.5) * q_scale_raw))), 6) AS recon_l1
+FROM s
+"""
+
+EXT_QUERIES["embedding_quantize"] = q_embedding_quantize
+EXT_ORACLES["embedding_quantize"] = ORACLE_EMBEDDING_QUANTIZE

@@ -580,3 +580,32 @@ def test_ann_recall_vs_exact_knn(spark):
     r2 = recall(q_ann_ivf_multiprobe(spark, sf))
     assert r2 >= r1, (r1, r2)
     assert r2 >= 0.5, (r1, r2)
+
+
+class TestIncrementalReadPruned:
+    def test_month_boundary_exact(self, spark, tmp_path):
+        """Watermark exactly at a month boundary: the boundary month is
+        kept (>=), earlier months pruned, and the ts residual drops the
+        boundary row itself (strict >)."""
+        import datetime
+
+        from defi_features_data_pipeline_spark.operators.incremental import (
+            incremental_read_pruned,
+            with_calendar_partitions,
+        )
+        from defi_features_data_pipeline_spark.sources.sinks import write_partitioned
+
+        rows = [
+            (1, datetime.datetime(2025, 2, 28, 23, 59, 59)),
+            (2, datetime.datetime(2025, 3, 1, 0, 0, 0)),   # == watermark
+            (3, datetime.datetime(2025, 3, 1, 0, 0, 1)),
+            (4, datetime.datetime(2025, 4, 15, 12, 0, 0)),
+        ]
+        df = spark.createDataFrame(rows, "id long, ts timestamp")
+        path = str(tmp_path / "lake")
+        write_partitioned(with_calendar_partitions(df), path, ["year", "month"], "overwrite")
+        wm = int(datetime.datetime(2025, 3, 1, tzinfo=datetime.timezone.utc).timestamp())
+        got = sorted(
+            r["id"] for r in incremental_read_pruned(spark.read.parquet(path), wm).collect()
+        )
+        assert got == [3, 4]
