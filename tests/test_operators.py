@@ -355,6 +355,31 @@ def test_connected_components_multiple_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_rounds_pinned_on_blocked_graph(spark):
+    """Round-count pin on the REAL sf0.1 blocked-edge graph (the graph
+    whose tail rounds exploded in round 5): 3 propagation phases +
+    pointer jump per round must converge in <= 8 rounds. An iterative
+    operator whose round count drifts up is a scale regression even
+    while results stay correct."""
+    import pyspark.sql.functions as F
+
+    from defi_features_data_pipeline_spark.operators import connected_components
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        q_dedup_embedding_blocked,
+    )
+
+    pairs = q_dedup_embedding_blocked(spark, "/root/testdata/sf0.1").select(
+        "id_a", "id_b"
+    )
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    stats: dict = {}
+    labels = connected_components(edges, stats=stats)
+    assert labels.count() > 0
+    assert stats["rounds"] <= 8, stats
+
+
 def test_latest_per_group_and_topk(spark):
     df = spark.createDataFrame(
         [("a", 1, 10.0), ("a", 2, 5.0), ("b", 7, 1.0)],
@@ -580,6 +605,138 @@ def test_ann_recall_vs_exact_knn(spark):
     r2 = recall(q_ann_ivf_multiprobe(spark, sf))
     assert r2 >= r1, (r1, r2)
     assert r2 >= 0.5, (r1, r2)
+
+
+def test_ivf_k_scales_with_corpus():
+    """Fixed k makes blocks n/k wide (in-block pairs O(n^2/k)); the
+    sizing policy holds expected block width ~IVF_TARGET_BLOCK at any
+    corpus size, clamped to [IVF_K_MIN, IVF_K_MAX]."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        IVF_K_MAX,
+        IVF_K_MIN,
+        IVF_TARGET_BLOCK,
+        _ivf_k,
+    )
+
+    assert _ivf_k(500) == 8      # sf0.001 / sf0.01 (artifacts unchanged)
+    assert _ivf_k(2000) == 32    # sf0.1
+    assert _ivf_k(1) == IVF_K_MIN
+    assert _ivf_k(10**9) == IVF_K_MAX
+    for n in (100, 500, 2000, 4096):
+        assert n / _ivf_k(n) <= 2 * IVF_TARGET_BLOCK, n
+
+
+def test_ivf_block_width_bounded_sf01(spark):
+    """The MATERIALIZED sf0.1 index (k=32 by policy) must keep every
+    inverted list within a small multiple of the target width — the
+    bound that makes blocked-dedup pair counts linear in the corpus."""
+    import pyspark.sql.functions as F
+
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        IVF_TARGET_BLOCK,
+        _ivf_assignments,
+        _ivf_k,
+    )
+
+    asg = _ivf_assignments(spark, "/root/testdata/sf0.1")
+    sizes = [
+        r["n"]
+        for r in asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert len(sizes) == _ivf_k(2000) == 32
+    assert sum(sizes) == 2000
+    assert max(sizes) <= 4 * IVF_TARGET_BLOCK, sorted(sizes)
+
+
+def test_ivf_warm_index_runs_no_fit(spark, monkeypatch):
+    """LOAD-first contract: with current on-disk artifacts, a fresh
+    process (cache cleared) must load the index without a single
+    k-means pass — at 100 TB a consumer job must never re-fit the
+    index it queries."""
+    from defi_features_data_pipeline_spark.queries import extensions as X
+
+    sf = "/root/testdata/sf0.001"
+    X._ivf_index(spark, sf)  # ensure artifacts exist + current
+    X._IVF_CACHE.pop(__import__("os").path.normpath(sf), None)
+
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("k-means fit ran on a warm index")
+
+    monkeypatch.setattr(X, "_kmeans_fit", _boom)
+    centroids = X._ivf_index(spark, sf)
+    assert len(centroids) == X._ivf_k(500)
+
+
+def test_multiprobe_crosses_boundary_and_improves_recall(spark):
+    """A query near the midpoint of two centroids: nprobe=1 provably
+    cannot return the true nearest neighbor (it lives in the other
+    list); the nprobe=2 probe list is [own, neighbor] — own list first
+    (strict-superset guarantee) — and recovers it. Pins the probe
+    ranking so a bug can't hide behind a flat corpus-level recall."""
+    import pyspark.sql.functions as F
+
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _ivf_probes,
+        _kmeans_assign,
+    )
+
+    centroids = [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [0.0, 10.0])]
+    q = spark.createDataFrame([(0, [4.9, 0.0])], "qid long, v array<double>")
+    row = q.select(
+        _kmeans_assign(centroids, F.col("v")).alias("own"),
+        _ivf_probes(centroids, F.col("v"), 2).alias("probes"),
+    ).first()
+    assert row["own"] == 0           # 4.9 from c0 vs 5.1 from c1
+    assert row["probes"] == [0, 1]   # own list FIRST, true-NN's list second
+    # corpus: true NN (5.5, 0) sits in list 1; decoys in list 0
+    corpus = spark.createDataFrame(
+        [(100, [5.5, 0.0]), (101, [1.0, 0.0]), (102, [0.0, 1.0])],
+        "vec_id long, v array<double>",
+    )
+    asg = {
+        r["vec_id"]: r["cid"]
+        for r in corpus.select(
+            "vec_id", _kmeans_assign(centroids, F.col("v")).alias("cid")
+        ).collect()
+    }
+    assert asg == {100: 1, 101: 0, 102: 0}
+    # nprobe=1 candidate set (list 0) misses the true NN; nprobe=2 has it
+    nprobe1 = {v for v, c in asg.items() if c == row["own"]}
+    nprobe2 = {v for v, c in asg.items() if c in row["probes"]}
+    assert 100 not in nprobe1
+    assert nprobe1 < nprobe2 and 100 in nprobe2  # strict superset
+
+
+def test_multiprobe_candidate_superset_real_index(spark):
+    """On the real sf0.01 index: for every query the probe list starts
+    with the query's own assignment (so the nprobe=1 candidate set is
+    contained in the multiprobe set) and adds exactly one distinct
+    second list."""
+    import pyspark.sql.functions as F
+
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _ivf_index,
+        _ivf_probes,
+        _kmeans_assign,
+        _vectors,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    centroids = _ivf_index(spark, sf)
+    rows = (
+        _vectors(spark, sf, "query_id", "qv", "qn")
+        .filter(F.col("query_id") < 10)
+        .select(
+            "query_id",
+            _kmeans_assign(centroids, F.col("qv")).alias("own"),
+            _ivf_probes(centroids, F.col("qv"), 2).alias("probes"),
+        )
+        .collect()
+    )
+    assert len(rows) == 10
+    for r in rows:
+        assert r["probes"][0] == r["own"], r  # superset guarantee
+        assert len(r["probes"]) == 2 and r["probes"][0] != r["probes"][1]
 
 
 class TestIncrementalReadPruned:
