@@ -87,6 +87,8 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "multimodal_frame_sample",
     "embedding_quantize",
+    # round-6 additions
+    "ann_ivf_quantized",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
@@ -136,6 +138,55 @@ def _ivf_recall(spark, sf_dir: str) -> dict[str, float]:
             for r in ALL_QUERIES[name](spark, sf_dir).collect()
         }
         out[f"{name}_recall_at_3"] = round(len(exact & got) / max(len(exact), 1), 4)
+    return out
+
+
+def _prior_round_timings(here: str) -> dict[str, float]:
+    """Per-query seconds from the newest BENCH_r{N}.json the driver
+    recorded (its shape is {"rc": .., "parsed": {bench json}} or the
+    bench json itself). Missing/unparseable files mean no baseline —
+    an empty dict, never an error."""
+    import glob
+    import re
+
+    best: tuple[int, dict] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except Exception:  # noqa: BLE001
+            continue
+        parsed = doc.get("parsed") if isinstance(doc.get("parsed"), dict) else doc
+        queries = parsed.get("queries") if isinstance(parsed, dict) else None
+        if isinstance(queries, dict) and queries:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, queries)
+    return dict(best[1]) if best else {}
+
+
+def _regressions(
+    timings: dict[str, float], prior: dict[str, float]
+) -> dict[str, dict[str, float]]:
+    """Flag queries that should announce themselves instead of hiding
+    in the total (round-5 lesson: one query at 71.85 s sat silently in
+    a 117 s total): >3x the prior round's median time, or >10x this
+    round's suite median. Sub-second queries are exempt from the
+    cross-round rule (3x of 0.1 s is noise, not a regression)."""
+    out: dict[str, dict[str, float]] = {}
+    suite_median = statistics.median(timings.values()) if timings else 0.0
+    for name, sec in timings.items():
+        flags: dict[str, float] = {}
+        prev = prior.get(name)
+        if prev is not None and prev >= 0.5 and sec > 3 * prev:
+            flags["vs_prior_round"] = round(sec / prev, 2)
+        if suite_median > 0 and sec > 10 * suite_median:
+            flags["vs_suite_median"] = round(sec / suite_median, 2)
+        if flags:
+            out[name] = {"sec": sec, **flags}
     return out
 
 
@@ -240,6 +291,9 @@ def main() -> None:
         "runs": runs,
         "scaling": scaling,
         "recall": recall,
+        "regressions": _regressions(
+            timings, _prior_round_timings(os.path.dirname(os.path.abspath(__file__)))
+        ),
         **pipe,
     }
     if errors:

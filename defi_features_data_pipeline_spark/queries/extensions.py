@@ -1774,6 +1774,144 @@ EXT_QUERIES["ann_ivf_multiprobe"] = q_ann_ivf_multiprobe
 EXT_ORACLES["ann_ivf_multiprobe"] = ORACLE_ANN_IVF_MULTIPROBE
 
 
+def q_ann_ivf_quantized(spark, sf_dir):
+    """IVF ANN with INT8-QUANTIZED candidate scoring + exact float
+    rescoring — the memory-bandwidth plan for ANN over a 100 TB
+    embedding corpus: the search scans 1-byte-per-dim codes (4× less
+    IO than float32; quantization per ``embedding_quantize``:
+    scale = max|x|/127, code = floor(x/scale + 0.5)), ranks a
+    per-query SHORTLIST (top-8) by the approximate cosine
+    dot(codes)·scale_q·scale_c / (‖q‖·‖c‖), and only then touches the
+    full-precision vectors — joined BY ID for shortlist rows only —
+    to rescore and emit the exact-cosine top-3.
+
+    Plan shape: candidate generation and approx scoring move only
+    (id, cid, codes, scale, norm); the shortlist window runs on a
+    NARROW (query_id, cand_id, approx) projection; float arrays enter
+    exactly twice, keyed by id, for 8 rows per query. Shortlist and
+    final ranking break ties by cand_id on 6-dp-rounded scores, so
+    the DuckDB oracle reproduces both orderings bit-for-bit."""
+    from pyspark.sql import Window
+
+    asg = _ivf_assignments(spark, sf_dir)
+    v = _vectors(spark, sf_dir, "vec_id", "v", "vn").drop("label")
+    absmax = F.aggregate(
+        F.transform(F.col("v"), lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = F.col("am") / F.lit(127.0)
+    codes = (
+        v.select("vec_id", "v", "vn", absmax.alias("am"))
+        .filter(F.col("am") > 0)
+        .select(
+            "vec_id",
+            "vn",
+            scale.alias("qscale"),
+            F.transform(F.col("v"), lambda x: F.floor(x / scale + F.lit(0.5))).alias(
+                "qcodes"
+            ),
+        )
+        .join(asg, "vec_id")
+    )
+    q = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vn").alias("qn"),
+        F.col("qscale").alias("qs"),
+        F.col("qcodes").alias("qc"),
+        F.col("cid").alias("qcid"),
+    )
+    c = codes.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("vn").alias("cn"),
+        F.col("qscale").alias("cs"),
+        F.col("qcodes").alias("cc"),
+        F.col("cid").alias("ccid"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("cc"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    approx = F.round(qdot * F.col("qs") * F.col("cs") / (F.col("qn") * F.col("cn")), 6)
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("qcid") == F.col("ccid"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", approx.alias("approx_sim"))  # NARROW
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("cand_id").asc()
+    )
+    shortlist = (
+        pairs.withColumn("ar", F.row_number().over(w1))
+        .filter(F.col("ar") <= 8)
+        .drop("ar")
+    )
+    # exact rescore: float vectors join in BY ID, shortlist rows only
+    qv = _vectors(spark, sf_dir, "query_id", "qv", "rqn").drop("label")
+    cv = _vectors(spark, sf_dir, "cand_id", "cv", "rcn").drop("label")
+    exact = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("rqn") * F.col("rcn")), 6)
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        shortlist.join(qv, "query_id")
+        .join(cv, "cand_id")
+        .select("query_id", "cand_id", "approx_sim", exact.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "approx_sim", "cos_sim", "rank")
+    )
+
+
+ORACLE_ANN_IVF_QUANTIZED = f"""
+WITH a AS (SELECT * FROM read_parquet('{IVF_ORACLE_DIR}/assignments/*.parquet')),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS n,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale
+  FROM e
+  WHERE list_max(list_transform(v, x -> abs(x))) > 0
+),
+codes AS (
+  SELECT s.vec_id, s.v, s.n, s.qscale,
+         list_transform(s.v, x -> floor(x / s.qscale + 0.5)) AS qcodes,
+         a.cid
+  FROM s JOIN a ON a.vec_id = s.vec_id
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(list_sum(list_transform(list_zip(q.qcodes, c.qcodes), z -> z[1] * z[2]))
+               * q.qscale * c.qscale / (q.n * c.n), 6) AS approx_sim
+  FROM codes q JOIN codes c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+),
+shortlist AS (
+  SELECT query_id, cand_id, approx_sim FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY approx_sim DESC, cand_id ASC) AS ar
+    FROM pairs
+  ) WHERE ar <= 8
+)
+SELECT query_id, cand_id, approx_sim, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT sl.query_id, sl.cand_id, sl.approx_sim,
+         round(list_cosine_similarity(qe.v, ce.v), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY sl.query_id
+           ORDER BY round(list_cosine_similarity(qe.v, ce.v), 6) DESC,
+                    sl.cand_id ASC) AS rank
+  FROM shortlist sl
+  JOIN e qe ON qe.vec_id = sl.query_id
+  JOIN e ce ON ce.vec_id = sl.cand_id
+) WHERE rank <= 3
+"""
+
+EXT_QUERIES["ann_ivf_quantized"] = q_ann_ivf_quantized
+EXT_ORACLES["ann_ivf_quantized"] = ORACLE_ANN_IVF_QUANTIZED
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation decision: the composition a real
     training-data pipeline runs per snapshot — length filter +
@@ -2219,15 +2357,26 @@ def q_dedup_incremental_minhash(spark, sf_dir):
     probe = _pairs(new_bands, idx, anti_sym=False) # new ↔ existing
     intra = _pairs(new_bands, new_bands, anti_sym=True)  # new ↔ new
 
-    # index maintenance: next batch sees old + new signatures
-    new_bands.write.mode("append").parquet(idx_path)
-
-    return (
+    # MATERIALIZE the result BEFORE maintaining the index: the pair
+    # frames read idx_path lazily, so an in-place append first would
+    # leave correctness hanging on Spark never re-resolving the file
+    # listing (refreshByPath / a re-created reader / a future listing
+    # change would double-count the appended rows). After the eager
+    # localCheckpoint the returned frame references no file paths at
+    # all. At production scale each batch's bands would land as a
+    # manifest-committed version (fsutil.manifest_commit) instead of a
+    # bare append — same O(|batch|) maintenance, versioned isolation.
+    result = (
         known.union(probe)
         .union(intra)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .localCheckpoint()  # eager
     )
+
+    # index maintenance: next batch sees old + new signatures
+    new_bands.write.mode("append").parquet(idx_path)
+    return result
 
 
 # full-recompute oracle — incremental maintenance must be invisible

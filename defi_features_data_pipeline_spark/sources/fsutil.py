@@ -127,7 +127,14 @@ def manifest_commit(
     table at ``table_root``. Readers never observe an absent or partial
     table: the data dir renames in under a fresh (never-read) name,
     then the marker create publishes it. Returns the committed data
-    path."""
+    path.
+
+    ``keep`` = how many PREVIOUS committed versions survive GC — the
+    reader-grace window. A reader pinned to version N stays safe while
+    at most ``keep`` further commits land; under a fast commit cadence
+    with slow scans, raise it (ceil(max scan time / min commit
+    interval)). keep=1 means the second commit after a reader resolved
+    its version deletes the directory under that reader's scan."""
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs, root_p = _fs(spark, table_root)
     fs.mkdirs(root_p)

@@ -101,14 +101,24 @@ def upsert_parquet(
         df.write.mode("overwrite").parquet(path)
 
 
-def upsert_manifested(spark, df: DataFrame, table_root: str, key: str) -> None:
+def upsert_manifested(
+    spark, df: DataFrame, table_root: str, key: str, keep: int = 2
+) -> None:
     """S10 upsert through the MANIFEST-pointer commit (fsutil): merge
     against the current committed version, write the result as a fresh
     versioned data dir, publish with one atomic marker create. Unlike
     ``upsert_parquet``'s dir swap there is NO window where the table
     path is absent — readers polling ``read_manifested`` during a
     commit always see a complete version (the previous one until the
-    marker lands, the new one after)."""
+    marker lands, the new one after).
+
+    ``keep`` is the reader-grace contract: a reader that resolved
+    version N keeps scanning a live directory as long as fewer than
+    ``keep`` commits land during its scan. Size it to
+    ceil(max reader scan time / min commit interval); the default 2
+    tolerates one commit landing mid-scan (keep=1 would delete the
+    dir an in-flight reader is on as soon as the SECOND commit
+    lands)."""
     from .fsutil import manifest_commit, manifest_resolve
 
     current = manifest_resolve(spark, table_root)
@@ -119,4 +129,4 @@ def upsert_manifested(spark, df: DataFrame, table_root: str, key: str) -> None:
         merged = target.join(df.select(key), on=key, how="left_anti").unionByName(df)
     tmp = table_root.rstrip("/") + ".__stage__"
     merged.write.mode("overwrite").parquet(tmp)
-    manifest_commit(spark, table_root, tmp)
+    manifest_commit(spark, table_root, tmp, keep=keep)

@@ -607,6 +607,33 @@ def test_ann_recall_vs_exact_knn(spark):
     assert r2 >= 0.5, (r1, r2)
 
 
+def test_ann_ivf_quantized_dominated_by_exact_ranking(spark):
+    """The int8-shortlisted top-3 can never BEAT the full-precision
+    in-list ranking (``ann_ivf_topk`` ranks every in-list candidate by
+    exact cosine): per (query, rank) the quantized result's exact
+    cos_sim is <= the exact ranking's — and the shortlist must be good
+    enough that the summed top-3 similarity stays within 5% (the
+    contract that makes scanning 1-byte codes acceptable)."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        q_ann_ivf_quantized,
+        q_ann_ivf_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["query_id"], r["rank"]): r["cos_sim"]
+        for r in q_ann_ivf_topk(spark, sf).collect()
+    }
+    quant = {
+        (r["query_id"], r["rank"]): r["cos_sim"]
+        for r in q_ann_ivf_quantized(spark, sf).collect()
+    }
+    assert set(q for q, _ in quant) == set(q for q, _ in exact)
+    for key, sim in quant.items():
+        assert sim <= exact[key] + 1e-9, (key, sim, exact[key])
+    assert sum(quant.values()) >= 0.95 * sum(exact.values())
+
+
 def test_ivf_k_scales_with_corpus():
     """Fixed k makes blocks n/k wide (in-block pairs O(n^2/k)); the
     sizing policy holds expected block width ~IVF_TARGET_BLOCK at any
@@ -766,3 +793,82 @@ class TestIncrementalReadPruned:
             r["id"] for r in incremental_read_pruned(spark.read.parquet(path), wm).collect()
         )
         assert got == [3, 4]
+
+    def test_subsecond_rows_inside_watermark_second_kept(self, spark, tmp_path):
+        """A row at wm + 0.5s must be KEPT: the residual compares at
+        timestamp precision, not whole seconds (ADVICE r5 — a long
+        cast truncated sub-second rows into the watermark and dropped
+        them, diverging from newer_than_watermark)."""
+        import datetime
+
+        from defi_features_data_pipeline_spark.operators.incremental import (
+            incremental_read_pruned,
+            with_calendar_partitions,
+        )
+        from defi_features_data_pipeline_spark.sources.sinks import write_partitioned
+
+        rows = [
+            (1, datetime.datetime(2025, 3, 1, 0, 0, 0, 500000)),  # wm + 0.5s
+            (2, datetime.datetime(2025, 3, 1, 0, 0, 0)),          # == wm: dropped
+            (3, datetime.datetime(2025, 3, 2, 0, 0, 0)),
+        ]
+        df = spark.createDataFrame(rows, "id long, ts timestamp")
+        path = str(tmp_path / "lake")
+        write_partitioned(
+            with_calendar_partitions(df), path, ["year", "month"], "overwrite"
+        )
+        wm = int(
+            datetime.datetime(2025, 3, 1, tzinfo=datetime.timezone.utc).timestamp()
+        )
+        got = sorted(
+            r["id"]
+            for r in incremental_read_pruned(spark.read.parquet(path), wm).collect()
+        )
+        assert got == [1, 3]
+
+    def test_non_utc_session_calendar_agrees(self, spark, tmp_path):
+        """Partition derivation and the watermark→partition mapping
+        must share the UTC calendar even when the session timezone is
+        not UTC (ADVICE r5 medium): a row just after a UTC month
+        boundary (still the previous month on the session-local wall
+        clock) must survive the pruned incremental read."""
+        import datetime
+
+        from defi_features_data_pipeline_spark.operators.incremental import (
+            incremental_read_pruned,
+            with_calendar_partitions,
+        )
+        from defi_features_data_pipeline_spark.sources.sinks import write_partitioned
+
+        tz_before = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        try:
+            # 2025-03-01 00:30 UTC == 2025-02-28 16:30 in LA
+            epoch_row = int(
+                datetime.datetime(
+                    2025, 3, 1, 0, 30, tzinfo=datetime.timezone.utc
+                ).timestamp()
+            )
+            df = spark.createDataFrame(
+                [(1, epoch_row)], "id long, epoch long"
+            ).select("id", F.timestamp_seconds("epoch").alias("ts"))
+            part = with_calendar_partitions(df).first()
+            assert (part["year"], part["month"]) == (2025, 3)  # UTC calendar
+            path = str(tmp_path / "lake")
+            write_partitioned(
+                with_calendar_partitions(df), path, ["year", "month"], "overwrite"
+            )
+            wm = int(
+                datetime.datetime(
+                    2025, 3, 1, tzinfo=datetime.timezone.utc
+                ).timestamp()
+            )
+            got = [
+                r["id"]
+                for r in incremental_read_pruned(
+                    spark.read.parquet(path), wm
+                ).collect()
+            ]
+            assert got == [1]
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz_before)

@@ -218,7 +218,12 @@ def test_events_lake_watermark_incremental_pruning(spark, tmp_path):
     assert any(
         "PartitionFilters" in l and "year" in l for l in plan.splitlines()
     )
-    expect = ev.filter(F.col("ts").cast("long") > wm).count()
+    # expectation at FULL timestamp precision: a row landing inside the
+    # watermark second (wm + 0.5s) is strictly newer and must be kept
+    # (ADVICE r5 — a whole-second cast silently dropped it)
+    expect = ev.filter(
+        F.col("ts") > F.timestamp_seconds(F.lit(wm).cast("long"))
+    ).count()
     assert inc.count() == expect
     assert 0 < inc.count() < ev.count()
 
