@@ -89,6 +89,10 @@ HEADLINE = [
     "embedding_quantize",
     # round-6 additions
     "ann_ivf_quantized",
+    "tfidf_top_terms",
+    "bm25_search",
+    "dedup_passage_exact",
+    "dedup_containment",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

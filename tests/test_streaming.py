@@ -201,3 +201,62 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(collected) == [(1, 18), (2, 6)]  # tokX dropped (inner)
+
+
+def test_stateful_counter_invariant_to_microbatching(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: splitting the
+    input across many micro-batches (maxFilesPerTrigger=1, one row per
+    file) must produce the same final per-key state as one big batch —
+    the state fold is associative/commutative (count + max) and the
+    update-mode collapse takes the monotone max."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = str(tmp_path / "statesrc")
+    rows = [(1, 100), (2, 50), (1, 300), (1, 200), (2, 400)]
+    for i, (uid, ts) in enumerate(rows):
+        spark.createDataFrame([(uid, ts)], "user_id long, ts_s long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    ev = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+
+    def fold(key, pdf_iter, state):
+        if state.exists:
+            n, mx = state.get
+        else:
+            n, mx = 0, None
+        for pdf in pdf_iter:
+            n += len(pdf)
+            m = int(pdf["ts_s"].max())
+            mx = m if mx is None or m > mx else mx
+        state.update((n, mx))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "last_ts": [mx]})
+
+    res = ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id bigint, n_events bigint, last_ts bigint",
+        stateStructType="n bigint, mx bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        res.writeStream.format("memory")
+        .queryName("stateful_mb_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], r["last_ts"])
+        for r in spark.table("stateful_mb_test")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"), F.max("last_ts").alias("last_ts")
+        )
+        .collect()
+    }
+    assert got == {1: (3, 300), 2: (2, 400)}
+    # multiple batches really happened: update rows accumulate per batch
+    assert spark.table("stateful_mb_test").count() > 2
