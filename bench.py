@@ -93,6 +93,9 @@ HEADLINE = [
     "bm25_search",
     "dedup_passage_exact",
     "dedup_containment",
+    "scd2_intervals",
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

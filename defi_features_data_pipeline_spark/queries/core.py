@@ -1776,3 +1776,220 @@ FROM m
 
 CORE_QUERIES["asof_nearest"] = q_asof_nearest
 CORE_ORACLES["asof_nearest"] = ORACLE_ASOF_NEAREST
+
+
+# ---------------------------------------------------------------------------
+# Round 6: classic warehouse analytics shapes over the event stream —
+# SCD2 interval build, funnel conversion, cohort retention.
+# ---------------------------------------------------------------------------
+
+SCD2_OPEN_END = 9223372036854775807  # Long.MAX sentinel for the open interval
+
+
+def q_scd2_intervals(spark, sf_dir):
+    """Slowly-Changing-Dimension type-2 build: collapse each user's
+    event stream into validity intervals [eff_from, eff_to) of
+    consecutive same-attribute runs (attribute = event_type), with an
+    open-ended current row — the MERGE-free way a lakehouse derives a
+    dimension history from an append-only event log (reference
+    analogue: daily block-pinned position snapshots folded into
+    current_collateral_positions, src/pipelines/analytics/
+    current_collateral_positions.py:96-130).
+
+    Determinism: the run detection orders by (t, event_id) — a total
+    order — and the interval chain orders by (eff_from, run_id) so two
+    runs of one user sharing a start second cannot flip between
+    engines. run_id is the running sum of change markers over the same
+    total order in both engines, so it is identical cross-engine.
+
+    100 TB notes: one shuffle on user_id serves both windows and the
+    rollup (same partition key); runs collapse map-side after the
+    window. No joins."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("long").alias("t"),
+        "event_type",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    marked = e.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    runs = marked.withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("t").alias("eff_from"), F.count(F.lit(1)).alias("n_obs")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("eff_from", "run_id")
+    chained = iv.withColumn("__next", F.lead("eff_from").over(w2))
+    return chained.select(
+        "user_id",
+        "event_type",
+        "eff_from",
+        F.coalesce(F.col("__next"), F.lit(SCD2_OPEN_END)).alias("eff_to"),
+        "n_obs",
+        F.col("__next").isNull().alias("is_current"),
+    )
+
+
+ORACLE_SCD2_INTERVALS = f"""
+WITH e AS (SELECT user_id, {epoch_sql()} AS t, event_type, event_id FROM events),
+marked AS (
+  SELECT user_id, t, event_type,
+         CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+              THEN 0 ELSE 1 END AS chg,
+         event_id
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+runs AS (
+  SELECT user_id, t, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+),
+iv AS (
+  SELECT user_id, event_type, run_id,
+         min(t) AS eff_from, count(*) AS n_obs
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type, eff_from,
+       coalesce(lead(eff_from) OVER w2, {SCD2_OPEN_END}) AS eff_to,
+       n_obs,
+       lead(eff_from) OVER w2 IS NULL AS is_current
+FROM iv WINDOW w2 AS (PARTITION BY user_id ORDER BY eff_from, run_id)
+"""
+
+CORE_QUERIES["scd2_intervals"] = q_scd2_intervals
+CORE_ORACLES["scd2_intervals"] = ORACLE_SCD2_INTERVALS
+
+
+FUNNEL_STEP_WINDOW_S = 86_400  # each step must follow within 1 day
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """FUNNEL analysis: per-user ordered progression view → click →
+    purchase where each step must land within 1 day of the previous
+    step's first completion. Emits one row per user who entered the
+    funnel (first view), with the completion epoch of each reached
+    stage and the funnel depth — the canonical product-analytics
+    sequence query (sf0.01: 150 enter, 60 click in-window, 25
+    complete).
+
+    Plan: three user-keyed aggregates chained by equi-joins on
+    user_id — every shuffle is on the same key, so AQE/exchange reuse
+    co-locates them; step filters (event_type, the time window) push
+    into the scan before any shuffle. No window functions and no
+    theta-join: the 'first event after X within W' is min-after-filter
+    once the previous step's epoch is joined alongside."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("long").alias("t"), "event_type"
+    )
+    W = FUNNEL_STEP_WINDOW_S
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("t") >= F.col("t1")) & (F.col("t") <= F.col("t1") + W))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("t") >= F.col("t2")) & (F.col("t") <= F.col("t2") + W))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).alias("funnel_depth"),
+        )
+    )
+
+
+ORACLE_FUNNEL_CONVERSION = f"""
+WITH e AS (SELECT user_id, {epoch_sql()} AS t, event_type FROM events),
+s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND t >= t1 AND t <= t1 + {FUNNEL_STEP_WINDOW_S}
+       GROUP BY 1),
+s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND t >= t2 AND t <= t2 + {FUNNEL_STEP_WINDOW_S}
+       GROUP BY 1)
+SELECT s1.user_id, t1, t2, t3,
+       1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS funnel_depth
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+CORE_QUERIES["funnel_conversion"] = q_funnel_conversion
+CORE_ORACLES["funnel_conversion"] = ORACLE_FUNNEL_CONVERSION
+
+
+RETENTION_WEEK_S = 604_800
+
+
+def q_cohort_retention(spark, sf_dir):
+    """COHORT RETENTION matrix: users cohorted by first-purchase week,
+    counted once per (cohort, week-offset) they purchased in — the
+    triangle table behind every retention curve. Purchase-only so the
+    matrix actually decays on the test corpus (all-event activity is
+    saturated: every user is active every week).
+
+    Plan: week bucketing is integer epoch division (no calendar
+    functions, engine-portable); first-week aggregate joins back on
+    user_id (same shuffle key as the aggregate); the DISTINCT collapses
+    multiple purchases per (user, week) before the final small rollup.
+    All keys bounded: users, then cohort×offset."""
+    e = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr(f"cast(ts as long) div {RETENTION_WEEK_S}").alias("wk"),
+        )
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    act = (
+        e.join(first, "user_id")
+        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"))
+        .distinct()
+    )
+    return act.groupBy("cohort_wk", "offset_wk").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+ORACLE_COHORT_RETENTION = f"""
+WITH e AS (SELECT user_id, {epoch_sql()} // {RETENTION_WEEK_S} AS wk
+           FROM events WHERE event_type = 'purchase'),
+first AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+act AS (SELECT DISTINCT e.user_id, cohort_wk, wk - cohort_wk AS offset_wk
+        FROM e JOIN first USING (user_id))
+SELECT cohort_wk, offset_wk, count(*) AS n_users
+FROM act GROUP BY 1, 2
+"""
+
+CORE_QUERIES["cohort_retention"] = q_cohort_retention
+CORE_ORACLES["cohort_retention"] = ORACLE_COHORT_RETENTION
