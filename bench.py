@@ -96,6 +96,7 @@ HEADLINE = [
     "scd2_intervals",
     "funnel_conversion",
     "cohort_retention",
+    "twap_user_value",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -1993,3 +1993,64 @@ FROM act GROUP BY 1, 2
 
 CORE_QUERIES["cohort_retention"] = q_cohort_retention
 CORE_ORACLES["cohort_retention"] = ORACLE_COHORT_RETENTION
+
+
+def q_twap_user_value(spark, sf_dir):
+    """TIME-WEIGHTED average purchase value per user (TWAP) — the
+    price/position rollup the reference's market-data layer feeds
+    (reference analogue: daily block-pinned market snapshots whose
+    validity extends to the next snapshot, src/pipelines/raw/
+    historical_market_data.py + the health-factor features that consume
+    them). Each observation's value holds until the user's next
+    observation; the last observation carries no weight (no lookahead
+    bias). Users need >= 2 purchases to have a horizon.
+
+    Determinism: the hold duration comes from lead() over the total
+    order (t, value); the weighted sum goes through decimal(38,10) so
+    accumulation order cannot perturb the rounded result.
+
+    100 TB notes: one shuffle on user_id serves the window and the
+    aggregate; weights are row-local after the window. The filter to
+    purchases pushes to the scan."""
+    from pyspark.sql import Window
+
+    e = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("long").alias("t"), "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "value")
+    d = e.withColumn("dur", F.lead("t").over(w) - F.col("t"))
+    agg = (
+        d.filter(F.col("dur").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("value") * F.col("dur")).cast(DEC))
+            .cast("double")
+            .alias("num"),
+            F.sum("dur").alias("den"),
+        )
+    )
+    return agg.filter(F.col("den") > 0).select(
+        "user_id",
+        F.round(F.col("num") / F.col("den"), 6).alias("twap"),
+        F.col("den").alias("horizon_s"),
+    )
+
+
+ORACLE_TWAP_USER_VALUE = f"""
+WITH e AS (SELECT user_id, {epoch_sql()} AS t, value FROM events
+           WHERE event_type = 'purchase'),
+w AS (SELECT user_id, t, value,
+      lead(t) OVER (PARTITION BY user_id ORDER BY t, value) - t AS dur
+      FROM e),
+agg AS (SELECT user_id,
+        {dsum_sql('value * dur')} AS num,
+        CAST(sum(dur) AS BIGINT) AS den
+        FROM w WHERE dur IS NOT NULL GROUP BY 1)
+SELECT user_id, round(num / den, 6) AS twap, den AS horizon_s
+FROM agg WHERE den > 0
+"""
+
+CORE_QUERIES["twap_user_value"] = q_twap_user_value
+CORE_ORACLES["twap_user_value"] = ORACLE_TWAP_USER_VALUE
