@@ -442,6 +442,27 @@ def rebind_ivf_oracle(sql: str, sf_dir: str) -> str:
     return sql.replace(IVF_ORACLE_DIR, ivf_artifact_dir(sf_dir))
 
 
+def _centroid_lit_sql(ordered) -> tuple[str, str]:
+    """(array<array<double>>, array<bigint>) literal SQL for the
+    centroid matrix and the cid list. Built as ONE SQL string parsed
+    JVM-side: constructing k*d literal Columns through py4j costs
+    thousands of round-trips (~1-2 s per call at k=32, d=64 — it was
+    the dominant cost of every multiprobe invocation); one expr parse
+    is milliseconds. ``repr(float)+'D'`` is the shortest decimal
+    representation with Spark's double-literal suffix — verified to
+    round-trip bit-exactly (incl. scientific notation and denormals)."""
+    c_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in cv) + ")"
+            for _, cv in ordered
+        )
+        + ")"
+    )
+    cid_sql = "array(" + ",".join(f"{int(cid)}L" for cid, _ in ordered) + ")"
+    return c_sql, cid_sql
+
+
 def _kmeans_assign(centroids, vec=None) -> F.Column:
     """Nearest-centroid id for vector column ``vec`` against driver-held
     centroids embedded as LITERAL arrays — a pure narrow column
@@ -449,18 +470,18 @@ def _kmeans_assign(centroids, vec=None) -> F.Column:
     Ties break to the lowest cid (array_position returns the first
     minimum; centroids are ordered by cid)."""
     vec = F.col("v") if vec is None else vec
-    ordered = sorted(centroids)
-    c_arr = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in ordered])
-    cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in ordered])
+    c_sql, cid_sql = _centroid_lit_sql(sorted(centroids))
     dists = F.transform(
-        c_arr,
+        F.expr(c_sql),
         lambda cv: F.aggregate(
             F.zip_with(vec, cv, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, val: acc + val,
         ),
     )
-    return F.element_at(cid_arr, F.array_position(dists, F.array_min(dists)).cast("int"))
+    return F.element_at(
+        F.expr(cid_sql), F.array_position(dists, F.array_min(dists)).cast("int")
+    )
 
 
 def _ivf_probes(centroids, vec, nprobe: int = 2) -> F.Column:
@@ -472,25 +493,21 @@ def _ivf_probes(centroids, vec, nprobe: int = 2) -> F.Column:
     (cross-engine float sums can differ in the last bits); the first
     probe never depends on it."""
     ordered = sorted(centroids)
-    pairs = F.array(
-        *[
-            F.struct(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            vec,
-                            F.array(*[F.lit(float(x)) for x in cv]),
-                            lambda x, y: (x - y) * (x - y),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, val: acc + val,
-                    ),
-                    6,
-                ).alias("d"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, cv in ordered
-        ]
+    c_sql, cid_sql = _centroid_lit_sql(ordered)
+    pairs = F.zip_with(
+        F.expr(c_sql),
+        F.expr(cid_sql),
+        lambda cv, cid: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(vec, cv, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, val: acc + val,
+                ),
+                6,
+            ).alias("d"),
+            cid.alias("cid"),
+        ),
     )
     by_dist = F.transform(F.array_sort(pairs), lambda s: s["cid"])
     own = _kmeans_assign(centroids, vec)
