@@ -69,15 +69,22 @@ def connected_components(
     phases_per_round: int = 3,
     jumps_per_phase: int = 1,
     stats: dict | None = None,
+    symmetrize: bool = False,
 ) -> DataFrame:
     """(node, label) for every node in ``edges``, where ``label`` is
     the minimum node id of the node's connected component.
 
-    ``edges`` must be SYMMETRIC (both (a,b) and (b,a) present);
-    isolated nodes (no edges) are the caller's concern — they never
-    appear here. Raises RuntimeError if ``max_iters`` rounds do not
+    ``edges`` must be SYMMETRIC (both (a,b) and (b,a) present) —
+    unless ``symmetrize=True``, in which case a one-directional pair
+    list is accepted and mirrored here AFTER the raw materialization,
+    so the caller's (potentially expensive) pair-generation plan
+    executes exactly once instead of once per union branch. Isolated
+    nodes (no edges) are the caller's concern — they never appear
+    here. Raises RuntimeError if ``max_iters`` rounds do not
     converge. If ``stats`` is a dict, ``stats["rounds"]`` is set to
     the number of rounds executed (tests pin this)."""
+    from pyspark.sql import Observation
+
     spark = edges.sparkSession
     workdir = tempfile.mkdtemp(prefix="cc_labels_")
     atexit.register(shutil.rmtree, workdir, ignore_errors=True)
@@ -90,68 +97,107 @@ def connected_components(
         df.coalesce(1).write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
+    def _roundtrip_labels(df: DataFrame, name: str) -> tuple[DataFrame, int, int]:
+        """Round-trip a label frame AND return (frame, sum(label),
+        row count) — both metrics computed by an ``observe`` inside the
+        same write job, so the convergence check costs zero extra jobs.
+        Decimal sum: exact for any node count * id magnitude (bigint
+        could overflow at 1e9 nodes with 1e18 ids)."""
+        path = os.path.join(workdir, name)
+        obs = Observation(f"cc_sum_{name}")
+        df.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.col("label").cast("decimal(38,0)")), F.lit(0)
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        got = obs.get
+        return spark.read.parquet(path), int(got["s"]), int(got["n"])
+
+    # Materialize the caller's edge plan ONCE before deriving anything
+    # from it: nodes-distinct and the self-loop union would otherwise
+    # each re-execute the (potentially expensive) upstream
+    # candidate-generation plan — measured 3-4 re-executions of the
+    # blocked-pair pipeline per call before this cut.
+    raw = _roundtrip(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")), "edges_raw"
+    )
+    if symmetrize:
+        raw = raw.union(
+            raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        raw.select(F.col("src").alias("node"))
+        .union(raw.select(F.col("dst").alias("node")))
         .distinct()
     )
     # self-loops folded in: neighbor-min over e then includes the
     # node's own label, so propagation is a single join + aggregate.
     e = _roundtrip(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
+        raw.union(
             nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
         ),
         "edges",
     )
-    labels = _roundtrip(
+    labels, prev_sum, n_nodes = _roundtrip_labels(
         e.select(F.col("src").alias("node")).distinct().withColumn(
             "label", F.col("node")
         ),
         "r0",
     )
-
-    def _label_sum(df: DataFrame) -> int:
-        # decimal: exact for any node count * id magnitude (bigint sum
-        # could overflow at 1e9 nodes with 1e18 ids)
-        r = df.agg(
-            F.coalesce(
-                F.sum(F.col("label").cast("decimal(38,0)")), F.lit(0)
-            ).alias("s")
-        ).first()
-        return int(r["s"])
-
-    prev_sum = _label_sum(labels)
     prev_dir = os.path.join(workdir, "r0")
-    for i in range(max_iters):
-        cur = labels
-        for _ in range(phases_per_round):
-            cur = (
-                e.join(cur, e.dst == cur.node)
-                .groupBy(F.col("src").alias("node"))
-                .agg(F.min("label").alias("label"))
-            )
-            # pointer jumps: follow label -> label(label), re-using the
-            # already-jumped frame as the lookup side. Every label value
-            # is itself a node id present in `cur`, so the lookup is an
-            # equi self-join; coalesce is only defensive.
-            for _ in range(jumps_per_phase):
-                lookup = cur.select(
-                    F.col("node").alias("j_node"), F.col("label").alias("j_label")
+
+    # Loop tuning: the label frame is node-count rows — orders smaller
+    # than the corpus — so the propagation joins are tiny relative to
+    # the cluster. Size their shuffle to the data (≥4, ~50k rows per
+    # partition, never above the session setting: billions of nodes
+    # keep full width) and switch off AQE's per-stage re-planning for
+    # the loop's micro-stages (measured ~25% of per-round wall in
+    # local mode); both confs restored after.
+    conf = spark.conf
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    loop_parts = max(4, min(int(old_parts), n_nodes // 50_000 + 4))
+    try:
+        conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        conf.set("spark.sql.adaptive.enabled", "false")
+        for i in range(max_iters):
+            cur = labels
+            for _ in range(phases_per_round):
+                cur = (
+                    e.join(cur, e.dst == cur.node)
+                    .groupBy(F.col("src").alias("node"))
+                    .agg(F.min("label").alias("label"))
                 )
-                cur = cur.join(lookup, cur.label == F.col("j_node"), "left").select(
-                    "node",
-                    F.coalesce(F.col("j_label"), F.col("label")).alias("label"),
-                )
-        new_dir = os.path.join(workdir, f"r{i + 1}")
-        labels = _roundtrip(cur, f"r{i + 1}")
-        new_sum = _label_sum(labels)
-        shutil.rmtree(prev_dir, ignore_errors=True)
-        prev_dir = new_dir
-        if stats is not None:
-            stats["rounds"] = i + 1
-        if new_sum == prev_sum:
-            return labels
-        prev_sum = new_sum
+                # pointer jumps: follow label -> label(label), re-using
+                # the already-jumped frame as the lookup side. Every
+                # label value is itself a node id present in `cur`, so
+                # the lookup is an equi self-join; coalesce is only
+                # defensive.
+                for _ in range(jumps_per_phase):
+                    lookup = cur.select(
+                        F.col("node").alias("j_node"),
+                        F.col("label").alias("j_label"),
+                    )
+                    cur = cur.join(
+                        lookup, cur.label == F.col("j_node"), "left"
+                    ).select(
+                        "node",
+                        F.coalesce(F.col("j_label"), F.col("label")).alias("label"),
+                    )
+            new_dir = os.path.join(workdir, f"r{i + 1}")
+            labels, new_sum, _ = _roundtrip_labels(cur, f"r{i + 1}")
+            shutil.rmtree(prev_dir, ignore_errors=True)
+            prev_dir = new_dir
+            if stats is not None:
+                stats["rounds"] = i + 1
+            if new_sum == prev_sum:
+                return labels
+            prev_sum = new_sum
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_parts)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "the labeling is still moving and returning it would silently "

@@ -1006,14 +1006,6 @@ EXT_QUERIES["dedup_embedding_cosine"] = q_dedup_embedding_cosine
 EXT_ORACLES["dedup_embedding_cosine"] = ORACLE_DEDUP_EMBEDDING_COSINE
 
 
-def _cosine_pair_edges(spark, sf_dir):
-    """Symmetric edge list of the near-dup pair graph."""
-    pairs = q_dedup_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
-    return pairs.union(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    )
-
-
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: connected components over the cosine pair
     graph — the step that turns pairwise matches into dedup groups
@@ -1024,8 +1016,8 @@ def q_dedup_clusters(spark, sf_dir):
     under-merged result."""
     from ..operators.graph import connected_components
 
-    edges = _cosine_pair_edges(spark, sf_dir)
-    labels = connected_components(edges, "id_a", "id_b")
+    pairs = q_dedup_embedding_cosine(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components(pairs, "id_a", "id_b", symmetrize=True)
     out = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("node").alias("keeper_doc_id"),
@@ -1465,10 +1457,7 @@ def q_dedup_clusters_blocked(spark, sf_dir):
     from ..operators.graph import connected_components
 
     pairs = q_dedup_embedding_blocked(spark, sf_dir).select("id_a", "id_b")
-    edges = pairs.union(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    )
-    labels = connected_components(edges, "id_a", "id_b")
+    labels = connected_components(pairs, "id_a", "id_b", symmetrize=True)
     out = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("node").alias("keeper_doc_id"),
@@ -2593,10 +2582,7 @@ def q_dedup_clusters_lsh(spark, sf_dir):
     from ..operators.graph import connected_components
 
     pairs = q_dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
-    labels = connected_components(edges, "doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b", symmetrize=True)
     out = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("node").alias("keeper_doc_id"),
