@@ -97,6 +97,7 @@ HEADLINE = [
     "funnel_conversion",
     "cohort_retention",
     "twap_user_value",
+    "hopping_window_counts",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -2054,3 +2054,56 @@ FROM agg WHERE den > 0
 
 CORE_QUERIES["twap_user_value"] = q_twap_user_value
 CORE_ORACLES["twap_user_value"] = ORACLE_TWAP_USER_VALUE
+
+
+def q_hopping_window_counts(spark, sf_dir):
+    """HOPPING (sliding) window aggregation: 2-hour windows advancing
+    every 30 minutes — each event lands in 4 overlapping windows. The
+    window family the suite was missing (tumbling: streaming_hourly_
+    counts; session: sessionize_events; RANGE frame: range_frame_
+    weekly_sum). Native ``F.window(ts, length, slide)`` — identical in
+    batch and Structured Streaming, so this gate pins the semantics
+    the streaming path inherits. ts truncated to whole seconds first
+    so the window arithmetic is exactly the oracle's epoch arithmetic.
+
+    100 TB notes: Spark expands each row to its slide-count windows
+    (constant 4× fan-out) before the partial aggregate — map-side
+    combine absorbs the expansion; one exchange on (window, type).
+    Sums go through decimal(38,10) (state-merge order invariance)."""
+    e = _events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("long").cast("timestamp")
+    )
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_HOPPING_WINDOW_COUNTS = f"""
+WITH e AS (SELECT {epoch_sql()} AS t, event_type, value FROM events),
+w AS (
+  SELECT t, event_type, value,
+         unnest([ (t // 1800) * 1800 - o FOR o IN [0, 1800, 3600, 5400] ])
+           AS win_start
+  FROM e
+)
+SELECT win_start, event_type, count(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM w
+WHERE t >= win_start AND t < win_start + 7200
+GROUP BY 1, 2
+"""
+
+CORE_QUERIES["hopping_window_counts"] = q_hopping_window_counts
+CORE_ORACLES["hopping_window_counts"] = ORACLE_HOPPING_WINDOW_COUNTS
