@@ -3133,3 +3133,76 @@ SELECT DISTINCT user_id, event_type FROM events
 
 EXT_QUERIES["streaming_dedup_watermarked"] = q_streaming_dedup_watermarked
 EXT_ORACLES["streaming_dedup_watermarked"] = ORACLE_STREAMING_DEDUP_WATERMARKED
+
+
+def q_streaming_foreachbatch_upsert(spark, sf_dir):
+    """§2.9 ∘ S10 INTEGRATION: streaming ``foreachBatch`` upsert into
+    the manifest-committed serving store — the reference's
+    stream-to-MongoDB topology (save_defi_features_features_db.py:28-34)
+    on the engine's own sink. Each micro-batch reduces to its latest
+    row per user, merges NEWER-WINS against the committed store rows
+    for those keys (so out-of-order micro-batches cannot regress a
+    key — batch-order invariant by construction), and publishes
+    through ``upsert_manifested`` (no reader-visible absent window).
+    Final store state = latest event per user — SQL-expressible and
+    hash-gated like every batch query.
+
+    100 TB notes: per-batch work is a key-partitioned window + a
+    semi-join against the store limited to the batch's keys; the
+    manifest commit is one marker create. On a Delta/Iceberg cluster
+    the merge body becomes a single MERGE INTO."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..sources.fsutil import manifest_resolve, read_manifested
+    from ..sources.sinks import upsert_manifested
+
+    ev = _stream_events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("long").alias("last_ts"),
+        "event_type",
+        "event_id",
+        "value",
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="stream_upsert_"), "serving")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("last_ts").desc(), F.col("event_id").desc()
+    )
+
+    def merge_newer(batch_df, _batch_id):
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if manifest_resolve(spark, root) is not None:
+            prev = read_manifested(spark, root).join(
+                latest.select("user_id"), "user_id", "semi"
+            )
+            latest = (
+                prev.unionByName(latest)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        upsert_manifested(spark, latest, root, "user_id")
+
+    q = ev.writeStream.foreachBatch(merge_newer).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return read_manifested(spark, root).select(
+        "user_id", "last_ts", "event_type", "event_id", "value"
+    )
+
+
+ORACLE_STREAMING_FOREACHBATCH_UPSERT = f"""
+SELECT user_id, t AS last_ts, event_type, event_id, value FROM (
+  SELECT user_id, {_epoch_sql()} AS t, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY {_epoch_sql()} DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+EXT_QUERIES["streaming_foreachbatch_upsert"] = q_streaming_foreachbatch_upsert
+EXT_ORACLES["streaming_foreachbatch_upsert"] = ORACLE_STREAMING_FOREACHBATCH_UPSERT

@@ -260,3 +260,57 @@ def test_stateful_counter_invariant_to_microbatching(spark, tmp_path):
     assert got == {1: (3, 300), 2: (2, 400)}
     # multiple batches really happened: update rows accumulate per batch
     assert spark.table("stateful_mb_test").count() > 2
+
+
+def test_foreachbatch_upsert_newer_wins_across_batches(spark, tmp_path):
+    """foreachBatch merge-newer upsert: micro-batches arriving OUT OF
+    TIME ORDER (older events in a later batch) must not regress a key —
+    the per-batch merge joins the committed store rows for the batch's
+    keys and re-elects the latest."""
+    from pyspark.sql import Window
+
+    from defi_features_data_pipeline_spark.sources.fsutil import (
+        manifest_resolve,
+        read_manifested,
+    )
+    from defi_features_data_pipeline_spark.sources.sinks import upsert_manifested
+
+    src = str(tmp_path / "oosrc")
+    # file order != time order: the NEWEST event for user 1 (t=900)
+    # lands in the FIRST file, an older one (t=500) in a later file
+    batches = [[(1, 900, 10.0)], [(2, 100, 5.0)], [(1, 500, 99.0)], [(2, 700, 7.0)]]
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "user_id long, last_ts long, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    ev = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+
+    root = str(tmp_path / "serving")
+    w = Window.partitionBy("user_id").orderBy(F.col("last_ts").desc())
+
+    def merge_newer(batch_df, _bid):
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if manifest_resolve(spark, root) is not None:
+            prev = read_manifested(spark, root).join(
+                latest.select("user_id"), "user_id", "semi"
+            )
+            latest = (
+                prev.unionByName(latest)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        upsert_manifested(spark, latest, root, "user_id")
+
+    q = ev.writeStream.foreachBatch(merge_newer).trigger(availableNow=True).start()
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["last_ts"], r["value"])
+        for r in read_manifested(spark, root).collect()
+    }
+    assert got == {1: (900, 10.0), 2: (700, 7.0)}
