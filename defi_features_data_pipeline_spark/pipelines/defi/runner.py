@@ -126,16 +126,24 @@ def run_pipeline(
     tokens_to_drop = cat.read("sandbox", "defi_events_tokens_to_drop")
     token_prices = cat.read("analytics", "features_daily_token_prices")
 
-    analytics_events: dict[str, DataFrame] = {}
-    for name, cfg in EVENTS.items():
+    # same fan-out as the stage layer: the 5 per-event enrich+insert
+    # jobs are independent (separate target tables), so they submit
+    # concurrently and the scheduler interleaves them across slots
+    def _analytics_one(item) -> tuple[str, DataFrame]:
+        name, cfg = item
         staged = cat.read("stage", f"transpose_{name}_events")
-        enriched = enrich_events(staged, tokens_metadata, tokens_to_drop, token_prices, cfg)
+        enriched = enrich_events(
+            staged, tokens_metadata, tokens_to_drop, token_prices, cfg
+        )
         path = cat.path("analytics", f"transpose_{name}_events")
         incremental_insert(
             spark, enriched, path, watermark_col="epoch_timestamp",
             partition_by=["year", "month"],
         )
-        analytics_events[name] = spark.read.parquet(path)
+        return name, spark.read.parquet(path)
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        analytics_events = dict(pool.map(_analytics_one, EVENTS.items()))
 
     merged = merge_market_positions(
         cat.read("stage", "the_graph_historical_market_data"),
