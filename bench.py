@@ -98,6 +98,8 @@ HEADLINE = [
     "cohort_retention",
     "twap_user_value",
     "hopping_window_counts",
+    "percentile_bands",
+    "dedup_keep_best",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

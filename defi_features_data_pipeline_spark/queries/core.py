@@ -2107,3 +2107,44 @@ GROUP BY 1, 2
 
 CORE_QUERIES["hopping_window_counts"] = q_hopping_window_counts
 CORE_ORACLES["hopping_window_counts"] = ORACLE_HOPPING_WINDOW_COUNTS
+
+
+def q_percentile_bands(spark, sf_dir):
+    """EXACT percentile bands per segment, JVM-side: the built-in
+    ``percentile`` aggregate (exact, continuous interpolation — the
+    same p*(n-1) positional rule as SQL ``percentile_cont``), rounded
+    to 6 dp so cross-engine interpolation ULPs cannot differ. The
+    JVM-exact member of the quantile family (approx: quality_deciles'
+    NTILE path; Python escape hatch: grouped_median_pandas; this one
+    is whole-stage-codegen end to end — no UDF, no Python).
+
+    100 TB notes: exact percentiles buffer each group's values in the
+    aggregate state — fine for bounded groups (5 event types here);
+    for unbounded groups the approx path is the scale answer. One
+    exchange on the group key."""
+    e = _events(spark, sf_dir)
+    pct = F.percentile(F.col("value"), F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    return (
+        e.groupBy("event_type")
+        .agg(pct.alias("__p"))
+        .select(
+            "event_type",
+            F.round(F.col("__p")[0], 6).alias("p25"),
+            F.round(F.col("__p")[1], 6).alias("p50"),
+            F.round(F.col("__p")[2], 6).alias("p75"),
+            F.round(F.col("__p")[3], 6).alias("p95"),
+        )
+    )
+
+
+ORACLE_PERCENTILE_BANDS = """
+SELECT event_type,
+       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6) AS p25,
+       round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY value), 6) AS p50,
+       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY value), 6) AS p75,
+       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95
+FROM events GROUP BY event_type
+"""
+
+CORE_QUERIES["percentile_bands"] = q_percentile_bands
+CORE_ORACLES["percentile_bands"] = ORACLE_PERCENTILE_BANDS

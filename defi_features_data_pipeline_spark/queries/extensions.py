@@ -3206,3 +3206,98 @@ SELECT user_id, t AS last_ts, event_type, event_id, value FROM (
 
 EXT_QUERIES["streaming_foreachbatch_upsert"] = q_streaming_foreachbatch_upsert
 EXT_ORACLES["streaming_foreachbatch_upsert"] = ORACLE_STREAMING_FOREACHBATCH_UPSERT
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """CANONICAL-DOC ELECTION — the dedup output a curation pipeline
+    actually ships: the keep list after near-dup clustering, electing
+    per cluster the HIGHEST-QUALITY member (max n_chars, tie → min
+    doc_id) instead of the arbitrary min-id keeper. Docs in no cluster
+    keep themselves ('singleton'); one 'keeper' survives per cluster.
+    Keep-best is the real-world policy (longest / highest-scoring copy
+    wins — boilerplate fragments lose to the full document).
+
+    Plan: LSH-verified pairs → connected components (the shipping
+    near-dup clustering) → per-label argmax via one window over the
+    member list joined to the doc metadata → anti-join for the
+    untouched singletons. Everything keys on doc_id or the cluster
+    label; no new wide shapes beyond the CC engine's."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    pairs = q_dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b", symmetrize=True)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = labels.join(d, labels.node == d.doc_id).select(
+        "label", "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    keepers = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", F.lit("keeper").alias("reason"))
+    )
+    singletons = d.join(
+        labels.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id", F.lit("singleton").alias("reason"))
+    return keepers.unionByName(singletons)
+
+
+ORACLE_DEDUP_KEEP_BEST = f"""
+WITH {{lsh_ctes}},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+tc AS (
+  WITH RECURSIVE walk(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT walk.src, e.b FROM walk JOIN edges e ON walk.dst = e.a
+  )
+  SELECT src, dst FROM walk
+),
+labels AS (
+  SELECT n.node, least(n.node, min(tc.dst)) AS label
+  FROM nodes n LEFT JOIN tc ON tc.src = n.node
+  GROUP BY n.node
+),
+members AS (
+  SELECT l.label, l.node AS doc_id, d.n_chars
+  FROM labels l JOIN documents d ON d.doc_id = l.node
+),
+keepers AS (
+  SELECT doc_id, 'keeper' AS reason FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY label
+           ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM members
+  ) WHERE rn = 1
+)
+SELECT doc_id, reason FROM keepers
+UNION ALL
+SELECT d.doc_id, 'singleton' AS reason
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM nodes)
+"""
+
+EXT_QUERIES["dedup_keep_best"] = q_dedup_keep_best
+EXT_ORACLES["dedup_keep_best"] = ORACLE_DEDUP_KEEP_BEST.format(lsh_ctes=_lsh_ctes())
