@@ -406,13 +406,17 @@ def _vectors(spark, sf_dir, id_alias: str, vec_alias: str, norm_alias: str):
 # expected block stays ~64 rows at every scale, so total in-block pairs
 # grow O(n * target_block) — linear. At this repo's SFs: n=500 -> k=8
 # (sf0.001/sf0.01, unchanged artifacts), n=2000 -> k=32 (sf0.1).
-# IVF_K_MAX bounds the k x d literal-array assignment expression; past it
-# (corpus >> 4k vectors) the assignment would switch to a broadcast join
-# against the centroid table instead of a literal expression — the
-# materialized-assignment consumers would not change.
+# Past IVF_LITERAL_K_MAX lists the assignment switches from the k x d
+# literal-array expression to a broadcast join against the centroid
+# table (`_assign_via_join` — bit-equivalent, test-pinned), so IVF_K_MAX
+# is bounded by what the driver can hold as the centroid list
+# (k x d floats), not by expression size. Beyond ~millions of lists the
+# flat coarse quantizer itself is the wrong design (hierarchical /
+# multi-level IVF territory) — documented here, out of scope.
 IVF_TARGET_BLOCK = 64
 IVF_K_MIN = 2
-IVF_K_MAX = 64
+IVF_K_MAX = 4096
+IVF_LITERAL_K_MAX = 64
 IVF_ITERS = 5
 
 
@@ -484,6 +488,48 @@ def _kmeans_assign(centroids, vec=None) -> F.Column:
     )
 
 
+def _assign_via_join(e: DataFrame, centroids, vec_col: str = "v", id_col: str = "vec_id") -> DataFrame:
+    """(id_col, cid) nearest-centroid assignment via a broadcast join
+    against the centroid TABLE — the large-k twin of ``_kmeans_assign``
+    (the literal expression stops being reasonable past
+    IVF_LITERAL_K_MAX lists; the table scales to any k the driver can
+    hold). Same left-fold squared-L2 over bit-identical centroid
+    values and the same ties-to-lowest-cid rule (struct min over
+    (distance, cid)), so the two paths agree bit-for-bit — pinned by
+    ``test_assign_join_equals_literal``. The constant-key join plans
+    as a BroadcastHashJoin of the k-row table: k x N distance
+    evaluations, the same work the expression does, shaped as a join
+    the optimizer can size."""
+    spark = e.sparkSession
+    ordered = sorted(centroids)
+    cent = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in ordered],
+        "cid bigint, cv array<double>",
+    )
+    j = (
+        e.select(id_col, F.col(vec_col).alias("__v"))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(cent.withColumn("__k", F.lit(1))), "__k")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    best = j.select(
+        id_col, F.struct(dist.alias("d"), F.col("cid").alias("cid")).alias("__dc")
+    )
+    return best.groupBy(id_col).agg(F.min("__dc").getField("cid").alias("cid"))
+
+
+def _assign_frame(e: DataFrame, centroids) -> DataFrame:
+    """(vec_id, cid) assignment by whichever path fits k: literal
+    expression up to IVF_LITERAL_K_MAX lists, broadcast join beyond."""
+    if len(centroids) <= IVF_LITERAL_K_MAX:
+        return e.withColumn("cid", _kmeans_assign(centroids)).select("vec_id", "cid")
+    return _assign_via_join(e, centroids)
+
+
 def _ivf_probes(centroids, vec, nprobe: int = 2) -> F.Column:
     """Probe list for multiprobe search: the vector's own assignment
     first (identical to ``_kmeans_assign`` — keeps the nprobe=1
@@ -525,8 +571,12 @@ def _kmeans_fit(e: DataFrame, k: int, iters: int = IVF_ITERS):
         for i, r in enumerate(e.orderBy("vec_id").limit(k).collect())
     ]
     for _ in range(iters):
+        if k <= IVF_LITERAL_K_MAX:
+            assigned = e.withColumn("cid", _kmeans_assign(centroids))
+        else:
+            assigned = e.join(_assign_via_join(e, centroids), "vec_id")
         sums = (
-            e.withColumn("cid", _kmeans_assign(centroids))
+            assigned
             .select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(
@@ -627,9 +677,7 @@ def _ivf_index(spark, sf_dir: str):
         try:
             n = e.count()
             centroids = _kmeans_fit(e, _ivf_k(n))
-            assign = e.withColumn("cid", _kmeans_assign(centroids)).select(
-                "vec_id", "cid"
-            )
+            assign = _assign_frame(e, centroids)
             _write_ivf_artifacts(spark, adir, centroids, assign)
         finally:
             e.unpersist()

@@ -872,3 +872,49 @@ class TestIncrementalReadPruned:
             assert got == [1]
         finally:
             spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def test_assign_join_equals_literal(spark, sf_dir_t2):
+    """The broadcast-join assignment path (large k) must agree
+    bit-for-bit with the literal-expression path on the real index:
+    same fold, same ties-to-lowest-cid rule."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _assign_via_join,
+        _ivf_index,
+        _kmeans_assign,
+        _vectors,
+    )
+
+    centroids = _ivf_index(spark, sf_dir_t2)
+    e = _vectors(spark, sf_dir_t2, "vec_id", "v", "vn").drop("label")
+    lit = {
+        r["vec_id"]: r["cid"]
+        for r in e.withColumn("cid", _kmeans_assign(centroids))
+        .select("vec_id", "cid")
+        .collect()
+    }
+    joined = {
+        r["vec_id"]: r["cid"] for r in _assign_via_join(e, centroids).collect()
+    }
+    assert joined == lit and len(joined) == 500
+
+
+def test_kmeans_fit_join_path_at_large_k(spark, sf_dir_t2):
+    """k > IVF_LITERAL_K_MAX drives the fit loop through the broadcast-
+    join assignment; the fit must still produce k centroids of the
+    right dimensionality with every vector assigned."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        IVF_LITERAL_K_MAX,
+        _assign_via_join,
+        _kmeans_fit,
+        _vectors,
+    )
+
+    k = IVF_LITERAL_K_MAX + 16
+    e = _vectors(spark, sf_dir_t2, "vec_id", "v", "vn").drop("label")
+    centroids = _kmeans_fit(e, k, iters=2)
+    assert len(centroids) == k
+    assert all(len(cv) == 64 for _, cv in centroids)
+    asg = _assign_via_join(e, centroids)
+    assert asg.count() == 500
+    assert asg.select("cid").distinct().count() <= k
