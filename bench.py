@@ -284,6 +284,15 @@ def main() -> None:
     ):
         try:
             pipe[key] = round(_pipeline_e2e(spark, streaming=streaming), 3)
+            # second run on a fresh lake: the pipeline's code paths
+            # (pandas interop, threaded inserts) aren't warmed by the
+            # headline queries, so the first run carries ~10 s of
+            # JIT/codegen noise (measured 21.9 -> 11.9 cold->warm).
+            # The warm key is the stabler round-over-round signal; the
+            # cold key is kept for comparability with earlier rounds.
+            pipe[key + "_warm"] = round(
+                _pipeline_e2e(spark, streaming=streaming), 3
+            )
         except Exception as exc:  # noqa: BLE001
             errors[key] = f"{type(exc).__name__}: {exc}"[:500]
 
