@@ -100,6 +100,8 @@ HEADLINE = [
     "hopping_window_counts",
     "percentile_bands",
     "dedup_keep_best",
+    "graph_triangle_count",
+    "graph_pagerank",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -3349,3 +3349,150 @@ WHERE d.doc_id NOT IN (SELECT node FROM nodes)
 
 EXT_QUERIES["dedup_keep_best"] = q_dedup_keep_best
 EXT_ORACLES["dedup_keep_best"] = ORACLE_DEDUP_KEEP_BEST.format(lsh_ctes=_lsh_ctes())
+
+
+# canonical verified-pair CTE block shared by the graph-analytics oracles
+_VERIFIED_CTES = """sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) >= {thr}
+)"""
+
+
+def q_graph_triangle_count(spark, sf_dir):
+    """TRIANGLE COUNT on the near-dup graph: per node, the number of
+    triangles it participates in — the local-clustering signal that
+    separates a true duplicate CLUSTER (dense, many triangles) from a
+    chain of borderline pairs (no triangles), which curation uses to
+    pick merge-aggressiveness. Canonical-pair edges (doc_a < doc_b)
+    make each triangle counted exactly once as a < b < c.
+
+    Plan: two self-equi-joins of the verified pair list (wedge build
+    a-b-c on the shared middle, then closure check against the a-c
+    edge) — the standard distributed triangle enumeration; with
+    canonical ordering the wedge fan-out is bounded by the
+    out-degree, not the full degree."""
+    e = q_dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    members = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return members.groupBy(F.col("node").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+ORACLE_GRAPH_TRIANGLE_COUNT = f"""
+WITH {{lsh}},
+{_VERIFIED_CTES.format(thr=JACCARD_THRESHOLD)},
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM verified e1
+  JOIN verified e2 ON e2.doc_a = e1.doc_b
+  JOIN verified e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+members AS (
+  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+)
+SELECT node AS doc_id, count(*) AS n_triangles FROM members GROUP BY node
+"""
+
+EXT_QUERIES["graph_triangle_count"] = q_graph_triangle_count
+EXT_ORACLES["graph_triangle_count"] = ORACLE_GRAPH_TRIANGLE_COUNT.format(
+    lsh=_lsh_ctes()
+)
+
+
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """PAGERANK (5 fixed iterations, d=0.85) over the symmetric
+    near-dup graph — ranks the most-connected documents inside dup
+    neighborhoods (the doc every near-copy points at is the natural
+    canonical pick). A second ITERATIVE graph algorithm beside
+    connected components, held to an EXACT SQL oracle: per-iteration
+    neighbor sums go through decimal(38,15) so accumulation order
+    cannot perturb the double result, making five unrolled iterations
+    bit-reproducible cross-engine.
+
+    Plan: edges+degrees materialize once (eager localCheckpoint — the
+    candidate-generation plan must not replay per iteration); each
+    iteration is one equi-join + keyed aggregate. Fixed iteration
+    count → no convergence action. At 100 TB each iteration would
+    parquet-round-trip like connected_components (same lineage
+    reasoning); 5 lazy levels are fine at gate scale."""
+    pairs = q_dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    ed = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = ed.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=True)
+    n = deg.count()  # bounded driver metadata: dup-graph node count
+    edl = ed.join(deg.withColumnRenamed("node", "src"), "src")
+    r = deg.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = edl.join(r, edl.src == r.node).select(
+            "dst", (F.col("r") / F.col("deg")).alias("c")
+        )
+        r = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (
+                F.lit(0.15 / n)
+                + F.lit(PAGERANK_DAMPING)
+                * F.sum(F.col("c").cast("decimal(38,15)")).cast("double")
+            ).alias("r")
+        )
+    return r.select(F.col("node").alias("doc_id"), F.round("r", 6).alias("pagerank"))
+
+
+def _pagerank_oracle() -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT e.dst AS node,
+         0.15 / nn.n + {PAGERANK_DAMPING} *
+           CAST(CAST(SUM(CAST({prev}.r / deg.deg AS DECIMAL(38,15))) AS VARCHAR) AS DOUBLE) AS r
+  FROM edges e
+  JOIN {prev} ON {prev}.node = e.src
+  JOIN deg ON deg.node = e.src
+  CROSS JOIN nn
+  GROUP BY e.dst, nn.n
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH {{lsh}},
+{_VERIFIED_CTES.format(thr=JACCARD_THRESHOLD)},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+          UNION ALL SELECT doc_b, doc_a FROM verified),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT node, 1.0 / nn.n AS r FROM deg CROSS JOIN nn),
+{','.join(iters)}
+SELECT node AS doc_id, round(r, 6) AS pagerank FROM {prev}
+"""
+
+
+EXT_QUERIES["graph_pagerank"] = q_graph_pagerank
+EXT_ORACLES["graph_pagerank"] = _pagerank_oracle().format(lsh=_lsh_ctes())
