@@ -3496,3 +3496,52 @@ SELECT node AS doc_id, round(r, 6) AS pagerank FROM {prev}
 
 EXT_QUERIES["graph_pagerank"] = q_graph_pagerank
 EXT_ORACLES["graph_pagerank"] = _pagerank_oracle().format(lsh=_lsh_ctes())
+
+
+def q_streaming_hopping_counts(spark, sf_dir):
+    """§2.9 streaming HOPPING windows: the sliding-window stateful
+    aggregate (2 h windows advancing every 30 min — each event updates
+    4 window states) under Trigger.AvailableNow, complete mode. The
+    streaming twin of the batch ``hopping_window_counts`` gate, held to
+    the same DuckDB oracle — pinning that the window family behaves
+    identically in batch and streaming (same F.window call, same
+    semantics). Watermark bounds state: windows older than
+    watermark - slide finalize and drop."""
+    from .core import DEC
+
+    ev = _stream_events(spark, sf_dir)
+    ev = ev.withColumn("ts", F.col("ts").cast("long").cast("timestamp"))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+    name = _run_stream(agg, "complete")
+    return spark.table(name).select(
+        F.col("w.start").cast("long").alias("win_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+ORACLE_STREAMING_HOPPING_COUNTS = """
+WITH e AS (SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t, event_type, value FROM events),
+w AS (
+  SELECT t, event_type, value,
+         unnest([ (t // 1800) * 1800 - o FOR o IN [0, 1800, 3600, 5400] ])
+           AS win_start
+  FROM e
+)
+SELECT win_start, event_type, count(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+FROM w
+WHERE t >= win_start AND t < win_start + 7200
+GROUP BY 1, 2
+"""
+
+EXT_QUERIES["streaming_hopping_counts"] = q_streaming_hopping_counts
+EXT_ORACLES["streaming_hopping_counts"] = ORACLE_STREAMING_HOPPING_COUNTS
