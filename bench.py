@@ -102,6 +102,7 @@ HEADLINE = [
     "dedup_keep_best",
     "graph_triangle_count",
     "graph_pagerank",
+    "table_profile",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

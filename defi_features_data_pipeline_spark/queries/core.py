@@ -2148,3 +2148,65 @@ FROM events GROUP BY event_type
 
 CORE_QUERIES["percentile_bands"] = q_percentile_bands
 CORE_ORACLES["percentile_bands"] = ORACLE_PERCENTILE_BANDS
+
+
+PROFILE_COLS = (
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_totalprice", True),
+    ("o_orderstatus", False),
+    ("o_orderpriority", False),
+)
+
+
+def q_table_profile(spark, sf_dir):
+    """DATA PROFILING in one pass: per column — null count, exact
+    distinct count, and (numeric columns) min/max — the first thing a
+    100 TB ingest runs to sanity-check a new source (column drift,
+    null explosions, cardinality surprises). ONE aggregate job computes
+    every column's stats simultaneously (count_if/count distinct/
+    min/max are all map-side combinable), then the single stats row
+    unpivots via ``stack`` into one row per column — no per-column
+    rescans of the table.
+
+    Exact countDistinct, not approx_count_distinct: this is the gate's
+    oracle-comparable form; at 100 TB the approx twin is the
+    ``approx_distinct_users`` pattern."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c, numeric in PROFILE_COLS:
+        aggs.append(F.count(F.when(F.col(c).isNull(), True)).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__nd"))
+        if numeric:
+            aggs.append(F.round(F.min(F.col(c)).cast("double"), 6).alias(f"{c}__min"))
+            aggs.append(F.round(F.max(F.col(c)).cast("double"), 6).alias(f"{c}__max"))
+    one = o.agg(*aggs)
+    stack_args = []
+    for c, numeric in PROFILE_COLS:
+        mn = f"{c}__min" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"{c}__max" if numeric else "CAST(NULL AS DOUBLE)"
+        stack_args.append(f"'{c}', {c}__nulls, {c}__nd, {mn}, {mx}")
+    return one.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {', '.join(stack_args)}) "
+            "AS (col_name, n_nulls, n_distinct, min_num, max_num)"
+        )
+    )
+
+
+def _profile_oracle() -> str:
+    rows = []
+    for c, numeric in PROFILE_COLS:
+        mn = f"round(CAST(min({c}) AS DOUBLE), 6)" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"round(CAST(max({c}) AS DOUBLE), 6)" if numeric else "CAST(NULL AS DOUBLE)"
+        rows.append(
+            f"SELECT '{c}' AS col_name, "
+            f"count(*) FILTER (WHERE {c} IS NULL) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, {mn} AS min_num, {mx} AS max_num "
+            "FROM orders"
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
+CORE_QUERIES["table_profile"] = q_table_profile
+CORE_ORACLES["table_profile"] = _profile_oracle()
