@@ -103,6 +103,11 @@ HEADLINE = [
     "graph_triangle_count",
     "graph_pagerank",
     "table_profile",
+    "bloom_prune_join",
+    "bigram_vocab",
+    "entity_match_pairs",
+    "feature_correlations",
+    "pareto_frontier",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -3545,3 +3545,291 @@ GROUP BY 1, 2
 
 EXT_QUERIES["streaming_hopping_counts"] = q_streaming_hopping_counts
 EXT_ORACLES["streaming_hopping_counts"] = ORACLE_STREAMING_HOPPING_COUNTS
+
+
+# ---------------------------------------------------------------------------
+# Round 6, phase 3: scan-pruning bloom-style prefilter, vocabulary build,
+# entity-resolution blocking, deterministic correlation matrix, and a
+# window-rewrite Pareto frontier.
+# ---------------------------------------------------------------------------
+
+BLOOM_BUCKETS = 1 << 17  # prefilter domain: 128k buckets, ~1 MB broadcast max
+
+
+def q_bloom_prune_join(spark, sf_dir):
+    """Bloom-style SCAN PRUNE ahead of a selective fact⋈dim join — the
+    runtime-row-filter pattern (Spark's own
+    spark.sql.optimizer.runtime.bloomFilter injects the same shape) made
+    explicit: hash the filtered dim's keys into a bounded bucket domain,
+    broadcast the distinct bucket set, and LEFT SEMI the fact on its
+    key's bucket BEFORE the real join. The prefilter is lossy-inclusive
+    (false positives only), so the exact equi-join after it returns
+    byte-identical results — which is exactly what the oracle pins (the
+    oracle is the plain join; the prefilter must be invisible).
+
+    100 TB notes: the bucket set is ≤ BLOOM_BUCKETS longs regardless of
+    dim size (a set-representation Bloom filter with k=1); it broadcasts
+    once and the fact-side probe is a map-side hash lookup fused into
+    the scan stage — no shuffle of pruned rows, the dominant cost at
+    scale. The residual join then shuffles only survivors. Reference
+    analogue: the dim-filtered fact joins of
+    src/pipelines/features/transformations/view_defi_borrow_features.sql."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == F.lit("BUILDING")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    buckets = cust.select(
+        F.pmod(F.xxhash64(F.col("c_custkey")), F.lit(BLOOM_BUCKETS)).alias("__b")
+    ).distinct()
+    pruned = orders.join(
+        F.broadcast(buckets),
+        F.pmod(F.xxhash64(F.col("o_custkey")), F.lit(BLOOM_BUCKETS)) == F.col("__b"),
+        "leftsemi",
+    )
+    j = pruned.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+ORACLE_BLOOM_PRUNE_JOIN = """
+SELECT c_nationkey, count(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1
+"""
+
+EXT_QUERIES["bloom_prune_join"] = q_bloom_prune_join
+EXT_ORACLES["bloom_prune_join"] = ORACLE_BLOOM_PRUNE_JOIN
+
+
+BIGRAMS_SPARK = (
+    "CASE WHEN size(__toks) >= 2 THEN "
+    "transform(sequence(0, size(__toks) - 2), "
+    "i -> concat_ws(' ', __toks[i], __toks[i+1])) "
+    "ELSE array() END"
+)
+BIGRAMS_DUCK = (
+    "CASE WHEN len(__toks) >= 2 THEN "
+    "[__toks[i] || ' ' || __toks[i+1] FOR i IN range(1, len(__toks))] "
+    "ELSE [] END"
+)
+VOCAB_MIN_COUNT = 5
+
+
+def q_bigram_vocab(spark, sf_dir):
+    """Corpus VOCABULARY build over word bigrams — the tokenizer-prep
+    pass of an LLM data pipeline (count every n-gram, keep those above
+    a min-count threshold, record document frequency alongside corpus
+    frequency). Occurrences are counted with multiplicity (a bigram
+    twice in one doc counts twice); n_docs counts distinct docs via a
+    conditional distinct-key aggregate, not a second scan.
+
+    100 TB notes: one exploded scan → one groupBy(bigram) with map-side
+    partial aggregation; the min-count HAVING prunes the long tail
+    before anything leaves the aggregate. Vocabulary keys are
+    heavy-hitter-skewed, which partial aggregation absorbs (the hot
+    bigram is pre-summed per task before the exchange)."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    grams = (
+        d.withColumn("__toks", F.expr(TOKENS_SPARK))
+        .select("doc_id", F.explode_outer(F.expr(BIGRAMS_SPARK)).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    return (
+        grams.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        )
+        .filter(F.col("n_occ") >= VOCAB_MIN_COUNT)
+        .select(F.col("g").alias("bigram"), "n_occ", "n_docs")
+    )
+
+
+ORACLE_BIGRAM_VOCAB = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_DUCK} AS __toks FROM documents),
+grams AS (SELECT doc_id, unnest({BIGRAMS_DUCK}) AS g FROM toks)
+SELECT g AS bigram, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+FROM grams
+GROUP BY 1
+HAVING count(*) >= {VOCAB_MIN_COUNT}
+"""
+
+EXT_QUERIES["bigram_vocab"] = q_bigram_vocab
+EXT_ORACLES["bigram_vocab"] = ORACLE_BIGRAM_VOCAB
+
+
+ENTITY_MAX_EDIT = 1
+
+
+def q_entity_match_pairs(spark, sf_dir):
+    """ENTITY RESOLUTION candidate pass: blocking + pairwise edit
+    distance. Customers are blocked on (c_nationkey, c_mktsegment) — the
+    classic cheap-attribute blocking key — and only within-block pairs
+    pay the Levenshtein comparison; pairs at distance ≤ ENTITY_MAX_EDIT
+    survive. Ordered pairs (left < right) so each match appears once.
+
+    100 TB notes: the self-join is an equi-join on the block key (no
+    cartesian; the plan sweep enforces it), so cost is Σ block² not n² —
+    bounded by the blocking design, the standard ER trade-off. The
+    Levenshtein runs JVM-side inside the join stage (codegen, no UDF).
+    Skewed blocks would salt exactly like salted_skew_join."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .withColumn(
+            "edit_dist", F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+        )
+        .filter(F.col("edit_dist") <= ENTITY_MAX_EDIT)
+        .select(
+            F.col("a.c_custkey").alias("left_id"),
+            F.col("b.c_custkey").alias("right_id"),
+            F.col("a.c_nationkey").alias("c_nationkey"),
+            "edit_dist",
+        )
+    )
+
+
+ORACLE_ENTITY_MATCH_PAIRS = f"""
+SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
+       a.c_nationkey AS c_nationkey,
+       levenshtein(a.c_name, b.c_name) AS edit_dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {ENTITY_MAX_EDIT}
+"""
+
+EXT_QUERIES["entity_match_pairs"] = q_entity_match_pairs
+EXT_ORACLES["entity_match_pairs"] = ORACLE_ENTITY_MATCH_PAIRS
+
+
+def q_feature_correlations(spark, sf_dir):
+    """Deterministic PEARSON CORRELATION per group — the feature-audit
+    pass a training pipeline runs before shipping a feature matrix
+    (near-collinear features are dropped). F.corr is a float running
+    aggregate whose result depends on partition merge order, so it can
+    never hash-match a single-threaded oracle; instead the five moment
+    sums (Σx, Σy, Σx², Σy², Σxy) are accumulated EXACTLY in
+    decimal(38,10) — addition is associative there — and the closed-form
+    corr = (nΣxy − ΣxΣy) / √((nΣx² − Σx²ₛ)(nΣy² − Σy²ₛ)) is evaluated
+    once per group in IEEE doubles, bit-identical on any engine.
+
+    100 TB notes: one scan, one map-side-combinable groupBy on a
+    low-cardinality key; the decimal state is 5 numbers per group.
+    This is how a distributed engine should compute ANY
+    order-sensitive float statistic it wants reproducible."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(38,10)")
+    y = F.col("l_extendedprice").cast("decimal(38,10)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(38,10)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,10)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(38,10)")).cast("double").alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("corr_qty_price"),
+    )
+
+
+ORACLE_FEATURE_CORRELATIONS = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(38,10)) * CAST(l_quantity AS DECIMAL(38,10)) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(38,10)) * CAST(l_extendedprice AS DECIMAL(38,10)) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(38,10)) * CAST(l_extendedprice AS DECIMAL(38,10)) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM lineitem
+  GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS corr_qty_price
+FROM m
+"""
+
+EXT_QUERIES["feature_correlations"] = q_feature_correlations
+EXT_ORACLES["feature_correlations"] = ORACLE_FEATURE_CORRELATIONS
+
+
+def q_pareto_frontier(spark, sf_dir):
+    """PARETO FRONTIER (2-D skyline) of orders on (earlier date, higher
+    total price): an order is on the frontier iff no strictly-earlier
+    order priced ≥ it exists. Naively a quadratic NOT EXISTS theta-join;
+    rewritten as ONE window pass — running max of price over a RANGE
+    frame ending 1 day before the current row (RANGE, not ROWS, so
+    same-day orders never dominate each other) — the same
+    quadratic→window rewrite family as latest_event_per_user (J10).
+
+    100 TB notes: the global window NEVER sees fact rows — max(price)
+    is pre-aggregated per day (map-side combinable, |days| output rows),
+    the running prior-day max is windowed over that tiny day table, and
+    the day→prior_max map broadcasts back onto the facts. The only
+    single-partition step is O(|days|), bounded by the calendar, not the
+    data. Day arithmetic is epoch-based (UTC, see core._t)."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    daymax = o.groupBy(day.alias("__d")).agg(
+        F.max(F.col("o_totalprice")).alias("__dmax")
+    )
+    w = Window.orderBy("__d").rangeBetween(Window.unboundedPreceding, -1)
+    prior = daymax.select(
+        "__d", F.max(F.col("__dmax")).over(w).alias("__prior_max")
+    )
+    return (
+        o.withColumn("__d", day)
+        .join(F.broadcast(prior), "__d")
+        .filter(
+            F.col("__prior_max").isNull()
+            | (F.col("o_totalprice") > F.col("__prior_max"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+ORACLE_PARETO_FRONTIER = """
+WITH o AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice,
+         CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS d
+  FROM orders
+),
+w AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice,
+         max(o_totalprice) OVER (ORDER BY d
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+  FROM o
+)
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM w
+WHERE prior_max IS NULL OR o_totalprice > prior_max
+"""
+
+EXT_QUERIES["pareto_frontier"] = q_pareto_frontier
+EXT_ORACLES["pareto_frontier"] = ORACLE_PARETO_FRONTIER

@@ -918,3 +918,152 @@ def test_kmeans_fit_join_path_at_large_k(spark, sf_dir_t2):
     asg = _assign_via_join(e, centroids)
     assert asg.count() == 500
     assert asg.select("cid").distinct().count() <= k
+
+
+# ---------------------------------------------------------------------------
+# Round 6 phase 3: bloom-style scan prune, ER blocking, Pareto frontier,
+# deterministic correlations.
+# ---------------------------------------------------------------------------
+
+
+class TestBloomPruneJoin:
+    def test_prefilter_is_transparent(self, spark, sf_dir):
+        """The bucket prefilter is lossy-INCLUSIVE: removing it must not
+        change the result (false positives are filtered by the exact
+        join; false negatives would be a correctness bug)."""
+        from defi_features_data_pipeline_spark.queries.extensions import (
+            _t,
+            q_bloom_prune_join,
+        )
+        import pyspark.sql.functions as F
+
+        got = {
+            (r["c_nationkey"], r["n_orders"], round(r["revenue"], 6))
+            for r in q_bloom_prune_join(spark, sf_dir).collect()
+        }
+        cust = _t(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        plain = (
+            _t(spark, sf_dir, "orders")
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        want = {
+            (r["c_nationkey"], r["n_orders"], round(r["revenue"], 6))
+            for r in plain.collect()
+        }
+        assert got == want
+
+    def test_prefilter_is_broadcast_semi(self, spark, sf_dir):
+        """The bucket set must reach the fact side as a BROADCAST left
+        semi (map-side prune before any shuffle of fact rows)."""
+        from defi_features_data_pipeline_spark.queries.extensions import (
+            q_bloom_prune_join,
+        )
+
+        plan = q_bloom_prune_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestEntityMatchPairs:
+    def test_matches_brute_force(self, spark, sf_dir):
+        """Blocked+thresholded pairs == brute-force all-pairs scan at
+        sf0.001 (blocking must lose nothing within its own blocks, and
+        cross-block pairs are excluded by DESIGN — asserted too)."""
+        from defi_features_data_pipeline_spark.queries.extensions import (
+            ENTITY_MAX_EDIT,
+            _t,
+            q_entity_match_pairs,
+        )
+
+        got = {
+            (r["left_id"], r["right_id"], r["edit_dist"])
+            for r in q_entity_match_pairs(spark, sf_dir).collect()
+        }
+        rows = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+        ).collect()
+
+        def lev(s, t):
+            prev = list(range(len(t) + 1))
+            for i, cs in enumerate(s, 1):
+                cur = [i]
+                for j, ct in enumerate(t, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct))
+                    )
+                prev = cur
+            return prev[-1]
+
+        want = set()
+        for i, a in enumerate(rows):
+            for b in rows[i + 1 :]:
+                if (
+                    a["c_nationkey"] == b["c_nationkey"]
+                    and a["c_mktsegment"] == b["c_mktsegment"]
+                ):
+                    d = lev(a["c_name"], b["c_name"])
+                    if d <= ENTITY_MAX_EDIT:
+                        lo, hi = sorted((a["c_custkey"], b["c_custkey"]))
+                        want.add((lo, hi, d))
+        assert got == want
+        assert len(got) > 0  # the gate is vacuous on an empty match set
+
+
+class TestParetoFrontier:
+    def test_frontier_definition_brute_force(self, spark, sf_dir):
+        """Window rewrite == the quadratic NOT EXISTS definition,
+        including the same-day rule (same-day orders never dominate)."""
+        from defi_features_data_pipeline_spark.queries.extensions import (
+            _t,
+            q_pareto_frontier,
+        )
+
+        got = {r["o_orderkey"] for r in q_pareto_frontier(spark, sf_dir).collect()}
+        rows = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        ).collect()
+        want = {
+            a["o_orderkey"]
+            for a in rows
+            if not any(
+                b["o_orderdate"] < a["o_orderdate"]
+                and b["o_totalprice"] >= a["o_totalprice"]
+                for b in rows
+            )
+        }
+        assert got == want
+        assert 0 < len(got) < len(rows)
+
+
+class TestFeatureCorrelations:
+    def test_matches_numpy(self, spark, sf_dir):
+        """The decimal-moment closed form equals numpy's corrcoef to
+        1e-6 — the determinism trick must not change the statistic."""
+        import numpy as np
+
+        from defi_features_data_pipeline_spark.queries.extensions import (
+            _t,
+            q_feature_correlations,
+        )
+
+        got = {
+            r["l_returnflag"]: r["corr_qty_price"]
+            for r in q_feature_correlations(spark, sf_dir).collect()
+        }
+        pdf = (
+            _t(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_quantity", "l_extendedprice")
+            .toPandas()
+        )
+        for flag, grp in pdf.groupby("l_returnflag"):
+            want = np.corrcoef(grp["l_quantity"], grp["l_extendedprice"])[0, 1]
+            assert abs(got[flag] - want) < 1e-6, (flag, got[flag], want)
