@@ -243,3 +243,48 @@ def test_events_lake_dynamic_partition_pruning(spark, tmp_path):
     # pruned join result equals the plain month-filter
     expect = lake.filter(F.col("month") <= 3).count()
     assert j.count() == expect
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """Catalyst's InjectRuntimeFilter: a shuffle join whose creation
+    side carries a selective filter gets a bloom `might_contain` probe
+    pushed into the application side — the optimizer-automated twin of
+    the explicit `bloom_prune_join` operator (which exists for the cases
+    the rule skips: broadcast-ineligible probes, pre-shuffled reuse, or
+    prefilters that must survive across jobs). Thresholds are lowered
+    only because the test input is tiny; at 100 TB the defaults fire on
+    exactly this shape."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(200_000).select(
+            F.col("id").alias("k"), (F.col("id") % 1000).alias("v")
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("flag")
+        )
+        j = fact.join(dim.filter(F.col("flag") == 0), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert j.count() == 143
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
