@@ -108,6 +108,9 @@ HEADLINE = [
     "entity_match_pairs",
     "feature_correlations",
     "pareto_frontier",
+    "rolling_active_users",
+    "outlier_zscore",
+    "value_histogram",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

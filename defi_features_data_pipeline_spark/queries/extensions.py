@@ -3833,3 +3833,180 @@ WHERE prior_max IS NULL OR o_totalprice > prior_max
 
 EXT_QUERIES["pareto_frontier"] = q_pareto_frontier
 EXT_ORACLES["pareto_frontier"] = ORACLE_PARETO_FRONTIER
+
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def q_rolling_active_users(spark, sf_dir):
+    """ROLLING COUNT DISTINCT — weekly-active-users per day. A COUNT
+    DISTINCT cannot live in a sliding window frame (distinct state
+    doesn't merge across frame boundaries), so the scalable rewrite is
+    contribution fan-out: dedup to (user, active-day) pairs, explode
+    each pair to the ROLLING_WINDOW_DAYS window-END days it contributes
+    to, and count distinct users per end day. Days with no events at
+    all are not reported (inner-join against observed event days), so
+    the output never manufactures calendar rows the input lacks.
+
+    100 TB notes: the (user, day) dedup collapses the event volume to
+    at most |users|×|days| rows BEFORE the constant 7× fan-out; both
+    aggregates are map-side combinable and shuffle on bounded keys
+    (day, then user×day). This exact shape is how engines without
+    sliding-distinct support (most of them) compute WAU/MAU at scale."""
+    from .core import _events
+
+    ev = _events(spark, sf_dir)
+    day = (F.col("ts").cast("long") / F.lit(86400)).cast("long")
+    user_days = ev.select("user_id", day.alias("d")).distinct()
+    observed = ev.select(day.alias("end_d")).distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.lit(ROLLING_WINDOW_DAYS - 1))
+        ).alias("end_d"),
+    )
+    return (
+        contrib.join(observed, "end_d")
+        .groupBy("end_d")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .select(F.col("end_d").alias("day_num"), "n_active")
+    )
+
+
+ORACLE_ROLLING_ACTIVE_USERS = f"""
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS d
+  FROM events
+),
+user_days AS (SELECT DISTINCT user_id, d FROM e),
+observed AS (SELECT DISTINCT d AS end_d FROM e),
+contrib AS (
+  SELECT user_id, unnest(range(d, d + {ROLLING_WINDOW_DAYS})) AS end_d
+  FROM user_days
+)
+SELECT c.end_d AS day_num, count(DISTINCT c.user_id) AS n_active
+FROM contrib c JOIN observed o ON c.end_d = o.end_d
+GROUP BY 1
+"""
+
+EXT_QUERIES["rolling_active_users"] = q_rolling_active_users
+EXT_ORACLES["rolling_active_users"] = ORACLE_ROLLING_ACTIVE_USERS
+
+
+ZSCORE_THRESHOLD = 3.0
+
+
+def q_outlier_zscore(spark, sf_dir):
+    """Z-SCORE OUTLIER detection per group — the numeric data-cleaning
+    pass of a training pipeline (drop rows k standard deviations from
+    their group mean). Same determinism discipline as
+    feature_correlations: moment sums Σx, Σx² accumulate exactly in
+    decimal(38,10), and the score is ONE algebraic form with no
+    intermediate μ/σ rounding —
+        z = (n·x − Σx) / √(n·Σx² − Σx²ₛ)
+    evaluated identically in both engines (the denominator is n·σ_pop,
+    the numerator n·(x − μ), so the n's cancel exactly).
+
+    100 TB notes: group stats are a map-side-combinable aggregate to
+    |groups| rows, broadcast back onto the fact scan — the fact is
+    read once and never shuffled. The filter keeps only outliers, so
+    output is tiny; flipping the comparison yields the cleaned set."""
+    from .core import _events
+
+    ev = _events(spark, sf_dir)
+    x = F.col("value").cast("decimal(38,10)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(38,10)")).cast("double").alias("sxx"),
+    )
+    z = (F.col("n") * F.col("value") - F.col("sx")) / F.sqrt(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("__z_raw", z)
+        .filter(F.abs(F.col("__z_raw")) > F.lit(ZSCORE_THRESHOLD))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.col("__z_raw"), 6).alias("z"),
+        )
+    )
+
+
+ORACLE_OUTLIER_ZSCORE = f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(38,10)) * CAST(value AS DECIMAL(38,10)) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sxx
+  FROM events
+  GROUP BY 1
+)
+SELECT event_id, e.event_type, value,
+       round((n * value - sx) / sqrt(n * sxx - sx * sx), 6) AS z
+FROM events e JOIN m ON e.event_type = m.event_type
+WHERE abs((n * value - sx) / sqrt(n * sxx - sx * sx)) > {ZSCORE_THRESHOLD}
+"""
+
+EXT_QUERIES["outlier_zscore"] = q_outlier_zscore
+EXT_ORACLES["outlier_zscore"] = ORACLE_OUTLIER_ZSCORE
+
+
+HIST_BUCKETS = 20
+HIST_LO = 0.0
+HIST_HI = 600_000.0
+
+
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width HISTOGRAM of order totals — the profiling/binning
+    primitive (feature bucketing, distribution drift checks). Bucket
+    index is pure floor arithmetic on literals —
+    least(B−1, floor((x − lo)/w)) — identical IEEE evaluation in both
+    engines (width_bucket() exists in Spark but not DuckDB, and an
+    oracle must run on both). The top edge clamps into the last bucket;
+    below-range values clamp to bucket 0 via greatest().
+
+    100 TB notes: one scan → one map-side-combinable aggregate on ≤B
+    keys; empty buckets are absent by construction (no dense_rank or
+    calendar join needed for a profiling readout)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(HIST_BUCKETS - 1),
+            F.floor((F.col("o_totalprice") - F.lit(HIST_LO)) / F.lit(w)),
+        ),
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+            .cast("double")
+            .alias("bucket_revenue"),
+        )
+        .withColumn("lo_edge", F.col("bucket") * F.lit(w) + F.lit(HIST_LO))
+    )
+
+
+ORACLE_VALUE_HISTOGRAM = f"""
+WITH b AS (
+  SELECT greatest(0, least({HIST_BUCKETS - 1},
+           CAST(floor((o_totalprice - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BUCKETS}) AS BIGINT)))
+           AS bucket,
+         o_totalprice
+  FROM orders
+)
+SELECT bucket, count(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS bucket_revenue,
+       bucket * {(HIST_HI - HIST_LO) / HIST_BUCKETS} + {HIST_LO} AS lo_edge
+FROM b
+GROUP BY 1
+"""
+
+EXT_QUERIES["value_histogram"] = q_value_histogram
+EXT_ORACLES["value_histogram"] = ORACLE_VALUE_HISTOGRAM

@@ -1067,3 +1067,95 @@ class TestFeatureCorrelations:
         for flag, grp in pdf.groupby("l_returnflag"):
             want = np.corrcoef(grp["l_quantity"], grp["l_extendedprice"])[0, 1]
             assert abs(got[flag] - want) < 1e-6, (flag, got[flag], want)
+
+
+class TestRollingActiveUsers:
+    def test_matches_brute_force(self, spark, sf_dir):
+        """Fan-out rewrite == literal 'distinct users in [d-6, d]' per
+        observed day."""
+        from defi_features_data_pipeline_spark.queries.extensions import (
+            ROLLING_WINDOW_DAYS,
+            q_rolling_active_users,
+        )
+        from defi_features_data_pipeline_spark.queries.core import _events
+        import pyspark.sql.functions as F
+
+        got = {
+            r["day_num"]: r["n_active"]
+            for r in q_rolling_active_users(spark, sf_dir).collect()
+        }
+        rows = (
+            _events(spark, sf_dir)
+            .select(
+                "user_id",
+                (F.col("ts").cast("long") / F.lit(86400))
+                .cast("long")
+                .alias("d"),
+            )
+            .collect()
+        )
+        days = sorted({r["d"] for r in rows})
+        want = {
+            d: len(
+                {
+                    r["user_id"]
+                    for r in rows
+                    if d - (ROLLING_WINDOW_DAYS - 1) <= r["d"] <= d
+                }
+            )
+            for d in days
+        }
+        assert got == want
+        # rolling count must dominate the single-day count somewhere
+        daily = {d: len({r["user_id"] for r in rows if r["d"] == d}) for d in days}
+        assert any(got[d] > daily[d] for d in days)
+
+
+class TestOutlierZscore:
+    def test_matches_numpy(self, spark, sf_dir):
+        """Decimal-moment z == numpy's (x-mean)/std(population) to 1e-6,
+        and the flagged set is exactly the |z|>3 set."""
+        import numpy as np
+
+        from defi_features_data_pipeline_spark.queries.extensions import (
+            ZSCORE_THRESHOLD,
+            q_outlier_zscore,
+        )
+        from defi_features_data_pipeline_spark.queries.core import _events
+
+        got = {
+            r["event_id"]: r["z"] for r in q_outlier_zscore(spark, sf_dir).collect()
+        }
+        pdf = _events(spark, sf_dir).select(
+            "event_id", "event_type", "value"
+        ).toPandas()
+        want = {}
+        for _, grp in pdf.groupby("event_type"):
+            mu = grp["value"].mean()
+            sd = grp["value"].std(ddof=0)
+            z = (grp["value"] - mu) / sd
+            for eid, zi in zip(grp["event_id"], z):
+                if abs(zi) > ZSCORE_THRESHOLD:
+                    want[eid] = zi
+        assert set(got) == set(want)
+        for eid, zi in want.items():
+            assert abs(got[eid] - zi) < 1e-6
+        assert len(got) > 0
+
+
+class TestValueHistogram:
+    def test_buckets_partition_the_input(self, spark, sf_dir):
+        """Bucket counts sum to the row count, indexes stay in
+        [0, B), and each bucket's revenue is consistent with its
+        edges (clamped top bucket may exceed its nominal hi edge)."""
+        from defi_features_data_pipeline_spark.queries.extensions import (
+            HIST_BUCKETS,
+            _t,
+            q_value_histogram,
+        )
+
+        rows = q_value_histogram(spark, sf_dir).collect()
+        n = _t(spark, sf_dir, "orders").count()
+        assert sum(r["n_orders"] for r in rows) == n
+        assert all(0 <= r["bucket"] < HIST_BUCKETS for r in rows)
+        assert len({r["bucket"] for r in rows}) == len(rows)
