@@ -3677,12 +3677,17 @@ def q_entity_match_pairs(spark, sf_dir):
     100 TB notes: the self-join is an equi-join on the block key (no
     cartesian; the plan sweep enforces it), so cost is Σ block² not n² —
     bounded by the blocking design, the standard ER trade-off. The
-    Levenshtein runs JVM-side inside the join stage (codegen, no UDF).
-    Skewed blocks would salt exactly like salted_skew_join."""
+    probe side is re-spread across the cluster first (the block
+    comparison work, not the scan, dominates — a 1-split input would
+    otherwise serialize every pairwise comparison onto one task), and
+    the Levenshtein is the THRESHOLD-BOUNDED variant — the band-limited
+    DP row (O(k·len), returns −1 past the bound) is ~2× the unbounded
+    full-matrix form at k=1. Runs JVM-side inside the join stage
+    (codegen, no UDF). Skewed blocks would salt like salted_skew_join."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
-    a = c.alias("a")
+    a = _spread(spark, c).alias("a")
     b = c.alias("b")
     return (
         a.join(
@@ -3692,9 +3697,10 @@ def q_entity_match_pairs(spark, sf_dir):
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
         .withColumn(
-            "edit_dist", F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+            "edit_dist",
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), ENTITY_MAX_EDIT),
         )
-        .filter(F.col("edit_dist") <= ENTITY_MAX_EDIT)
+        .filter(F.col("edit_dist") >= 0)
         .select(
             F.col("a.c_custkey").alias("left_id"),
             F.col("b.c_custkey").alias("right_id"),
@@ -3733,8 +3739,11 @@ def q_feature_correlations(spark, sf_dir):
     100 TB notes: one scan, one map-side-combinable groupBy on a
     low-cardinality key; the decimal state is 5 numbers per group.
     This is how a distributed engine should compute ANY
-    order-sensitive float statistic it wants reproducible."""
-    li = _t(spark, sf_dir, "lineitem")
+    order-sensitive float statistic it wants reproducible. The scan is
+    re-spread first: six wide-decimal sums per row dominate a 1-split
+    input (measured 1.7 → 0.9 s at sf0.1); on a real multi-split table
+    _spread is a no-op."""
+    li = _spread(spark, _t(spark, sf_dir, "lineitem"))
     x = F.col("l_quantity").cast("decimal(38,10)")
     y = F.col("l_extendedprice").cast("decimal(38,10)")
     agg = li.groupBy("l_returnflag").agg(
