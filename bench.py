@@ -111,6 +111,8 @@ HEADLINE = [
     "rolling_active_users",
     "outlier_zscore",
     "value_histogram",
+    "cube_revenue",
+    "event_transition_matrix",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

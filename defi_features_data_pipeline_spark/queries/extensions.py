@@ -4019,3 +4019,90 @@ GROUP BY 1
 
 EXT_QUERIES["value_histogram"] = q_value_histogram
 EXT_ORACLES["value_histogram"] = ORACLE_VALUE_HISTOGRAM
+
+
+def q_cube_revenue(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping
+    combinations in one pass — completes the multidimensional-rollup
+    family (grouping_sets_revenue: explicit sets; rollup_revenue:
+    hierarchy; this: full cross). grouping_id() disambiguates a real
+    NULL key from a subtotal row, the standard cube-consumer contract.
+
+    100 TB notes: Spark expands each input row once per grouping set
+    (4× here) BEFORE the partial aggregate — map-side combine collapses
+    the expansion to |keys|×4 rows per task, so the exchange carries
+    subtotal state, never data. Same decimal(38,10) sum discipline as
+    every gated aggregate."""
+    from .core import _dsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_extendedprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+ORACLE_CUBE_REVENUE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+       COUNT(*) AS n,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+EXT_QUERIES["cube_revenue"] = q_cube_revenue
+EXT_ORACLES["cube_revenue"] = ORACLE_CUBE_REVENUE
+
+
+def q_event_transition_matrix(spark, sf_dir):
+    """MARKOV TRANSITION MATRIX over the event stream: per-user
+    chronological lag() pairs (prev_type → type) counted corpus-wide,
+    with each row's share of its source state's outgoing mass — the
+    sequence-model statistic behind next-action prediction features and
+    funnel-drop diagnostics. '(start)' marks each user's first event.
+    The per-user total order is (ts, event_id) — same tie-break
+    discipline as scd2_intervals, so the result is bit-deterministic.
+
+    100 TB notes: one window shuffle on user_id (bounded partitions),
+    then a map-side-combinable count on ≤|types|² keys; the share
+    divides two exact counts per row — no float accumulation at all."""
+    from pyspark.sql import Window
+
+    from .core import _events
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    pairs = ev.select(
+        F.coalesce(F.lag("event_type").over(w), F.lit("(start)")).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_trans"))
+    totals = counts.groupBy("src").agg(F.sum("n_trans").alias("n_src"))
+    return (
+        counts.join(F.broadcast(totals), "src")
+        .select(
+            "src",
+            "dst",
+            "n_trans",
+            F.round(F.col("n_trans") / F.col("n_src"), 6).alias("p_trans"),
+        )
+    )
+
+
+ORACLE_EVENT_TRANSITION_MATRIX = """
+WITH p AS (
+  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  '(start)') AS src,
+         event_type AS dst
+  FROM events
+),
+c AS (SELECT src, dst, count(*) AS n_trans FROM p GROUP BY 1, 2),
+t AS (SELECT src, sum(n_trans) AS n_src FROM c GROUP BY 1)
+SELECT c.src, c.dst, c.n_trans,
+       round(CAST(c.n_trans AS DOUBLE) / CAST(t.n_src AS DOUBLE), 6) AS p_trans
+FROM c JOIN t ON c.src = t.src
+"""
+
+EXT_QUERIES["event_transition_matrix"] = q_event_transition_matrix
+EXT_ORACLES["event_transition_matrix"] = ORACLE_EVENT_TRANSITION_MATRIX

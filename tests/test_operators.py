@@ -1159,3 +1159,25 @@ class TestValueHistogram:
         assert sum(r["n_orders"] for r in rows) == n
         assert all(0 <= r["bucket"] < HIST_BUCKETS for r in rows)
         assert len({r["bucket"] for r in rows}) == len(rows)
+
+
+class TestEventTransitionMatrix:
+    def test_rows_are_distributions(self, spark, sf_dir):
+        """Outgoing shares per source state sum to 1 (to rounding), and
+        every event contributes exactly one transition (n_trans total ==
+        event count: each event is a dst exactly once, first events from
+        the '(start)' state)."""
+        from defi_features_data_pipeline_spark.queries.core import _events
+        from defi_features_data_pipeline_spark.queries.extensions import (
+            q_event_transition_matrix,
+        )
+
+        rows = q_event_transition_matrix(spark, sf_dir).collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["src"], []).append(r)
+        for src, grp in by_src.items():
+            assert abs(sum(r["p_trans"] for r in grp) - 1.0) < 1e-4, src
+        n_events = _events(spark, sf_dir).count()
+        assert sum(r["n_trans"] for r in rows) == n_events
+        assert "(start)" in by_src
