@@ -113,6 +113,8 @@ HEADLINE = [
     "value_histogram",
     "cube_revenue",
     "event_transition_matrix",
+    "winsorize_stats",
+    "incremental_join_equivalence",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -4106,3 +4106,122 @@ FROM c JOIN t ON c.src = t.src
 
 EXT_QUERIES["event_transition_matrix"] = q_event_transition_matrix
 EXT_ORACLES["event_transition_matrix"] = ORACLE_EVENT_TRANSITION_MATRIX
+
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def q_winsorize_stats(spark, sf_dir):
+    """WINSORIZATION — the robust-statistics data-cleaning pass (clamp
+    each group's tails at exact p05/p95 instead of dropping them, the
+    usual prep for outlier-sensitive feature scaling). Exact JVM
+    ``percentile`` per group (percentile_cont interpolation, the
+    percentile_bands contract); the boundaries are rounded to 6 dp
+    BEFORE clamping so both engines clamp against bit-identical
+    thresholds, then the winsorized mean accumulates through
+    decimal(38,10).
+
+    100 TB notes: two passes by design — a stats aggregate to |groups|
+    rows, broadcast back onto the scan, then one map-side-combinable
+    aggregate. Exact group percentiles buffer per-group values (fine
+    for bounded groups; unbounded keys would switch to approx_percentile
+    with a documented tolerance, which this gate's exact hash could not
+    pin)."""
+    from .core import _events
+
+    ev = _events(spark, sf_dir)
+    pct = F.percentile(F.col("value"), F.array(F.lit(WINSOR_LO), F.lit(WINSOR_HI)))
+    stats = ev.groupBy("event_type").agg(
+        F.round(pct[0], 6).alias("lo"), F.round(pct[1], 6).alias("hi")
+    )
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_clamped_lo"),
+            F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_clamped_hi"),
+            (
+                F.sum(clamped.cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("winsor_mean"),
+        )
+        .withColumn("winsor_mean", F.round("winsor_mean", 6))
+    )
+
+
+ORACLE_WINSORIZE_STATS = f"""
+WITH s AS (
+  SELECT event_type,
+         round(percentile_cont({WINSOR_LO}) WITHIN GROUP (ORDER BY value), 6) AS lo,
+         round(percentile_cont({WINSOR_HI}) WITHIN GROUP (ORDER BY value), 6) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, s.lo, s.hi,
+       SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS n_clamped_lo,
+       SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS n_clamped_hi,
+       round(CAST(CAST(SUM(CAST(greatest(lo, least(hi, value)) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS winsor_mean
+FROM events e JOIN s ON e.event_type = s.event_type
+GROUP BY 1, 2, 3
+"""
+
+EXT_QUERIES["winsorize_stats"] = q_winsorize_stats
+EXT_ORACLES["winsorize_stats"] = ORACLE_WINSORIZE_STATS
+
+
+def q_incremental_join_equivalence(spark, sf_dir):
+    """Incremental JOIN-view maintenance (the join-level sibling of
+    incremental_agg_equivalence): a materialized A⋈B where BOTH sides
+    take appends. With increments ΔA, ΔB the maintained view grows by
+        (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    — the standard delta-join identity. Orders (split on o_orderdate)
+    and lineitem (split on l_shipdate — a DIFFERENT clock, so every
+    delta term is non-trivially populated: late-shipping old orders
+    land in A_old⋈ΔB) are joined on orderkey; the union of the four
+    terms is aggregated per priority and must equal the full recompute
+    (the oracle — which never sees the decomposition).
+
+    100 TB notes: each maintenance cycle joins a small delta against
+    the accumulated side instead of recomputing A⋈B — with both sides
+    bucketed by the join key (sources/bucketing.py) the three delta
+    joins are shuffle-free on the accumulated side; the deltas
+    broadcast. Aggregates fold through decimal partials, so the
+    four-way union needs no global order."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+    o_cut, l_cut = "1998-06-01", "1998-09-01"
+    a_old = o.filter(F.col("o_orderdate") < o_cut)
+    da = o.filter(F.col("o_orderdate") >= o_cut)
+    b_old = li.filter(F.col("l_shipdate") < l_cut)
+    db = li.filter(F.col("l_shipdate") >= l_cut)
+    on = F.col("o_orderkey") == F.col("l_orderkey")
+    view = (
+        a_old.join(b_old, on)
+        .unionByName(da.join(b_old, on))
+        .unionByName(a_old.join(db, on))
+        .unionByName(da.join(db, on))
+    )
+    return view.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,10)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+ORACLE_INCREMENTAL_JOIN_EQUIVALENCE = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+EXT_QUERIES["incremental_join_equivalence"] = q_incremental_join_equivalence
+EXT_ORACLES["incremental_join_equivalence"] = ORACLE_INCREMENTAL_JOIN_EQUIVALENCE

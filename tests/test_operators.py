@@ -1181,3 +1181,35 @@ class TestEventTransitionMatrix:
         n_events = _events(spark, sf_dir).count()
         assert sum(r["n_trans"] for r in rows) == n_events
         assert "(start)" in by_src
+
+
+class TestIncrementalJoinEquivalence:
+    def test_all_four_delta_terms_populated(self, spark, sf_dir):
+        """The delta-join identity is only meaningfully exercised if
+        every term (old⋈old, ΔA⋈old, old⋈ΔB, ΔA⋈ΔB) contributes rows —
+        the different clocks (orderdate vs shipdate) must make
+        late-shipping old orders land in old⋈ΔB."""
+        import pyspark.sql.functions as F
+
+        from defi_features_data_pipeline_spark.queries.extensions import _t
+
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+        o_cut, l_cut = "1998-06-01", "1998-09-01"
+        on = F.col("o_orderkey") == F.col("l_orderkey")
+        terms = {
+            "old_old": o.filter(F.col("o_orderdate") < o_cut).join(
+                li.filter(F.col("l_shipdate") < l_cut), on
+            ),
+            "da_old": o.filter(F.col("o_orderdate") >= o_cut).join(
+                li.filter(F.col("l_shipdate") < l_cut), on
+            ),
+            "old_db": o.filter(F.col("o_orderdate") < o_cut).join(
+                li.filter(F.col("l_shipdate") >= l_cut), on
+            ),
+            "da_db": o.filter(F.col("o_orderdate") >= o_cut).join(
+                li.filter(F.col("l_shipdate") >= l_cut), on
+            ),
+        }
+        for name, term in terms.items():
+            assert term.count() > 0, f"delta term {name} is vacuous"
