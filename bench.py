@@ -131,6 +131,7 @@ SCALING_SUBSET = [
     "token_rarity_score",
     "curation_pipeline",
     "range_join_windows",
+    "rolling_active_users",
 ]
 
 # next SF down from the bench SF (testdata ships 0.001 / 0.01 / 0.1)
