@@ -115,6 +115,8 @@ HEADLINE = [
     "event_transition_matrix",
     "winsorize_stats",
     "incremental_join_equivalence",
+    "promo_revenue_share",
+    "returned_item_revenue",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
@@ -217,6 +219,20 @@ def _regressions(
     return out
 
 
+def _drop_stream_sinks(spark) -> None:
+    """Drop the memory-sink temp tables the streaming gates leave
+    behind. Each holds its query's full result IN DRIVER MEMORY; after
+    a 70-query sweep (×runs) dozens accumulate and the GC churn skews
+    whatever is timed next (measured: streaming e2e 18 s in a fresh
+    session vs 37 s at the end of an uncleaned sweep)."""
+    try:
+        for t in spark.catalog.listTables():
+            if t.name.startswith("stream_"):
+                spark.catalog.dropTempView(t.name)
+    except Exception:  # noqa: BLE001 — hygiene must never fail the bench
+        pass
+
+
 def _pipeline_e2e(spark, streaming: bool) -> float:
     """Wall-time of the full DeFi pipeline (raw→stage→analytics→
     features→DQ→serving) on a fresh fixture lake — fresh because the
@@ -267,6 +283,7 @@ def main() -> None:
             timings[name] = round(statistics.median(samples), 3)
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        _drop_stream_sinks(spark)
 
     scaling: dict[str, object] = {}
     small_sf = SMALLER_SF.get(sf)
@@ -293,6 +310,11 @@ def main() -> None:
             "wall_ratio": ratios,
         }
 
+    _drop_stream_sinks(spark)
+    try:
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001
+        pass
     pipe: dict[str, object] = {}
     for key, streaming in (
         ("pipeline_e2e_batch_sec", False),

@@ -4225,3 +4225,112 @@ GROUP BY 1
 
 EXT_QUERIES["incremental_join_equivalence"] = q_incremental_join_equivalence
 EXT_ORACLES["incremental_join_equivalence"] = ORACLE_INCREMENTAL_JOIN_EQUIVALENCE
+
+
+def q_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape — PROMO revenue share for one shipping quarter:
+    a conditional aggregate ratio over a date-windowed fact⋈dim join.
+    Both the conditional numerator and the denominator accumulate in
+    decimal(38,10) in the SAME aggregate pass; the percentage is one
+    double division rounded at the end. The part dim broadcasts; the
+    shipdate window is pushed to the lineitem scan.
+
+    Reference analogue: the per-category share-of-activity rollups in
+    src/pipelines/features/transformations/view_defi_borrow_features.sql."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(38,10)"
+    )
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(38,10)")))
+        .cast("double")
+        .alias("promo_rev"),
+        F.sum(rev).cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        F.round(F.col("promo_rev"), 2).alias("promo_rev"),
+        F.round(F.col("total_rev"), 2).alias("total_rev"),
+        F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6).alias(
+            "promo_share_pct"
+        ),
+    )
+
+
+ORACLE_PROMO_REVENUE_SHARE = """
+WITH j AS (
+  SELECT CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10)) AS rev, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1998-04-01'
+),
+a AS (
+  SELECT
+    CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(38,10)) END) AS VARCHAR) AS DOUBLE) AS promo_rev,
+    CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS total_rev
+  FROM j
+)
+SELECT round(promo_rev, 2) AS promo_rev,
+       round(total_rev, 2) AS total_rev,
+       round(100.0 * promo_rev / total_rev, 6) AS promo_share_pct
+FROM a
+"""
+
+EXT_QUERIES["promo_revenue_share"] = q_promo_revenue_share
+EXT_ORACLES["promo_revenue_share"] = ORACLE_PROMO_REVENUE_SHARE
+
+
+def q_returned_item_revenue(spark, sf_dir):
+    """TPC-H Q10 shape — top-20 customers by revenue LOST to returns in
+    one quarter: date-windowed orders ⋈ returned lineitems ⋈ customer ⋈
+    nation, a four-table star with a global top-k. The top-20 boundary
+    is made engine-independent by ranking on the ROUNDED revenue with
+    c_custkey as the total tie-break (same discipline as
+    tfidf_top_terms); TakeOrderedAndProject keeps the global sort
+    k-bounded per partition.
+
+    100 TB notes: customer/nation broadcast; the orders⋈lineitem join
+    shuffles once on orderkey with both date and returnflag filters
+    pushed to the scans; the aggregate is map-side combinable on
+    custkey before the top-k."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1998-04-01")
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(38,10)"
+    )
+    per_cust = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 6).alias("returned_rev"))
+    )
+    return per_cust.orderBy(
+        F.col("returned_rev").desc(), F.col("c_custkey").asc()
+    ).limit(20)
+
+
+ORACLE_RETURNED_ITEM_REVENUE = """
+SELECT c_custkey, c_name, n_name,
+       round(CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE), 6) AS returned_rev
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= '1998-01-01' AND o_orderdate < '1998-04-01'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY returned_rev DESC, c_custkey ASC
+LIMIT 20
+"""
+
+EXT_QUERIES["returned_item_revenue"] = q_returned_item_revenue
+EXT_ORACLES["returned_item_revenue"] = ORACLE_RETURNED_ITEM_REVENUE

@@ -288,3 +288,53 @@ def test_runtime_bloom_filter_injected(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join: a shuffle join with one hot key gets its oversized
+    partition SPLIT at runtime (SortMergeJoin ... skew=true in the final
+    adaptive plan) — the optimizer-automated complement to the manual
+    `salted_skew_join` operator (which exists for aggregations and for
+    joins AQE can't rewrite, e.g. under required distributions).
+    Thresholds are lowered only because the test input is tiny."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("v"),
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), F.col("id").alias("attr")
+        )
+        j = fact.join(dim, "k")
+        # materialize THIS Dataset (count() would build a different
+        # QueryExecution and leave j's adaptive plan unfinalized)
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
