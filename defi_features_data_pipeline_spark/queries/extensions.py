@@ -2629,7 +2629,7 @@ def q_dedup_clusters_lsh(spark, sf_dir):
     nothing quadratic, nothing driver-side but O(rounds) counters."""
     from ..operators.graph import connected_components
 
-    pairs = q_dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _lsh_edges(spark, sf_dir)
     labels = connected_components(pairs, "doc_a", "doc_b", symmetrize=True)
     out = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size"),
@@ -3274,7 +3274,7 @@ def q_dedup_keep_best(spark, sf_dir):
 
     from ..operators.graph import connected_components
 
-    pairs = q_dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _lsh_edges(spark, sf_dir)
     labels = connected_components(pairs, "doc_a", "doc_b", symmetrize=True)
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     members = labels.join(d, labels.node == d.doc_id).select(
@@ -3382,7 +3382,7 @@ def q_graph_triangle_count(spark, sf_dir):
     edge) — the standard distributed triangle enumeration; with
     canonical ordering the wedge fan-out is bounded by the
     out-degree, not the full degree."""
-    e = q_dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    e = _lsh_edges(spark, sf_dir)
     e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
@@ -3438,7 +3438,7 @@ def q_graph_pagerank(spark, sf_dir):
     count → no convergence action. At 100 TB each iteration would
     parquet-round-trip like connected_components (same lineage
     reasoning); 5 lazy levels are fine at gate scale."""
-    pairs = q_dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _lsh_edges(spark, sf_dir)
     ed = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(
@@ -4334,3 +4334,81 @@ LIMIT 20
 
 EXT_QUERIES["returned_item_revenue"] = q_returned_item_revenue
 EXT_ORACLES["returned_item_revenue"] = ORACLE_RETURNED_ITEM_REVENUE
+
+
+# ---------------------------------------------------------------------------
+# Shared near-dup graph artifact: the verified LSH edge list, built once
+# per corpus and LOADED by every graph consumer (clusters, keep-best
+# election, triangles, PageRank) — same load-first discipline as the IVF
+# index.
+# ---------------------------------------------------------------------------
+
+LSH_EDGES_ROOT = os.path.join(_REPO_ROOT, "artifacts", "lsh_edges")
+_LSH_EDGES_CACHE: dict[str, str] = {}  # sf key → validated edges path
+
+
+def lsh_edges_dir(sf_dir: str) -> str:
+    return os.path.join(
+        LSH_EDGES_ROOT, os.path.basename(os.path.normpath(sf_dir))
+    )
+
+
+def _docs_fingerprint(spark, sf_dir: str):
+    """(row count, doc_id checksum) — column-pruned corpus identity for
+    edge-artifact freshness (the edge list does not cover every doc, so
+    unlike IVF's assignment table it cannot self-certify; a one-row
+    meta table records what the edges were built from)."""
+    r = (
+        _t(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("s"))
+        .first()
+    )
+    return int(r["n"] or 0), int(r["s"] or 0)
+
+
+def _lsh_edges(spark, sf_dir: str) -> DataFrame:
+    """LOAD-first (doc_a, doc_b) verified near-dup pair list under
+    ``artifacts/lsh_edges/<sf>/``. Four downstream consumers walk this
+    graph (cluster labeling, keeper election, triangle count,
+    PageRank); recomputing shingles→MinHash→bands→verify inside each of
+    them — the expensive linear pass over the whole corpus — is exactly
+    the redundancy the IVF index round removed for embeddings (round-5
+    verdict #3). Steady state: one meta read + one fingerprint
+    aggregate, then a plain parquet scan of the edges; the pair
+    pipeline runs only when the corpus changed (edges first, meta
+    last — a crash between the two leaves a stale meta, which forces a
+    rebuild, never a silently wrong graph).
+
+    ``dedup_lsh_verified`` itself stays a LIVE computation — it is the
+    pair list's definition and its gate must keep proving the pipeline,
+    not the artifact."""
+    key = os.path.normpath(sf_dir)
+    if key in _LSH_EDGES_CACHE:
+        return spark.read.parquet(_LSH_EDGES_CACHE[key])
+    from ..sources.fsutil import has_committed_data, swap_dirs
+
+    adir = lsh_edges_dir(sf_dir)
+    epath = os.path.join(adir, "edges")
+    mpath = os.path.join(adir, "meta")
+    cur = _docs_fingerprint(spark, sf_dir)
+    fresh = False
+    if has_committed_data(spark, epath) and has_committed_data(spark, mpath):
+        try:
+            m = spark.read.parquet(mpath).first()
+            fresh = (int(m["n"]), int(m["s"])) == cur
+        except Exception:  # noqa: BLE001 — unreadable meta ⇒ rebuild
+            fresh = False
+    if not fresh:
+        edges = q_dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+        # coalesce(1): ~1e3 rows at these SFs; at real scale the edge
+        # list stays partitioned (drop the coalesce) — the swap keeps
+        # readers off partial writes either way.
+        tmp = epath + ".__tmp__"
+        edges.coalesce(1).write.mode("overwrite").parquet(tmp)
+        swap_dirs(spark, tmp, epath)
+        mdf = spark.createDataFrame([cur], "n bigint, s bigint")
+        tmpm = mpath + ".__tmp__"
+        mdf.coalesce(1).write.mode("overwrite").parquet(tmpm)
+        swap_dirs(spark, tmpm, mpath)
+    _LSH_EDGES_CACHE[key] = epath
+    return spark.read.parquet(epath)

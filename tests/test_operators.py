@@ -1213,3 +1213,66 @@ class TestIncrementalJoinEquivalence:
         }
         for name, term in terms.items():
             assert term.count() > 0, f"delta term {name} is vacuous"
+
+
+class TestLshEdgesArtifact:
+    def test_artifact_matches_live(self, spark, sf_dir):
+        """The materialized near-dup edge list == the live LSH→verify
+        pipeline's pairs (the artifact must be a cache, never a fork)."""
+        import defi_features_data_pipeline_spark.queries.extensions as ext
+
+        got = {
+            (r["doc_a"], r["doc_b"]) for r in ext._lsh_edges(spark, sf_dir).collect()
+        }
+        live = {
+            (r["doc_a"], r["doc_b"])
+            for r in ext.q_dedup_lsh_verified(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .collect()
+        }
+        assert got == live
+
+    def test_warm_load_runs_no_pair_pipeline(self, spark, sf_dir, monkeypatch):
+        """With a current on-disk artifact, a cold-cache call must LOAD:
+        zero shingle/MinHash/verify work (same no-fit discipline as the
+        IVF index)."""
+        import defi_features_data_pipeline_spark.queries.extensions as ext
+
+        ext._lsh_edges(spark, sf_dir)  # ensure built + current
+        ext._LSH_EDGES_CACHE.clear()  # force re-validation from disk
+
+        def _boom(*a, **k):
+            raise AssertionError("pair pipeline ran on a warm edge artifact")
+
+        monkeypatch.setattr(ext, "q_dedup_lsh_verified", _boom)
+        assert ext._lsh_edges(spark, sf_dir).count() >= 0
+
+    def test_stale_meta_triggers_rebuild(self, spark, sf_dir, tmp_path, monkeypatch):
+        """A fingerprint mismatch must force the pair pipeline to run —
+        a stale graph silently served would corrupt every consumer."""
+        import defi_features_data_pipeline_spark.queries.extensions as ext
+
+        adir = str(tmp_path / "lsh_edges_sf")
+        monkeypatch.setattr(ext, "lsh_edges_dir", lambda _sf: adir)
+        ext._LSH_EDGES_CACHE.clear()
+        try:
+            ext._lsh_edges(spark, sf_dir)  # builds into tmp
+            # falsify the meta: pretend the corpus had one more doc
+            meta = spark.read.parquet(f"{adir}/meta").first()
+            spark.createDataFrame(
+                [(int(meta["n"]) + 1, int(meta["s"]))], "n bigint, s bigint"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{adir}/meta")
+            ext._LSH_EDGES_CACHE.clear()
+
+            ran = {"rebuild": False}
+            live = ext.q_dedup_lsh_verified
+
+            def _spy(*a, **k):
+                ran["rebuild"] = True
+                return live(*a, **k)
+
+            monkeypatch.setattr(ext, "q_dedup_lsh_verified", _spy)
+            ext._lsh_edges(spark, sf_dir)
+            assert ran["rebuild"], "stale meta did not trigger a rebuild"
+        finally:
+            ext._LSH_EDGES_CACHE.clear()
