@@ -1,7 +1,13 @@
 from .asof import asof_join
 from .graph import connected_components
 from .joins import disjunctive_join
-from .ranking import global_ntile, global_rank, latest_per_group, top_k_per_group
+from .ranking import (
+    global_ntile,
+    global_rank,
+    latest_per_group,
+    skyline_2d,
+    top_k_per_group,
+)
 from .sets import union_distinct
 from .skew import salted_join
 from .incremental import high_watermark
@@ -14,6 +20,7 @@ __all__ = [
     "global_rank",
     "disjunctive_join",
     "latest_per_group",
+    "skyline_2d",
     "top_k_per_group",
     "union_distinct",
     "salted_join",

@@ -115,3 +115,28 @@ def global_ntile(
         F.lit(q == 0) | (rank <= big), F.ceil(rank / (q + 1))
     ).otherwise(F.lit(r) + F.ceil((rank - big) / F.lit(max(q, 1))))
     return ranked.withColumn(bucket_col, bucket.cast("int")).drop("__grank")
+
+
+def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
+    """2-D Pareto frontier: keep rows not dominated by any row with a
+    strictly smaller ``x`` and a ``y`` at least as large (rows sharing
+    an ``x`` never dominate each other). The quadratic NOT EXISTS is
+    rewritten as: per-``x`` max of ``y`` (map-side combinable, |x|
+    output rows), running prior-``x`` max over that small table (the
+    only single-partition step — O(|distinct x|), bounded by the key
+    domain, never the data), broadcast back, filter.
+
+    ``x`` must be an orderable numeric (RANGE frame requirement);
+    callers with dates pass a day number. Used by the
+    ``pareto_frontier`` gate; property-tested against brute force in
+    tests/test_properties.py."""
+    xmax = df.groupBy(x).agg(F.max(F.col(y)).alias("__ymax"))
+    w = Window.orderBy(x).rangeBetween(Window.unboundedPreceding, -1)
+    prior = xmax.select(F.col(x), F.max("__ymax").over(w).alias("__prior_max"))
+    return (
+        df.join(F.broadcast(prior), x)
+        .filter(
+            F.col("__prior_max").isNull() | (F.col(y) > F.col("__prior_max"))
+        )
+        .drop("__prior_max")
+    )

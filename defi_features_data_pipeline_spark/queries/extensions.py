@@ -3801,25 +3801,12 @@ def q_pareto_frontier(spark, sf_dir):
     the day→prior_max map broadcasts back onto the facts. The only
     single-partition step is O(|days|), bounded by the calendar, not the
     data. Day arithmetic is epoch-based (UTC, see core._t)."""
-    o = _t(spark, sf_dir, "orders")
-    from pyspark.sql import Window
+    from ..operators.ranking import skyline_2d
 
+    o = _t(spark, sf_dir, "orders")
     day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
-    daymax = o.groupBy(day.alias("__d")).agg(
-        F.max(F.col("o_totalprice")).alias("__dmax")
-    )
-    w = Window.orderBy("__d").rangeBetween(Window.unboundedPreceding, -1)
-    prior = daymax.select(
-        "__d", F.max(F.col("__dmax")).over(w).alias("__prior_max")
-    )
-    return (
-        o.withColumn("__d", day)
-        .join(F.broadcast(prior), "__d")
-        .filter(
-            F.col("__prior_max").isNull()
-            | (F.col("o_totalprice") > F.col("__prior_max"))
-        )
-        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    return skyline_2d(o.withColumn("__d", day), "__d", "o_totalprice").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
     )
 
 

@@ -221,3 +221,28 @@ def test_funnel_conversion_stage_invariants(spark, rows):
         if t3 is not None:
             assert t2 is not None and t2 <= t3 <= t2 + W
         assert depth == 1 + (t2 is not None) + (t3 is not None)
+
+
+skyline_rows = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 40)), min_size=1, max_size=20
+)
+
+
+@given(rows=skyline_rows)
+@settings(**SETTINGS)
+def test_skyline_2d_property(spark, rows):
+    """skyline_2d == brute-force 'no strictly-earlier x with y >= mine'
+    across random shapes — duplicate x values, y ties across x (earlier
+    wins), y ties within one x (both kept)."""
+    from defi_features_data_pipeline_spark.operators import skyline_2d
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(rows)], "rid long, x long, y long"
+    )
+    got = {r["rid"] for r in skyline_2d(df, "x", "y").collect()}
+    want = {
+        i
+        for i, (x, y) in enumerate(rows)
+        if not any(x2 < x and y2 >= y for (x2, y2) in rows)
+    }
+    assert got == want
