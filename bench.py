@@ -117,6 +117,7 @@ HEADLINE = [
     "incremental_join_equivalence",
     "promo_revenue_share",
     "returned_item_revenue",
+    "rfm_features",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

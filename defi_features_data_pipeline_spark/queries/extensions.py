@@ -4399,3 +4399,62 @@ def _lsh_edges(spark, sf_dir: str) -> DataFrame:
         swap_dirs(spark, tmpm, mpath)
     _LSH_EDGES_CACHE[key] = epath
     return spark.read.parquet(epath)
+
+
+RFM_NOW = "2002-01-01"  # injected reference instant (A2 discipline: no now())
+
+
+def q_rfm_features(spark, sf_dir):
+    """RFM FEATURE BLOCK per customer — recency (days since last
+    order, against an INJECTED reference date, the A2 deterministic-now
+    discipline), frequency (order count), monetary (decimal-summed
+    lifetime value) — the classic churn/LTV feature triple, assembled
+    exactly like the reference's per-wallet feature views (one
+    map-side-combinable aggregate per customer, left join back to the
+    customer spine, COALESCE-0 sentinels for order-less customers;
+    reference analogue: view_lending_time_and_count's
+    days-since-last + count pattern,
+    src/pipelines/features/transformations/).
+
+    100 TB notes: one scan of orders, one aggregate on custkey, one
+    shuffle-or-broadcast join to the spine — no window, no sort. The
+    -1 recency sentinel (not NULL) keeps the feature vector dense, the
+    same contract as the DeFi feature spine."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    j = c.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+    return j.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(
+            F.datediff(F.lit(RFM_NOW).cast("date"), F.col("__last")), F.lit(-1)
+        ).alias("recency_days"),
+        F.coalesce(F.col("frequency"), F.lit(0)).alias("frequency"),
+        F.round(F.coalesce(F.col("monetary"), F.lit(0.0)), 2).alias("monetary"),
+    )
+
+
+ORACLE_RFM_FEATURES = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_order,
+         count(*) AS frequency,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1
+)
+SELECT c_custkey, c_mktsegment,
+       coalesce(DATE '{RFM_NOW}' - last_order, -1) AS recency_days,
+       coalesce(frequency, 0) AS frequency,
+       round(coalesce(monetary, 0.0), 2) AS monetary
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+"""
+
+EXT_QUERIES["rfm_features"] = q_rfm_features
+EXT_ORACLES["rfm_features"] = ORACLE_RFM_FEATURES
