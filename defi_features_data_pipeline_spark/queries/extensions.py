@@ -4458,3 +4458,130 @@ FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
 
 EXT_QUERIES["rfm_features"] = q_rfm_features
 EXT_ORACLES["rfm_features"] = ORACLE_RFM_FEATURES
+
+
+# ---------------------------------------------------------------------------
+# Distributed linear algebra over the embedding column: per-dimension
+# moments and an exact Gram (X^T X) block — the statistics an embedding
+# QA / whitening / PCA-prep stage needs, with the repo's exact-decimal
+# determinism discipline so both engines hash-match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension mean / variance / min / max of the embedding
+    matrix — the embedding-drift monitor of a training-data pipeline.
+
+    ONE posexplode pass (n x d rows), groupBy dimension (d = 64 keys,
+    map-side combinable), so the cost is linear in the corpus with a
+    single shuffle of (dim, partial-moment) combiners. The float32
+    elements are widened to double (exact), squared (exact in IEEE:
+    24-bit mantissa products fit in 53 bits), accumulated in
+    decimal(38,10) (order-independent), and the final mean/variance is
+    ONE closed-form double expression — the same discipline as
+    feature_correlations / outlier_zscore.
+
+    100 TB: identical plan; d stays 64, so the reduce side is constant
+    width no matter the corpus size."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _spread(spark, e)
+    x = F.col("x").cast("double")
+    exploded = e.select(F.posexplode("embedding").alias("dim", "x"))
+    agg = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x.cast("decimal(38,10)")).cast("double").alias("__s"),
+        F.sum((x * x).cast("decimal(38,10)")).cast("double").alias("__sq"),
+        F.min(x).alias("__mn"),
+        F.max(x).alias("__mx"),
+    )
+    return agg.select(
+        "dim",
+        F.round(F.col("__s") / F.col("__n"), 8).alias("dim_mean"),
+        F.round(
+            (F.col("__sq") - F.col("__s") * F.col("__s") / F.col("__n"))
+            / F.col("__n"),
+            8,
+        ).alias("dim_var"),
+        F.round("__mn", 8).alias("dim_min"),
+        F.round("__mx", 8).alias("dim_max"),
+    )
+
+
+ORACLE_EMBEDDING_DIM_STATS = """
+WITH ex AS (
+  SELECT u.s.dim AS dim, CAST(u.s.x AS DOUBLE) AS x
+  FROM embeddings,
+       unnest([{'dim': i - 1, 'x': embedding[i]}
+               FOR i IN range(1, len(embedding) + 1)]) AS u(s)
+),
+agg AS (
+  SELECT dim, count(*) AS n,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sq,
+         min(x) AS mn, max(x) AS mx
+  FROM ex GROUP BY 1
+)
+SELECT dim, round(s / n, 8) AS dim_mean,
+       round((sq - s * s / n) / n, 8) AS dim_var,
+       round(mn, 8) AS dim_min, round(mx, 8) AS dim_max
+FROM agg
+"""
+
+EXT_QUERIES["embedding_dim_stats"] = q_embedding_dim_stats
+EXT_ORACLES["embedding_dim_stats"] = ORACLE_EMBEDDING_DIM_STATS
+
+GRAM_DIMS = 8  # leading dims in the exact Gram block (upper triangle)
+
+
+def q_embedding_gram_block(spark, sf_dir):
+    """Exact Gram block — X^T X over the leading 8 embedding dimensions
+    (upper triangle, 36 entries) as 36 independent decimal aggregates
+    in a SINGLE scan-only pass: no explode, no pair fan-out, no shuffle
+    except the 1-row final reduce. Element products are exact
+    (float32 widened to double), accumulation is decimal(38,10)
+    (order-independent), so the matrix is bit-identical however the
+    corpus is partitioned — the property a distributed PCA/whitening
+    prep needs for reproducible runs.
+
+    100 TB scale-out to full d: tile the d(d+1)/2 sums into ceil(T)
+    passes of ~a few hundred aggregate expressions each (plan-size
+    bound, all map-side combinable), or swap in a mapInArrow partial
+    X^T X per partition when exactness can yield to speed — the
+    arrow_batch_stats gate shows that machinery. The single-pass
+    multi-aggregate here is the JVM-exact member of that family."""
+    e = _t(spark, sf_dir, "embeddings").select("embedding")
+    aggs = []
+    names = []
+    for i in range(1, GRAM_DIMS + 1):
+        for j in range(i, GRAM_DIMS + 1):
+            xi = F.element_at("embedding", i).cast("double")
+            xj = F.element_at("embedding", j).cast("double")
+            nm = f"g_{i}_{j}"
+            aggs.append(
+                F.sum((xi * xj).cast("decimal(38,10)")).cast("double").alias(nm)
+            )
+            names.append((i, j, nm))
+    one = e.agg(*aggs)
+    stack = ", ".join(f"{i}, {j}, round({nm}, 8)" for i, j, nm in names)
+    return one.select(
+        F.expr(
+            f"stack({len(names)}, {stack}) AS (dim_i, dim_j, gram)"
+        )
+    )
+
+
+def _gram_oracle() -> str:
+    rows = []
+    for i in range(1, GRAM_DIMS + 1):
+        for j in range(i, GRAM_DIMS + 1):
+            rows.append(
+                f"SELECT {i} AS dim_i, {j} AS dim_j, "
+                "round(CAST(CAST(SUM(CAST(CAST(embedding[" + str(i) + "] AS DOUBLE)"
+                " * CAST(embedding[" + str(j) + "] AS DOUBLE) AS DECIMAL(38,10)))"
+                " AS VARCHAR) AS DOUBLE), 8) AS gram FROM embeddings"
+            )
+    return "\nUNION ALL\n".join(rows)
+
+
+EXT_QUERIES["embedding_gram_block"] = q_embedding_gram_block
+EXT_ORACLES["embedding_gram_block"] = _gram_oracle()
