@@ -4585,3 +4585,137 @@ def _gram_oracle() -> str:
 
 EXT_QUERIES["embedding_gram_block"] = q_embedding_gram_block
 EXT_ORACLES["embedding_gram_block"] = _gram_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Bounded-memory heavy hitters + deterministic sampling family
+# ---------------------------------------------------------------------------
+
+HH_PHI = 0.008  # support threshold: a heavy hitter covers > 0.8% of events
+
+
+def q_heavy_hitters_mg(spark, sf_dir):
+    """Exact heavy hitters with a bounded-memory candidate pass: users
+    covering > 0.8% of all events. Phase 1 runs per-partition
+    Misra-Gries (k = ceil(1/phi) counters, O(k) memory per task — see
+    operators/sketches.py for the superset guarantee), phase 2 exact-
+    counts ONLY rows whose key survived phase 1 (broadcast LEFT SEMI),
+    then applies the threshold against the exact total from a 1-row
+    aggregate. The final output is exact, so the oracle is the plain
+    GROUP BY ... HAVING — the sketch must be invisible, same discipline
+    as bloom_prune_join.
+
+    100 TB: phase 1 is map-only; phase 2 shuffles only the candidate
+    rows (a small fraction under a light-tailed key distribution), vs
+    a full-table shuffle for the naive exact groupBy."""
+    from ..operators.sketches import misra_gries_candidates
+    from .core import _events
+
+    ev = _events(spark, sf_dir).select("user_id")
+    k = int(1.0 / HH_PHI) + 1
+    cand = misra_gries_candidates(ev, "user_id", k)
+    total = ev.agg(F.count(F.lit(1)).alias("__n"))
+    counts = (
+        ev.join(F.broadcast(cand.withColumnRenamed("user_id", "__cand")),
+                F.col("user_id") == F.col("__cand"), "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("n_events") > F.lit(HH_PHI) * F.col("__n"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") / F.col("__n"), 8).alias("support"),
+        )
+    )
+
+
+ORACLE_HEAVY_HITTERS_MG = f"""
+SELECT user_id, count(*) AS n_events,
+       round(count(*) / (SELECT count(*) FROM events), 8) AS support
+FROM events
+GROUP BY 1
+HAVING count(*) > {HH_PHI} * (SELECT count(*) FROM events)
+"""
+
+EXT_QUERIES["heavy_hitters_mg"] = q_heavy_hitters_mg
+EXT_ORACLES["heavy_hitters_mg"] = ORACLE_HEAVY_HITTERS_MG
+
+
+RESERVOIR_K = 40
+
+
+def q_reservoir_sample_fixed(spark, sf_dir):
+    """Fixed-size uniform sample without replacement, deterministic:
+    rank documents by an md5-derived integer key (a seeded pseudo-
+    random permutation both engines compute bit-identically — no
+    floats anywhere) and keep the k smallest. Equivalent in
+    distribution to reservoir sampling, but order-independent and
+    rerunnable — the property a reproducible training-data pipeline
+    needs from its sampler.
+
+    100 TB: TakeOrderedAndProject keeps k rows per partition then a
+    k-row driver merge; no full sort, no single-partition stage."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    key = _h(F.concat(F.lit("reservoir:"), F.col("doc_id").cast("string")))
+    return (
+        d.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").asc(), F.col("doc_id").asc())
+        .limit(RESERVOIR_K)
+    )
+
+
+ORACLE_RESERVOIR_SAMPLE_FIXED = f"""
+SELECT doc_id,
+       {H_SQL.format(x="'reservoir:' || CAST(doc_id AS VARCHAR)")} AS sample_key
+FROM documents
+ORDER BY sample_key ASC, doc_id ASC
+LIMIT {RESERVOIR_K}
+"""
+
+EXT_QUERIES["reservoir_sample_fixed"] = q_reservoir_sample_fixed
+EXT_ORACLES["reservoir_sample_fixed"] = ORACLE_RESERVOIR_SAMPLE_FIXED
+
+
+WEIGHTED_K = 50
+
+
+def q_weighted_sample_topk(spark, sf_dir):
+    """Weighted sample without replacement (Efraimidis-Spirakis):
+    each doc draws a deterministic uniform u from an md5 hash and gets
+    priority ln(u)/weight (monotone-equivalent to the classical
+    u^(1/w)); the k LARGEST priorities are the sample, so selection
+    probability is proportional to weight (n_chars). u is exact
+    integer arithmetic in both engines; ln is the only libm call and
+    its <=1-ulp cross-engine drift is rounded away at 10 decimals
+    before ranking (same boundary discipline as tfidf_top_terms),
+    with doc_id as the total tie-break.
+
+    100 TB: map-only scoring + TakeOrderedAndProject top-k — no
+    shuffle, no driver-side randomness, rerun-stable."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = _h(F.concat(F.lit("es:"), F.col("doc_id").cast("string")))
+    u = (F.pmod(h, F.lit(1000003)) + F.lit(1)) / F.lit(1000004.0)
+    pri = F.round(F.log(u) / F.col("n_chars").cast("double"), 10)
+    return (
+        d.withColumn("priority", pri)
+        .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        .limit(WEIGHTED_K)
+        .select("doc_id", "n_chars", "priority")
+    )
+
+
+_ES_H = H_SQL.format(x="'es:' || CAST(doc_id AS VARCHAR)")
+ORACLE_WEIGHTED_SAMPLE_TOPK = f"""
+SELECT doc_id, n_chars,
+       round(ln((({_ES_H}) % 1000003 + 1) / 1000004.0)
+             / CAST(n_chars AS DOUBLE), 10) AS priority
+FROM documents
+ORDER BY priority DESC, doc_id ASC
+LIMIT {WEIGHTED_K}
+"""
+
+EXT_QUERIES["weighted_sample_topk"] = q_weighted_sample_topk
+EXT_ORACLES["weighted_sample_topk"] = ORACLE_WEIGHTED_SAMPLE_TOPK
