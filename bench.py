@@ -118,6 +118,21 @@ HEADLINE = [
     "promo_revenue_share",
     "returned_item_revenue",
     "rfm_features",
+    # correlated-subquery decorrelation family (TPC-H shapes)
+    "cheapest_lineitem_per_order",
+    "priority_count_exists",
+    "nation_balance_share",
+    "top_supplier_revenue",
+    "small_qty_order_revenue",
+    "large_order_customers",
+    "sole_late_supplier",
+    "idle_customer_balance",
+    # embedding linear algebra + sketch/sampling family
+    "embedding_dim_stats",
+    "embedding_gram_block",
+    "heavy_hitters_mg",
+    "reservoir_sample_fixed",
+    "weighted_sample_topk",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -1276,3 +1276,30 @@ class TestLshEdgesArtifact:
             assert ran["rebuild"], "stale meta did not trigger a rebuild"
         finally:
             ext._LSH_EDGES_CACHE.clear()
+
+
+def test_misra_gries_candidates_superset_guarantee(spark):
+    """Per-partition MG candidates must contain EVERY key with global
+    count > n/k, whatever the partitioning — the guarantee the exact
+    second pass of heavy_hitters_mg rests on. Skewed synthetic stream:
+    two heavy keys buried in a long uniform tail, shuffled and split
+    across partitions adversarially (round-robin interleaves the heavy
+    keys into every partition)."""
+    from defi_features_data_pipeline_spark.operators.sketches import (
+        misra_gries_candidates,
+    )
+
+    rows = [(1,)] * 400 + [(2,)] * 250 + [(100 + i % 97,) for i in range(350)]
+    # deterministic interleave so heavy keys spread over partitions
+    rows = [rows[i] for i in range(0, len(rows), 7)] + [
+        rows[i] for i in range(len(rows)) if i % 7 != 0
+    ]
+    df = spark.createDataFrame(rows, "user_id long").repartition(8)
+    n = len(rows)
+    for k in (5, 20, 100):
+        cand = {r.user_id for r in misra_gries_candidates(df, "user_id", k).collect()}
+        exact = df.groupBy("user_id").count().collect()
+        heavy = {r.user_id for r in exact if r["count"] > n / k}
+        assert heavy <= cand, f"k={k}: missing {heavy - cand}"
+        # and the candidate set is bounded: at most k per partition
+        assert len(cand) <= 8 * k
