@@ -133,6 +133,11 @@ HEADLINE = [
     "heavy_hitters_mg",
     "reservoir_sample_fixed",
     "weighted_sample_topk",
+    # CDC / pivot / LM scoring / attribution
+    "cdc_snapshot_diff",
+    "pivot_event_value",
+    "doc_lm_score",
+    "last_touch_attribution",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -4719,3 +4719,311 @@ LIMIT {WEIGHTED_K}
 
 EXT_QUERIES["weighted_sample_topk"] = q_weighted_sample_topk
 EXT_ORACLES["weighted_sample_topk"] = ORACLE_WEIGHTED_SAMPLE_TOPK
+
+
+# ---------------------------------------------------------------------------
+# Warehouse change-data-capture, pivot, LM scoring, attribution
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_snapshot_diff(spark, sf_dir):
+    """Snapshot-diff CDC: derive inserts / updates / deletes between
+    two table versions with ONE full-outer join on the key. The two
+    versions are deterministic derivations of `orders` (old = pre-1999
+    rows; new = pre-2000 rows, minus every 97th key as simulated
+    deletes, with open-status rows repriced +10%), so both engines
+    build identical snapshots and the diff is exactly reproducible.
+
+    100 TB: the diff shuffles each snapshot once on the key (or zero
+    times if both versions are bucketed on it — sources/bucketing.py);
+    unchanged rows are dropped BEFORE the output projection, so the
+    result is proportional to the churn, not the table.
+
+    Reference analogue: the reference's daily full-refresh pipelines
+    (src/pipelines/features/save_defi_features_features_db.py) would
+    become this diff against the serving store under an incremental
+    migration."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderdate") < "1999-01-01").select(
+        F.col("o_orderkey").alias("old_key"),
+        F.col("o_totalprice").alias("old_price"),
+    )
+    new = (
+        o.filter(F.col("o_orderdate") < "2000-01-01")
+        .filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            F.col("o_orderkey").alias("new_key"),
+            F.when(
+                F.col("o_orderstatus") == "O",
+                # exact decimal reprice: double->dec(18,4) rounds the
+                # same way in both engines; (18,4)x(2,1) is exact; the
+                # final HALF_UP round-to-2 is decimal, not float
+                F.round(
+                    F.col("o_totalprice").cast("decimal(18,4)")
+                    * F.lit(1.1).cast("decimal(2,1)"),
+                    2,
+                ).cast("double"),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("new_price"),
+        )
+    )
+    d = old.join(new, F.col("old_key") == F.col("new_key"), "full_outer")
+    change = (
+        F.when(F.col("old_key").isNull(), F.lit("insert"))
+        .when(F.col("new_key").isNull(), F.lit("delete"))
+        .when(F.col("old_price") != F.col("new_price"), F.lit("update"))
+    )
+    return (
+        d.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            F.coalesce("old_key", "new_key").alias("o_orderkey"),
+            "change_type",
+            "old_price",
+            "new_price",
+        )
+    )
+
+
+ORACLE_CDC_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT o_orderkey AS k, o_totalprice AS old_price
+  FROM orders WHERE o_orderdate < '1999-01-01'
+),
+new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderstatus = 'O' THEN
+           CAST(CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS VARCHAR) AS DOUBLE)
+         ELSE o_totalprice END AS new_price
+  FROM orders WHERE o_orderdate < '2000-01-01' AND o_orderkey % 97 <> 0
+)
+SELECT coalesce(old.k, new.k) AS o_orderkey,
+       CASE WHEN old.k IS NULL THEN 'insert'
+            WHEN new.k IS NULL THEN 'delete'
+            WHEN old_price <> new_price THEN 'update' END AS change_type,
+       old_price, new_price
+FROM old FULL OUTER JOIN new ON old.k = new.k
+WHERE (CASE WHEN old.k IS NULL THEN 'insert'
+            WHEN new.k IS NULL THEN 'delete'
+            WHEN old_price <> new_price THEN 'update' END) IS NOT NULL
+"""
+
+EXT_QUERIES["cdc_snapshot_diff"] = q_cdc_snapshot_diff
+EXT_ORACLES["cdc_snapshot_diff"] = ORACLE_CDC_SNAPSHOT_DIFF
+
+
+PIVOT_TYPES = ["click", "purchase", "view"]
+
+
+def q_pivot_event_value(spark, sf_dir):
+    """PIVOT with an explicit value list: per-user event-type revenue
+    matrix. The values list is FIXED (no discovery pass and a stable
+    schema — the form that scales: pivot with inferred values needs an
+    extra distinct scan and produces an unbounded column count); each
+    cell is an exact decimal sum. One shuffle on user_id; cells are
+    map-side combinable.
+
+    Reference analogue: the per-category feature columns the reference
+    fans out by hand in view_defi_borrow_features.sql."""
+    from .core import _events
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "value")
+    cell = F.round(
+        F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 6
+    )
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(cell)
+    )
+    return piv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0.0)).alias(f"{t}_rev")
+            for t in PIVOT_TYPES
+        ],
+    )
+
+
+ORACLE_PIVOT_EVENT_VALUE = """
+SELECT user_id,
+       coalesce(round(CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) FILTER (WHERE event_type = 'click') AS VARCHAR) AS DOUBLE), 6), 0.0) AS click_rev,
+       coalesce(round(CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) FILTER (WHERE event_type = 'purchase') AS VARCHAR) AS DOUBLE), 6), 0.0) AS purchase_rev,
+       coalesce(round(CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) FILTER (WHERE event_type = 'view') AS VARCHAR) AS DOUBLE), 6), 0.0) AS view_rev
+FROM events
+GROUP BY 1
+"""
+
+EXT_QUERIES["pivot_event_value"] = q_pivot_event_value
+EXT_ORACLES["pivot_event_value"] = ORACLE_PIVOT_EVENT_VALUE
+
+
+def q_doc_lm_score(spark, sf_dir):
+    """Bigram language-model scoring — per-doc mean log-likelihood
+    under the corpus MLE bigram model (p(w2|w1) = c(w1 w2) / c(w1-) with
+    c(w1-) = occurrences of w1 as a bigram prefix). The LM-based
+    quality score a curation pipeline uses next to the heuristic
+    text_quality features.
+
+    Determinism: p is a ratio of exact integer counts; ln(p) is the
+    only libm call, rounded at 10 decimals per INSTANCE before the
+    per-doc aggregation, which then runs in exact decimal — summation
+    order cannot move the score (same discipline as
+    weighted_sample_topk / tfidf).
+
+    100 TB: bigram instances are one exploded pass; the model table
+    (vocab^2 at worst, df-prunable) broadcasts back; per-doc rollup is
+    map-side combinable. No quadratic anything."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, d)
+    inst = (
+        d.withColumn("__toks", F.expr(TOKENS_SPARK))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(__toks) >= 2 THEN "
+                    "transform(sequence(0, size(__toks) - 2), "
+                    "i -> struct(__toks[i] AS w1, __toks[i+1] AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c12 = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy(F.col("w1").alias("__w1")).agg(F.sum("c12").alias("c1"))
+    model = c12.join(F.broadcast(c1), F.col("w1") == F.col("__w1")).select(
+        F.col("w1").alias("m_w1"), F.col("w2").alias("m_w2"), "c12", "c1"
+    )
+    logp = F.round(F.log(F.col("c12") / F.col("c1")), 10)
+    return (
+        inst.join(
+            F.broadcast(model),
+            (F.col("w1") == F.col("m_w1")) & (F.col("w2") == F.col("m_w2")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(logp.cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1)),
+                8,
+            ).alias("lm_score"),
+        )
+    )
+
+
+ORACLE_DOC_LM_SCORE = f"""
+WITH toked AS (
+  SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+),
+inst AS (
+  SELECT doc_id, u.bg['w1'] AS w1, u.bg['w2'] AS w2
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 2 THEN
+             [{{'w1': toks[i], 'w2': toks[i+1]}} FOR i IN range(1, len(toks))]
+           ELSE [] END AS bgs
+    FROM toked
+  ), unnest(bgs) AS u(bg)
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM inst GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+model AS (SELECT c12.w1, c12.w2, round(ln(c12 / c1), 10) AS logp
+          FROM c12 JOIN c1 USING (w1))
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(CAST(SUM(CAST(logp AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / count(*), 8) AS lm_score
+FROM inst JOIN model USING (w1, w2)
+GROUP BY 1
+"""
+
+EXT_QUERIES["doc_lm_score"] = q_doc_lm_score
+EXT_ORACLES["doc_lm_score"] = ORACLE_DOC_LM_SCORE
+
+
+ATTR_WINDOW_DAYS = 3
+
+
+def q_last_touch_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent click/view within 3 days (else 'direct'),
+    then revenue rolls up per channel. Decorrelated as ONE union +
+    window pass: touches and purchases interleave per user ordered by
+    (ts, is_purchase, event_type, event_id) — so at equal ts the touch
+    sorts first (inclusive semantics) and the running `last non-null
+    touch` carried by last(ignorenulls) is exactly the correlated
+    `ORDER BY ts DESC, event_type DESC, event_id DESC LIMIT 1` probe
+    the oracle runs per purchase.
+
+    100 TB: one shuffle on user_id for the window; the correlated form
+    would probe the event log once per purchase. The 3-day staleness
+    check happens AFTER the carry, as plain column math."""
+    from .core import _events
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type", "value")
+    tagged = ev.filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).withColumn(
+        "__touch",
+        F.when(
+            F.col("event_type").isin("click", "view"),
+            F.struct(
+                F.col("ts").alias("t_ts"), F.col("event_type").alias("t_type")
+            ),
+        ),
+    ).withColumn("__is_p", (F.col("event_type") == "purchase").cast("int"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "__is_p", "event_type", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn("__last", F.last("__touch", ignorenulls=True).over(w))
+    channel = F.when(
+        F.col("__last").isNull()
+        | (
+            F.col("ts").cast("long") - F.col("__last.t_ts").cast("long")
+            > ATTR_WINDOW_DAYS * 86400
+        ),
+        F.lit("direct"),
+    ).otherwise(F.col("__last.t_type"))
+    return (
+        carried.filter(F.col("__is_p") == 1)
+        .select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 6
+            ).alias("attributed_rev"),
+        )
+    )
+
+
+ORACLE_LAST_TOUCH_ATTRIBUTION = f"""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+att AS (
+  SELECT p.value,
+         coalesce((
+           SELECT t.event_type FROM events t
+           WHERE t.user_id = p.user_id
+             AND t.event_type IN ('click', 'view')
+             AND t.ts <= p.ts
+             AND t.ts >= p.ts - INTERVAL {ATTR_WINDOW_DAYS * 24} HOUR
+           ORDER BY t.ts DESC, t.event_type DESC, t.event_id DESC
+           LIMIT 1), 'direct') AS channel
+  FROM p
+)
+SELECT channel, count(*) AS n_purchases,
+       round(CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE), 6) AS attributed_rev
+FROM att
+GROUP BY 1
+"""
+
+EXT_QUERIES["last_touch_attribution"] = q_last_touch_attribution
+EXT_ORACLES["last_touch_attribution"] = ORACLE_LAST_TOUCH_ATTRIBUTION
