@@ -4621,14 +4621,13 @@ def q_heavy_hitters_mg(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    return (
-        counts.join(F.broadcast(total))
-        .filter(F.col("n_events") > F.lit(HH_PHI) * F.col("__n"))
-        .select(
-            "user_id",
-            "n_events",
-            F.round(F.col("n_events") / F.col("__n"), 8).alias("support"),
-        )
+    # scalar subquery for the threshold (an inequality against a global
+    # aggregate would otherwise plan as a BroadcastNestedLoopJoin)
+    n_total = total.scalar()
+    return counts.filter(F.col("n_events") > F.lit(HH_PHI) * n_total).select(
+        "user_id",
+        "n_events",
+        F.round(F.col("n_events") / n_total, 8).alias("support"),
     )
 
 

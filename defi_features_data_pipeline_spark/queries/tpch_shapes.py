@@ -1,14 +1,24 @@
 """Correlated-subquery decorrelation family (TPC-H Q2/Q4/Q11/Q15/Q17/
 Q18/Q21/Q22 shapes) over the driver testdata.
 
-Each DuckDB oracle is the LITERAL correlated-subquery SQL; the Spark
-side is the hand-decorrelated DataFrame plan a distributed engine must
-run instead (windows, semi/anti joins, scalar-aggregate broadcasts,
-aggregate-then-join-back). The gate therefore proves the decorrelation
-is semantics-preserving — the core rewrite battery of any warehouse
-query engine, and the shape the reference's Athena SQL relies on the
-warehouse to perform (SURVEY §2.3-§2.4; reference analogues noted per
-query).
+Each DuckDB oracle is the LITERAL correlated-subquery SQL (EXISTS /
+NOT EXISTS / IN / correlated scalar); the Spark side is the
+hand-decorrelated DataFrame plan a distributed engine must run instead
+(windows, semi/anti joins, scalar-subquery thresholds,
+aggregate-then-join-back). The gate therefore proves each
+decorrelation is semantics-preserving — the core rewrite battery of
+any warehouse query engine, and the shape the reference's Athena SQL
+relies on the warehouse to perform (SURVEY §2.3-§2.4; reference
+analogues noted per query).
+
+Relationship to queries/core.py's q_small_quantity_revenue /
+q_top_supplier_share / q_important_stock (same TPC-H ancestries):
+those gate the PLAN SHAPE against an already-decorrelated CTE oracle;
+the queries here gate the REWRITE ITSELF — their oracles keep the
+correlation, so a semantic drift between the correlated form and the
+decorrelated plan fails the hash even if both engines agree on the
+decorrelated algebra. Predicates, date windows, and output columns
+also differ; none is a re-registration of a core query.
 
 Determinism contract (same as queries/core.py): money/quantity sums go
 through exact DECIMAL(38,10) (or narrower) accumulation; thresholds
@@ -152,11 +162,13 @@ def q_nation_balance_share(spark, sf_dir):
         .agg(F.sum(bal).cast("double").alias("nation_bal"))
     )
     total = s.agg(F.sum(bal).cast("double").alias("__tot"))
-    return (
-        per_nation.join(F.broadcast(total))
-        .filter(F.col("nation_bal") > F.lit(0.05) * F.col("__tot"))
-        .select("n_name", F.round("nation_bal", 6).alias("nation_bal"))
-    )
+    # scalar subquery (not a 1-row broadcast join): an inequality
+    # threshold cannot be folded into a join condition, so a crossJoin
+    # here would plan as BroadcastNestedLoopJoin — .scalar() embeds the
+    # aggregate result as a literal instead (see q_watermark_filter)
+    return per_nation.filter(
+        F.col("nation_bal") > F.lit(0.05) * total.scalar()
+    ).select("n_name", F.round("nation_bal", 6).alias("nation_bal"))
 
 
 TPCH_ORACLES["nation_balance_share"] = f"""
@@ -439,9 +451,10 @@ def q_idle_customer_balance(spark, sf_dir):
     recent = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= "2000-01-01"
     ).select("o_custkey")
+    # scalar subquery, not a 1-row broadcast join (inequality filter —
+    # see q_nation_balance_share)
     return (
-        c.join(F.broadcast(thr))
-        .filter(F.col("c_acctbal") > F.col("__avg"))
+        c.filter(F.col("c_acctbal") > thr.scalar())
         .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_nationkey")
         .agg(
