@@ -138,6 +138,7 @@ HEADLINE = [
     "pivot_event_value",
     "doc_lm_score",
     "last_touch_attribution",
+    "resample_daily_gapfill",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -5026,3 +5026,88 @@ GROUP BY 1
 
 EXT_QUERIES["last_touch_attribution"] = q_last_touch_attribution
 EXT_ORACLES["last_touch_attribution"] = ORACLE_LAST_TOUCH_ATTRIBUTION
+
+
+def q_resample_daily_gapfill(spark, sf_dir):
+    """Time-series resample to a daily grid with gap filling: each
+    user's activity span is densified to one row per calendar day;
+    days with no events get n_events = 0 and carry the last observed
+    daily average forward (LOCF). The calendar is generated PER USER
+    from that user's own min/max day via sequence()+explode — a
+    constant map-side fan-out, NOT a users x days cross join (which
+    would be a CartesianProduct, banned by the plan sweep, and a
+    scale hazard when the day span grows).
+
+    100 TB: one shuffle to the per-(user, day) rollup, one to the
+    per-user span, one window pass for the carry — all on user_id, so
+    an engine that reuses partitioning runs them in one exchange.
+    LOCF via last(ignorenulls) is the same carry machinery as
+    last_touch_attribution.
+
+    Reference analogue: the daily feature grids the reference
+    materializes per wallet (view_defi_features_all_wallets.sql)."""
+    from .core import _events
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id"), F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("__avg"),
+    )
+    grid = (
+        ev.groupBy(F.col("user_id").alias("__u"))
+        .agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
+        .select(
+            "__u",
+            F.explode(
+                F.expr("sequence(__d0, __d1, interval 1 day)")
+            ).alias("__day"),
+        )
+    )
+    j = grid.join(
+        daily,
+        (F.col("__u") == F.col("user_id")) & (F.col("__day") == F.col("day")),
+        "left",
+    )
+    w = (
+        Window.partitionBy("__u")
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col("__u").alias("user_id"),
+        F.col("__day").alias("day"),
+        F.coalesce("__n", F.lit(0)).alias("n_events"),
+        F.last("__avg", ignorenulls=True).over(w).alias("locf_avg_value"),
+    )
+
+
+ORACLE_RESAMPLE_DAILY_GAPFILL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+),
+daily AS (
+  SELECT user_id, day, count(*) AS n,
+         round(CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_v
+  FROM ev GROUP BY 1, 2
+),
+grid AS (
+  SELECT user_id AS u, unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+  FROM ev GROUP BY user_id
+)
+SELECT grid.u AS user_id, grid.day,
+       coalesce(daily.n, 0) AS n_events,
+       last_value(daily.avg_v IGNORE NULLS) OVER (
+         PARTITION BY grid.u ORDER BY grid.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg_value
+FROM grid LEFT JOIN daily ON grid.u = daily.user_id AND grid.day = daily.day
+"""
+
+EXT_QUERIES["resample_daily_gapfill"] = q_resample_daily_gapfill
+EXT_ORACLES["resample_daily_gapfill"] = ORACLE_RESAMPLE_DAILY_GAPFILL
