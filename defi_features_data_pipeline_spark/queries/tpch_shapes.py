@@ -372,10 +372,16 @@ def q_sole_late_supplier(spark, sf_dir):
     Top-10 by numwait with s_name as the total tie-break keeps the
     boundary engine-independent.
 
-    100 TB: two chained aggregates on (orderkey[,suppkey]) — the second
-    groups a strict prefix of the first's key, so it reuses the same
-    partitioning with NO extra exchange; supplier dim broadcasts. The
-    naive form is two correlated semi/anti probes per lineitem."""
+    100 TB: the orderkey shuffle that the lineitem⋈orders sort-merge
+    join pays is the ONLY fact exchange in the whole chain — the
+    (orderkey, suppkey) pair aggregate is clustered by the join's
+    output partitioning, and the order-level ns/nl are WINDOW
+    aggregates over that same partitioning (no join-back, no second
+    exchange, no recomputation of the pair subtree). Supplier dim
+    broadcasts. The naive form is two correlated semi/anti probes per
+    lineitem."""
+    from pyspark.sql import Window
+
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     late = (
@@ -387,12 +393,11 @@ def q_sole_late_supplier(spark, sf_dir):
         .agg(F.sum(late).alias("n_late_items"))
         .withColumn("any_late", (F.col("n_late_items") > 0).cast("int"))
     )
-    per_order = pair.groupBy(F.col("l_orderkey").alias("__ok")).agg(
-        F.count(F.lit(1)).alias("ns"), F.sum("any_late").alias("nl")
-    )
+    w = Window.partitionBy("l_orderkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     kept = (
-        pair.join(F.broadcast(per_order), F.col("l_orderkey") == F.col("__ok"))
+        pair.withColumn("ns", F.count(F.lit(1)).over(w))
+        .withColumn("nl", F.sum("any_late").over(w))
         .filter((F.col("any_late") == 1) & (F.col("ns") >= 2) & (F.col("nl") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
     )

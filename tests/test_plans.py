@@ -338,3 +338,30 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sole_late_supplier_single_fact_exchange(spark, sf_dir):
+    """Q21-shape decorrelation plan contract: the orderkey shuffle paid
+    by the lineitem⋈orders sort-merge join must be the ONLY fact
+    exchange — the (orderkey, suppkey) pair aggregate and both
+    order-level window aggregates run on the join's output
+    partitioning with no re-exchange and no recomputation of the pair
+    subtree. Broadcast is disabled so the fact-fact plan (the 100 TB
+    shape) is what gets asserted."""
+    from defi_features_data_pipeline_spark.queries import ALL_QUERIES
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = ALL_QUERIES["sole_late_supplier"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    # lineitem(ok) + orders(ok) + the tiny final s_name rollup — and
+    # nothing else: no (ok, sk) re-exchange, no window re-exchange
+    assert len(hash_exchanges) == 3, hash_exchanges
+    assert sum("l_suppkey" in ln for ln in hash_exchanges) == 0
