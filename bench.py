@@ -139,6 +139,8 @@ HEADLINE = [
     "doc_lm_score",
     "last_touch_attribution",
     "resample_daily_gapfill",
+    "chunk_documents",
+    "pack_training_sequences",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

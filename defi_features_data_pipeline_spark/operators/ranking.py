@@ -140,3 +140,53 @@ def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
         )
         .drop("__prior_max")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_by: list[str],
+    value_col: str,
+    out_col: str = "prefix_sum",
+) -> DataFrame:
+    """Exact INCLUSIVE running sum of ``value_col`` under a total order,
+    without the single-partition collapse — the distributed prefix-sum
+    (scan) primitive: same two-pass machinery as global_rank, but the
+    per-partition offsets accumulate SUMS instead of row counts.
+    Integer/decimal value columns give bit-exact results; the offsets
+    collected to the driver are P scalars."""
+    cols = [F.col(c) for c in order_by]
+    n_part = max(df.rdd.getNumPartitions(), 1)
+    ranged = (
+        df.repartitionByRange(n_part, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid] or 0
+    offset_expr = (
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+            ),
+            F.col("__pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ranged.withColumn(
+        out_col, (offset_expr + F.sum(value_col).over(w)).cast("long")
+    ).drop("__pid")

@@ -5111,3 +5111,125 @@ FROM grid LEFT JOIN daily ON grid.u = daily.user_id AND grid.day = daily.day
 
 EXT_QUERIES["resample_daily_gapfill"] = q_resample_daily_gapfill
 EXT_ORACLES["resample_daily_gapfill"] = ORACLE_RESAMPLE_DAILY_GAPFILL
+
+
+# ---------------------------------------------------------------------------
+# LLM training-prep: document chunking and sequence packing
+# ---------------------------------------------------------------------------
+
+CHUNK_LEN = 32    # tokens per chunk
+CHUNK_STRIDE = 24  # overlap = CHUNK_LEN - CHUNK_STRIDE
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking — the passage extraction step
+    ahead of embedding / retrieval indexing: 32-token windows every 24
+    tokens (8-token overlap), map-only via sequence()+explode+slice.
+    Chunks are emitted as (doc_id, chunk_idx, n_tokens, chunk_hash):
+    the md5-derived hash pins the exact chunk CONTENT cross-engine
+    without shipping the text twice.
+
+    100 TB: pure map-side fan-out of ~len/stride chunks per doc — no
+    shuffle at all in this projection; downstream consumers group by
+    chunk_hash (dedup) or embed per chunk."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, d)
+    toks = d.withColumn("__toks", F.expr(TOKENS_SPARK)).filter(
+        F.size("__toks") > 0
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, size(__toks), {CHUNK_STRIDE}), "
+                   f"s -> slice(__toks, s, {CHUNK_LEN}))")
+        ).alias("chunk_idx", "__chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("__chunk").alias("n_tokens"),
+        _h(F.concat_ws(" ", "__chunk")).alias("chunk_hash"),
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = f"""
+WITH toked AS (
+  SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         u.c['i'] AS chunk_idx,
+         u.c['ch'] AS chunk
+  FROM (
+    SELECT doc_id,
+           [{{'i': CAST((s - 1) // {CHUNK_STRIDE} AS INT),
+              'ch': list_slice(toks, s, s + {CHUNK_LEN - 1})}}
+            FOR s IN range(1, len(toks) + 1, {CHUNK_STRIDE})] AS cs
+    FROM toked WHERE len(toks) > 0
+  ), unnest(cs) AS u(c)
+)
+SELECT doc_id, chunk_idx, len(chunk) AS n_tokens,
+       {H_SQL.format(x="array_to_string(chunk, ' ')")} AS chunk_hash
+FROM chunks
+"""
+
+EXT_QUERIES["chunk_documents"] = q_chunk_documents
+EXT_ORACLES["chunk_documents"] = ORACLE_CHUNK_DOCUMENTS
+
+
+PACK_CAPACITY = 512  # tokens per packed training sequence
+
+
+def q_pack_training_sequences(spark, sf_dir):
+    """Sequence packing — assign documents to fixed-capacity training
+    sequences by their exclusive start offset in the doc_id-ordered
+    token stream: bin = floor(start_offset / capacity). Offsets come
+    from the distributed prefix-sum operator (two-pass range-sort +
+    per-partition offsets, operators/ranking.py::global_prefix_sum) —
+    NOT a single-partition global window, so the plan survives a
+    corpus that does not fit one task. All arithmetic is integer-
+    exact; the oracle's naive global window proves the distributed
+    scan computes the same offsets.
+
+    100 TB: range sort + one tiny offset collect; per-bin rollup is
+    map-side combinable on the already-sorted stream."""
+    from ..operators.ranking import global_prefix_sum
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.size(F.expr(TOKENS_SPARK)).alias("n_tokens")
+    )
+    pre = global_prefix_sum(toks, ["doc_id"], "n_tokens", out_col="__cum")
+    binned = pre.withColumn(
+        "bin_id",
+        F.floor((F.col("__cum") - F.col("n_tokens")) / PACK_CAPACITY).cast("long"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+ORACLE_PACK_TRAINING_SEQUENCES = f"""
+WITH toked AS (
+  SELECT doc_id, len({TOKENS_DUCK}) AS n_tokens FROM documents
+),
+pre AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toked
+)
+SELECT CAST(floor((cum - n_tokens) / {PACK_CAPACITY}) AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       SUM(n_tokens) AS n_tokens_total,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM pre
+GROUP BY 1
+"""
+
+EXT_QUERIES["pack_training_sequences"] = q_pack_training_sequences
+EXT_ORACLES["pack_training_sequences"] = ORACLE_PACK_TRAINING_SEQUENCES

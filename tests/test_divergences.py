@@ -102,3 +102,50 @@ def test_feature_spine_keeps_all_null_borrow_fragment(spark, tmp_path_factory):
         and not (got[c] == want[c] if c in INT_COLS else _close(got[c], want[c]))
     ]
     assert not mismatches, mismatches
+
+
+def test_cdc_diff_applied_to_old_reproduces_new(spark, sf_dir):
+    """Apply-changes invariant: old snapshot + cdc_snapshot_diff == new
+    snapshot, row for row. This is the property that makes the diff a
+    usable CDC feed (not just a report): deletes remove, inserts add,
+    updates replace."""
+    from pyspark.sql import functions as F
+
+    from defi_features_data_pipeline_spark.queries import ALL_QUERIES
+    from defi_features_data_pipeline_spark.queries.core import _t
+
+    diff = ALL_QUERIES["cdc_snapshot_diff"](spark, sf_dir)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderdate") < "1999-01-01").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    new = (
+        o.filter(F.col("o_orderdate") < "2000-01-01")
+        .filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderstatus") == "O",
+                F.round(
+                    F.col("o_totalprice").cast("decimal(18,4)")
+                    * F.lit(1.1).cast("decimal(2,1)"),
+                    2,
+                ).cast("double"),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+        )
+    )
+    dels = diff.filter(F.col("change_type") == "delete").select("o_orderkey")
+    upserts = diff.filter(F.col("change_type") != "delete").select(
+        "o_orderkey", F.col("new_price").alias("price")
+    )
+    applied = (
+        old.join(dels, "o_orderkey", "left_anti")
+        .join(upserts.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(upserts)
+    )
+    assert applied.exceptAll(new).count() == 0
+    assert new.exceptAll(applied).count() == 0

@@ -1303,3 +1303,27 @@ def test_misra_gries_candidates_superset_guarantee(spark):
         assert heavy <= cand, f"k={k}: missing {heavy - cand}"
         # and the candidate set is bounded: at most k per partition
         assert len(cand) <= 8 * k
+
+
+def test_global_prefix_sum_matches_naive_and_ignores_partitioning(spark):
+    """The distributed two-pass prefix sum must equal the naive
+    single-partition running sum under any input partitioning."""
+    import random
+
+    from defi_features_data_pipeline_spark.operators.ranking import (
+        global_prefix_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50)) for i in range(937)]
+    expected, acc = {}, 0
+    for i, v in rows:
+        acc += v
+        expected[i] = acc
+    for nparts in (1, 5, 32):
+        df = spark.createDataFrame(rows, "k long, v long").repartition(nparts)
+        got = {
+            r.k: r.prefix_sum
+            for r in global_prefix_sum(df, ["k"], "v").collect()
+        }
+        assert got == expected, f"nparts={nparts}"
