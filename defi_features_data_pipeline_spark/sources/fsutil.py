@@ -163,13 +163,40 @@ def manifest_commit(
     return f"{root}/{DATA_PREFIX}{n:010d}"
 
 
-def read_manifested(spark: SparkSession, table_root: str):
-    """DataFrame over the current committed version (raises if the
-    table has never been committed)."""
-    path = manifest_resolve(spark, table_root)
-    if path is None:
-        raise FileNotFoundError(f"no committed version under {table_root}")
-    return spark.read.parquet(path)
+def manifest_versions(spark: SparkSession, table_root: str) -> list[int]:
+    """Committed version numbers still readable (marker AND data dir
+    present), ascending. The time-travel catalog: one directory
+    listing, no file contents read."""
+    fs, root_p = _fs(spark, table_root)
+    committed = set(_versioned(fs, root_p, MANIFEST_PREFIX))
+    live = set(_versioned(fs, root_p, DATA_PREFIX))
+    return sorted(committed & live)
+
+
+def read_manifested(
+    spark: SparkSession, table_root: str, version: int | None = None
+):
+    """DataFrame over a committed version — the latest by default, or a
+    pinned historical one (time travel over the `keep` retention
+    window, same contract as a lakehouse snapshot read). Raises
+    FileNotFoundError if the table has never been committed;
+    ValueError if the requested version was never committed or has
+    been garbage-collected past the keep horizon (listing the
+    still-readable versions so callers can re-pin)."""
+    if version is None:
+        path = manifest_resolve(spark, table_root)
+        if path is None:
+            raise FileNotFoundError(f"no committed version under {table_root}")
+        return spark.read.parquet(path)
+    live = manifest_versions(spark, table_root)
+    if version not in live:
+        raise ValueError(
+            f"version {version} of {table_root} is not readable "
+            f"(committed & retained: {live}); raise manifest_commit(keep=...) "
+            "to widen the time-travel window"
+        )
+    root = table_root.rstrip("/")
+    return spark.read.parquet(f"{root}/{DATA_PREFIX}{version:010d}")
 
 
 def list_parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:

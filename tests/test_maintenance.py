@@ -211,3 +211,35 @@ class TestManifestCommit:
             t.join()
         assert not failures, failures
         assert read_manifested(spark, root).count() == 35
+
+
+class TestTimeTravel:
+    def test_pinned_version_read_within_keep_window(self, spark, tmp_path):
+        """Time travel over the manifest store: with keep=2, the
+        previous committed version stays readable BY NUMBER after a new
+        commit; past the horizon the read fails loudly, listing what is
+        still readable."""
+        import pytest
+
+        from defi_features_data_pipeline_spark.sources.fsutil import (
+            manifest_commit,
+            manifest_versions,
+            read_manifested,
+        )
+
+        root = str(tmp_path / "tt")
+        committed = []
+        for i in range(4):
+            staged = str(tmp_path / f"stage{i}")
+            spark.range(10 * (i + 1)).write.mode("overwrite").parquet(staged)
+            manifest_commit(spark, root, staged, keep=2)
+            committed.append(10 * (i + 1))
+        live = manifest_versions(spark, root)
+        assert live == [2, 3, 4], live  # keep=2: current + two previous
+
+        assert read_manifested(spark, root).count() == committed[-1]
+        assert read_manifested(spark, root, version=3).count() == committed[2]
+        with pytest.raises(ValueError, match="not readable"):
+            read_manifested(spark, root, version=1)
+        with pytest.raises(ValueError, match="not readable"):
+            read_manifested(spark, root, version=99)

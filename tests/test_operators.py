@@ -1327,3 +1327,44 @@ def test_global_prefix_sum_matches_naive_and_ignores_partitioning(spark):
             for r in global_prefix_sum(df, ["k"], "v").collect()
         }
         assert got == expected, f"nparts={nparts}"
+
+
+def test_chunking_covers_every_token_with_expected_overlap(spark, sf_dir):
+    """Chunk-coverage invariants on the real corpus: (a) chunk starts
+    step by the stride so every token position is inside >= 1 chunk;
+    (b) all chunks are CHUNK_LEN long except possibly the final ones;
+    (c) per-doc total chunked tokens == n_tokens + overlap * (chunks
+    whose predecessor was full) — i.e. nothing dropped, overlap exact."""
+    from pyspark.sql import functions as F
+
+    from defi_features_data_pipeline_spark.queries import ALL_QUERIES
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        CHUNK_LEN,
+        CHUNK_STRIDE,
+        TOKENS_SPARK,
+    )
+    from defi_features_data_pipeline_spark.queries.core import _t
+
+    chunks = ALL_QUERIES["chunk_documents"](spark, sf_dir)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.expr(TOKENS_SPARK)).alias("n_toks"))
+        .filter(F.col("n_toks") > 0)
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("tok_sum"),
+        F.max("chunk_idx").alias("max_idx"),
+    )
+    j = docs.join(per_doc, "doc_id").collect()
+    assert j, "no documents chunked"
+    for r in j:
+        n, k = r.n_toks, r.n_chunks
+        # starts are 1, 1+stride, ... <= n  =>  k = ceil(n / stride)
+        assert k == -(-n // CHUNK_STRIDE), r
+        assert r.max_idx == k - 1, r
+        # sum of chunk lengths: min(CHUNK_LEN, remaining) per start
+        expected = sum(
+            min(CHUNK_LEN, n - s) for s in range(0, n, CHUNK_STRIDE)
+        )
+        assert r.tok_sum == expected, r
