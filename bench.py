@@ -158,6 +158,8 @@ SCALING_SUBSET = [
     "curation_pipeline",
     "range_join_windows",
     "rolling_active_users",
+    "sole_late_supplier",
+    "pack_training_sequences",
 ]
 
 # next SF down from the bench SF (testdata ships 0.001 / 0.01 / 0.1)
