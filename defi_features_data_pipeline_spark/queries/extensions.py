@@ -5233,3 +5233,139 @@ GROUP BY 1
 
 EXT_QUERIES["pack_training_sequences"] = q_pack_training_sequences
 EXT_ORACLES["pack_training_sequences"] = ORACLE_PACK_TRAINING_SEQUENCES
+
+
+def _stage_events_with_flush(spark, sf_dir):
+    """Staging dir for the outer-join stream: the events file plus ONE
+    far-future '__flush' sentinel row in a second parquet file. The
+    sentinel's only job is to advance BOTH sides' event-time watermarks
+    past every real row + join interval, so the left-outer state store
+    provably evicts and emits its final null matches — the production
+    pattern for flushing a stream-stream outer join at end-of-feed.
+    The sentinel is built with the file's own physical schema (nanos-
+    as-long or timestamp), so the streaming read sees one type."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw = spark.read.parquet(path)
+    ts_type = dict(raw.dtypes)["ts"]
+    mx = raw.agg(F.max("ts").alias("ts"))
+    if ts_type == "bigint":  # nanosecond longs
+        flush_ts = (F.col("ts") + F.lit(30 * 86400 * 10**9)).cast("long")
+    else:
+        flush_ts = F.col("ts") + F.expr("INTERVAL 30 DAYS")
+    exprs = []
+    for f in raw.schema.fields:
+        if f.name == "ts":
+            exprs.append(flush_ts.alias("ts"))
+        elif f.name == "event_id":
+            exprs.append(F.lit(-1).cast(f.dataType).alias(f.name))
+        elif f.name == "user_id":
+            exprs.append(F.lit(-1).cast(f.dataType).alias(f.name))
+        elif f.name == "event_type":
+            exprs.append(F.lit("__flush").cast(f.dataType).alias(f.name))
+        else:
+            exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
+    flush = mx.select(*exprs)
+
+    d = tempfile.mkdtemp(prefix="stream_events_flush_")
+    os.symlink(path, os.path.join(d, "a_events.parquet"))
+    tmp_out = tempfile.mkdtemp(prefix="flush_row_")
+    flush.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    part = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(d, "z_flush.parquet"))
+    shutil.rmtree(tmp_out, ignore_errors=True)
+
+    static_schema = raw.schema
+    ev = (
+        spark.readStream.schema(static_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(ev.dtypes)["ts"] == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
+
+
+def q_streaming_interval_join_outer(spark, sf_dir):
+    """§2.9 stream-stream LEFT OUTER interval join — purchases with
+    their views within ±1 h, or NULL if none ever arrives. The hard
+    part of an outer stream join is the NULL side: a purchase may only
+    emit unmatched once the watermark proves no matching view can
+    still arrive, and at end-of-feed the watermark normally stalls at
+    (max event time − delay), stranding the tail in the state store.
+    The '__flush' sentinel (see _stage_events_with_flush) advances both
+    watermarks 30 days past the data, so every unmatched purchase is
+    evicted and emitted — making the bounded-stream result EXACTLY the
+    batch LEFT JOIN the oracle runs, tail included.
+
+    The sentinel flows THROUGH the watermark operators (the type
+    filters keep it) and exits via the final key filter — it cannot be
+    filtered before the watermark node or Catalyst pushes the predicate
+    below EventTimeWatermark and the flush never registers.
+
+    100 TB: state per side is bounded by watermark + interval; the
+    sentinel generalizes to per-partition heartbeat rows."""
+    ev = _stage_events_with_flush(spark, sf_dir)
+    p = (
+        ev.select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pts"),
+            F.col("event_type").alias("p_type"),
+        )
+        .withWatermark("pts", "1 hour")
+        .filter(F.col("p_type").isin("purchase", "__flush"))
+    )
+    v = (
+        ev.select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("vts"),
+            F.col("event_type").alias("v_type"),
+        )
+        .withWatermark("vts", "1 hour")
+        .filter(F.col("v_type").isin("view", "__flush"))
+    )
+    j = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("vts") <= F.col("pts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    name = _run_stream(j, "append")
+    return (
+        spark.table(name)
+        .filter(F.col("p_id") >= 0)  # drop the sentinel's own row
+        .select(
+            "p_id",
+            "v_id",
+            F.col("p_user").alias("user_id"),
+            F.col("pts").cast("long").alias("purchase_ts"),
+            F.col("vts").cast("long").alias("view_ts"),
+        )
+    )
+
+
+ORACLE_STREAMING_INTERVAL_JOIN_OUTER = f"""
+SELECT p.event_id AS p_id,
+       v.event_id AS v_id,
+       p.user_id,
+       {_epoch_sql('p.ts')} AS purchase_ts,
+       {_epoch_sql('v.ts')} AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts <= p.ts + INTERVAL 1 HOUR
+"""
+
+EXT_QUERIES["streaming_interval_join_outer"] = q_streaming_interval_join_outer
+EXT_ORACLES["streaming_interval_join_outer"] = ORACLE_STREAMING_INTERVAL_JOIN_OUTER
