@@ -4893,6 +4893,11 @@ def q_doc_lm_score(spark, sf_dir):
         )
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
+    # the model derives FROM the instances, so without a cut the
+    # tokenize+explode corpus pass runs twice (once for the broadcast
+    # model build, once for the probe side); lazy localCheckpoint
+    # materializes it on the model-build job and reuses it for scoring
+    inst = inst.localCheckpoint(eager=False)
     c12 = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = c12.groupBy(F.col("w1").alias("__w1")).agg(F.sum("c12").alias("c1"))
     model = c12.join(F.broadcast(c1), F.col("w1") == F.col("__w1")).select(
