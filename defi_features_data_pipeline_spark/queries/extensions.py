@@ -5374,3 +5374,50 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 
 EXT_QUERIES["streaming_interval_join_outer"] = q_streaming_interval_join_outer
 EXT_ORACLES["streaming_interval_join_outer"] = ORACLE_STREAMING_INTERVAL_JOIN_OUTER
+
+
+def q_nullsafe_segment_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): merge two
+    per-segment rollups where the segment key may be NULL ("unknown")
+    and unknowns must MERGE with unknowns — plain equality silently
+    drops every NULL-keyed row, the classic data-integration bug. The
+    NULL bucket is derived deterministically (NULLIF on one segment)
+    so both engines build identical nullable keys.
+
+    Spark plans <=> as a hash join on a null-safe key (no fallback to
+    nested loop); at scale it behaves exactly like an equi join —
+    NULLs hash to one bucket, so a huge unknown population is a skew
+    key to salt like any other."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg"),
+        "c_custkey",
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("oseg"),
+        "o_orderkey",
+    )
+    lc = c.groupBy("seg").agg(F.count(F.lit(1)).alias("n_cust"))
+    ro = o.groupBy("oseg").agg(F.count(F.lit(1)).alias("n_orders"))
+    return lc.join(ro, F.col("seg").eqNullSafe(F.col("oseg"))).select(
+        "seg", "n_cust", "n_orders"
+    )
+
+
+ORACLE_NULLSAFE_SEGMENT_JOIN = """
+WITH lc AS (
+  SELECT nullif(c_mktsegment, 'MACHINERY') AS seg, count(*) AS n_cust
+  FROM customer GROUP BY 1
+),
+ro AS (
+  SELECT nullif(c_mktsegment, 'MACHINERY') AS oseg, count(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
+)
+SELECT seg, n_cust, n_orders
+FROM lc JOIN ro ON seg IS NOT DISTINCT FROM oseg
+"""
+
+EXT_QUERIES["nullsafe_segment_join"] = q_nullsafe_segment_join
+EXT_ORACLES["nullsafe_segment_join"] = ORACLE_NULLSAFE_SEGMENT_JOIN
