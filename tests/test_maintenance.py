@@ -243,3 +243,53 @@ class TestTimeTravel:
             read_manifested(spark, root, version=1)
         with pytest.raises(ValueError, match="not readable"):
             read_manifested(spark, root, version=99)
+
+
+class TestStatsIndex:
+    def test_pruned_read_is_transparent_and_skips_files(self, spark, tmp_path):
+        """File-skipping index over plain parquet: (a) the index-pruned
+        read + residual filter returns EXACTLY the plain filtered read
+        (pruning is invisible); (b) for a selective range on the sort
+        column it reads a strict subset of files; (c) NULL-bearing
+        files are kept conservatively."""
+        from pyspark.sql import functions as F
+
+        from defi_features_data_pipeline_spark.sources.fsutil import (
+            list_parquet_files,
+        )
+        from defi_features_data_pipeline_spark.sources.stats_index import (
+            build_stats_index,
+            pruned_read,
+        )
+
+        table = str(tmp_path / "table")
+        index = str(tmp_path / "idx")
+        df = spark.range(20_000).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 997 == 0, None)
+            .otherwise((F.col("id") % 1000).cast("double"))
+            .alias("v"),
+        )
+        # range-sorted on k -> tight per-file k stats; v is uniform
+        df.repartitionByRange(10, F.col("k")).sortWithinPartitions(
+            "k"
+        ).write.mode("overwrite").parquet(table)
+        build_stats_index(spark, table, ["k", "v"], index)
+
+        lo, hi = 3000.0, 4999.0
+        pruned = pruned_read(spark, table, index, "k", lo, hi).filter(
+            F.col("k").between(lo, hi)
+        )
+        plain = spark.read.parquet(table).filter(F.col("k").between(lo, hi))
+        assert pruned.exceptAll(plain).count() == 0
+        assert plain.exceptAll(pruned).count() == 0
+        assert pruned.count() == 2000
+
+        n_all = len(list_parquet_files(spark, table))
+        n_kept = pruned_read(spark, table, index, "k", lo, hi).inputFiles()
+        assert n_all == 10
+        assert len(n_kept) <= 2, n_kept  # 10%-selective range on the sort col
+
+        # v has NULLs in every file -> conservative keep-all on v
+        v_kept = pruned_read(spark, table, index, "v", 0.0, 1.0).inputFiles()
+        assert len(v_kept) == n_all
