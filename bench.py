@@ -141,6 +141,11 @@ HEADLINE = [
     "resample_daily_gapfill",
     "chunk_documents",
     "pack_training_sequences",
+    "nullsafe_segment_join",
+    # product quantization ANN family
+    "pq_encode",
+    "ann_pq_adc",
+    "ann_pq_rescore",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

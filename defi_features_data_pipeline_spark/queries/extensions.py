@@ -442,8 +442,10 @@ IVF_ORACLE_DIR = ivf_artifact_dir("/root/testdata/sf0.01")
 
 
 def rebind_ivf_oracle(sql: str, sf_dir: str) -> str:
-    """Point an IVF-consumer oracle at the artifact dir for ``sf_dir``."""
-    return sql.replace(IVF_ORACLE_DIR, ivf_artifact_dir(sf_dir))
+    """Point an IVF/PQ-consumer oracle at the artifact dirs for
+    ``sf_dir`` (oracle strings are built for the driver's sf0.01)."""
+    sql = sql.replace(IVF_ORACLE_DIR, ivf_artifact_dir(sf_dir))
+    return sql.replace(PQ_ORACLE_DIR, pq_artifact_dir(sf_dir))
 
 
 def _centroid_lit_sql(ordered) -> tuple[str, str]:
@@ -5421,3 +5423,415 @@ FROM lc JOIN ro ON seg IS NOT DISTINCT FROM oseg
 
 EXT_QUERIES["nullsafe_segment_join"] = q_nullsafe_segment_join
 EXT_ORACLES["nullsafe_segment_join"] = ORACLE_NULLSAFE_SEGMENT_JOIN
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): 64-dim float vectors -> 8 one-byte codes via
+# per-subspace k-means codebooks; search scores candidates from a
+# per-query lookup table without touching the float vectors at all
+# (asymmetric distance computation, ADC) — the memory-bandwidth-optimal
+# member of the ANN family (int8 scalar quantization keeps 64 bytes per
+# vector; PQ keeps 8). Same load-first artifact discipline as the IVF
+# index; the DuckDB oracles recompute assignment/scoring from the SAME
+# artifact tables, so the gates pin the consumer algebra cross-engine.
+# ---------------------------------------------------------------------------
+
+PQ_SUBS = 8
+PQ_SUB_DIM = 8      # 8 subspaces x 8 dims = d 64
+PQ_K = 16           # codebook size per subspace (4-bit codes)
+PQ_ITERS = 4
+PQ_ARTIFACT_ROOT = os.path.join(_REPO_ROOT, "artifacts", "pq")
+_PQ_CACHE: dict[str, dict] = {}
+
+
+def pq_artifact_dir(sf_dir: str) -> str:
+    return os.path.join(PQ_ARTIFACT_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+
+
+PQ_ORACLE_DIR = pq_artifact_dir("/root/testdata/sf0.01")
+
+
+def _pq_subvec(sub: int):
+    """Column: the ``sub``-th 8-dim float subvector of ``embedding``."""
+    return F.slice(F.col("embedding"), sub * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+
+
+def _pq_index(spark, sf_dir: str) -> dict[int, list]:
+    """LOAD-first build-or-load of the PQ codebooks; returns
+    {sub: [(cid, centroid), ...]}. Artifacts under artifacts/pq/<sf>/:
+    ``centroids`` (sub, cid, centroid) and ``codes`` (vec_id, sub, cid).
+    Freshness = corpus fingerprint carried by the codes table + the
+    (PQ_SUBS, PQ_K) policy; a warm call runs ZERO k-means passes (same
+    contract as _ivf_index). Fit: PQ_SUBS independent small k-means
+    runs on the sliced subvectors, reusing _kmeans_fit (deterministic
+    first-k init + decimal partial sums)."""
+    from ..sources.fsutil import has_committed_data, swap_dirs
+
+    key = os.path.normpath(sf_dir)
+    if key in _PQ_CACHE:
+        return _PQ_CACHE[key]
+    adir = pq_artifact_dir(sf_dir)
+    cpath = os.path.join(adir, "centroids")
+    kpath = os.path.join(adir, "codes")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cur_n, cur_s = _corpus_fingerprint(emb)
+
+    if has_committed_data(spark, cpath) and has_committed_data(spark, kpath):
+        try:
+            rows = spark.read.parquet(cpath).collect()
+            by_sub: dict[int, list] = {}
+            for r in rows:
+                by_sub.setdefault(int(r["sub"]), []).append(
+                    (int(r["cid"]), [float(x) for x in r["centroid"]])
+                )
+            code_n, code_s = _corpus_fingerprint(spark.read.parquet(kpath))
+            fresh = (
+                code_n == PQ_SUBS * cur_n
+                and code_s == PQ_SUBS * cur_s
+                and sorted(by_sub) == list(range(PQ_SUBS))
+                and all(len(v) == PQ_K for v in by_sub.values())
+            )
+            if fresh:
+                _PQ_CACHE[key] = {s: sorted(v) for s, v in by_sub.items()}
+                return _PQ_CACHE[key]
+        except Exception:  # noqa: BLE001 — unreadable/corrupt ⇒ rebuild
+            pass
+
+    books: dict[int, list] = {}
+    for sub in range(PQ_SUBS):
+        es = emb.select("vec_id", _pq_subvec(sub).alias("v"))
+        books[sub] = sorted(_kmeans_fit(es, PQ_K, iters=PQ_ITERS))
+    code_cols = [
+        _kmeans_assign(books[sub], vec=_pq_subvec(sub)) for sub in range(PQ_SUBS)
+    ]
+    codes = emb.select(
+        "vec_id", F.posexplode(F.array(*code_cols)).alias("sub", "cid")
+    )
+    cent = spark.createDataFrame(
+        [
+            (sub, int(cid), [float(x) for x in cv])
+            for sub, book in books.items()
+            for cid, cv in book
+        ],
+        "sub int, cid int, centroid array<double>",
+    )
+    for p, df in ((cpath, cent), (kpath, codes)):
+        tmp = p + ".__tmp__"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        swap_dirs(spark, tmp, p)
+    _PQ_CACHE[key] = books
+    return books
+
+
+def q_pq_encode(spark, sf_dir):
+    """PQ encoding — every vector's nearest codebook entry per
+    subspace, computed LIVE from the loaded codebooks as a narrow
+    column expression (no shuffle; 100 TB encode is a map-only pass).
+    The oracle recomputes the argmin from the centroids ARTIFACT with
+    the identical left-to-right squared-L2 chain and ties-to-lowest-cid
+    rule, so the gate pins the assignment algebra cross-engine — the
+    codes artifact itself is written by this same expression."""
+    books = _pq_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    code_cols = [
+        _kmeans_assign(books[sub], vec=_pq_subvec(sub)) for sub in range(PQ_SUBS)
+    ]
+    return emb.select(
+        "vec_id", F.posexplode(F.array(*code_cols)).alias("sub", "cid")
+    ).select("vec_id", "sub", F.col("cid").cast("int").alias("cid"))
+
+
+def _pq_dist_sql(vec_expr: str, cent: str = "centroid", sub: str = "c.sub") -> str:
+    """Chained squared-L2 over one subspace, identical evaluation order
+    to Spark's left fold (0.0 + t1 + t2 + ... — adding t1 to 0.0 is
+    exact, so the chain equals the fold bit-for-bit)."""
+    terms = [
+        f"(CAST({vec_expr}[{sub} * {PQ_SUB_DIM} + {i}] AS DOUBLE) - {cent}[{i}])"
+        f" * (CAST({vec_expr}[{sub} * {PQ_SUB_DIM} + {i}] AS DOUBLE) - {cent}[{i}])"
+        for i in range(1, PQ_SUB_DIM + 1)
+    ]
+    return " + ".join(terms)
+
+
+ORACLE_PQ_ENCODE = f"""
+WITH c AS (SELECT * FROM read_parquet('{PQ_ORACLE_DIR}/centroids/*.parquet')),
+d AS (
+  SELECT e.vec_id, c.sub, c.cid, {_pq_dist_sql("e.embedding")} AS dist
+  FROM embeddings e CROSS JOIN c
+)
+SELECT vec_id, sub, cid FROM (
+  SELECT vec_id, sub, cid,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cid ASC) AS rn
+  FROM d
+) WHERE rn = 1
+"""
+
+EXT_QUERIES["pq_encode"] = q_pq_encode
+EXT_ORACLES["pq_encode"] = ORACLE_PQ_ENCODE
+
+
+def _pq_cent_literal_expr(books: dict[int, list]) -> str:
+    """The full PQ codebook as ONE literal array<struct<sub,cid,c>>
+    SQL expression (PQ_SUBS x PQ_K entries of PQ_SUB_DIM doubles —
+    ~1k doubles, parsed JVM-side in one expr like _centroid_lit_sql;
+    repr(float)+'D' round-trips bit-exactly). Embedding the codebook
+    as a literal lets each query row build its ADC lookup table with
+    explode+transform — NO join, NO shuffle, map-only."""
+    entries = []
+    for sub in sorted(books):
+        for cid, cv in books[sub]:
+            arr = "array(" + ",".join(f"{float(x)!r}D" for x in cv) + ")"
+            entries.append(
+                f"named_struct('sub', {int(sub)}, 'cid', {int(cid)}, 'c', {arr})"
+            )
+    return "array(" + ",".join(entries) + ")"
+
+
+def _pq_query_lut(queries, books: dict[int, list]):
+    """(query_id, sub, cid, lut_d): per-query ADC lookup table from the
+    literal codebook — map-only explode, distances rounded at 10."""
+    ent = F.explode(F.expr(_pq_cent_literal_expr(books))).alias("e")
+    exploded = queries.select("query_id", "qv", ent)
+    lut_d = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.slice(
+                    F.col("qv"),
+                    F.col("e.sub") * PQ_SUB_DIM + 1,
+                    F.lit(PQ_SUB_DIM),
+                ),
+                F.col("e.c"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        ),
+        10,
+    )
+    return exploded.select(
+        "query_id",
+        F.col("e.sub").alias("sub"),
+        F.col("e.cid").alias("cid"),
+        lut_d.alias("lut_d"),
+    )
+
+
+def q_ann_pq_adc(spark, sf_dir):
+    """PQ asymmetric-distance search: each query builds a PQ_SUBS x
+    PQ_K lookup table of subspace distances ONCE (rounded at 10
+    decimals so the only float math is per-query-constant), then every
+    candidate scores as the DECIMAL sum of 8 table entries selected by
+    its codes — the scan never touches a float vector (8 bytes/
+    candidate of memory traffic; THE property that makes PQ the
+    billion-vector scan format). Consumes the materialized codes
+    artifact like a real deployment; top-3 per query with cand_id
+    tie-break. The LUT is built map-only from the codebook embedded as a
+    literal array (no join, no shuffle; swept)."""
+    books = _pq_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    lut = _pq_query_lut(queries, books)
+    codes = spark.read.parquet(os.path.join(pq_artifact_dir(sf_dir), "codes"))
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(
+            F.sum(F.col("lut_d").cast("decimal(38,10)"))
+            .cast("double")
+            .alias("adc_dist")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "adc_dist", F.col("rank").cast("int"))
+    )
+
+
+ORACLE_ANN_PQ_ADC = f"""
+WITH c AS (SELECT * FROM read_parquet('{PQ_ORACLE_DIR}/centroids/*.parquet')),
+codes AS (SELECT * FROM read_parquet('{PQ_ORACLE_DIR}/codes/*.parquet')),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+lut AS (
+  SELECT q.query_id, c.sub, c.cid, round({_pq_dist_sql("q.qv")}, 10) AS lut_d
+  FROM q CROSS JOIN c
+),
+scored AS (
+  SELECT lut.query_id, codes.vec_id AS cand_id,
+         CAST(CAST(SUM(CAST(lut_d AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS adc_dist
+  FROM codes JOIN lut ON codes.sub = lut.sub AND codes.cid = lut.cid
+  WHERE codes.vec_id <> lut.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, cand_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, cand_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+EXT_QUERIES["ann_pq_adc"] = q_ann_pq_adc
+EXT_ORACLES["ann_pq_adc"] = ORACLE_ANN_PQ_ADC
+
+
+PQ_SHORTLIST = 32
+
+
+def _pq_exact_sub_dists(qv, cv):
+    """Eight per-subspace exact squared-L2 columns between two full
+    vectors (same left-fold kernel as the LUT), each rounded at 10 —
+    summed in decimal by the caller so the total is order-proof."""
+    cols = []
+    for sub in range(PQ_SUBS):
+        o = sub * PQ_SUB_DIM
+        cols.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(qv, o + 1, PQ_SUB_DIM),
+                        F.slice(cv, o + 1, PQ_SUB_DIM),
+                        # both inputs are float32 arrays: widen BEFORE
+                        # subtracting or Spark does the whole kernel in
+                        # fp32 while the oracle (CAST AS DOUBLE) does
+                        # fp64 — the LUT kernel never hits this because
+                        # its centroid side is already double
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, val: acc + val,
+                ),
+                10,
+            )
+        )
+    return cols
+
+
+def q_ann_pq_rescore(spark, sf_dir):
+    """Two-stage PQ search — the shape a production ANN system ships:
+    stage 1 shortlists PQ_SHORTLIST candidates per query from the
+    8-byte codes alone (ADC, no float vectors touched); stage 2
+    fetches ONLY the shortlist's float vectors by id and rescores
+    exactly, returning the top-3. On this corpus raw ADC recall@3 is
+    ~0.27 (iid vectors are PQ's worst case — quantization error swamps
+    neighbor gaps); the rescore stage recovers whatever the shortlist
+    retains while still scanning 8 bytes per candidate in stage 1 —
+    the memory-traffic win PQ exists for. Exactness discipline: per-
+    subspace distances are rounded at 10 and summed in DECIMAL, so
+    both the shortlist boundary and the final ranking are
+    engine-independent."""
+    import functools
+    import operator
+
+    books = _pq_index(spark, sf_dir)  # ensures codes artifact exists
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    lut = _pq_query_lut(queries, books)
+    codes = spark.read.parquet(os.path.join(pq_artifact_dir(sf_dir), "codes"))
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(
+            F.sum(F.col("lut_d").cast("decimal(38,10)"))
+            .cast("double")
+            .alias("adc_dist")
+        )
+    )
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    shortlist = adc.withColumn("__rn", F.row_number().over(w1)).filter(
+        F.col("__rn") <= PQ_SHORTLIST
+    )
+    cand_vecs = emb.select(
+        F.col("vec_id").alias("__cid2"), F.col("embedding").alias("cv")
+    )
+    joined = (
+        shortlist.join(cand_vecs, F.col("cand_id") == F.col("__cid2"))
+        .join(F.broadcast(queries), "query_id")
+    )
+    sub_dists = _pq_exact_sub_dists(F.col("qv"), F.col("cv"))
+    # decimal(20,10), NOT (38,10): adding two (38,10)s overflows the
+    # 38-digit cap and Spark silently drops scale to compensate —
+    # (20,10) leaves headroom for the 8-term chain to stay exact
+    exact_d = (
+        functools.reduce(
+            operator.add, [c.cast("decimal(20,10)") for c in sub_dists]
+        )
+        .cast("double")
+        .alias("exact_dist")
+    )
+    rescored = joined.select("query_id", "cand_id", exact_d)
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "exact_dist", F.col("rank").cast("int"))
+    )
+
+
+def _pq_rescore_chain_sql() -> str:
+    """DECIMAL sum of the 8 per-subspace rounded exact distances
+    between q.qv and e.embedding — mirrors _pq_exact_sub_dists."""
+    subs = []
+    for sub in range(PQ_SUBS):
+        o = sub * PQ_SUB_DIM
+        terms = " + ".join(
+            f"(CAST(q.qv[{o + i}] AS DOUBLE) - CAST(e.embedding[{o + i}] AS DOUBLE))"
+            f" * (CAST(q.qv[{o + i}] AS DOUBLE) - CAST(e.embedding[{o + i}] AS DOUBLE))"
+            for i in range(1, PQ_SUB_DIM + 1)
+        )
+        subs.append(f"CAST(round({terms}, 10) AS DECIMAL(20,10))")
+    return " + ".join(subs)
+
+
+ORACLE_ANN_PQ_RESCORE = f"""
+WITH c AS (SELECT * FROM read_parquet('{PQ_ORACLE_DIR}/centroids/*.parquet')),
+codes AS (SELECT * FROM read_parquet('{PQ_ORACLE_DIR}/codes/*.parquet')),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+lut AS (
+  SELECT q.query_id, c.sub, c.cid, round({_pq_dist_sql("q.qv")}, 10) AS lut_d
+  FROM q CROSS JOIN c
+),
+adc AS (
+  SELECT lut.query_id, codes.vec_id AS cand_id,
+         CAST(CAST(SUM(CAST(lut_d AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS adc_dist
+  FROM codes JOIN lut ON codes.sub = lut.sub AND codes.cid = lut.cid
+  WHERE codes.vec_id <> lut.query_id
+  GROUP BY 1, 2
+),
+shortlist AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, cand_id ASC) AS rn
+    FROM adc
+  ) WHERE rn <= {PQ_SHORTLIST}
+),
+rescored AS (
+  SELECT s.query_id, s.cand_id,
+         CAST(CAST(({_pq_rescore_chain_sql()}) AS VARCHAR) AS DOUBLE) AS exact_dist
+  FROM shortlist s
+  JOIN embeddings e ON e.vec_id = s.cand_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, cand_id, exact_dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY exact_dist ASC, cand_id ASC) AS rank
+  FROM rescored
+) WHERE rank <= 3
+"""
+
+EXT_QUERIES["ann_pq_rescore"] = q_ann_pq_rescore
+EXT_ORACLES["ann_pq_rescore"] = ORACLE_ANN_PQ_RESCORE

@@ -1368,3 +1368,72 @@ def test_chunking_covers_every_token_with_expected_overlap(spark, sf_dir):
             min(CHUNK_LEN, n - s) for s in range(0, n, CHUNK_STRIDE)
         )
         assert r.tok_sum == expected, r
+
+
+def test_pq_codes_complete_and_in_range(spark):
+    """Every vector carries exactly PQ_SUBS codes, each in [0, PQ_K);
+    subspace ids cover 0..PQ_SUBS-1."""
+    from defi_features_data_pipeline_spark.queries import ALL_QUERIES
+    from defi_features_data_pipeline_spark.queries.extensions import PQ_K, PQ_SUBS
+
+    sf = "/root/testdata/sf0.001"
+    codes = ALL_QUERIES["pq_encode"](spark, sf)
+    n_vec = codes.select("vec_id").distinct().count()
+    assert codes.count() == n_vec * PQ_SUBS
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert all(r["count"] == PQ_SUBS for r in per_vec)
+    rng = codes.agg(
+        F.min("cid").alias("lo"), F.max("cid").alias("hi"),
+        F.min("sub").alias("slo"), F.max("sub").alias("shi"),
+    ).first()
+    assert 0 <= rng["lo"] and rng["hi"] < PQ_K
+    assert rng["slo"] == 0 and rng["shi"] == PQ_SUBS - 1
+
+
+def test_pq_warm_index_runs_no_fit(spark, monkeypatch):
+    """Same LOAD-first contract as the IVF index: current artifacts ->
+    zero k-means passes on a fresh process."""
+    import os
+
+    from defi_features_data_pipeline_spark.queries import extensions as X
+
+    sf = "/root/testdata/sf0.001"
+    X._pq_index(spark, sf)  # ensure artifacts exist + current
+    X._PQ_CACHE.pop(os.path.normpath(sf), None)
+
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("k-means fit ran on a warm PQ index")
+
+    monkeypatch.setattr(X, "_kmeans_fit", _boom)
+    books = X._pq_index(spark, sf)
+    assert sorted(books) == list(range(X.PQ_SUBS))
+    assert all(len(b) == X.PQ_K for b in books.values())
+
+
+def test_pq_rescore_recovers_recall(spark):
+    """The two-stage design's reason to exist: exact rescore of the
+    ADC shortlist must beat raw ADC recall@3 against the true L2
+    top-3 (numpy reference), and clear an absolute floor. iid vectors
+    are PQ's worst case, so the floor is deliberately modest."""
+    import numpy as np
+
+    from defi_features_data_pipeline_spark.queries import ALL_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(sf + "/embeddings.parquet")
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    exact = set()
+    for q in range(10):
+        top = sorted((float(np.sum((V[q] - V[c]) ** 2)), c) for c in V if c != q)[:3]
+        exact |= {(q, c) for _, c in top}
+
+    def got(name):
+        return {
+            (r["query_id"], r["cand_id"])
+            for r in ALL_QUERIES[name](spark, sf).collect()
+        }
+
+    adc_recall = len(exact & got("ann_pq_adc")) / len(exact)
+    rescore_recall = len(exact & got("ann_pq_rescore")) / len(exact)
+    assert rescore_recall > adc_recall
+    assert rescore_recall >= 0.5, (adc_recall, rescore_recall)
