@@ -146,6 +146,15 @@ HEADLINE = [
     "pq_encode",
     "ann_pq_adc",
     "ann_pq_rescore",
+    # star/predicate TPC-H family (completes all 22 shapes)
+    "regional_supplier_volume",
+    "forecast_revenue",
+    "nation_market_share",
+    "product_profit",
+    "late_shipment_priority",
+    "part_supplier_counts",
+    "disjunctive_band_revenue",
+    "dominant_part_suppliers",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -1,0 +1,540 @@
+"""Multi-join star / predicate-family TPC-H shapes (Q5, Q6, Q8, Q9,
+Q12, Q16, Q19, Q20) over the driver testdata — completing the full
+22-query TPC-H shape coverage together with queries/core.py (Q1 Q3 Q7
+Q10 Q11 Q13 Q14 Q15 Q22 shapes) and queries/tpch_shapes.py (the
+correlated-subquery family: Q2 Q4 Q11 Q15 Q17 Q18 Q21 Q22).
+
+The testdata has no partsupp table and no l_shipmode / l_receiptdate /
+l_commitdate columns, so Q9/Q12/Q16/Q20 are ADAPTED: the distinct
+(l_partkey, l_suppkey) pairs of lineitem stand in for partsupp, supply
+cost is modeled from p_retailprice, and Q12's late-shipment predicate
+uses l_shipdate vs o_orderdate. Each adaptation keeps the original
+query's OPERATOR shape (the thing SURVEY §2 catalogues): the join
+graph, the decorrelation obligation, the conditional-aggregate ratio,
+the disjunctive-predicate pushdown.
+
+Determinism contract: identical to queries/core.py — money/quantity
+sums accumulate in exact DECIMAL(38,10) (order-independent) and cast
+back to double via the VARCHAR hop on the DuckDB side; ratio/threshold
+comparisons run in IEEE doubles derived from those exact sums with the
+literally identical expression in both engines; every computed column
+is aliased identically in both dialects.
+
+100 TB notes inline per query.
+
+Reference analogues: the reference's feature views chain the same
+star-join + conditional-aggregate shapes over Athena
+(src/pipelines/features/transformations/view_defi_borrow_features.sql,
+view_defi_lending_features.sql); the disjunctive and NOT-IN predicate
+shapes appear in its event filters
+(src/pipelines/raw/defi_events.py:59-92).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .core import _t, _dsum, dsum_sql
+
+DEC = "decimal(38,10)"
+
+STAR_QUERIES: dict = {}
+STAR_ORACLES: dict = {}
+
+_D2D = "CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape — region-restricted star join with a cross-dim equality
+# ---------------------------------------------------------------------------
+
+
+def q_regional_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape — revenue per nation for one region/year where
+    the CUSTOMER and the SUPPLIER share a nation (the cross-dimension
+    equality c_nationkey = s_nationkey is what distinguishes Q5 from a
+    plain star: it correlates two dimension chains hanging off the same
+    fact).
+
+    Plan: lineitem⋈orders shuffles once on orderkey; the result joins
+    customer on custkey (second fact exchange — unavoidable, the two
+    keys partition differently; bucketing orders+customer on custkey
+    would remove it); supplier, nation and region broadcast, with the
+    region filter applied BEFORE the broadcast so only the surviving
+    nations ship. The c_nationkey = s_nationkey equality rides the
+    supplier broadcast join as part of its key, not a post-filter.
+
+    100 TB: two fact exchanges, all dims broadcast, region/date filters
+    pushed to scans (date is partition-prunable on a date-partitioned
+    lake)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    euro_nations = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    euro_suppliers = s.join(
+        F.broadcast(euro_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(euro_suppliers),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(_dsum(rev).alias("revenue"))
+    )
+
+
+STAR_ORACLES["regional_supplier_volume"] = f"""
+SELECT n_name, {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+GROUP BY 1
+"""
+STAR_QUERIES["regional_supplier_volume"] = q_regional_supplier_volume
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape — scan-only filtered aggregate (the pushdown litmus test)
+# ---------------------------------------------------------------------------
+
+
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape — revenue delta from a discount/quantity/date
+    band: ONE scan, zero joins, zero shuffles beyond the final 1-row
+    reduce. The value of this gate is the plan, not the algebra: all
+    three predicates and the 3-column projection must reach the parquet
+    scan (PushedFilters + ReadSchema), which is what makes it a ~free
+    query at 100 TB (row-group min/max skipping does most of the work
+    on a date-sorted lake). The float-literal band compares (0.05 ≤
+    l_discount ≤ 0.07) evaluate on raw stored doubles — identical bits
+    in both engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    )
+    f = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+STAR_ORACLES["forecast_revenue"] = f"""
+SELECT {dsum_sql("l_extendedprice * l_discount")} AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+STAR_QUERIES["forecast_revenue"] = q_forecast_revenue
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape — conditional-aggregate market-share ratio by year
+# ---------------------------------------------------------------------------
+
+
+def q_nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape — NATION_5's share of ECONOMY-part revenue sold
+    to ASIA customers, per order year. The share is a conditional
+    aggregate ratio computed in ONE pass over the joined fact
+    (sum(CASE)/sum, never a self-join of two filtered aggregates).
+
+    Determinism: numerator and denominator accumulate separately in
+    exact decimal; the ratio divides the two derived doubles and rounds
+    to 6, the identical expression in both engines.
+
+    100 TB: one orderkey fact exchange (lineitem⋈orders), one custkey
+    exchange; part, customer-nation-region and supplier-nation chains
+    broadcast after their filters prune them. The ~7 output years make
+    the final aggregate map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    asia_nations = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("__cn"))
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    nat5 = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("__cn"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(nat5).cast("double").alias("__num"),
+            F.sum(rev).cast("double").alias("__den"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("__num") / F.col("__den"), 6).alias("mkt_share"),
+            F.round("__den", 6).alias("total_revenue"),
+        )
+    )
+
+
+STAR_ORACLES["nation_market_share"] = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       round({_D2D.format(x="SUM(CASE WHEN sn.n_name = 'NATION_5' THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)) ELSE CAST(0 AS DECIMAL(38,10)) END)")}
+             / {_D2D.format(x="SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))")}, 6) AS mkt_share,
+       round({_D2D.format(x="SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))")}, 6) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY EXTRACT(year FROM o_orderdate)
+"""
+STAR_QUERIES["nation_market_share"] = q_nation_market_share
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape — profit decomposition across two fact-side amounts
+# ---------------------------------------------------------------------------
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape — per (supplier nation, order year) profit on
+    'widget' parts, where profit subtracts a cost term from the revenue
+    term. The testdata has no partsupp.ps_supplycost, so cost is
+    modeled as 80% of p_retailprice × quantity (the adaptation keeps
+    Q9's defining feature: the aggregated amount mixes columns from
+    TWO tables, so the subtraction must happen post-join, per row,
+    before the rollup).
+
+    Determinism: each term is computed in doubles (identical bits both
+    engines) and cast to decimal(38,10) BEFORE the subtraction and sum,
+    so accumulation is order-independent.
+
+    100 TB: the name-filtered part dim prunes ~13% of parts and
+    broadcasts; one orderkey exchange for the orders join; nation
+    broadcast onto the supplier broadcast. ~25×7 output groups."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC) - (
+        F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(DEC)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+STAR_ORACLES["product_profit"] = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       {_D2D.format(x="SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)) - CAST(0.8 * p_retailprice * l_quantity AS DECIMAL(38,10)))")} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+"""
+STAR_QUERIES["product_profit"] = q_product_profit
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape — late-shipment CASE-sum counts by line status
+# ---------------------------------------------------------------------------
+
+
+def q_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 shape — for 1998 lineitems shipped more than 60 days
+    after their order date, count high- vs low-priority orders per line
+    status. (The testdata has no l_shipmode/l_receiptdate; the late
+    predicate compares l_shipdate to o_orderdate + 60 days, preserving
+    Q12's shape: a fact⋈fact join whose residual is a date inequality,
+    feeding a two-way CASE-sum pivot.)
+
+    100 TB: the year filter pushes to the lineitem scan; the join
+    shuffles both sides once on orderkey (zero with orderkey
+    bucketing); the CASE-sums are map-side combinable into 2 groups."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+STAR_ORACLES["late_shipment_priority"] = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+STAR_QUERIES["late_shipment_priority"] = q_late_shipment_priority
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape — COUNT DISTINCT over a derived bridge, NOT IN exclusion
+# ---------------------------------------------------------------------------
+
+
+def q_part_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape — distinct supplier counts per (brand, type,
+    size) for a size whitelist, excluding disqualified suppliers via
+    NOT IN. The partsupp bridge is derived as DISTINCT (l_partkey,
+    l_suppkey) from lineitem; the NOT IN (all s_suppkey non-null)
+    decorrelates to a LEFT ANTI join — the null-poisoning caveat of
+    true NOT IN does not arise and is documented here: with nullable
+    keys the rewrite must be null-aware (Spark plans NOT IN as
+    NullAwareAntiJoin; this column is non-null by construction).
+
+    100 TB: the bridge dedup is one suppkey+partkey shuffle (map-side
+    combinable); the part dim is filtered by the size whitelist before
+    its broadcast; the 6-row exclusion list broadcasts into the anti
+    join; count distinct re-shuffles only the surviving bridge rows on
+    the 3 group columns."""
+    bridge = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        bridge.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+STAR_ORACLES["part_supplier_counts"] = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+STAR_QUERIES["part_supplier_counts"] = q_part_supplier_counts
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape — disjunction of conjunctive bands (predicate extraction)
+# ---------------------------------------------------------------------------
+
+
+def q_disjunctive_band_revenue(spark, sf_dir):
+    """TPC-H Q19 shape — revenue over three OR'ed (brand, quantity
+    band, size band) branches. The disjunction spans both tables, so it
+    can only be evaluated AFTER the join — but its table-local
+    implications are hoisted manually (the CNF factors Catalyst does
+    not extract from a cross-table OR): p_brand IN (b1,b2,b3) AND
+    p_size ≤ 15 prune the part side before broadcast; 1 ≤ l_quantity ≤
+    30 prunes the fact at the scan. The residual OR then re-checks the
+    exact branches on the survivors. The hoisted filters are implied by
+    the disjunction, so the oracle (the literal OR-only SQL) proves the
+    hoist lossless.
+
+    100 TB: the fact scan reads ~60% of rows instead of 100% (quantity
+    band pushed to parquet min/max), the part broadcast carries 3
+    brands' rows instead of 25 — this manual-prefilter-plus-residual is
+    the standard shape for disjunctive pushdown on any engine."""
+    branches = [
+        ("Brand#3", 1, 11, 5),
+        ("Brand#14", 10, 20, 10),
+        ("Brand#25", 20, 30, 15),
+    ]
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin([b for b, *_ in branches]) & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    cond = None
+    for brand, qlo, qhi, smax in branches:
+        c = (
+            (F.col("p_brand") == brand)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi)
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= smax)
+        )
+        cond = c if cond is None else (cond | c)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+STAR_ORACLES["disjunctive_band_revenue"] = f"""
+SELECT {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#3'  AND l_quantity BETWEEN 1  AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#14' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#25' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+STAR_QUERIES["disjunctive_band_revenue"] = q_disjunctive_band_revenue
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape — IN over a HAVING whose threshold is a correlated scalar
+# ---------------------------------------------------------------------------
+
+
+def q_dominant_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape — suppliers who are DOMINANT for some 'bolt'
+    part: their supplied quantity of that part exceeds 15% of the
+    part's total supplied quantity. (partsupp.ps_availqty is adapted to
+    lineitem-derived supplied quantity; the nested decorrelation
+    obligation is identical to Q20's: an IN subquery whose inner filter
+    compares a group aggregate against a CORRELATED scalar aggregate.)
+
+    Decorrelation: the correlated per-part total becomes a per-part
+    aggregate joined back to the (part, supplier) rollup on partkey —
+    both computed from the SAME name-filtered fact subset, one shuffle
+    each; the IN becomes a LEFT SEMI join into supplier.
+
+    Determinism: both quantity sums accumulate in exact decimal; the
+    15% threshold compares the derived doubles with the identical
+    expression in both engines.
+
+    100 TB: the name filter prunes parts before broadcast; the pair
+    and part rollups are map-side combinable on the same partkey-heavy
+    keys; the surviving supplier keyset is tiny and broadcasts into the
+    semi join — supplier itself never shuffles."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    bolt = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey"
+    )
+    supplied = li.join(F.broadcast(bolt), F.col("l_partkey") == F.col("p_partkey"))
+    pair = supplied.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("__sq")
+    )
+    per_part = supplied.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("__tot")
+    )
+    dominant = (
+        pair.join(F.broadcast(per_part), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("__sq") > F.lit(0.15) * F.col("__tot"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(
+        F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name", "s_acctbal")
+
+
+STAR_ORACLES["dominant_part_suppliers"] = f"""
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT ps.l_suppkey
+  FROM (
+    SELECT l_partkey, l_suppkey,
+           {_D2D.format(x="SUM(CAST(l_quantity AS DECIMAL(38,10)))")} AS sq
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY 1, 2) ps
+  WHERE ps.sq > 0.15 * (
+    SELECT {_D2D.format(x="SUM(CAST(l2.l_quantity AS DECIMAL(38,10)))")}
+    FROM lineitem l2 JOIN part p2 ON p2.p_partkey = l2.l_partkey
+    WHERE p2.p_name LIKE '%bolt%' AND l2.l_partkey = ps.l_partkey))
+"""
+STAR_QUERIES["dominant_part_suppliers"] = q_dominant_part_suppliers
