@@ -155,6 +155,11 @@ HEADLINE = [
     "part_supplier_counts",
     "disjunctive_band_revenue",
     "dominant_part_suppliers",
+    # feature-engineering / diagnostics family
+    "ewma_user_value",
+    "outlier_mad",
+    "key_skew_profile",
+    "feature_hashing",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -6,12 +6,23 @@ from .core import CORE_ORACLES, CORE_QUERIES
 from .tpch_shapes import TPCH_ORACLES, TPCH_QUERIES
 from .tpch_star import STAR_ORACLES, STAR_QUERIES
 
+try:  # featureops import extensions' token helpers
+    from .featureops import FEATOPS_ORACLES, FEATOPS_QUERIES
+except ImportError:  # pragma: no cover
+    FEATOPS_QUERIES, FEATOPS_ORACLES = {}, {}
+
 try:  # extensions are added incrementally
     from .extensions import EXT_ORACLES, EXT_QUERIES
 except ImportError:  # pragma: no cover
     EXT_QUERIES, EXT_ORACLES = {}, {}
 
-ALL_QUERIES = {**CORE_QUERIES, **TPCH_QUERIES, **STAR_QUERIES, **EXT_QUERIES}
-ALL_ORACLES = {**CORE_ORACLES, **TPCH_ORACLES, **STAR_ORACLES, **EXT_ORACLES}
+ALL_QUERIES = {
+    **CORE_QUERIES, **TPCH_QUERIES, **STAR_QUERIES,
+    **EXT_QUERIES, **FEATOPS_QUERIES,
+}
+ALL_ORACLES = {
+    **CORE_ORACLES, **TPCH_ORACLES, **STAR_ORACLES,
+    **EXT_ORACLES, **FEATOPS_ORACLES,
+}
 
 __all__ = ["ALL_QUERIES", "ALL_ORACLES"]

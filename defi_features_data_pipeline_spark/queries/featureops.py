@@ -1,0 +1,267 @@
+"""Feature-engineering / diagnostics operator family: time-decay
+features, robust (MAD) outliers, key-skew profiling, and the
+hashing-trick vectorizer — the remaining numeric-prep operators a
+large-scale training-data pipeline runs beside the dedup/similarity
+stack in queries/extensions.py.
+
+Determinism contract (same as queries/core.py): money/value sums
+accumulate in exact DECIMAL(38,10); thresholds derived from statistics
+are rounded to 6 dp BEFORE any comparison so both engines sit on
+bit-identical boundaries; decay weights are exact negative powers of
+two (mantissa-preserving double multiply — zero rounding anywhere in
+the weight path); hashes go through the md5-prefix portable hash.
+
+Reference analogues: the reference's feature views compute time-since
+/ sentinel features and per-wallet conditional statistics over Athena
+(src/pipelines/features/transformations/view_defi_borrow_features.sql,
+view_defi_lending_features.sql); these generalize that family to the
+decay/robust/profiling forms. 100 TB notes inline per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .core import _events, _t, epoch_sql
+from .extensions import H_SQL, TOKENS_DUCK, TOKENS_SPARK, _h
+
+DEC = "decimal(38,10)"
+
+FEATOPS_QUERIES: dict = {}
+FEATOPS_ORACLES: dict = {}
+
+_D2D = "CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Exponential time-decay (EWMA-style) per-user features
+# ---------------------------------------------------------------------------
+
+# Fixed evaluation anchor: 2024-01-31 00:00:00 UTC — the injected "now"
+# just past the 30-day event window (same discipline as core.FIXED_NOW:
+# a decay feature must never read the wall clock).
+DECAY_ANCHOR = 1_706_659_200
+DECAY_MAX_AGE_DAYS = 62  # shiftleft(1L, age) stays in BIGINT range
+
+
+def q_ewma_user_value(spark, sf_dir):
+    """EXPONENTIAL TIME-DECAY features per user (half-life = 1 day):
+    decayed_value = Σ value·2^(−age_days), the recency-weighted
+    engagement feature every behavioral model starts from.
+
+    Bit-determinism trick: the weight is an exact negative power of two
+    (1.0 / (1L << age_days), integer age via `div`), so value·weight is
+    a mantissa-preserving double multiply — NO libm call (exp/pow) and
+    NO rounding enters the weight path in either engine; the weighted
+    terms then accumulate in exact decimal. A λ-parameterized exp()
+    decay would hash-differ across libms; any half-life expressible as
+    1/2^k days keeps this trick.
+
+    100 TB notes: single scan → one map-side-combinable aggregate on
+    user_id; the anchor is a literal, so the whole weight expression is
+    whole-stage-codegen arithmetic. Rows older than 62 days get weight
+    0 via the age clamp (at real scale the date filter w > 0 implies
+    would prune the scan to the trailing window first)."""
+    ev = _events(spark, sf_dir).withColumn("__ep", F.col("ts").cast("long"))
+    age = F.expr(f"cast(({DECAY_ANCHOR}L - __ep) div 86400 as int)")
+    ev = ev.withColumn("__age", F.least(F.lit(DECAY_MAX_AGE_DAYS), age))
+    w = F.lit(1.0) / F.expr("cast(shiftleft(1L, __age) as double)")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum((F.col("value") * w).cast(DEC)).cast("double"), 6
+            ).alias("decayed_value"),
+            F.min("__age").alias("freshest_age_days"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+FEATOPS_ORACLES["ewma_user_value"] = f"""
+WITH aged AS (
+  SELECT user_id, value,
+         least({DECAY_MAX_AGE_DAYS},
+               CAST(({DECAY_ANCHOR} - {epoch_sql("ts")}) // 86400 AS INTEGER)) AS age
+  FROM events
+)
+SELECT user_id,
+       round({_D2D.format(x="SUM(CAST(value * (1.0 / CAST((CAST(1 AS BIGINT) << age) AS DOUBLE)) AS DECIMAL(38,10)))")}, 6)
+         AS decayed_value,
+       min(age) AS freshest_age_days,
+       count(*) AS n_events
+FROM aged
+GROUP BY 1
+"""
+FEATOPS_QUERIES["ewma_user_value"] = q_ewma_user_value
+
+
+# ---------------------------------------------------------------------------
+# MAD (median-absolute-deviation) robust outliers
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0  # flag beyond 3 robust standard deviations
+MAD_CONSISTENCY = 1.4826  # MAD→σ for normal data
+
+
+def q_outlier_mad(spark, sf_dir):
+    """ROBUST OUTLIERS via median absolute deviation — the
+    outlier-resistant twin of q_outlier_zscore (a single extreme value
+    inflates mean/σ and hides its neighbors; median/MAD do not break
+    down until 50% contamination). Flag rows with
+    |x − med| > 3·1.4826·MAD, robust_z = (x − med)/(1.4826·MAD).
+
+    Determinism: med and MAD are exact JVM `percentile` results
+    (percentile_cont interpolation — the percentile_bands contract)
+    rounded to 6 dp BEFORE any arithmetic, so both engines derive every
+    deviation, threshold and score from bit-identical statistics.
+    Degenerate groups (MAD = 0) are excluded in both engines rather
+    than dividing by zero.
+
+    100 TB notes: two aggregate passes by design (the deviation median
+    depends on the value median) — each is a map-side-combinable
+    aggregate to |groups| rows broadcast back onto the fact scan; the
+    fact itself never shuffles. Exact group percentiles buffer
+    per-group values (bounded groups; unbounded keys would switch to
+    approx_percentile, which an exact-hash gate could not pin)."""
+    ev = _events(spark, sf_dir)
+    med_stats = ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med_stats), "event_type").withColumn(
+        "__dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad_stats = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.round(F.percentile(F.col("__dev"), F.lit(0.5)), 6).alias("mad"),
+    ).filter(F.col("mad") > 0)
+    thr = F.lit(MAD_K) * F.lit(MAD_CONSISTENCY) * F.col("mad")
+    return (
+        ev.join(F.broadcast(mad_stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > thr)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(
+                (F.col("value") - F.col("med"))
+                / (F.lit(MAD_CONSISTENCY) * F.col("mad")),
+                6,
+            ).alias("robust_z"),
+        )
+    )
+
+
+FEATOPS_ORACLES["outlier_mad"] = f"""
+WITH med AS (
+  SELECT event_type,
+         round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS med
+  FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type, m.med,
+         round(percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(value - med)), 6) AS mad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY 1, 2
+)
+SELECT event_id, e.event_type, value,
+       round((value - med) / ({MAD_CONSISTENCY} * mad), 6) AS robust_z
+FROM events e JOIN mad ON e.event_type = mad.event_type
+WHERE mad > 0
+  AND abs(value - med) > {MAD_K} * {MAD_CONSISTENCY} * mad
+"""
+FEATOPS_QUERIES["outlier_mad"] = q_outlier_mad
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profiler — the 100 TB shuffle-planning diagnostic
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_K = 10
+
+
+def q_key_skew_profile(spark, sf_dir):
+    """KEY-SKEW PROFILE of a prospective shuffle key: top-K keys by
+    row count with each key's share of the table and its skew factor
+    (count ÷ mean-per-key). This is the diagnostic run BEFORE choosing
+    a join/agg strategy at scale — a skew factor ≫ 1 on the top key is
+    the signal to salt (operators/skew.py) or rely on AQE skew-join
+    splitting; share ≈ 1/|keys| means a plain hash shuffle is fine.
+
+    100 TB notes: the per-key count is one map-side-combinable
+    aggregate; the global row/key totals come from scalar subqueries
+    over that same small per-key frame (never a second fact scan); the
+    top-K is a TakeOrdered over |keys| rows (count-desc, key-asc total
+    order), not a global sort of the fact."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(F.sum("cnt").cast("double").alias("__t"))
+    nk = counts.agg(F.count(F.lit(1)).cast("double").alias("__k"))
+    return (
+        counts.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+        .limit(SKEW_TOP_K)
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt") / tot.scalar(), 6).alias("share"),
+            F.round(F.col("cnt") * nk.scalar() / tot.scalar(), 6).alias("skew_x"),
+        )
+    )
+
+
+FEATOPS_ORACLES["key_skew_profile"] = f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+)
+SELECT user_id, cnt,
+       round(CAST(cnt AS DOUBLE) / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM counts), 6) AS share,
+       round(CAST(cnt AS DOUBLE) * (SELECT CAST(count(*) AS DOUBLE) FROM counts)
+             / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM counts), 6) AS skew_x
+FROM counts
+ORDER BY cnt DESC, user_id ASC
+LIMIT {SKEW_TOP_K}
+"""
+FEATOPS_QUERIES["key_skew_profile"] = q_key_skew_profile
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick vectorizer (sparse fixed-dimension text features)
+# ---------------------------------------------------------------------------
+
+HASH_DIM = 256
+
+
+def q_feature_hashing(spark, sf_dir):
+    """HASHING-TRICK VECTORIZER — tokens hashed into a fixed
+    HASH_DIM-bucket space, emitting each document's sparse vector as
+    (doc_id, bucket, weight) rows. The hashing trick is the
+    vocabulary-free featurizer for unbounded token spaces: no vocab
+    build pass, no dictionary broadcast, memory bounded by HASH_DIM
+    however large the corpus grows (the property that matters at
+    100 TB — a vocabulary join would shuffle the corpus against an
+    ever-growing dictionary; this is one map-only pass plus one
+    map-side-combinable aggregate).
+
+    The bucket hash is the portable md5-prefix hash reduced mod
+    HASH_DIM, so the assignment is engine-independent (and
+    rerun-stable — a feature store can be appended incrementally)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("__toks", F.expr(TOKENS_SPARK))
+        .select("doc_id", F.explode_outer("__toks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .withColumn("bucket", _h(F.col("tok")) % HASH_DIM)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+FEATOPS_ORACLES["feature_hashing"] = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_DUCK} AS __toks FROM documents),
+exploded AS (SELECT doc_id, unnest(__toks) AS tok FROM toks)
+SELECT doc_id, {H_SQL.format(x="tok")} % {HASH_DIM} AS bucket,
+       count(*) AS weight
+FROM exploded
+GROUP BY 1, 2
+"""
+FEATOPS_QUERIES["feature_hashing"] = q_feature_hashing

@@ -1,0 +1,154 @@
+"""Independent-reference tests for queries/featureops.py — numpy /
+pure-Python recomputation, NOT the DuckDB oracle (the oracle gate
+proves cross-engine agreement; these prove the shared formula itself
+is right — the round-6 outlier_zscore lesson: two engines can
+hash-match on the same wrong algebra)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+
+
+class TestEwmaUserValue:
+    def test_matches_python_reference(self, spark, sf_dir):
+        """decayed_value == Σ value·2^(−age_days) recomputed in pure
+        Python floats (exact powers of two, so 1e-6 is generous)."""
+        from defi_features_data_pipeline_spark.queries.core import _events
+        from defi_features_data_pipeline_spark.queries.featureops import (
+            DECAY_ANCHOR,
+            DECAY_MAX_AGE_DAYS,
+            q_ewma_user_value,
+        )
+
+        got = {
+            r["user_id"]: r for r in q_ewma_user_value(spark, sf_dir).collect()
+        }
+        pdf = (
+            _events(spark, sf_dir)
+            .selectExpr("user_id", "cast(ts as long) as ep", "value")
+            .toPandas()
+        )
+        want: dict = {}
+        for uid, ep, v in zip(pdf["user_id"], pdf["ep"], pdf["value"]):
+            age = min(DECAY_MAX_AGE_DAYS, (DECAY_ANCHOR - ep) // 86400)
+            acc, na, ne = want.get(uid, (0.0, 10**9, 0))
+            want[uid] = (acc + v * 2.0 ** (-age), min(na, age), ne + 1)
+        assert set(got) == set(want)
+        for uid, (acc, na, ne) in want.items():
+            assert abs(got[uid]["decayed_value"] - acc) < 1e-6
+            assert got[uid]["freshest_age_days"] == na
+            assert got[uid]["n_events"] == ne
+        # recency must matter: some user's decayed sum is far below its
+        # plain sum (weights < 1 on all but same-day events)
+        plain = pdf.groupby("user_id")["value"].sum()
+        assert any(
+            got[u]["decayed_value"] < 0.5 * plain[u] for u in plain.index
+        )
+
+
+class TestOutlierMad:
+    def test_matches_numpy(self, spark, sf_dir):
+        """Flagged set == numpy's |x−med| > 3·1.4826·MAD set and
+        robust_z matches to 1e-4 (the 6-dp stat rounding bounds the
+        drift; no flagged row may sit closer to the raw threshold than
+        that rounding can move it)."""
+        import numpy as np
+
+        from defi_features_data_pipeline_spark.queries.core import _events
+        from defi_features_data_pipeline_spark.queries.featureops import (
+            MAD_CONSISTENCY,
+            MAD_K,
+            q_outlier_mad,
+        )
+
+        got = {r["event_id"]: r["robust_z"] for r in q_outlier_mad(spark, sf_dir).collect()}
+        pdf = _events(spark, sf_dir).select(
+            "event_id", "event_type", "value"
+        ).toPandas()
+        want = {}
+        for _, grp in pdf.groupby("event_type"):
+            med = float(np.median(grp["value"]))
+            mad = float(np.median(np.abs(grp["value"] - med)))
+            if mad <= 0:
+                continue
+            z = (grp["value"] - med) / (MAD_CONSISTENCY * mad)
+            for eid, zi in zip(grp["event_id"], z):
+                if abs(zi) > MAD_K:
+                    want[eid] = zi
+        assert set(got) == set(want)
+        for eid, zi in want.items():
+            assert abs(got[eid] - zi) < 1e-4
+        assert len(got) > 0
+
+    def test_more_robust_than_zscore_on_contaminated_group(self, spark, sf_dir):
+        """The defining MAD property: z-score's threshold inflates with
+        the outliers it is trying to find; MAD's does not. On each
+        group, the MAD flag set contains the z flag set (up to boundary
+        rounding) — MAD never flags fewer."""
+        from defi_features_data_pipeline_spark.queries.extensions import (
+            q_outlier_zscore,
+        )
+        from defi_features_data_pipeline_spark.queries.featureops import (
+            q_outlier_mad,
+        )
+
+        mad_ids = {r["event_id"] for r in q_outlier_mad(spark, sf_dir).collect()}
+        z_ids = {r["event_id"] for r in q_outlier_zscore(spark, sf_dir).collect()}
+        assert len(mad_ids) >= len(z_ids)
+
+
+class TestKeySkewProfile:
+    def test_consistent_with_pandas_counts(self, spark, sf_dir):
+        from defi_features_data_pipeline_spark.queries.core import _events
+        from defi_features_data_pipeline_spark.queries.featureops import (
+            SKEW_TOP_K,
+            q_key_skew_profile,
+        )
+
+        rows = q_key_skew_profile(spark, sf_dir).collect()
+        pdf = _events(spark, sf_dir).select("user_id").toPandas()
+        counts = pdf["user_id"].value_counts()
+        tot, nk = len(pdf), counts.size
+        assert len(rows) == min(SKEW_TOP_K, nk)
+        # rows are the true top-K by (count desc, key asc)
+        want = sorted(
+            ((int(c), u) for u, c in counts.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[: len(rows)]
+        assert [(r["cnt"], r["user_id"]) for r in rows] == want
+        for r in rows:
+            assert abs(r["share"] - r["cnt"] / tot) < 1e-6
+            assert abs(r["skew_x"] - r["cnt"] * nk / tot) < 1e-6
+
+
+class TestFeatureHashing:
+    @staticmethod
+    def _bucket(tok: str, dim: int) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim
+
+    def test_matches_pure_python_vectorizer(self, spark, sf_dir):
+        """Every (doc, bucket, weight) row equals a hashlib-based
+        reimplementation of lower→split→md5-bucket→count."""
+        from defi_features_data_pipeline_spark.queries.core import _t
+        from defi_features_data_pipeline_spark.queries.featureops import (
+            HASH_DIM,
+            q_feature_hashing,
+        )
+
+        got = {
+            (r["doc_id"], r["bucket"]): r["weight"]
+            for r in q_feature_hashing(spark, sf_dir).collect()
+        }
+        pdf = _t(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+        want: dict = {}
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            for tok in re.split(r"\s+", text.lower()):
+                if tok:
+                    k = (did, self._bucket(tok, HASH_DIM))
+                    want[k] = want.get(k, 0) + 1
+        assert got == want
+        assert all(0 <= b < HASH_DIM for _, b in got)
