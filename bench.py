@@ -160,6 +160,7 @@ HEADLINE = [
     "outlier_mad",
     "key_skew_profile",
     "feature_hashing",
+    "token_class_counts",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

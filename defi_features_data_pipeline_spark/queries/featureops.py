@@ -265,3 +265,65 @@ FROM exploded
 GROUP BY 1, 2
 """
 FEATOPS_QUERIES["feature_hashing"] = q_feature_hashing
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex token counting (billable-token estimation)
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenization classes, restricted to the regex subset
+# that Java regex (Spark) and RE2 (DuckDB) evaluate identically: letter
+# runs, digit runs, single non-alnum-non-space marks. No backrefs, no
+# lookahead (RE2 has neither), no \p classes (dialect-divergent).
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r]"
+
+
+def q_token_class_counts(spark, sf_dir):
+    """BPE-ISH REGEX TOKEN COUNTING — per-document token totals by
+    class (letter runs / digit runs / punctuation marks), the
+    pre-tokenization pass that estimates billable tokens far better
+    than chars/4 (text_quality's bpe_token_est) because punctuation and
+    numbers tokenize ~per character while words tokenize ~per run.
+
+    The pattern is confined to the Java-regex ∩ RE2 subset so both
+    engines extract identical token streams — the portability rule for
+    any regex that must run on heterogeneous engines (Spark executors
+    vs a DuckDB/Trino oracle).
+
+    100 TB notes: map-only regexp_extract_all + array length — pure
+    whole-stage-codegen string work, no shuffle at all (the final
+    per-doc row IS the scan row); the regex engine cost is linear in
+    text bytes."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(lower(text), '{BPE_PATTERN}', 0)")
+    return (
+        d.withColumn("__tk", toks)
+        .select(
+            "doc_id",
+            F.size("__tk").alias("n_tokens"),
+            F.size(F.filter("__tk", lambda t: t.rlike("^[a-z]"))).alias(
+                "n_word_tokens"
+            ),
+            F.size(F.filter("__tk", lambda t: t.rlike("^[0-9]"))).alias(
+                "n_num_tokens"
+            ),
+            F.size(
+                F.filter("__tk", lambda t: ~t.rlike("^[a-z0-9]"))
+            ).alias("n_punct_tokens"),
+        )
+    )
+
+
+FEATOPS_ORACLES["token_class_counts"] = f"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{BPE_PATTERN}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]'))) AS INTEGER) AS n_word_tokens,
+       CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]'))) AS INTEGER) AS n_num_tokens,
+       CAST(len(list_filter(toks, t -> NOT regexp_matches(t, '^[a-z0-9]'))) AS INTEGER) AS n_punct_tokens
+FROM tk
+"""
+FEATOPS_QUERIES["token_class_counts"] = q_token_class_counts

