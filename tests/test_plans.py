@@ -365,3 +365,82 @@ def test_sole_late_supplier_single_fact_exchange(spark, sf_dir):
     # nothing else: no (ok, sk) re-exchange, no window re-exchange
     assert len(hash_exchanges) == 3, hash_exchanges
     assert sum("l_suppkey" in ln for ln in hash_exchanges) == 0
+
+
+def test_forecast_revenue_full_pushdown(spark, sf_dir):
+    """Q6-shape plan contract: all three predicates and the 4-column
+    projection reach the parquet scan — the property that makes Q6
+    ~free at 100 TB (row-group min/max skipping on a date-sorted
+    lake)."""
+    from defi_features_data_pipeline_spark.queries.tpch_star import (
+        q_forecast_revenue,
+    )
+
+    plan = explain_str(q_forecast_revenue(spark, SF))
+    scan = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert scan, plan
+    pushed = scan[0]
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed, pushed
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and all("l_orderkey" not in l and "l_tax" not in l for l in read)
+
+
+def test_disjunctive_band_hoisted_prefilters(spark, sf_dir):
+    """Q19-shape plan contract: the manually hoisted table-local
+    implications of the cross-table OR reach both scans (brand whitelist
+    + size cap on part; quantity band on lineitem), and the part side
+    broadcasts."""
+    from defi_features_data_pipeline_spark.queries.tpch_star import (
+        q_disjunctive_band_revenue,
+    )
+
+    plan = explain_str(q_disjunctive_band_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "In(p_brand" in pushed, pushed
+    assert "LessThanOrEqual(p_size,15)" in pushed
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in pushed
+    assert "LessThanOrEqual(l_quantity,30.0)" in pushed
+
+
+def test_regional_supplier_volume_two_fact_exchanges(spark, sf_dir):
+    """Q5-shape plan contract: exactly two fact exchanges (orderkey for
+    lineitem⋈orders, custkey for the customer join) with every
+    dimension chain broadcast — the c_nationkey = s_nationkey
+    cross-dimension equality must ride the supplier broadcast join, not
+    materialize as a post-join filter over a wider join."""
+    from defi_features_data_pipeline_spark.queries.tpch_star import (
+        q_regional_supplier_volume,
+    )
+
+    df = q_regional_supplier_volume(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 1
+    hash_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "REQUIRED" not in ln
+    ]
+    # orderkey + custkey + the ≤25-row final n_name rollup; never a
+    # third fact-wide exchange
+    assert len(hash_exchanges) <= 3, hash_exchanges
+
+
+def test_ewma_single_aggregate_no_join(spark, sf_dir):
+    """The decay feature is ONE map-side-combinable aggregate over the
+    scan: no join, no window, exactly one exchange (user_id)."""
+    from defi_features_data_pipeline_spark.queries.featureops import (
+        q_ewma_user_value,
+    )
+
+    plan = explain_str(q_ewma_user_value(spark, sf_dir), mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
