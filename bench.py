@@ -161,6 +161,7 @@ HEADLINE = [
     "key_skew_profile",
     "feature_hashing",
     "token_class_counts",
+    "dedup_clusters_incremental",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
@@ -243,6 +244,21 @@ def _prior_round_timings(here: str) -> dict[str, float]:
     return dict(best[1]) if best else {}
 
 
+# Slow BY DESIGN and documented as such — exempt from the static
+# vs-suite-median flag ONLY (the round-over-round 3x flag still
+# applies, so genuine growth in these queries announces itself):
+# - grouped_median_pandas: the deliberate Python-escape-hatch twin of
+#   the 0.4 s JVM builtin (KNOWN_LIMITS; the comparison IS the gate);
+# - dedup_clusters_blocked / dedup_clusters_incremental: iterative
+#   connected components (multiple materialized rounds each; the
+#   incremental gate runs CC twice by definition — base + merge).
+KNOWN_SLOW = {
+    "grouped_median_pandas",
+    "dedup_clusters_blocked",
+    "dedup_clusters_incremental",
+}
+
+
 def _regressions(
     timings: dict[str, float], prior: dict[str, float]
 ) -> dict[str, dict[str, float]]:
@@ -250,7 +266,10 @@ def _regressions(
     in the total (round-5 lesson: one query at 71.85 s sat silently in
     a 117 s total): >3x the prior round's median time, or >10x this
     round's suite median. Sub-second queries are exempt from the
-    cross-round rule (3x of 0.1 s is noise, not a regression)."""
+    cross-round rule (3x of 0.1 s is noise, not a regression);
+    KNOWN_SLOW queries are exempt from the static vs-median rule (they
+    would flag every round by construction) but NOT from the
+    cross-round rule."""
     out: dict[str, dict[str, float]] = {}
     suite_median = statistics.median(timings.values()) if timings else 0.0
     for name, sec in timings.items():
@@ -258,7 +277,11 @@ def _regressions(
         prev = prior.get(name)
         if prev is not None and prev >= 0.5 and sec > 3 * prev:
             flags["vs_prior_round"] = round(sec / prev, 2)
-        if suite_median > 0 and sec > 10 * suite_median:
+        if (
+            suite_median > 0
+            and sec > 10 * suite_median
+            and name not in KNOWN_SLOW
+        ):
             flags["vs_suite_median"] = round(sec / suite_median, 2)
         if flags:
             out[name] = {"sec": sec, **flags}

@@ -1,5 +1,5 @@
 from .asof import asof_join
-from .graph import connected_components
+from .graph import connected_components, connected_components_incremental
 from .joins import disjunctive_join
 from .ranking import (
     global_ntile,
@@ -16,6 +16,7 @@ from .interval import point_in_interval_join
 __all__ = [
     "asof_join",
     "connected_components",
+    "connected_components_incremental",
     "global_ntile",
     "global_rank",
     "disjunctive_join",

@@ -205,3 +205,43 @@ def connected_components(
         "diameters far beyond 2^20; check the edge list (must be "
         "symmetric) or raise max_iters."
     )
+
+
+def connected_components_incremental(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    **kwargs,
+) -> DataFrame:
+    """Merge a NEW batch of edges into an existing (node, label)
+    component assignment without reprocessing the old edge set — the
+    graph-side sibling of the incremental MinHash band index
+    (queries/extensions.py::q_dedup_incremental_minhash).
+
+    Correctness: a labeling L produced by ``connected_components`` on
+    edge set E_old has the same connectivity classes as E_old itself —
+    each component is exactly the star {(v, L(v))}. Therefore
+    CC(star(L) ∪ E_new) == CC(E_old ∪ E_new): unioning the star edges
+    with the new batch and re-running CC yields the labeling of the
+    FULL cumulative graph (the property the batch-incremental ==
+    full-recompute gate pins).
+
+    Scale: the star has |nodes| edges regardless of how many edges
+    history accumulated, so each batch costs O(nodes + |E_new|) —
+    and because every star is depth-1, label propagation over the
+    merged graph converges in few rounds even when the historical
+    graph had a large diameter. This is how a 100 TB dedup graph is
+    maintained: the verified-pair artifact grows per batch, but CC
+    work per batch stays proportional to the label table + the batch.
+
+    ``new_edges`` may be one-directional (symmetrized internally, as
+    are the star edges). Labels for previously-seen nodes may CHANGE
+    (a new edge can bridge two old components — the new component min
+    wins), which is the correct semantics for cluster-keyed dedup."""
+    star = labels.select(
+        F.col("node").alias(src), F.col("label").alias(dst)
+    )
+    combined = star.union(new_edges.select(F.col(src), F.col(dst)))
+    kwargs.setdefault("symmetrize", True)
+    return connected_components(combined, src, dst, **kwargs)

@@ -2687,6 +2687,49 @@ EXT_QUERIES["dedup_clusters_lsh"] = q_dedup_clusters_lsh
 EXT_ORACLES["dedup_clusters_lsh"] = ORACLE_DEDUP_CLUSTERS_LSH
 
 
+def q_dedup_clusters_incremental(spark, sf_dir):
+    """INCREMENTAL near-dup cluster maintenance: the verified edge list
+    is split into an OLD batch (both docs with doc_id % 5 != 0) and a
+    NEW batch (any endpoint doc_id % 5 == 0); components are computed
+    on the old batch, then the new batch is merged via
+    ``connected_components_incremental`` — star edges from the old
+    labels ∪ the delta, NEVER the historical edges again. The ORACLE is
+    the full-recompute cluster rollup (identical SQL to
+    dedup_clusters_lsh's oracle), so the hash-match proves
+    batch-incremental == full — per batch the engine pays
+    O(label table + delta), the property that keeps a 100 TB dedup
+    graph maintainable as the corpus appends.
+
+    A bridge case is live on this corpus: new-batch edges connect
+    previously separate old components, so the gate exercises label
+    REASSIGNMENT of old nodes, not just extension."""
+    from ..operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    pairs = _lsh_edges(spark, sf_dir)
+    is_new_a = F.col("doc_a") % 5 == 0
+    is_new_b = F.col("doc_b") % 5 == 0
+    old_edges = pairs.filter(~is_new_a & ~is_new_b)
+    delta_edges = pairs.filter(is_new_a | is_new_b)
+    base = connected_components(old_edges, "doc_a", "doc_b", symmetrize=True)
+    labels = connected_components_incremental(
+        base, delta_edges, "doc_a", "doc_b"
+    )
+    out = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("node").alias("keeper_doc_id"),
+    )
+    return out.select(
+        F.col("label").alias("cluster_id"), "cluster_size", "keeper_doc_id"
+    )
+
+
+EXT_QUERIES["dedup_clusters_incremental"] = q_dedup_clusters_incremental
+EXT_ORACLES["dedup_clusters_incremental"] = ORACLE_DEDUP_CLUSTERS_LSH
+
+
 def q_multimodal_frame_sample(spark, sf_dir):
     """Multimodal FRAME SAMPLING plumbing: the binary payload is
     "decoded" (here: utf-8 — the deterministic stand-in for a video

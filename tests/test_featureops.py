@@ -177,3 +177,69 @@ class TestTokenClassCounts:
                 r["n_word_tokens"] + r["n_num_tokens"] + r["n_punct_tokens"]
                 == r["n_tokens"]
             )
+
+
+class TestIncrementalConnectedComponents:
+    def test_random_graph_incremental_equals_full(self, spark):
+        """Property: for a random graph split into two edge batches,
+        CC(batch1) + incremental-merge(batch2) == CC(all edges)."""
+        import random
+
+        from defi_features_data_pipeline_spark.operators import (
+            connected_components,
+            connected_components_incremental,
+        )
+
+        rng = random.Random(7)
+        edges = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(90)
+        ]
+        cut = len(edges) // 2
+        all_df = spark.createDataFrame(edges, "id_a long, id_b long")
+        old_df = spark.createDataFrame(edges[:cut], "id_a long, id_b long")
+        new_df = spark.createDataFrame(edges[cut:], "id_a long, id_b long")
+        full = {
+            r["node"]: r["label"]
+            for r in connected_components(
+                all_df, symmetrize=True
+            ).collect()
+        }
+        base = connected_components(old_df, symmetrize=True)
+        inc = {
+            r["node"]: r["label"]
+            for r in connected_components_incremental(base, new_df).collect()
+        }
+        assert inc == full
+
+    def test_lsh_gate_split_is_nonvacuous_and_bridges(self, spark, sf_dir_t2):
+        """The dedup_clusters_incremental gate's old/new split must keep
+        both batches non-empty AND the delta must re-label at least one
+        old node (at sf0.01 — where the driver gate runs — new doc 45
+        joins old component {267, 413} and its smaller id wins) —
+        otherwise the gate degenerates to plain CC."""
+        sf_dir = sf_dir_t2
+        from pyspark.sql import functions as F
+
+        from defi_features_data_pipeline_spark.operators import (
+            connected_components,
+            connected_components_incremental,
+        )
+        from defi_features_data_pipeline_spark.queries.extensions import (
+            _lsh_edges,
+        )
+
+        pairs = _lsh_edges(spark, sf_dir)
+        new_a, new_b = F.col("doc_a") % 5 == 0, F.col("doc_b") % 5 == 0
+        old_e = pairs.filter(~new_a & ~new_b)
+        delta = pairs.filter(new_a | new_b)
+        assert old_e.count() > 0 and delta.count() > 0
+        base = connected_components(old_e, "doc_a", "doc_b", symmetrize=True)
+        base_labels = {r["node"]: r["label"] for r in base.collect()}
+        merged = connected_components_incremental(base, delta, "doc_a", "doc_b")
+        merged_labels = {r["node"]: r["label"] for r in merged.collect()}
+        reassigned = [
+            n
+            for n, lb in base_labels.items()
+            if merged_labels.get(n, lb) != lb
+        ]
+        assert reassigned, "delta batch never re-labels an old node"
