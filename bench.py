@@ -162,6 +162,8 @@ HEADLINE = [
     "feature_hashing",
     "token_class_counts",
     "dedup_clusters_incremental",
+    "temporal_split_embargo",
+    "impute_group_mean",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -327,3 +327,121 @@ SELECT doc_id,
 FROM tk
 """
 FEATOPS_QUERIES["token_class_counts"] = q_token_class_counts
+
+
+# ---------------------------------------------------------------------------
+# Temporal train/test split with embargo (leakage-safe financial splits)
+# ---------------------------------------------------------------------------
+
+SPLIT_T0 = 1_705_708_800  # 2024-01-20 00:00:00 UTC
+EMBARGO_SECONDS = 3 * 86400
+
+
+def q_temporal_split_embargo(spark, sf_dir):
+    """TEMPORAL SPLIT WITH EMBARGO — train strictly before t0, a
+    3-day embargo gap discarded, test from t0+embargo on. The split
+    discipline for financial / serially-correlated data: a random
+    (hash) split like ``deterministic_split`` leaks label information
+    through autocorrelation across the boundary; the embargo kills the
+    overlap window a look-ahead feature could straddle. Returns the
+    per-(split, event_type) audit (counts + boundary epochs) a
+    pipeline records next to the split artifact.
+
+    100 TB notes: pure scan + map-side-combinable aggregate on ≤3×|types|
+    keys; on a date-partitioned lake each split's read partition-prunes
+    (the boundaries are literals). The embargoed rows are counted, not
+    silently dropped — no silent caps."""
+    ev = _events(spark, sf_dir).withColumn("__ep", F.col("ts").cast("long"))
+    split = (
+        F.when(F.col("__ep") < SPLIT_T0, F.lit("train"))
+        .when(F.col("__ep") < SPLIT_T0 + EMBARGO_SECONDS, F.lit("embargo"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ev.groupBy(split.alias("split"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__ep").alias("min_epoch"),
+            F.max("__ep").alias("max_epoch"),
+        )
+    )
+
+
+FEATOPS_ORACLES["temporal_split_embargo"] = f"""
+WITH e AS (SELECT event_type, {epoch_sql("ts")} AS ep FROM events)
+SELECT CASE WHEN ep < {SPLIT_T0} THEN 'train'
+            WHEN ep < {SPLIT_T0} + {EMBARGO_SECONDS} THEN 'embargo'
+            ELSE 'test' END AS split,
+       event_type,
+       count(*) AS n_rows,
+       min(ep) AS min_epoch,
+       max(ep) AS max_epoch
+FROM e
+GROUP BY 1, 2
+"""
+FEATOPS_QUERIES["temporal_split_embargo"] = q_temporal_split_embargo
+
+
+# ---------------------------------------------------------------------------
+# Group-mean imputation (simulated missingness, decimal-exact means)
+# ---------------------------------------------------------------------------
+
+IMPUTE_MASK_MOD = 7  # value treated as missing when event_id % 7 == 0
+
+
+def q_impute_group_mean(spark, sf_dir):
+    """GROUP-MEAN IMPUTATION — the numeric-missing-value repair pass of
+    a feature pipeline. The testdata has no physical nulls, so
+    missingness is SIMULATED deterministically (event_id % 7 == 0) as
+    part of the query spec; the imputed value is the event_type mean of
+    the NON-missing rows (never contaminated by the rows being
+    repaired — the subtlety this gate pins: a naive avg(value) over all
+    rows would leak the masked values back into the fill).
+
+    Determinism: the group mean is exact-decimal-sum / count rounded to
+    6 dp before substitution, so both engines fill bit-identical
+    values.
+
+    100 TB notes: one stats aggregate to |groups| rows broadcast back
+    onto the scan — fact never shuffles; output is row-for-row with the
+    input (map-only after the broadcast)."""
+    ev = _events(spark, sf_dir)
+    missing = F.col("event_id") % IMPUTE_MASK_MOD == 0
+    stats = (
+        ev.filter(~missing)
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("__fill")
+        )
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.when(missing, F.col("__fill")).otherwise(F.col("value")).alias(
+                "value_imputed"
+            ),
+            missing.alias("was_missing"),
+        )
+    )
+
+
+FEATOPS_ORACLES["impute_group_mean"] = f"""
+WITH stats AS (
+  SELECT event_type,
+         round({_D2D.format(x="SUM(CAST(value AS DECIMAL(38,10)))")} / count(*), 6) AS fill
+  FROM events
+  WHERE event_id % {IMPUTE_MASK_MOD} <> 0
+  GROUP BY 1
+)
+SELECT event_id, e.event_type,
+       CASE WHEN event_id % {IMPUTE_MASK_MOD} = 0 THEN fill ELSE value END AS value_imputed,
+       event_id % {IMPUTE_MASK_MOD} = 0 AS was_missing
+FROM events e JOIN stats USING (event_type)
+"""
+FEATOPS_QUERIES["impute_group_mean"] = q_impute_group_mean
