@@ -445,3 +445,101 @@ SELECT event_id, e.event_type,
 FROM events e JOIN stats USING (event_type)
 """
 FEATOPS_QUERIES["impute_group_mean"] = q_impute_group_mean
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding (leakage-aware categorical encoding)
+# ---------------------------------------------------------------------------
+
+
+def q_target_encode_loo(spark, sf_dir):
+    """LEAVE-ONE-OUT TARGET ENCODING of event_type against the value
+    target: each row's encoding is its group's target mean WITH THE ROW
+    ITSELF REMOVED — (Σ_group − x)/(n_group − 1). Plain target-mean
+    encoding leaks each row's own label into its feature (the classic
+    target-leakage bug); LOO is the standard repair, and the subtlety
+    this gate pins is the exact exclusion arithmetic.
+
+    Determinism: Σ accumulates in exact decimal; x is cast to the same
+    decimal so Σ − x is EXACT decimal subtraction; only then does one
+    double division by (n−1) happen, identically in both engines, then
+    a 6-dp round. Singleton groups (n = 1) are excluded in both engines
+    (a pipeline would fall back to the global prior).
+
+    100 TB notes: group stats are one map-side-combinable aggregate to
+    |categories| rows broadcast back onto the scan — the fact never
+    shuffles and the output is row-for-row with the input."""
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.sum(F.col("value").cast(DEC)).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    ).filter(F.col("__n") > 1)
+    loo = (F.col("__s") - F.col("value").cast(DEC)).cast("double") / (
+        F.col("__n") - 1
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(loo, 6).alias("loo_enc"),
+        )
+    )
+
+
+FEATOPS_ORACLES["target_encode_loo"] = f"""
+WITH stats AS (
+  SELECT event_type,
+         SUM(CAST(value AS DECIMAL(38,10))) AS s,
+         count(*) AS n
+  FROM events GROUP BY 1 HAVING count(*) > 1
+)
+SELECT event_id, e.event_type,
+       round({_D2D.format(x="s - CAST(value AS DECIMAL(38,10))")} / (n - 1), 6) AS loo_enc
+FROM events e JOIN stats USING (event_type)
+"""
+FEATOPS_QUERIES["target_encode_loo"] = q_target_encode_loo
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of the time-decay feature (order-independent state)
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_ewma_user_value(spark, sf_dir):
+    """STREAMING TWIN of ``ewma_user_value`` — the fixed-anchor decay
+    sum is a plain weighted SUM, i.e. order-independent and mergeable,
+    so the streaming form is an ordinary streaming aggregation (state =
+    one partial sum per user, no custom stateful operator, no
+    event-order assumption across micro-batches). Held to the SAME
+    DuckDB oracle as the batch query: streaming == batch == oracle.
+
+    This is the reason to prefer anchor-decay over recursive EWMA
+    (s_t = α·x + (1−α)·s_{t-1}) in a pipeline: the recursive form's
+    state transition depends on arrival ORDER and cannot be verified
+    against a batch oracle under micro-batch nondeterminism; the
+    anchored form is associative-commutative and exact."""
+    from .extensions import _run_stream, _stream_events
+
+    ev = _stream_events(spark, sf_dir).withColumn(
+        "__ep", F.col("ts").cast("long")
+    )
+    age = F.expr(f"cast(({DECAY_ANCHOR}L - __ep) div 86400 as int)")
+    ev = ev.withColumn("__age", F.least(F.lit(DECAY_MAX_AGE_DAYS), age))
+    w = F.lit(1.0) / F.expr("cast(shiftleft(1L, __age) as double)")
+    agg = ev.groupBy("user_id").agg(
+        F.sum((F.col("value") * w).cast(DEC)).alias("__dv"),
+        F.min("__age").alias("freshest_age_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    name = _run_stream(agg, "complete")
+    return spark.table(name).select(
+        "user_id",
+        F.round(F.col("__dv").cast("double"), 6).alias("decayed_value"),
+        "freshest_age_days",
+        "n_events",
+    )
+
+
+FEATOPS_ORACLES["streaming_ewma_user_value"] = FEATOPS_ORACLES["ewma_user_value"]
+FEATOPS_QUERIES["streaming_ewma_user_value"] = q_streaming_ewma_user_value
