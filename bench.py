@@ -164,6 +164,8 @@ HEADLINE = [
     "dedup_clusters_incremental",
     "temporal_split_embargo",
     "impute_group_mean",
+    "target_encode_loo",
+    "knn_graph_ivf",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

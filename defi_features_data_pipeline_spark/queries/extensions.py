@@ -5878,3 +5878,75 @@ SELECT query_id, cand_id, exact_dist, CAST(rank AS INTEGER) AS rank FROM (
 
 EXT_QUERIES["ann_pq_rescore"] = q_ann_pq_rescore
 EXT_ORACLES["ann_pq_rescore"] = ORACLE_ANN_PQ_RESCORE
+
+
+def q_knn_graph_ivf(spark, sf_dir):
+    """k-NN GRAPH BUILD over the WHOLE corpus (top-3 neighbors for
+    EVERY vector, not 10 fixed queries): the input of graph-based
+    semantic clustering and of graph-ANN indexes. Candidates come from
+    the IVF blocks — both sides join the materialized assignment on
+    the list id, so candidate pairs are O(n·block_width), linear with
+    the corpus-scaled k policy (never O(n²)); the per-vector top-3 is
+    one window over the blocked pairs.
+
+    vs ``ann_ivf_topk``: the query side is the full corpus, so nothing
+    broadcasts — both sides shuffle once on the block id and the
+    window shuffles on query_id. At 100 TB those are the exact two
+    exchanges a kNN-graph build must pay; recall follows the IVF
+    nprobe=1 contract (raise via multiprobe if the graph consumer
+    needs it)."""
+    from pyspark.sql import Window
+
+    asg = _ivf_assignments(spark, sf_dir)
+    q = (
+        _vectors(spark, sf_dir, "query_id", "qv", "qn")
+        .drop("label")
+        .join(asg, F.col("query_id") == asg["vec_id"])
+        .select("query_id", "qv", "qn", F.col("cid").alias("qlabel"))
+    )
+    cand = (
+        _vectors(spark, sf_dir, "cand_id", "cv", "cn")
+        .drop("label")
+        .join(_ivf_assignments(spark, sf_dir), F.col("cand_id") == F.col("vec_id"))
+        .select("cand_id", "cv", "cn", F.col("cid").alias("clabel"))
+    )
+    scored = (
+        q.join(cand, F.col("qlabel") == F.col("clabel"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+ORACLE_KNN_GRAPH_IVF = f"""
+WITH a AS (SELECT * FROM read_parquet('{IVF_ORACLE_DIR}/assignments/*.parquet')),
+q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, qa.cid AS qcid
+      FROM embeddings e JOIN a qa ON qa.vec_id = e.vec_id),
+scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM q JOIN a ca ON ca.cid = q.qcid
+  JOIN embeddings e ON e.vec_id = ca.vec_id
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, cand_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+EXT_QUERIES["knn_graph_ivf"] = q_knn_graph_ivf
+EXT_ORACLES["knn_graph_ivf"] = ORACLE_KNN_GRAPH_IVF
