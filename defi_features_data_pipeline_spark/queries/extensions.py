@@ -2702,7 +2702,13 @@ def q_dedup_clusters_incremental(spark, sf_dir):
 
     A bridge case is live on this corpus: new-batch edges connect
     previously separate old components, so the gate exercises label
-    REASSIGNMENT of old nodes, not just extension."""
+    REASSIGNMENT of old nodes, not just extension.
+
+    NOTE the gate recomputes the base labeling live only to PROVE the
+    equivalence inside one query; in production the base labels are
+    the previous batch's persisted output (the same load-first
+    artifact discipline as the LSH edge list and the IVF index), so a
+    real batch pays only the star-union CC."""
     from ..operators.graph import (
         connected_components,
         connected_components_incremental,

@@ -189,12 +189,17 @@ def q_key_skew_profile(spark, sf_dir):
     splitting; share ≈ 1/|keys| means a plain hash shuffle is fine.
 
     100 TB notes: the per-key count is one map-side-combinable
-    aggregate; the global row/key totals come from scalar subqueries
-    over that same small per-key frame (never a second fact scan); the
-    top-K is a TakeOrdered over |keys| rows (count-desc, key-asc total
-    order), not a global sort of the fact."""
+    aggregate, MATERIALIZED once (eager localCheckpoint) because three
+    consumers derive from it — the top-K and the two scalar totals;
+    without the cut each scalar subquery would re-execute the fact
+    aggregate (three fact scans instead of one — the doc_lm_score
+    lesson). The top-K is a TakeOrdered over |keys| rows (count-desc,
+    key-asc total order), not a global sort of the fact; the totals
+    are 1-row reduces of the materialized |keys|-row frame."""
     ev = _events(spark, sf_dir)
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=True)
     tot = counts.agg(F.sum("cnt").cast("double").alias("__t"))
     nk = counts.agg(F.count(F.lit(1)).cast("double").alias("__k"))
     return (
