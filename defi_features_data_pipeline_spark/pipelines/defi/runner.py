@@ -37,7 +37,11 @@ from .stage import stage_account_positions, stage_events, stage_market_data
 
 
 def run_pipeline(
-    spark: SparkSession, base_dir: str, now_epoch: int, streaming: bool = False
+    spark: SparkSession,
+    base_dir: str,
+    now_epoch: int,
+    streaming: bool = False,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Full raw→features run over a fixture lake at ``base_dir``.
     Returns the final 27-column defi_features DataFrame (also written
@@ -55,8 +59,20 @@ def run_pipeline(
     also dedups ACROSS increments — strictly stronger than the batch
     path's per-run distinct. Both modes produce the identical
     27-column output on a static lake
-    (`tests/test_defi_pipeline.py::test_streaming_mode_equivalence`)."""
+    (`tests/test_defi_pipeline.py::test_streaming_mode_equivalence`)).
+
+    ``metrics``: pass a dict to receive run observability — rows
+    APPENDED per incremental stage/analytics table (what an operator
+    watches for a stuck watermark: a layer appending 0 on fresh data)
+    and the final feature-row count, measured by ``observe()`` inside
+    the analytics write job (zero extra jobs). Batch mode only — the
+    streaming path's file-source offsets live in its checkpoints and
+    its progress belongs to StreamingQueryListener, not this dict."""
     cat = Catalog(spark, base_dir)
+
+    def _record(layer: str, name: str, appended: int) -> None:
+        if metrics is not None:
+            metrics.setdefault(layer, {})[name] = appended
 
     # --- stage layer: per-event incremental normalization -------------------
     # The reference DAG fans the 5 events out in parallel ECS tasks
@@ -85,12 +101,16 @@ def run_pipeline(
             return
         raw = cat.read("raw", f"transpose_{name}_events")
         staged = stage_events(raw, liquidation=(name == "liquidation"))
-        incremental_insert(
-            spark,
-            staged,
-            target,
-            watermark_col="epoch_timestamp",
-            partition_by=["year", "month"],
+        _record(
+            "stage_appended",
+            name,
+            incremental_insert(
+                spark,
+                staged,
+                target,
+                watermark_col="epoch_timestamp",
+                partition_by=["year", "month"],
+            ),
         )
 
     with ThreadPoolExecutor(max_workers=5) as pool:
@@ -136,9 +156,13 @@ def run_pipeline(
             staged, tokens_metadata, tokens_to_drop, token_prices, cfg
         )
         path = cat.path("analytics", f"transpose_{name}_events")
-        incremental_insert(
-            spark, enriched, path, watermark_col="epoch_timestamp",
-            partition_by=["year", "month"],
+        _record(
+            "analytics_appended",
+            name,
+            incremental_insert(
+                spark, enriched, path, watermark_col="epoch_timestamp",
+                partition_by=["year", "month"],
+            ),
         )
         return name, spark.read.parquet(path)
 
@@ -152,7 +176,11 @@ def run_pipeline(
     merged_path = cat.path(
         "analytics", "the_graph_historical_market_data_and_account_positions"
     )
-    incremental_insert(spark, merged, merged_path, watermark_col="block_number")
+    _record(
+        "analytics_appended",
+        "market_data_and_account_positions",
+        incremental_insert(spark, merged, merged_path, watermark_col="block_number"),
+    )
     positions = spark.read.parquet(merged_path)
 
     current_pos = current_collateral_positions(
@@ -185,11 +213,19 @@ def run_pipeline(
         historical_f, threshold_f, liquidation_f, current_hf_f,
         analytics_events["borrow"],
     )
+    obs = None
+    if metrics is not None:
+        from pyspark.sql import Observation, functions as F
+
+        obs = Observation("defi_features_rows")
+        features = features.observe(obs, F.count(F.lit(1)).alias("n"))
     features = features.cache()  # computed once, written to two sinks (SURVEY §4)
 
     run_quality_gate(features)
 
     features.write.mode("overwrite").parquet(cat.path("analytics", "defi_features"))
+    if obs is not None:
+        metrics["features_rows"] = int(obs.get["n"])
     # serving sink: key-upsert keyed on walletAddress
     upsert_parquet(
         spark,

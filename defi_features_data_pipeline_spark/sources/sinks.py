@@ -130,3 +130,30 @@ def upsert_manifested(
     tmp = table_root.rstrip("/") + ".__stage__"
     merged.write.mode("overwrite").parquet(tmp)
     manifest_commit(spark, table_root, tmp, keep=keep)
+
+
+def backfill_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Selective partition BACKFILL: rewrite ONLY the partitions present
+    in ``df``, leaving every other partition of the lake untouched —
+    the production repair flow for "month X was computed from bad
+    upstream data" (re-run that month, never the table).
+
+    Mechanism: ``mode("overwrite")`` under Spark's dynamic partition
+    overwrite (``spark.sql.sources.partitionOverwriteMode=dynamic``,
+    set in session.py). With the default STATIC mode the same call
+    would silently DELETE every other partition first — the classic
+    footgun this helper (and its test) exists to pin. The conf is
+    re-asserted here so the helper is safe under any caller session.
+
+    Scale note: the overwrite job only lists/commits directories for
+    the partition values it writes; untouched partitions' files are
+    never read, staged, or rewritten (the test asserts identical file
+    inodes), so a 1-month backfill on a 100 TB lake costs one month,
+    not a table rewrite."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -220,3 +220,23 @@ def test_daily_first_blocks(spark, lake):
     assert all(len(r["year"]) == 2 and len(r["month"]) == 2 for r in grid)
     nums = [r["block_number"] for r in grid]
     assert nums == sorted(nums)
+
+
+def test_run_metrics_observability(spark, lake, features):
+    """``run_pipeline(metrics=...)`` reports rows appended per
+    incremental layer and the features row count (measured by
+    observe() inside the write job). On an already-materialized lake
+    every incremental layer appends 0 — exactly the reading an
+    operator uses to tell "no new data" from "stuck watermark" — and
+    features_rows equals the spine width."""
+    metrics: dict = {}
+    out = run_pipeline(spark, lake, now_epoch=NOW, metrics=metrics)
+    assert set(metrics["stage_appended"]) == {
+        "borrow", "deposit", "repay", "withdraw", "liquidation"
+    }
+    assert all(v == 0 for v in metrics["stage_appended"].values())
+    assert (
+        metrics["analytics_appended"]["market_data_and_account_positions"] == 0
+    )
+    assert metrics["features_rows"] == out.count()
+    assert metrics["features_rows"] > 0

@@ -293,3 +293,75 @@ class TestStatsIndex:
         # v has NULLs in every file -> conservative keep-all on v
         v_kept = pruned_read(spark, table, index, "v", 0.0, 1.0).inputFiles()
         assert len(v_kept) == n_all
+
+
+class TestBackfillPartitions:
+    def test_backfill_rewrites_only_target_partition(self, spark, tmp_path):
+        """Dynamic-partition backfill: the repaired month is replaced,
+        every other month's FILES are bit-identical (same paths, sizes,
+        mtimes — never rewritten), and the table afterwards equals
+        full-recompute."""
+        import os
+
+        from defi_features_data_pipeline_spark.sources.sinks import (
+            backfill_partitions,
+            write_partitioned,
+        )
+
+        path = str(tmp_path / "lake")
+        rows = [(i, f"2024-{m:02d}", float(i)) for m in (1, 2, 3) for i in range(10)]
+        df = spark.createDataFrame(rows, "id long, month string, v double")
+        write_partitioned(df, path, ["month"], mode="overwrite")
+
+        def listing(exclude: str):
+            out = {}
+            for root, _, files in os.walk(path):
+                if exclude in root:
+                    continue
+                for f in files:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(root, f)
+                        st = os.stat(p)
+                        out[p] = (st.st_size, st.st_mtime_ns)
+            return out
+
+        before = listing(exclude="month=2024-02")
+        fixed = spark.createDataFrame(
+            [(i, "2024-02", float(i) * 10) for i in range(10)],
+            "id long, month string, v double",
+        )
+        backfill_partitions(fixed, path, ["month"])
+        assert listing(exclude="month=2024-02") == before
+        got = spark.read.parquet(path)
+        assert got.count() == 30
+        feb = {r["id"]: r["v"] for r in got.filter("month = '2024-02'").collect()}
+        assert feb == {i: float(i) * 10 for i in range(10)}
+        jan = {r["id"]: r["v"] for r in got.filter("month = '2024-01'").collect()}
+        assert jan == {i: float(i) for i in range(10)}
+
+    def test_static_mode_would_clobber(self, spark, tmp_path):
+        """The footgun the helper guards: the SAME write under static
+        partitionOverwriteMode deletes the untouched partitions."""
+        from defi_features_data_pipeline_spark.sources.sinks import (
+            write_partitioned,
+        )
+
+        path = str(tmp_path / "lake")
+        rows = [(i, f"2024-{m:02d}", float(i)) for m in (1, 2) for i in range(5)]
+        write_partitioned(
+            spark.createDataFrame(rows, "id long, month string, v double"),
+            path,
+            ["month"],
+            mode="overwrite",
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.createDataFrame(
+                [(0, "2024-02", 99.0)], "id long, month string, v double"
+            ).write.mode("overwrite").partitionBy("month").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        left = spark.read.parquet(path)
+        assert left.filter("month = '2024-01'").count() == 0  # clobbered
+        assert left.count() == 1
