@@ -166,6 +166,7 @@ HEADLINE = [
     "impute_group_mean",
     "target_encode_loo",
     "knn_graph_ivf",
+    "variant_props_audit",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -548,3 +548,69 @@ def q_streaming_ewma_user_value(spark, sf_dir):
 
 FEATOPS_ORACLES["streaming_ewma_user_value"] = FEATOPS_ORACLES["ewma_user_value"]
 FEATOPS_QUERIES["streaming_ewma_user_value"] = q_streaming_ewma_user_value
+
+
+# ---------------------------------------------------------------------------
+# Variant ingest + corrupt-record audit (semi-structured robustness)
+# ---------------------------------------------------------------------------
+
+CORRUPT_MASK_MOD = 11  # props truncated (invalid JSON) when event_id % 11 == 0
+
+
+def q_variant_props_audit(spark, sf_dir):
+    """SEMI-STRUCTURED INGEST AUDIT over Spark 4's VARIANT type:
+    ``try_parse_json`` + ``try_variant_get`` extract typed fields while
+    malformed payloads degrade to NULL instead of failing the job — the
+    permissive-ingest contract every raw landing zone needs. The
+    testdata's props are all valid JSON, so corruption is SIMULATED
+    deterministically (event_id % 11 == 0 → payload truncated to 3
+    chars) as part of the query spec; the audit reports, per
+    event_type, row/corrupt counts and the k-sum over rows that
+    survived parsing.
+
+    VARIANT vs get_json_object (q_json_extract_props): variant parses
+    ONCE into a binary-encoded value that any number of typed
+    extractions then read without re-parsing — the right shape when a
+    pipeline extracts many fields from big payloads.
+
+    100 TB notes: map-only parse + one map-side-combinable aggregate;
+    corrupt rows are COUNTED, never silently dropped (no silent
+    caps)."""
+    ev = _events(spark, sf_dir)
+    payload = F.when(
+        F.col("event_id") % CORRUPT_MASK_MOD == 0,
+        F.substring(F.col("props"), 1, 3),
+    ).otherwise(F.col("props"))
+    k = F.try_variant_get(F.try_parse_json(payload), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("__k").isNull().cast("long")).alias("n_corrupt"),
+            F.sum("__k").alias("sum_k"),
+        )
+    )
+
+
+FEATOPS_ORACLES["variant_props_audit"] = f"""
+WITH payloads AS (
+  SELECT event_type,
+         CASE WHEN event_id % {CORRUPT_MASK_MOD} = 0
+              THEN substr(props, 1, 3) ELSE props END AS s
+  FROM events
+),
+parsed AS (
+  SELECT event_type,
+         CASE WHEN json_valid(s)
+              THEN CAST(json_extract_string(s, '$.k') AS BIGINT) END AS k
+  FROM payloads
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_corrupt,
+       SUM(k) AS sum_k
+FROM parsed
+GROUP BY 1
+"""
+FEATOPS_QUERIES["variant_props_audit"] = q_variant_props_audit
