@@ -214,3 +214,151 @@ def list_parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
         if name.endswith(".parquet"):
             out.append((st.getPath().toString(), st.getLen()))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cross-table atomic snapshots (database-level transactional publish)
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_PREFIX = "snapshot-v"
+
+
+def _snapshot_mapping_dir(root: str, n: int) -> str:
+    return f"{root}/{SNAPSHOT_PREFIX}{n:010d}.d"
+
+
+def _snapshot_marker(root: str, n: int) -> str:
+    return f"{root}/{SNAPSHOT_PREFIX}{n:010d}"
+
+
+def snapshot_versions(spark: SparkSession, db_root: str) -> list[int]:
+    """Committed snapshot numbers (marker AND mapping dir present)."""
+    fs, root_p = _fs(spark, db_root)
+    if not fs.exists(root_p):
+        return []
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    root = db_root.rstrip("/")
+    out = []
+    for st in fs.listStatus(root_p):
+        name = st.getPath().getName()
+        if (
+            name.startswith(SNAPSHOT_PREFIX)
+            and not name.endswith(".d")
+            and st.isFile()
+        ):
+            n = int(name[len(SNAPSHOT_PREFIX):])
+            if fs.exists(jvm_path(_snapshot_mapping_dir(root, n))):
+                out.append(n)
+    return sorted(out)
+
+
+def snapshot_resolve(
+    spark: SparkSession, db_root: str, version: int | None = None
+) -> dict[str, str]:
+    """{table: committed data path} for a snapshot — the latest by
+    default. The mapping is carried by the FILENAMES inside the
+    snapshot's ``.d`` directory (``<table>=<data version>``), so
+    resolution is two directory listings and zero file reads; the
+    single marker-file create in ``snapshot_publish`` is the commit
+    point, so a resolve observes every table at the SAME snapshot —
+    never a mix of old and new versions across tables."""
+    versions = snapshot_versions(spark, db_root)
+    if version is None:
+        if not versions:
+            return {}
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(
+            f"snapshot {version} of {db_root} is not readable "
+            f"(committed & retained: {versions})"
+        )
+    root = db_root.rstrip("/")
+    fs, _ = _fs(spark, db_root)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    out: dict[str, str] = {}
+    for st in fs.listStatus(jvm_path(_snapshot_mapping_dir(root, version))):
+        table, _, v = st.getPath().getName().partition("=")
+        out[table] = f"{root}/{table}/{DATA_PREFIX}{int(v):010d}"
+    return out
+
+
+def snapshot_publish(
+    spark: SparkSession,
+    db_root: str,
+    tables: dict[str, "DataFrame"],
+    keep: int = 2,
+) -> int:
+    """Atomically publish a NEW consistent snapshot of several tables —
+    the cross-table transaction a feature store needs when e.g. a
+    feature table and its metadata/dimension table must advance
+    together (a reader joining them must never see feature version N
+    against dimension version N−1).
+
+    Protocol (single-committer; rename-based like manifest_commit):
+      1. each DataFrame writes to a tmp dir, then renames to
+         ``<db_root>/<table>/data-v<N>`` (fresh names — never read
+         until committed);
+      2. the mapping dir ``snapshot-v<N>.d/`` is created with one empty
+         file per table named ``<table>=<version>`` — updated tables
+         point at N, absent tables carry the previous snapshot's
+         version forward (unchanged tables are NOT rewritten);
+      3. the marker file ``snapshot-v<N>`` is created LAST — the only
+         commit point. A crash before (3) leaves staged dirs a future
+         publish GCs; readers keep resolving N−1.
+
+    GC keeps the last ``keep`` snapshots (reader-grace contract as
+    manifest_commit) and deletes data dirs no surviving snapshot
+    references. Returns the committed snapshot number."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs, root_p = _fs(spark, db_root)
+    fs.mkdirs(root_p)
+    root = db_root.rstrip("/")
+    prev_versions = snapshot_versions(spark, db_root)
+    prev_map: dict[str, str] = {}
+    if prev_versions:
+        for t, path in snapshot_resolve(spark, root, prev_versions[-1]).items():
+            prev_map[t] = path.rsplit(DATA_PREFIX, 1)[1]
+    # next snapshot number must also clear any crashed staging attempt
+    staged = []
+    for st in fs.listStatus(root_p) if fs.exists(root_p) else []:
+        name = st.getPath().getName()
+        if name.startswith(SNAPSHOT_PREFIX):
+            staged.append(int(name[len(SNAPSHOT_PREFIX):].removesuffix(".d")))
+    n = max(prev_versions + staged, default=0) + 1
+
+    for t, df in tables.items():
+        tmp = f"{root}/{t}/.staging-v{n:010d}"
+        df.write.mode("overwrite").parquet(tmp)
+        fs.mkdirs(jvm_path(f"{root}/{t}"))
+        if not fs.rename(jvm_path(tmp), jvm_path(f"{root}/{t}/{DATA_PREFIX}{n:010d}")):
+            raise IOError(f"could not stage table {t} for snapshot {n}")
+    mapping = {t: n for t in tables} | {
+        t: int(v) for t, v in prev_map.items() if t not in tables
+    }
+    mdir = _snapshot_mapping_dir(root, n)
+    fs.mkdirs(jvm_path(mdir))
+    for t, v in mapping.items():
+        fs.create(jvm_path(f"{mdir}/{t}={v:010d}"), True).close()
+    fs.create(jvm_path(_snapshot_marker(root, n)), True).close()  # COMMIT
+
+    # GC: old snapshots beyond keep, then unreferenced data dirs
+    survivors = [v for v in snapshot_versions(spark, root) if v > n - keep - 1]
+    referenced: set[tuple[str, int]] = set()
+    for v in survivors:
+        for t, path in snapshot_resolve(spark, root, v).items():
+            referenced.add((t, int(path.rsplit(DATA_PREFIX, 1)[1])))
+    for v in snapshot_versions(spark, root):
+        if v not in survivors:
+            fs.delete(jvm_path(_snapshot_marker(root, v)), False)  # marker first
+            fs.delete(jvm_path(_snapshot_mapping_dir(root, v)), True)
+    for st in fs.listStatus(root_p):
+        tname = st.getPath().getName()
+        if tname.startswith(SNAPSHOT_PREFIX) or not st.isDirectory():
+            continue
+        for ds in fs.listStatus(st.getPath()):
+            dname = ds.getPath().getName()
+            if dname.startswith(DATA_PREFIX):
+                dv = int(dname[len(DATA_PREFIX):])
+                if (tname, dv) not in referenced and dv < n:
+                    fs.delete(ds.getPath(), True)
+    return n
