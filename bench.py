@@ -167,6 +167,7 @@ HEADLINE = [
     "target_encode_loo",
     "knn_graph_ivf",
     "variant_props_audit",
+    "asof_price_cogroup_pandas",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

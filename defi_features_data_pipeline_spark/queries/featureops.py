@@ -614,3 +614,76 @@ FROM parsed
 GROUP BY 1
 """
 FEATOPS_QUERIES["variant_props_audit"] = q_variant_props_audit
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped-pandas as-of twin (the last Pandas-API escape hatch)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_price_cogroup_pandas(spark, sf_dir):
+    """COGROUPED applyInPandas twin of ``asof_price`` — the same
+    backward 7-day as-of semantics executed as
+    ``views.cogroup(purchases).applyInPandas(merge_asof)``, held to the
+    SAME oracle as the JVM union-window operator. Completes the
+    Pandas-API escape-hatch family (grouped: grouped_median_pandas;
+    map: multimodal_extract/mapInPandas; arrow: arrow_batch_stats;
+    UDTF: udtf_ngram_explode; stateful: streaming_stateful_counter) —
+    cogroup is the one to reach for when per-key logic needs BOTH
+    sides as aligned pandas frames (e.g. pandas merge_asof, curve
+    interpolation against a reference series).
+
+    Tie discipline: purchases sort by (pts, pval) so merge_asof's
+    take-last-row resolves equal timestamps to MAX pval — the operator
+    contract (SURVEY §7.3.2). Views with no eligible purchase keep a
+    null price (left semantics), including users with NO purchase group
+    at all (empty right cogroup frame).
+
+    100 TB notes: ONE shuffle per side on the cogroup key, then
+    per-user work is pandas-local over Arrow batches — the right
+    escape hatch when the per-key algorithm exists in pandas but not
+    in Spark SQL. The JVM twin (one union-window shuffle, zero Python)
+    remains the hot path; bench shows the gap."""
+    import pandas as pd
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ets")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("long").alias("pts"),
+        F.col("value").alias("pval"),
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ets")
+        if right.empty:
+            out = left.assign(asof_purchase_value=pd.Series(dtype="float64"))
+        else:
+            right = right.sort_values(["pts", "pval"])[["pts", "pval"]]
+            out = pd.merge_asof(
+                left,
+                right,
+                left_on="ets",
+                right_on="pts",
+                direction="backward",
+                tolerance=7 * 86400,
+                allow_exact_matches=True,
+            ).rename(columns={"pval": "asof_purchase_value"})
+        return out[["event_id", "user_id", "ets", "asof_purchase_value"]]
+
+    return (
+        views.groupby("user_id")
+        .cogroup(purchases.groupby("user_id"))
+        .applyInPandas(
+            merge,
+            schema="event_id long, user_id long, ets long, "
+            "asof_purchase_value double",
+        )
+    )
+
+
+from .core import ORACLE_ASOF_PRICE  # noqa: E402  (same contract, same oracle)
+
+FEATOPS_ORACLES["asof_price_cogroup_pandas"] = ORACLE_ASOF_PRICE
+FEATOPS_QUERIES["asof_price_cogroup_pandas"] = q_asof_price_cogroup_pandas
