@@ -257,11 +257,15 @@ def _prior_round_timings(here: str) -> dict[str, float]:
 #   the 0.4 s JVM builtin (KNOWN_LIMITS; the comparison IS the gate);
 # - dedup_clusters_blocked / dedup_clusters_incremental: iterative
 #   connected components (multiple materialized rounds each; the
-#   incremental gate runs CC twice by definition — base + merge).
+#   incremental gate runs CC twice by definition — base + merge);
+# - asof_price_cogroup_pandas: the cogrouped-pandas escape-hatch twin
+#   of the 0.5 s JVM union-window as-of (Python worker + Arrow cost is
+#   what the pair exists to show).
 KNOWN_SLOW = {
     "grouped_median_pandas",
     "dedup_clusters_blocked",
     "dedup_clusters_incremental",
+    "asof_price_cogroup_pandas",
 }
 
 
