@@ -168,6 +168,7 @@ HEADLINE = [
     "knn_graph_ivf",
     "variant_props_audit",
     "asof_price_cogroup_pandas",
+    "dedup_jaccard_prefix",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -1,5 +1,6 @@
 from .asof import asof_join
 from .graph import connected_components, connected_components_incremental
+from .similarity import jaccard_join_prefix
 from .joins import disjunctive_join
 from .ranking import (
     global_ntile,
@@ -17,6 +18,7 @@ __all__ = [
     "asof_join",
     "connected_components",
     "connected_components_incremental",
+    "jaccard_join_prefix",
     "global_ntile",
     "global_rank",
     "disjunctive_join",

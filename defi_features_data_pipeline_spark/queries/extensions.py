@@ -5956,3 +5956,50 @@ SELECT query_id, cand_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
 
 EXT_QUERIES["knn_graph_ivf"] = q_knn_graph_ivf
 EXT_ORACLES["knn_graph_ivf"] = ORACLE_KNN_GRAPH_IVF
+
+
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """EXACT similarity join via PREFIX FILTERING (the PPJoin family) —
+    all pairs with Jaccard >= 0.2 with NO false negatives and NO
+    quadratic stage, closing the gap between the two existing paths:
+    ``dedup_ngram_jaccard`` (exact but circuit-breaker-guarded — its
+    shingle self-join fans out on hot shingles) and
+    ``dedup_lsh_verified`` (scalable but probabilistic recall).
+
+    Prefix principle: order every document's shingles by GLOBAL rarity
+    (document frequency asc, shingle asc). If J(A,B) >= τ then their
+    required overlap t >= ⌈τ·|A|⌉ and >= ⌈τ·|B|⌉, and two sets with
+    overlap >= t MUST share a token inside both their
+    (|x| − t + 1)-prefixes under any common global order (the smallest
+    common token c cannot be outside A's prefix — the prefix tokens
+    ranked before c would all be missing from B, capping the overlap
+    at |A| − π(A) = ⌈τ|A|⌉ − 1 < t; symmetrically for B). So joining
+    PREFIXES ONLY on the shingle yields a candidate superset, and the
+    exact Jaccard verification on candidates alone reproduces the full
+    all-pairs result — which is why this query's oracle IS the plain
+    exact-join SQL.
+
+    ⌈τ·n⌉ is computed in INTEGER arithmetic ((n + 4) div 5 for
+    τ = 1/5): an IEEE 0.2·n can land a hair ABOVE the true product
+    (0.2·15 = 3.0000000000000004 → ceil 4) which would SHORTEN the
+    prefix below the safe length — a float-rounding false-negative
+    class the integer form eliminates.
+
+    100 TB notes: df is one map-side-combinable aggregate; the rank
+    window partitions by doc (never global); candidate generation
+    joins only prefix rows — rare shingles by construction, so the
+    per-shingle fan-out is tiny and hot shingles sit in SUFFIXES where
+    they generate nothing; verification touches candidate pairs only.
+    A size filter (τ·|A| <= |B|) rides the verify join for free via
+    the Jaccard threshold itself. Pair machinery lives in
+    operators/similarity.py::jaccard_join_prefix (completeness
+    property-tested against brute force on random token sets)."""
+    from ..operators.similarity import jaccard_join_prefix
+
+    return jaccard_join_prefix(
+        _doc_shingles(spark, sf_dir), threshold_num=1, threshold_den=5
+    )
+
+
+EXT_QUERIES["dedup_jaccard_prefix"] = q_dedup_jaccard_prefix
+EXT_ORACLES["dedup_jaccard_prefix"] = ORACLE_DEDUP_NGRAM_JACCARD

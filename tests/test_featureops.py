@@ -243,3 +243,114 @@ class TestIncrementalConnectedComponents:
             if merged_labels.get(n, lb) != lb
         ]
         assert reassigned, "delta batch never re-labels an old node"
+
+
+class TestJaccardPrefixJoin:
+    def test_completeness_vs_brute_force_random_sets(self, spark):
+        """The theorem under test: the prefix filter admits NO false
+        negatives. 120 random token sets (sizes 3-12 over a 40-token
+        universe — dense overlap, lots of boundary pairs), result must
+        EQUAL brute-force all-pairs Jaccard >= 1/5 exactly."""
+        import itertools
+        import random
+
+        from defi_features_data_pipeline_spark.operators import (
+            jaccard_join_prefix,
+        )
+
+        rng = random.Random(13)
+        docs = {
+            i: frozenset(
+                rng.sample(range(40), rng.randint(3, 12))
+            )
+            for i in range(120)
+        }
+        rows = [(i, f"t{t}") for i, ts in docs.items() for t in ts]
+        sh = spark.createDataFrame(rows, "doc_id long, s string")
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+            for r in jaccard_join_prefix(sh).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(docs), 2):
+            inter = len(docs[a] & docs[b])
+            union = len(docs[a] | docs[b])
+            if round(inter / union, 6) >= 0.2:
+                want[(a, b)] = (inter, round(inter / union, 6))
+        assert got == want
+        assert len(want) > 50  # non-vacuous: many qualifying pairs
+
+    def test_float_ceil_boundary_sizes(self, spark):
+        """Sizes where IEEE 0.2·n rounds ABOVE the true product
+        (n = 15: 3.0000000000000004 → float ceil 4 shortens the prefix
+        and can drop a qualifying pair). Identical 15-token sets must
+        survive at exactly J = 1.0, and a pair at exactly J = 0.2 with
+        |A| = 15 must be found."""
+        from defi_features_data_pipeline_spark.operators import (
+            jaccard_join_prefix,
+        )
+
+        a = [f"x{i}" for i in range(15)]
+        # |A ∩ B| = 5, |A ∪ B| = 25 → J = 0.2 exactly, both sizes 15
+        b = a[:5] + [f"y{i}" for i in range(10)]
+        rows = (
+            [(0, t) for t in a]
+            + [(1, t) for t in a]  # identical twin
+            + [(2, t) for t in b]
+        )
+        sh = spark.createDataFrame(rows, "doc_id long, s string")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_join_prefix(sh).collect()
+        }
+        assert got[(0, 1)] == 1.0
+        assert got[(0, 2)] == 0.2 and got[(1, 2)] == 0.2
+
+    def test_prefix_candidates_shrink_vs_all_pairs(self, spark, sf_dir_t2):
+        """Scalability evidence on the real corpus: the prefix join
+        generates strictly fewer candidate pairs than the full
+        shingle-share join (the exact baseline's fan-out)."""
+        from pyspark.sql import functions as F
+
+        from defi_features_data_pipeline_spark.queries.extensions import (
+            _doc_shingles,
+        )
+
+        sh = _doc_shingles(spark, sf_dir_t2)
+        all_pairs = (
+            sh.alias("a")
+            .join(
+                sh.alias("b"),
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+        # rebuild the operator's candidate set only
+        from pyspark.sql import Window
+
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+        w = Window.partitionBy("doc_id").orderBy("__df", "s")
+        pref = (
+            sh.join(dfreq, "s")
+            .withColumn("__rn", F.row_number().over(w))
+            .join(sizes, "doc_id")
+            .filter(F.col("__rn") <= F.col("n_sh") - F.expr("(n_sh + 4) div 5") + 1)
+            .select("doc_id", "s")
+        )
+        cand = (
+            pref.alias("pa")
+            .join(
+                pref.alias("pb"),
+                (F.col("pa.s") == F.col("pb.s"))
+                & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            )
+            .select("pa.doc_id", "pb.doc_id")
+            .distinct()
+            .count()
+        )
+        assert cand < all_pairs
+        assert cand > 0
