@@ -169,6 +169,7 @@ HEADLINE = [
     "variant_props_audit",
     "asof_price_cogroup_pandas",
     "dedup_jaccard_prefix",
+    "drift_psi",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -687,3 +687,110 @@ from .core import ORACLE_ASOF_PRICE  # noqa: E402  (same contract, same oracle)
 
 FEATOPS_ORACLES["asof_price_cogroup_pandas"] = ORACLE_ASOF_PRICE
 FEATOPS_QUERIES["asof_price_cogroup_pandas"] = q_asof_price_cogroup_pandas
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index — feature-drift monitoring
+# ---------------------------------------------------------------------------
+
+PSI_SPLIT_EPOCH = 1_705_276_800  # 2024-01-15 00:00:00 UTC (mid-window)
+PSI_BINS = 10
+PSI_FLOOR = 1e-06  # zero-bin clamp, the standard PSI guard
+
+
+def q_drift_psi(spark, sf_dir):
+    """POPULATION STABILITY INDEX of the value distribution, first
+    half-month (baseline) vs second (current) — THE feature-drift
+    monitor of a production scoring pipeline (rule of thumb: PSI > 0.2
+    means the feature shifted enough to retrain). Bin edges are the
+    baseline's deciles (exact percentile, rounded to 6 dp — the
+    winsorize boundary discipline), shares are exact-count ratios, and
+    each bin contributes (p − q)·ln(p/q) with zero-share bins clamped
+    to 1e-6 in BOTH engines.
+
+    Determinism: ln is the only libm call; its argument is a ratio of
+    two identically-derived doubles and the result is rounded at 10 dp
+    per BIN before any accumulation (the doc_lm_score discipline), so
+    bin rows hash bit-exactly.
+
+    100 TB notes: one percentile pass over the (time-prunable)
+    baseline window, then ONE scan of both windows with the 9 rounded
+    edges folded in as literals via the broadcast edge row — two
+    map-side-combinable aggregates total; the per-bin output is ≤B
+    rows."""
+    ev = _events(spark, sf_dir).withColumn("__ep", F.col("ts").cast("long"))
+    base = ev.filter(F.col("__ep") < PSI_SPLIT_EPOCH)
+    probs = [i / PSI_BINS for i in range(1, PSI_BINS)]
+    edges = base.agg(
+        F.transform(
+            F.percentile(F.col("value"), F.array(*[F.lit(p) for p in probs])),
+            lambda e: F.round(e, 6),
+        ).alias("__edges")
+    )
+    # edge list attaches as a SCALAR subquery (an array literal once
+    # evaluated), and the window totals come from a global window over
+    # the per-bin frame — ≤B rows by construction, so the single
+    # window partition is bounded; neither 1-row attach may be a
+    # crossJoin (plans as BroadcastNestedLoopJoin, sweep-banned)
+    from pyspark.sql import Window
+
+    binned = (
+        ev.withColumn("__edges", edges.scalar())
+        .withColumn(
+            "bin",
+            F.aggregate(
+                F.col("__edges"),
+                F.lit(0),
+                lambda acc, e: acc + (F.col("value") > e).cast("int"),
+            ),
+        )
+        .withColumn("is_base", (F.col("__ep") < PSI_SPLIT_EPOCH).cast("long"))
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("is_base").alias("__nb"),
+        F.sum(1 - F.col("is_base")).alias("__nc"),
+    )
+    wg = Window.partitionBy()
+    tb = F.sum("__nb").over(wg).cast("double")
+    tc = F.sum("__nc").over(wg).cast("double")
+    p = F.greatest(F.col("__nb") / tb, F.lit(PSI_FLOOR))
+    q = F.greatest(F.col("__nc") / tc, F.lit(PSI_FLOOR))
+    return per_bin.select(
+        "bin",
+        F.round(p, 6).alias("p_base"),
+        F.round(q, 6).alias("q_cur"),
+        F.round((p - q) * F.log(p / q), 10).alias("psi_term"),
+    )
+
+
+FEATOPS_ORACLES["drift_psi"] = f"""
+WITH e AS (
+  SELECT value, {epoch_sql("ts")} AS ep FROM events
+),
+edges AS (
+  SELECT list_transform(
+           [{", ".join(f"percentile_cont({i}/{PSI_BINS}.0) WITHIN GROUP (ORDER BY value)" for i in range(1, PSI_BINS))}],
+           x -> round(x, 6)) AS es
+  FROM e WHERE ep < {PSI_SPLIT_EPOCH}
+),
+binned AS (
+  SELECT len(list_filter(es, x -> value > x)) AS bin,
+         CASE WHEN ep < {PSI_SPLIT_EPOCH} THEN 1 ELSE 0 END AS is_base
+  FROM e CROSS JOIN edges
+),
+per_bin AS (
+  SELECT bin, SUM(is_base) AS nb, SUM(1 - is_base) AS nc FROM binned GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(is_base) AS DOUBLE) AS tb,
+         CAST(SUM(1 - is_base) AS DOUBLE) AS tc
+  FROM binned
+)
+SELECT CAST(bin AS INTEGER) AS bin,
+       round(greatest(nb / tb, {PSI_FLOOR}), 6) AS p_base,
+       round(greatest(nc / tc, {PSI_FLOOR}), 6) AS q_cur,
+       round((greatest(nb / tb, {PSI_FLOOR}) - greatest(nc / tc, {PSI_FLOOR}))
+             * ln(greatest(nb / tb, {PSI_FLOOR}) / greatest(nc / tc, {PSI_FLOOR})), 10) AS psi_term
+FROM per_bin CROSS JOIN tot
+"""
+FEATOPS_QUERIES["drift_psi"] = q_drift_psi

@@ -354,3 +354,53 @@ class TestJaccardPrefixJoin:
         )
         assert cand < all_pairs
         assert cand > 0
+
+
+class TestDriftPsi:
+    def test_matches_numpy_reference(self, spark, sf_dir):
+        """PSI terms equal a numpy recomputation (baseline deciles,
+        clamped shares, (p−q)·ln(p/q)) to 1e-6, shares sum to ~1 per
+        window, and the total PSI is small on this stationary corpus
+        (same generator both halves — a large PSI would mean the
+        binning itself drifts)."""
+        import math
+
+        import numpy as np
+
+        from defi_features_data_pipeline_spark.queries.core import _events
+        from defi_features_data_pipeline_spark.queries.featureops import (
+            PSI_FLOOR,
+            PSI_SPLIT_EPOCH,
+            q_drift_psi,
+        )
+
+        rows = {r["bin"]: r for r in q_drift_psi(spark, sf_dir).collect()}
+        pdf = (
+            _events(spark, sf_dir)
+            .selectExpr("cast(ts as long) as ep", "value")
+            .toPandas()
+        )
+        base = pdf[pdf.ep < PSI_SPLIT_EPOCH]["value"].to_numpy()
+        cur = pdf[pdf.ep >= PSI_SPLIT_EPOCH]["value"].to_numpy()
+        edges = [
+            round(float(np.percentile(base, p * 10, method="linear")), 6)
+            for p in range(1, 10)
+        ]
+        def shares(x):
+            bins = np.searchsorted(edges, x, side="left")
+            # searchsorted(left): count of edges < x... our rule is
+            # value > edge, i.e. bin = #edges strictly below value
+            bins = np.array([sum(v > e for e in edges) for v in x])
+            return {
+                b: max(np.count_nonzero(bins == b) / len(x), PSI_FLOOR)
+                for b in range(10)
+            }
+        p, q = shares(base), shares(cur)
+        total = 0.0
+        for b, r in rows.items():
+            want = (p[b] - q[b]) * math.log(p[b] / q[b])
+            assert abs(r["psi_term"] - want) < 1e-6
+            assert abs(r["p_base"] - round(p[b], 6)) < 1e-6
+            total += r["psi_term"]
+        assert abs(sum(r["p_base"] for r in rows.values()) - 1.0) < 1e-3
+        assert abs(total) < 0.1  # stationary corpus → no drift signal
