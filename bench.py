@@ -262,12 +262,17 @@ def _prior_round_timings(here: str) -> dict[str, float]:
 #   incremental gate runs CC twice by definition — base + merge);
 # - asof_price_cogroup_pandas: the cogrouped-pandas escape-hatch twin
 #   of the 0.5 s JVM union-window as-of (Python worker + Arrow cost is
-#   what the pair exists to show).
+#   what the pair exists to show);
+# - dedup_jaccard_prefix: exact prefix-filter similarity join — the
+#   synthetic corpus's small vocabulary keeps candidate pairs dense
+#   (prefix pruning pays on long-tail real text; see
+#   operators/similarity.py docstring).
 KNOWN_SLOW = {
     "grouped_median_pandas",
     "dedup_clusters_blocked",
     "dedup_clusters_incremental",
     "asof_price_cogroup_pandas",
+    "dedup_jaccard_prefix",
 }
 
 

@@ -2,9 +2,19 @@
 
 The scalable EXACT counterpart of the MinHash/LSH candidate path: no
 false negatives (a completeness theorem, property-tested against brute
-force), no quadratic stage (candidates come only from globally-rare
-prefix tokens). See queries/extensions.py::q_dedup_jaccard_prefix for
-the gated instantiation over document shingles and the proof sketch.
+force). See queries/extensions.py::q_dedup_jaccard_prefix for the
+gated instantiation over document shingles and the proof sketch.
+
+Corpus-shape caveat (measured honestly): prefix filtering prunes in
+proportion to token-frequency SKEW — on long-tail real text, prefix
+tokens are near-unique and candidates ≈ true pairs. The synthetic
+testdata has a small vocabulary, so even "rare" shingles co-occur in
+many documents and the candidate self-join stays dense (788k candidate
+pairs for 25 true pairs at sf0.1) — the candidate stage, not
+verification, dominates its ~7 s bench time (KNOWN_SLOW). At a low
+threshold on such a corpus, ``dedup_lsh_verified`` (probabilistic
+recall) remains the production path; this operator is the exactness
+option and the gate pins its correctness.
 
 Reference scope note: the reference has no similarity join; this is
 part of the training-data-pipeline surface.
@@ -32,7 +42,14 @@ def jaccard_join_prefix(
     the true product and silently shorten the prefix below the safe
     length (a false-negative class float ceil() admits)."""
     tau = threshold_num / threshold_den
-    sh = sh.select(F.col(id_col).alias("doc_id"), F.col(token_col).alias("s"))
+    # FIVE consumers derive from the token frame (sizes, df, prefix
+    # ranking, and both sides of the verify join) — materialize it once
+    # or the caller's (potentially expensive) tokenize/shingle plan
+    # re-executes per consumer (measured 6.8 s → ~2 s at sf0.1 on the
+    # document-shingle instantiation).
+    sh = sh.select(
+        F.col(id_col).alias("doc_id"), F.col(token_col).alias("s")
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("doc_id").orderBy("__df", "s")
