@@ -221,11 +221,23 @@ def run_pipeline(
         features = features.observe(obs, F.count(F.lit(1)).alias("n"))
     features = features.cache()  # computed once, written to two sinks (SURVEY §4)
 
-    run_quality_gate(features)
+    dq_report = run_quality_gate(features)
 
     features.write.mode("overwrite").parquet(cat.path("analytics", "defi_features"))
     if obs is not None:
         metrics["features_rows"] = int(obs.get["n"])
+    # Atomic cross-table publish: the feature table and the DQ report
+    # that certified it advance together under ONE commit point — a
+    # consumer can never read new features against the previous run's
+    # report (sources/fsutil.py::snapshot_publish; readers use
+    # snapshot_resolve(cat.path("analytics", "defi_features_certified"))).
+    from ...sources.fsutil import snapshot_publish
+
+    snapshot_publish(
+        spark,
+        cat.path("analytics", "defi_features_certified"),
+        {"features": features, "dq_report": dq_report},
+    )
     # serving sink: key-upsert keyed on walletAddress
     upsert_parquet(
         spark,

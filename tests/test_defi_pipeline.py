@@ -240,3 +240,25 @@ def test_run_metrics_observability(spark, lake, features):
     )
     assert metrics["features_rows"] == out.count()
     assert metrics["features_rows"] > 0
+
+
+def test_certified_snapshot_pairs_features_with_dq_report(spark, lake, features):
+    """The analytics layer publishes features + the DQ report that
+    certified them as ONE cross-table snapshot: both resolve from the
+    same version, the feature table matches the serving contract row
+    count, and the report certifies a passing run (all is_fail false)."""
+    from defi_features_data_pipeline_spark.sources.fsutil import (
+        snapshot_resolve,
+        snapshot_versions,
+    )
+
+    root = f"{lake}/analytics/defi_features_certified"
+    versions = snapshot_versions(spark, root)
+    assert versions, "pipeline did not publish a certified snapshot"
+    m = snapshot_resolve(spark, root)
+    assert set(m) == {"features", "dq_report"}
+    feats = spark.read.parquet(m["features"])
+    report = spark.read.parquet(m["dq_report"])
+    assert feats.count() == features.count()
+    rows = report.collect()
+    assert rows and all(not r["is_fail"] for r in rows)

@@ -469,3 +469,69 @@ class TestCrossTableSnapshot:
         assert spark.read.parquet(snapshot_resolve(spark, db)["B"]).first()[
             "tag"
         ] == "b1"
+
+
+class TestTextFormatIngestion:
+    """Format breadth for the landing zone: CSV / JSONL land with an
+    EXPLICIT schema (never runtime inference — schema drift must fail
+    loudly, not rewrite column types under the pipeline) and PERMISSIVE
+    corrupt-record capture, then match the parquet-resident content
+    exactly."""
+
+    def test_jsonl_roundtrip_with_corrupt_capture(self, spark, tmp_path):
+        import json
+        import os
+
+        rows = [
+            {"id": 1, "who": "a", "v": 1.5},
+            {"id": 2, "who": "b", "v": -2.0},
+            {"id": 3, "who": "c", "v": 0.25},
+        ]
+        p = str(tmp_path / "in.jsonl")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+            f.write('{"id": 4, "who": "broken..\n')  # truncated record
+        schema = "id long, who string, v double, _corrupt_record string"
+        df = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(p)
+        ).cache()  # corrupt-capture requires materializing the parsed batch
+        good = df.filter("_corrupt_record IS NULL").drop("_corrupt_record")
+        bad = df.filter("_corrupt_record IS NOT NULL")
+        assert bad.count() == 1  # counted, never silently dropped
+        got = {r["id"]: (r["who"], r["v"]) for r in good.collect()}
+        assert got == {r["id"]: (r["who"], r["v"]) for r in rows}
+
+    def test_csv_explicit_schema_matches_parquet(self, spark, tmp_path):
+        src = spark.createDataFrame(
+            [(1, "x", 1.25), (2, "y,z", -0.5), (3, None, 3.0)],
+            "id long, tag string, v double",
+        )
+        cpath, ppath = str(tmp_path / "c"), str(tmp_path / "p")
+        src.write.option("header", True).csv(cpath)
+        src.write.parquet(ppath)
+        got = (
+            spark.read.schema("id long, tag string, v double")
+            .option("header", True)
+            .csv(cpath)
+        )
+        a = {r["id"]: (r["tag"], r["v"]) for r in got.collect()}
+        b = {r["id"]: (r["tag"], r["v"]) for r in spark.read.parquet(ppath).collect()}
+        assert a == b  # quoting of embedded commas + NULLs survive
+
+    def test_schema_drift_fails_loudly_in_failfast(self, spark, tmp_path):
+        import pytest as _pytest
+
+        p = str(tmp_path / "drift.jsonl")
+        with open(p, "w") as f:
+            f.write('{"id": 1, "v": 1.0}\n')
+            f.write('{"id": "not-a-number", "v": 2.0}\n')  # type drift
+        with _pytest.raises(Exception):
+            (
+                spark.read.schema("id long, v double")
+                .option("mode", "FAILFAST")
+                .json(p)
+            ).collect()
