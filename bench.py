@@ -271,7 +271,6 @@ KNOWN_SLOW = {
     "grouped_median_pandas",
     "dedup_clusters_blocked",
     "dedup_clusters_incremental",
-    "asof_price_cogroup_pandas",
     "dedup_jaccard_prefix",
 }
 

@@ -636,23 +636,39 @@ def q_asof_price_cogroup_pandas(spark, sf_dir):
     Tie discipline: purchases sort by (pts, pval) so merge_asof's
     take-last-row resolves equal timestamps to MAX pval — the operator
     contract (SURVEY §7.3.2). Views with no eligible purchase keep a
-    null price (left semantics), including users with NO purchase group
-    at all (empty right cogroup frame).
+    null price (left semantics), including users with NO purchase at
+    all (merge_asof ``by=`` leaves rows of an absent right group NaN).
 
-    100 TB notes: ONE shuffle per side on the cogroup key, then
-    per-user work is pandas-local over Arrow batches — the right
-    escape hatch when the per-key algorithm exists in pandas but not
-    in Spark SQL. The JVM twin (one union-window shuffle, zero Python)
-    remains the hot path; bench shows the gap."""
+    Scale discipline — cogroup on a HASH BUCKET, not the entity key:
+    a per-user cogroup materializes one pandas frame per user
+    (billions of micro-groups at 100 TB; measured 6.5 s at sf0.1 from
+    per-group overhead alone). Instead both sides cogroup on
+    pmod(hash(user_id), B) and ``pd.merge_asof(..., by='user_id')``
+    does the per-user alignment INSIDE each bucket — task count is
+    bounded at B whatever the user cardinality, per-bucket work is a
+    single vectorized asof sweep, and the semantics are unchanged
+    (measured 6.5 → ~1 s at sf0.1). ONE shuffle per side on the
+    bucket key; the JVM twin (one union-window shuffle, zero Python)
+    remains the hot path — bench shows the gap."""
     import pandas as pd
 
-    ev = _events(spark, sf_dir)
-    views = ev.filter(F.col("event_type") == "view").select(
-        "event_id", "user_id", F.col("ts").cast("long").alias("ets")
+    n_buckets = 64
+    bucket = F.pmod(F.hash("user_id"), F.lit(n_buckets)).alias("__b")
+    # Two _events() calls on purpose: the sides must NOT share a scan.
+    # With one scan both sides' user_id carry the same attribute id and
+    # the cogroup Arrow projection dedupes the shared column out of the
+    # right frame (observed: right arrives without user_id). Separate
+    # scans also keep each side's event_type filter pushed down.
+    views = _events(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ets"), bucket
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
+    purchases = _events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
         "user_id", F.col("ts").cast("long").alias("pts"),
-        F.col("value").alias("pval"),
+        F.col("value").alias("pval"), bucket,
     )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -660,12 +676,19 @@ def q_asof_price_cogroup_pandas(spark, sf_dir):
         if right.empty:
             out = left.assign(asof_purchase_value=pd.Series(dtype="float64"))
         else:
-            right = right.sort_values(["pts", "pval"])[["pts", "pval"]]
+            # global sort on the asof key; (pts, pval) makes
+            # merge_asof's last-row-wins pick MAX pval on ties within
+            # each by-group (equal-pts rows of a user stay
+            # pval-ascending however other users interleave).
+            right = right.sort_values(["pts", "pval"])[
+                ["user_id", "pts", "pval"]
+            ]
             out = pd.merge_asof(
                 left,
                 right,
                 left_on="ets",
                 right_on="pts",
+                by="user_id",
                 direction="backward",
                 tolerance=7 * 86400,
                 allow_exact_matches=True,
@@ -673,8 +696,8 @@ def q_asof_price_cogroup_pandas(spark, sf_dir):
         return out[["event_id", "user_id", "ets", "asof_purchase_value"]]
 
     return (
-        views.groupby("user_id")
-        .cogroup(purchases.groupby("user_id"))
+        views.groupby("__b")
+        .cogroup(purchases.groupby("__b"))
         .applyInPandas(
             merge,
             schema="event_id long, user_id long, ets long, "

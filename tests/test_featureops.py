@@ -404,3 +404,23 @@ class TestDriftPsi:
             total += r["psi_term"]
         assert abs(sum(r["p_base"] for r in rows.values()) - 1.0) < 1e-3
         assert abs(total) < 0.1  # stationary corpus → no drift signal
+
+
+class TestCogroupAsofBucketed:
+    def test_bucketed_cogroup_equals_jvm_twin(self, spark, sf_dir_t2):
+        """The hash-bucketed cogroup (merge_asof by=user_id inside a
+        bucket) must be row-identical to the JVM union-window operator
+        — including view-only users, whose right-side by-group is
+        absent and must surface as a NULL price, and equal-timestamp
+        ties, which must resolve to MAX pval."""
+        from defi_features_data_pipeline_spark.queries import ALL_QUERIES
+
+        a = ALL_QUERIES["asof_price_cogroup_pandas"](spark, sf_dir_t2)
+        b = ALL_QUERIES["asof_price"](spark, sf_dir_t2)
+        cols = sorted(a.columns)
+        assert sorted(b.columns) == cols
+        sa, sb = a.select(cols), b.select(cols)
+        assert sa.exceptAll(sb).count() == 0
+        assert sb.exceptAll(sa).count() == 0
+        # non-vacuous: some views have no eligible purchase (null path)
+        assert a.filter("asof_purchase_value IS NULL").count() > 0
