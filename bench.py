@@ -170,6 +170,10 @@ HEADLINE = [
     "asof_price_cogroup_pandas",
     "dedup_jaccard_prefix",
     "drift_psi",
+    "not_in_null_aware",
+    "recursive_order_chain",
+    "unpivot_metrics",
+    "merge_apply_changes",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
@@ -272,6 +276,9 @@ KNOWN_SLOW = {
     "dedup_clusters_blocked",
     "dedup_clusters_incremental",
     "dedup_jaccard_prefix",
+    # recursive CTE: wall = recursion depth × per-level stage-schedule
+    # cost (a constant), not data volume — see queries/warehouse.py
+    "recursive_order_chain",
 }
 
 

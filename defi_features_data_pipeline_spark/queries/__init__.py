@@ -5,6 +5,7 @@ testdata. `__spark_entry__.py` re-exports these."""
 from .core import CORE_ORACLES, CORE_QUERIES
 from .tpch_shapes import TPCH_ORACLES, TPCH_QUERIES
 from .tpch_star import STAR_ORACLES, STAR_QUERIES
+from .warehouse import WAREHOUSE_ORACLES, WAREHOUSE_QUERIES
 
 try:  # featureops import extensions' token helpers
     from .featureops import FEATOPS_ORACLES, FEATOPS_QUERIES
@@ -18,11 +19,11 @@ except ImportError:  # pragma: no cover
 
 ALL_QUERIES = {
     **CORE_QUERIES, **TPCH_QUERIES, **STAR_QUERIES,
-    **EXT_QUERIES, **FEATOPS_QUERIES,
+    **EXT_QUERIES, **FEATOPS_QUERIES, **WAREHOUSE_QUERIES,
 }
 ALL_ORACLES = {
     **CORE_ORACLES, **TPCH_ORACLES, **STAR_ORACLES,
-    **EXT_ORACLES, **FEATOPS_ORACLES,
+    **EXT_ORACLES, **FEATOPS_ORACLES, **WAREHOUSE_ORACLES,
 }
 
 __all__ = ["ALL_QUERIES", "ALL_ORACLES"]

@@ -1,0 +1,156 @@
+"""Tests for queries/warehouse.py — the SQL-surface correctness traps:
+null-aware NOT IN three-valued logic, recursive-CTE depth handling,
+UNPIVOT reshaping, MERGE changeset invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from defi_features_data_pipeline_spark.queries import ALL_QUERIES
+from defi_features_data_pipeline_spark.queries.warehouse import (
+    MERGE_INS_OFFSET,
+    _merge_changes,
+)
+
+
+class TestNotInNullAware:
+    def test_null_in_subquery_empties_result(self, spark):
+        """The branch the gate can't exercise: a NULL anywhere in the
+        NOT IN subquery makes the predicate never-true. The rewrite's
+        guard scalar subquery must reproduce that — and it must agree
+        with Spark's own literal NOT IN."""
+        big = spark.range(10).withColumnRenamed("id", "k")
+        small = spark.createDataFrame([(1,), (None,)], "k bigint")
+        big.createOrReplaceTempView("t_big")
+        small.createOrReplaceTempView("t_small")
+        literal = spark.sql(
+            "SELECT k FROM t_big WHERE k NOT IN (SELECT k FROM t_small)"
+        )
+        rewrite = spark.sql("""
+            SELECT k FROM t_big
+            WHERE k IS NOT NULL
+              AND (SELECT count(*) FROM t_small WHERE k IS NULL) = 0
+              AND NOT EXISTS (
+                    SELECT 1 FROM t_small s WHERE s.k = t_big.k)
+        """)
+        assert literal.count() == 0
+        assert rewrite.count() == 0
+
+    def test_outer_null_rows_dropped_not_matched(self, spark):
+        """Outer-side NULL keys are dropped (k NOT IN ... is NULL for
+        NULL k), never treated as non-members."""
+        big = spark.createDataFrame([(1,), (None,), (5,)], "k bigint")
+        small = spark.createDataFrame([(1,)], "k bigint")
+        big.createOrReplaceTempView("t_big")
+        small.createOrReplaceTempView("t_small")
+        rows = spark.sql(
+            "SELECT k FROM t_big WHERE k NOT IN (SELECT k FROM t_small)"
+        ).collect()
+        assert [r.k for r in rows] == [5]
+
+    def test_gate_null_path_non_vacuous(self, spark, sf_dir):
+        """The gate's NULLIF-derived outer key actually produces NULL
+        rows on this corpus (they must be absent from the result)."""
+        from defi_features_data_pipeline_spark.queries.core import _t
+
+        o = _t(spark, sf_dir, "orders")
+        n_null = o.filter(F.expr("nullif(o_custkey % 100, 7) IS NULL")).count()
+        assert n_null > 0
+        got = ALL_QUERIES["not_in_null_aware"](spark, sf_dir)
+        assert got.filter("o_custkey % 100 = 7").count() == 0
+
+
+class TestRecursiveOrderChain:
+    def test_chain_covers_all_orders_with_correct_depths(self, spark, sf_dir):
+        """Every order appears exactly once; per-customer hop count is
+        dense 1..n; recursion goes genuinely deep (max hop > 1)."""
+        from defi_features_data_pipeline_spark.queries.core import _t
+
+        got = ALL_QUERIES["recursive_order_chain"](spark, sf_dir)
+        n_orders = _t(spark, sf_dir, "orders").count()
+        assert got.count() == n_orders
+        per_cust = got.groupBy("o_custkey").agg(
+            F.count("*").alias("n"),
+            F.max("hop").alias("maxh"),
+            F.countDistinct("hop").alias("ndist"),
+        )
+        assert per_cust.filter("n != maxh OR n != ndist").count() == 0
+        assert per_cust.agg(F.max("maxh")).first()[0] > 1
+
+    def test_recursion_limit_exceeded_is_loud(self, spark):
+        """A chain deeper than the level limit must raise, never
+        silently truncate."""
+        prev = spark.conf.get("spark.sql.cteRecursionLevelLimit", "100")
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", "5")
+        try:
+            with pytest.raises(Exception, match="(?i)recursion|limit"):
+                spark.sql("""
+                    WITH RECURSIVE t(n) AS (
+                      SELECT 1
+                      UNION ALL
+                      SELECT n + 1 FROM t WHERE n < 50
+                    ) SELECT count(*) FROM t
+                """).collect()
+        finally:
+            spark.conf.set("spark.sql.cteRecursionLevelLimit", prev)
+
+
+class TestUnpivotMetrics:
+    def test_three_rows_per_customer_and_roundtrip(self, spark, sf_dir):
+        got = ALL_QUERIES["unpivot_metrics"](spark, sf_dir)
+        per_key = got.groupBy("o_custkey").count()
+        assert per_key.filter("count != 3").count() == 0
+        # melt⁻¹: pivoting back reproduces the wide aggregate
+        wide = (
+            got.groupBy("o_custkey")
+            .pivot("metric", ["n_orders", "total_spend", "max_order"])
+            .agg(F.first("val"))
+        )
+        assert wide.filter(
+            "n_orders IS NULL OR total_spend IS NULL OR max_order IS NULL"
+        ).count() == 0
+        assert wide.filter("max_order > total_spend").count() == 0
+
+
+class TestMergeApplyChanges:
+    def test_merge_invariants(self, spark, sf_dir_t2):
+        """U/D/I partition the changeset disjointly; inserted keys are
+        offset-disjoint from base; deleted keys are absent; untouched
+        base rows pass through with their original balance. Runs at
+        sf0.01 — the smallest SF where order-less customers exist, so
+        the passthrough branch is non-vacuous."""
+        from defi_features_data_pipeline_spark.queries.core import _t
+
+        sf_dir = sf_dir_t2
+        ch = _merge_changes(spark, sf_dir)
+        # ops are key-disjoint by construction
+        assert ch.groupBy("k").count().filter("count > 1").count() == 0
+        got = ALL_QUERIES["merge_apply_changes"](spark, sf_dir)
+        base = _t(spark, sf_dir, "customer")
+
+        n_ins = ch.filter("op = 'I'").count()
+        assert n_ins > 0
+        assert got.filter("row_src = 'inserted'").count() == n_ins
+        assert (
+            got.filter(f"c_custkey >= {MERGE_INS_OFFSET}").count() == n_ins
+        )
+
+        deleted = ch.filter("op = 'D'")
+        assert deleted.count() > 0
+        assert (
+            got.join(deleted, got.c_custkey == deleted.k, "left_semi").count()
+            == 0
+        )
+
+        untouched = base.join(ch, base.c_custkey == ch.k, "left_anti")
+        n_untouched = untouched.count()
+        assert n_untouched > 0
+        passthrough = got.filter("row_src = 'base'").join(
+            untouched.select(
+                "c_custkey", F.col("c_acctbal").cast("double").alias("bal")
+            ),
+            "c_custkey",
+        )
+        assert passthrough.count() == n_untouched
+        assert passthrough.filter("acctbal != bal").count() == 0
