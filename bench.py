@@ -174,6 +174,11 @@ HEADLINE = [
     "recursive_order_chain",
     "unpivot_metrics",
     "merge_apply_changes",
+    "table_fingerprint",
+    "bitmap_count_distinct",
+    "resample_interpolate_linear",
+    "sql_macro_clamp",
+    "approx_percentile_disc",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

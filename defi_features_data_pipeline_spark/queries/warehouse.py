@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .core import DEC, _t, dsum_sql
+from .core import DEC, _events, _t, dsum_sql
 
 WAREHOUSE_QUERIES: dict = {}
 WAREHOUSE_ORACLES: dict = {}
@@ -331,3 +331,315 @@ FROM customer b FULL OUTER JOIN ch ON b.c_custkey = ch.k
 WHERE ch.op IS NULL OR ch.op <> 'D'
 """
 WAREHOUSE_QUERIES["merge_apply_changes"] = q_merge_apply_changes
+
+
+# ---------------------------------------------------------------------------
+# Order-insensitive table fingerprint — cross-replica data validation
+# ---------------------------------------------------------------------------
+
+
+def q_table_fingerprint(spark, sf_dir):
+    """ORDER-INSENSITIVE TABLE CHECKSUM: one md5-derived bigint per
+    row, SUMMED per partition group — the replica-validation primitive
+    (does the DR copy / the migrated table / yesterday's snapshot hold
+    exactly these rows?) that never needs a sort or a row-by-row diff.
+    Addition is commutative, so the fingerprint is independent of row
+    order, file layout, and partitioning — two replicas agree iff
+    their multisets of rows agree (up to 32-bit-sum collisions, ~2⁻³²
+    per comparison; widen the hash for stricter SLOs).
+
+    Row rendering is type-pinned so both engines hash identical bytes:
+    bigints as-is, doubles through DECIMAL(18,2) (exact cents render
+    identically), timestamps as epoch seconds, '|' separator.
+
+    100 TB notes: ONE scan, map-side partial aggregation, 3-row
+    output; per-partition-group fingerprints (here o_orderstatus; in
+    production the partition column) let a mismatch be localized
+    without re-scanning the whole table."""
+    o = _t(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderdate").cast("timestamp").cast("long").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("bigint")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).alias("fingerprint"),
+    )
+
+
+WAREHOUSE_ORACLES["table_fingerprint"] = """
+WITH rows_r AS (
+  SELECT o_orderstatus,
+         CAST(o_orderkey AS VARCHAR) || '|' ||
+         CAST(o_custkey AS VARCHAR) || '|' ||
+         o_orderstatus || '|' ||
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+         CAST(CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS VARCHAR)
+           AS r
+  FROM orders
+)
+SELECT o_orderstatus, count(*) AS n_rows,
+       SUM(CAST('0x' || substr(md5(r), 1, 8) AS BIGINT)) AS fingerprint
+FROM rows_r GROUP BY 1
+"""
+WAREHOUSE_QUERIES["table_fingerprint"] = q_table_fingerprint
+
+
+# ---------------------------------------------------------------------------
+# Exact COUNT DISTINCT via bitmaps — the re-aggregatable scale path
+# ---------------------------------------------------------------------------
+
+
+def q_bitmap_count_distinct(spark, sf_dir):
+    """EXACT distinct counting through Spark's bitmap aggregates:
+    bucket the id space (bitmap_bucket_number), build one 4 KB bitmap
+    per (group, bucket) with bitmap_construct_agg, then SUM the
+    per-bucket bitmap_count — buckets partition the value domain, so
+    the sum IS the exact distinct count. The oracle is the plain
+    COUNT(DISTINCT).
+
+    Why not COUNT DISTINCT at 100 TB: a distinct-agg keeps every
+    distinct VALUE in the aggregation hash map and cannot merge
+    increments (yesterday's count + today's count ≠ total). Bitmaps
+    are fixed-size per bucket, map-side combinable (bitmap_or_agg is
+    the merge), and STORABLE: persist the per-bucket bitmaps and
+    tomorrow's batch ORs into them — exact incremental distinct users
+    forever without rescanning history (the sketch-free twin of
+    approx_distinct_users' HLL)."""
+    ev = _events(spark, sf_dir)
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("__bn"),
+            F.expr("bitmap_bit_position(user_id)").alias("__bp"),
+        )
+        .groupBy("event_type", "__bn")
+        .agg(F.expr("bitmap_construct_agg(__bp)").alias("__bm"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(__bm)")).alias("n_distinct_users")
+    )
+
+
+WAREHOUSE_ORACLES["bitmap_count_distinct"] = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY 1
+"""
+WAREHOUSE_QUERIES["bitmap_count_distinct"] = q_bitmap_count_distinct
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation on the daily grid (completes the gapfill family)
+# ---------------------------------------------------------------------------
+
+
+def q_resample_interpolate_linear(spark, sf_dir):
+    """DAILY RESAMPLE with LINEAR INTERPOLATION — the numeric upgrade
+    of resample_daily_gapfill's LOCF: missing days take
+    v_prev + (v_next − v_prev)·(d − d_prev)/(d_next − d_prev) between
+    the surrounding observed days. Same per-user sequence()+explode
+    grid (never a users×days cross join); prev/next observation day
+    and value arrive via one backward last(ignorenulls) and one
+    forward first(ignorenulls) window over the SAME partitioning.
+
+    Determinism: daily observed values are rounded to 6 dp first;
+    the interpolation is then a fixed-shape IEEE expression (one
+    divide, one multiply, one add on identical operands — both
+    engines' doubles round identically), rounded to 6 dp at the end.
+    Grid rows before the first / after the last observation don't
+    exist by construction, so prev and next are always defined.
+
+    100 TB: two shuffles (daily rollup, per-user span) and two window
+    passes all partitioned by user_id — an engine that reuses
+    partitioning runs one exchange; grid fan-out is calendar-bounded."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.round(
+            F.sum(F.col("value").cast(DEC)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("__v")
+    )
+    grid = (
+        ev.groupBy(F.col("user_id").alias("__u"))
+        .agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
+        .select(
+            "__u",
+            F.explode(
+                F.expr("sequence(__d0, __d1, interval 1 day)")
+            ).alias("__day"),
+        )
+    )
+    j = grid.join(
+        daily,
+        (F.col("__u") == F.col("user_id")) & (F.col("__day") == F.col("day")),
+        "left",
+    )
+    back = (
+        Window.partitionBy("__u")
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("__u")
+        .orderBy("__day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = j.select(
+        "__u",
+        "__day",
+        F.last("day", ignorenulls=True).over(back).alias("__dp"),
+        F.last("__v", ignorenulls=True).over(back).alias("__vp"),
+        F.first("day", ignorenulls=True).over(fwd).alias("__dn"),
+        F.first("__v", ignorenulls=True).over(fwd).alias("__vn"),
+    )
+    interp = F.when(F.col("__dp") == F.col("__dn"), F.col("__vp")).otherwise(
+        F.col("__vp")
+        + (F.col("__vn") - F.col("__vp"))
+        * (
+            F.datediff(F.col("__day"), F.col("__dp")).cast("double")
+            / F.datediff(F.col("__dn"), F.col("__dp")).cast("double")
+        )
+    )
+    return j.select(
+        F.col("__u").alias("user_id"),
+        F.col("__day").alias("day"),
+        F.round(interp, 6).alias("interp_value"),
+        (F.col("__dp") == F.col("__day")).alias("observed"),
+    )
+
+
+WAREHOUSE_ORACLES["resample_interpolate_linear"] = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+),
+daily AS (
+  SELECT user_id, day,
+         round(CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR)
+                    AS DOUBLE) / count(*), 6) AS v
+  FROM ev GROUP BY 1, 2
+),
+grid AS (
+  SELECT user_id AS u,
+         unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE
+           AS day
+  FROM ev GROUP BY user_id
+),
+j AS (
+  SELECT grid.u, grid.day AS gday,
+         last_value(daily.day IGNORE NULLS) OVER (
+           PARTITION BY grid.u ORDER BY grid.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dp,
+         last_value(daily.v IGNORE NULLS) OVER (
+           PARTITION BY grid.u ORDER BY grid.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+         first_value(daily.day IGNORE NULLS) OVER (
+           PARTITION BY grid.u ORDER BY grid.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn,
+         first_value(daily.v IGNORE NULLS) OVER (
+           PARTITION BY grid.u ORDER BY grid.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn
+  FROM grid LEFT JOIN daily
+    ON grid.u = daily.user_id AND grid.day = daily.day
+)
+SELECT u AS user_id, gday AS day,
+       round(CASE WHEN dp = dn THEN vp
+                  ELSE vp + (vn - vp) *
+                       (CAST(gday - dp AS DOUBLE) / CAST(dn - dp AS DOUBLE))
+             END, 6) AS interp_value,
+       dp = gday AS observed
+FROM j
+"""
+WAREHOUSE_QUERIES["resample_interpolate_linear"] = q_resample_interpolate_linear
+
+
+# ---------------------------------------------------------------------------
+# SQL scalar function (Spark 4 CREATE FUNCTION ... RETURN) — the
+# engine-side UDF surface that is NOT a slow path
+# ---------------------------------------------------------------------------
+
+
+def q_sql_macro_clamp(spark, sf_dir):
+    """SQL SCALAR FUNCTION surface: a reusable transformation defined
+    as `CREATE TEMPORARY FUNCTION ... RETURNS ... RETURN <expr>` —
+    Spark 4's SQL UDF. Unlike Python UDFs this is NOT a slow path:
+    the body is inlined into the plan at resolution time, so it stays
+    inside whole-stage codegen with zero serialization (the reference
+    encodes its shared clamp/sentinel ladders by copy-pasting SQL
+    between Athena views — view_defi_borrow_features.sql — this is the
+    maintainable engine-side form). The oracle inlines the identical
+    expression (DuckDB macros would be the equivalent surface there).
+
+    Expression is libm-free (sqrt is IEEE-exact, correctly rounded in
+    both engines): clamp value into [0, 500], then √(clamped)·10
+    rounded to 6 dp."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION value_ladder(x DOUBLE) "
+        "RETURNS DOUBLE "
+        "RETURN round(sqrt(least(greatest(x, 0.0D), 500.0D)) * 10.0D, 6)"
+    )
+    ev = _events(spark, sf_dir)
+    ev.select("event_id", "value").createOrReplaceTempView("v_ev_ladder")
+    return spark.sql(
+        "SELECT event_id, value_ladder(value) AS shaped_value "
+        "FROM v_ev_ladder"
+    )
+
+
+WAREHOUSE_ORACLES["sql_macro_clamp"] = """
+SELECT event_id,
+       round(sqrt(least(greatest(value, 0.0), 500.0)) * 10.0, 6)
+         AS shaped_value
+FROM events
+"""
+WAREHOUSE_QUERIES["sql_macro_clamp"] = q_sql_macro_clamp
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentile (GK sketch) — exact in the small-group regime
+# ---------------------------------------------------------------------------
+
+APPROX_PCT_ACCURACY = 1_000_000
+
+
+def q_approx_percentile_disc(spark, sf_dir):
+    """APPROXIMATE PERCENTILE via percentile_approx (Greenwald-Khanna
+    sketch): per event type, the p50/p90 of value. The GK sketch is
+    EXACT while a group holds ≤ accuracy values (it keeps them all and
+    answers the discrete percentile — the smallest value whose rank
+    ≥ ⌈p·n⌉), which is DuckDB's quantile_disc — so the gate pins the
+    sketch's exact regime against the literal discrete quantile.
+
+    100 TB notes: this is the mergeable-quantile scale path the exact
+    percentile (percentile_bands) can't take — GK partials are
+    fixed-size (O(accuracy) not O(n)), combine map-side, and keep the
+    ε = 1/accuracy rank-error guarantee after any merge order. Past
+    the exact regime answers are rank-ε-approximate BY DESIGN; pick
+    accuracy from the error budget, not the data size."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", 0.5, APPROX_PCT_ACCURACY
+        ).alias("p50_value"),
+        F.percentile_approx(
+            "value", 0.9, APPROX_PCT_ACCURACY
+        ).alias("p90_value"),
+    )
+
+
+WAREHOUSE_ORACLES["approx_percentile_disc"] = """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS p50_value,
+       quantile_disc(value, 0.9) AS p90_value
+FROM events GROUP BY 1
+"""
+WAREHOUSE_QUERIES["approx_percentile_disc"] = q_approx_percentile_disc

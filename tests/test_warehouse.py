@@ -154,3 +154,147 @@ class TestMergeApplyChanges:
         )
         assert passthrough.count() == n_untouched
         assert passthrough.filter("acctbal != bal").count() == 0
+
+
+class TestTableFingerprint:
+    def test_invariant_to_layout_sensitive_to_content(self, spark, sf_dir):
+        """The checksum must not move under repartition/reorder (replica
+        layouts differ) and MUST move when any row changes."""
+        from defi_features_data_pipeline_spark.queries.core import _t
+
+        base = {
+            r.o_orderstatus: (r.n_rows, r.fingerprint)
+            for r in ALL_QUERIES["table_fingerprint"](spark, sf_dir).collect()
+        }
+        o = _t(spark, sf_dir, "orders")
+        # same computation over a shuffled layout
+        shuffled = o.repartition(7, "o_custkey").sortWithinPartitions(
+            "o_totalprice"
+        )
+        shuffled.createOrReplaceTempView("t_orders_shuffled")
+        row_str = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            F.col("o_orderdate").cast("timestamp").cast("long").cast("string"),
+        )
+        h = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("bigint")
+        again = {
+            r.o_orderstatus: (r.n_rows, r.fingerprint)
+            for r in shuffled.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(h).alias("fingerprint"),
+            )
+            .collect()
+        }
+        assert base == again
+        # tamper one row -> that status's fingerprint moves, count same
+        tampered = o.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") == o.select(F.min("o_orderkey"))
+                   .first()[0], F.col("o_totalprice") + 0.01)
+            .otherwise(F.col("o_totalprice")),
+        )
+        t = {
+            r.o_orderstatus: (r.n_rows, r.fingerprint)
+            for r in tampered.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(h).alias("fingerprint"),
+            )
+            .collect()
+        }
+        assert t != base
+        assert {k: v[0] for k, v in t.items()} == {
+            k: v[0] for k, v in base.items()
+        }
+
+
+class TestBitmapCountDistinct:
+    def test_incremental_or_merge_equals_full(self, spark, sf_dir):
+        """The storable-increment claim: per-bucket bitmaps built from
+        two disjoint halves, OR-merged, must count exactly what a full
+        pass counts — the merge path an incremental exact-distinct
+        pipeline runs every batch."""
+        from defi_features_data_pipeline_spark.queries.core import _events
+
+        ev = _events(spark, sf_dir).select("event_type", "user_id", "event_id")
+        full = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+
+        def buckets(df):
+            return (
+                df.select(
+                    "event_type",
+                    F.expr("bitmap_bucket_number(user_id)").alias("bn"),
+                    F.expr("bitmap_bit_position(user_id)").alias("bp"),
+                )
+                .groupBy("event_type", "bn")
+                .agg(F.expr("bitmap_construct_agg(bp)").alias("bm"))
+            )
+
+        h1 = buckets(ev.filter("event_id % 2 = 0"))
+        h2 = buckets(ev.filter("event_id % 2 = 1"))
+        merged = (
+            h1.unionByName(h2)
+            .groupBy("event_type", "bn")
+            .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+            .groupBy("event_type")
+            .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n"))
+        )
+        got = {r.event_type: r.n for r in merged.collect()}
+        assert got == full
+
+
+class TestResampleInterpolateLinear:
+    def test_matches_numpy_interp(self, spark, sf_dir):
+        """Per-user daily series must equal numpy.interp over the
+        observed (day, value) points, to 1e-6."""
+        import numpy as np
+
+        from defi_features_data_pipeline_spark.queries.core import _events
+
+        got = ALL_QUERIES["resample_interpolate_linear"](spark, sf_dir)
+        ev = (
+            _events(spark, sf_dir)
+            .select("user_id", F.to_date("ts").alias("day"), "value")
+            .groupBy("user_id", "day")
+            .agg(
+                F.round(
+                    F.sum(F.col("value").cast("decimal(38,10)"))
+                    .cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("v")
+            )
+        )
+        # spot-check the 3 users with the most observation days
+        top = [
+            r.user_id
+            for r in ev.groupBy("user_id")
+            .count()
+            .orderBy(F.desc("count"), "user_id")
+            .limit(3)
+            .collect()
+        ]
+        for uid in top:
+            obs = sorted(
+                (r.day.toordinal(), r.v)
+                for r in ev.filter(F.col("user_id") == uid).collect()
+            )
+            xs = [d for d, _ in obs]
+            vs = [v for _, v in obs]
+            rows = got.filter(F.col("user_id") == uid).collect()
+            assert len(rows) == xs[-1] - xs[0] + 1
+            n_obs = sum(1 for r in rows if r.observed)
+            assert n_obs == len(xs)
+            for r in rows:
+                want = float(np.interp(r.day.toordinal(), xs, vs))
+                assert abs(r.interp_value - want) < 1e-6, (uid, r)
