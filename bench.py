@@ -179,6 +179,7 @@ HEADLINE = [
     "resample_interpolate_linear",
     "sql_macro_clamp",
     "approx_percentile_disc",
+    "lateral_top_orders",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

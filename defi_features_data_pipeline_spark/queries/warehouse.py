@@ -643,3 +643,52 @@ SELECT event_type,
 FROM events GROUP BY 1
 """
 WAREHOUSE_QUERIES["approx_percentile_disc"] = q_approx_percentile_disc
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery — per-row top-N without a self-join
+# ---------------------------------------------------------------------------
+
+
+def q_lateral_top_orders(spark, sf_dir):
+    """CORRELATED LATERAL SUBQUERY (SQL `, LATERAL (...)`) — "for each
+    customer, their top-2 orders by price": the row-wise-subquery
+    surface that reads like a loop but must NOT execute like one. The
+    oracle is the identical LATERAL SQL on DuckDB.
+
+    Catalyst decorrelates the per-row ORDER BY ... LIMIT 2 into
+    WindowGroupLimit (rank ≤ 2 pruned BEFORE the window exchange, the
+    same partial-group-limit machinery as knn_graph_ivf) + one hash
+    join — verified in the plan; a naive engine would re-execute the
+    subquery per outer row (O(|customers|) scans) or fall into a
+    nested loop (plan-sweep-banned). Ties break on o_orderkey so the
+    top-2 boundary is engine-independent."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        SELECT c_custkey, t.o_orderkey,
+               CAST(t.o_totalprice AS DOUBLE) AS top_price
+        FROM v_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM v_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+    """)
+
+
+WAREHOUSE_ORACLES["lateral_top_orders"] = """
+SELECT c_custkey, t.o_orderkey,
+       CAST(CAST(t.o_totalprice AS VARCHAR) AS DOUBLE) AS top_price
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+"""
+WAREHOUSE_QUERIES["lateral_top_orders"] = q_lateral_top_orders

@@ -123,3 +123,29 @@ def test_zorder_layout_skips_files_on_secondary_column(spark, tmp_path):
     a = spark.read.parquet(linear).filter(pred)
     b = spark.read.parquet(zorder).filter(pred)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_orc_roundtrip_matches_parquet_source(spark, tmp_path):
+    """Format breadth: the ORC write/read path (Spark-native, zero
+    extra jars) round-trips the events table bit-identically —
+    timestamps, doubles and strings all survive; predicate pushdown
+    stays available (ORC scan supports filters)."""
+    from pyspark.sql import functions as F
+
+    from defi_features_data_pipeline_spark.queries.core import _events
+
+    src = _events(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "events_orc")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    assert src.exceptAll(back).count() == 0
+    assert back.exceptAll(src).count() == 0
+    plan = (
+        back.filter(F.col("event_type") == "view")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "event_type" in plan

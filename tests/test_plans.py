@@ -444,3 +444,43 @@ def test_ewma_single_aggregate_no_join(spark, sf_dir):
     plan = explain_str(q_ewma_user_value(spark, sf_dir), mode="simple")
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_lateral_decorrelated_to_window_group_limit(spark, sf_dir):
+    """The LATERAL per-customer top-2 must decorrelate into
+    WindowGroupLimit + ONE equi-join — never a per-row re-execution or
+    a nested loop."""
+    from defi_features_data_pipeline_spark.queries import ALL_QUERIES
+
+    plan = (
+        ALL_QUERIES["lateral_top_orders"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cbo_table_stats_feed_the_optimizer(spark, tmp_path):
+    """ANALYZE TABLE COMPUTE STATISTICS must surface a row count in the
+    optimizer's stats (the input the CBO join-reorder/broadcast
+    decisions consume). Without ANALYZE only size-in-bytes estimates
+    exist; after it, the logical plan carries the exact row count."""
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        spark.sql("DROP TABLE IF EXISTS cbo_probe")
+        spark.range(1234).write.saveAsTable("cbo_probe")
+        spark.sql("ANALYZE TABLE cbo_probe COMPUTE STATISTICS")
+        stats = (
+            spark.table("cbo_probe")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert stats.rowCount().isDefined()
+        assert stats.rowCount().get() == 1234
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_probe")
+        spark.conf.set("spark.sql.cbo.enabled", "false")
