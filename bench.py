@@ -180,6 +180,7 @@ HEADLINE = [
     "sql_macro_clamp",
     "approx_percentile_disc",
     "lateral_top_orders",
+    "multimodal_resize",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -6003,3 +6003,79 @@ def q_dedup_jaccard_prefix(spark, sf_dir):
 
 EXT_QUERIES["dedup_jaccard_prefix"] = q_dedup_jaccard_prefix
 EXT_ORACLES["dedup_jaccard_prefix"] = ORACLE_DEDUP_NGRAM_JACCARD
+
+
+# ---------------------------------------------------------------------------
+# Multimodal RESIZE plumbing (completes decode/extract/resize/sample)
+# ---------------------------------------------------------------------------
+
+RESIZE_STRIDE = 4  # keep every 4th sample — a 4x "downscale"
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """Multimodal RESIZE plumbing: the downscale stage of an
+    image/audio pipeline as an Arrow-batched mapInPandas — decode the
+    binary payload (utf-8 stand-in, see ``decode_image_stub``),
+    subsample every RESIZE_STRIDE-th sample (the 1-D analogue of
+    nearest-neighbor downscaling; a real image resize is the same
+    shape with a 2-D stride over W×H), and emit resized dims + a
+    digest of the resized content so the oracle validates the output
+    byte-for-byte. Completes the multimodal family the pipeline
+    needs: decode (stubbed codec) / feature-extract
+    (multimodal_extract) / RESIZE (this) / frame-sample
+    (multimodal_frame_sample).
+
+    100 TB notes: map-only — payloads stay in Arrow batches off-heap,
+    no shuffle, output is metadata+digest (bytes never leave the
+    executor); a real resize would write the resized binary back to a
+    payload column in the same batch shape."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "orig_len": [],
+                "resized_len": [],
+                "resized_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")  # the "decode" stage
+                resized = text[::RESIZE_STRIDE]
+                out["doc_id"].append(doc_id)
+                out["orig_len"].append(len(text))
+                out["resized_len"].append(len(resized))
+                out["resized_md5"].append(
+                    hashlib.md5(resized.encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(
+        resize,
+        schema="doc_id long, orig_len long, resized_len long, "
+        "resized_md5 string",
+    )
+
+
+# '(.).{0,3}' replaced by group 1 == text[::4]: each match consumes one
+# kept char plus up to 3 dropped ones (greedy), so partial tail blocks
+# keep their first char exactly like Python slicing. Corpus is
+# newline-free ASCII (asserted in tests), so '.' never skips input.
+ORACLE_MULTIMODAL_RESIZE = r"""
+WITH r AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '(.).{0,3}', '\1', 'g') AS resized
+  FROM documents
+)
+SELECT doc_id,
+       length(text)::BIGINT AS orig_len,
+       length(resized)::BIGINT AS resized_len,
+       md5(resized) AS resized_md5
+FROM r
+"""
+
+EXT_QUERIES["multimodal_resize"] = q_multimodal_resize
+EXT_ORACLES["multimodal_resize"] = ORACLE_MULTIMODAL_RESIZE

@@ -424,3 +424,27 @@ class TestCogroupAsofBucketed:
         assert sb.exceptAll(sa).count() == 0
         # non-vacuous: some views have no eligible purchase (null path)
         assert a.filter("asof_purchase_value IS NULL").count() > 0
+
+
+class TestMultimodalResize:
+    def test_stride_semantics_and_corpus_preconditions(self, spark, sf_dir):
+        """The oracle's regex-subsample equals Python text[::4] only on
+        newline-free single-byte text — assert the corpus precondition,
+        then pin the resize length arithmetic."""
+        from pyspark.sql import functions as F
+
+        from defi_features_data_pipeline_spark.queries import ALL_QUERIES
+        from defi_features_data_pipeline_spark.queries.core import _t
+
+        docs = _t(spark, sf_dir, "documents")
+        assert docs.filter(
+            F.col("text").contains("\n")
+            | (F.length(F.encode("text", "utf-8")) != F.length("text"))
+        ).count() == 0
+        got = ALL_QUERIES["multimodal_resize"](spark, sf_dir)
+        # ceil(orig/4) kept samples, never empty for non-empty docs
+        bad = got.filter(
+            F.col("resized_len") != F.ceil(F.col("orig_len") / 4)
+        ).count()
+        assert bad == 0
+        assert got.filter("orig_len > 0 AND resized_len = 0").count() == 0
