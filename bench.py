@@ -181,6 +181,7 @@ HEADLINE = [
     "approx_percentile_disc",
     "lateral_top_orders",
     "multimodal_resize",
+    "bpe_learn_merges",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -6079,3 +6079,110 @@ FROM r
 
 EXT_QUERIES["multimodal_resize"] = q_multimodal_resize
 EXT_ORACLES["multimodal_resize"] = ORACLE_MULTIMODAL_RESIZE
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge learning — tokenizer prep for LLM pipelines
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 8
+
+
+def q_bpe_learn_merges(spark, sf_dir):
+    """DISTRIBUTED BPE TOKENIZER TRAINING (the merge-learning loop of
+    Sennrich-style byte-pair encoding): start from characters, repeat
+    "count adjacent symbol pairs weighted by word frequency, merge the
+    most frequent pair corpus-wide" for N rounds. Output: the learned
+    merge table (round, left, right, merged, pair_count) — exactly
+    what a tokenizer ships as merges.txt.
+
+    Spark-first per round:
+      1. pair counts — arrays_zip(sym, sym[1:]) explode → ONE
+         map-side-combinable aggregate over the DISTINCT-WORD table
+         (|vocab| rows, not |corpus| — word frequency carries the
+         weight, the standard BPE factorization);
+      2. argmax pair — TakeOrdered(1) with (count DESC, left, right)
+         tie-break so the merge sequence is deterministic; O(1) rows
+         to the driver (same bounded-metadata discipline as the
+         k-means seeds);
+      3. merge — a single JVM-side F.aggregate fold over each symbol
+         array (greedy left-to-right, non-overlapping — 'aaa' under
+         (a,a) folds to [aa, a]), then localCheckpoint so round plans
+         stay constant-size (the connected_components lineage lesson).
+
+    NOT SQL-expressible as one statement (each round's input depends
+    on the previous round's data-dependent argmax) → rows-only driver
+    gate, like ivf_kmeans_build; the merge SEQUENCE is pinned exactly
+    by a pure-Python reference BPE in tests/test_featureops.py.
+
+    100 TB notes: the corpus-size pass happens ONCE (word frequency);
+    every round after that runs on the distinct-word table (vocab ≪
+    corpus, Heaps' law), pair counting is partial-aggregated map-side,
+    and the fold is whole-stage-codegen array work — no Python in the
+    loop. Round count is the tokenizer's hyperparameter (30-50k in
+    production), independent of data size."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(F.expr(TOKENS_SPARK)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.expr("transform(split(w, ''), c -> c)").alias("sym"),
+        )
+        .filter(F.size("sym") >= 2)
+        .localCheckpoint()
+    )
+
+    merges = []
+    cur = words
+    for rnd in range(1, BPE_N_MERGES + 1):
+        pairs = (
+            cur.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(sym, 1, size(sym) - 1)"),
+                        F.expr("slice(sym, 2, size(sym) - 1)"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(
+                F.col("p")["0"].alias("left"), F.col("p")["1"].alias("right")
+            )
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        top = pairs.orderBy(
+            F.desc("pair_count"), F.asc("left"), F.asc("right")
+        ).first()
+        if top is None:
+            break
+        a, b = top["left"], top["right"]
+        merges.append((rnd, a, b, a + b, int(top["pair_count"])))
+        la, lb = F.lit(a), F.lit(b)
+        folded = F.aggregate(
+            F.col("sym"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (x == lb),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.concat(la, lb)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        cur = cur.select("freq", folded.alias("sym")).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges,
+        "round int, left string, right string, merged string, "
+        "pair_count bigint",
+    )
+
+
+EXT_QUERIES["bpe_learn_merges"] = q_bpe_learn_merges
+# no EXT_ORACLES entry: iterative data-dependent argmax per round is not
+# one SQL statement — rows-only driver check; exact merge sequence is
+# pinned by the pure-Python reference test.

@@ -448,3 +448,63 @@ class TestMultimodalResize:
         ).count()
         assert bad == 0
         assert got.filter("orig_len > 0 AND resized_len = 0").count() == 0
+
+
+class TestBpeLearnMerges:
+    def test_merge_sequence_matches_reference_bpe(self, spark, sf_dir):
+        """The distributed merge loop must learn EXACTLY the same merge
+        sequence (pairs, order, weighted counts) as a single-threaded
+        reference BPE over the same tokenization — argmax ties broken
+        (count desc, left, right) in both."""
+        from collections import Counter
+
+        from defi_features_data_pipeline_spark.queries import ALL_QUERIES
+        from defi_features_data_pipeline_spark.queries.core import _t
+        from defi_features_data_pipeline_spark.queries.extensions import (
+            BPE_N_MERGES,
+        )
+
+        got = [
+            (r.round, r.left, r.right, r.merged, r.pair_count)
+            for r in ALL_QUERIES["bpe_learn_merges"](spark, sf_dir)
+            .orderBy("round")
+            .collect()
+        ]
+
+        texts = [
+            r.text for r in _t(spark, sf_dir, "documents").select("text").collect()
+        ]
+        freq = Counter()
+        for t in texts:
+            for w in t.lower().split():
+                freq[w] += 1
+        vocab = {w: list(w) for w in freq if len(w) >= 2}
+
+        want = []
+        for rnd in range(1, BPE_N_MERGES + 1):
+            pc = Counter()
+            for w, syms in vocab.items():
+                f = freq[w]
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += f
+            if not pc:
+                break
+            (a, b), n = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            want.append((rnd, a, b, a + b, n))
+            for w, syms in vocab.items():
+                out = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                vocab[w] = out
+
+        assert got == want
+        # non-vacuous: at least one merge consumes an earlier merge
+        merged_syms = {m[3] for m in want}
+        assert any(
+            m[1] in merged_syms or m[2] in merged_syms for m in want
+        ), "corpus never exercised a second-order merge"
