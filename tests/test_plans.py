@@ -484,3 +484,68 @@ def test_cbo_table_stats_feed_the_optimizer(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS cbo_probe")
         spark.conf.set("spark.sql.cbo.enabled", "false")
+
+
+def test_join_hints_honored(spark, sf_dir):
+    """The three join-strategy hints must each produce their strategy —
+    the manual override surface when Catalyst's size estimates are
+    wrong (a misestimated dim at 100 TB turns a broadcast into an OOM,
+    or a shuffle into a wasted exchange)."""
+    from defi_features_data_pipeline_spark.queries.core import _t
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("h_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("h_customer")
+    cases = {
+        "BROADCAST(c)": "BroadcastHashJoin",
+        "MERGE(c)": "SortMergeJoin",
+        "SHUFFLE_HASH(c)": "ShuffledHashJoin",
+    }
+    for hint, node in cases.items():
+        plan = (
+            spark.sql(
+                f"SELECT /*+ {hint} */ o_orderkey FROM h_orders o "
+                "JOIN h_customer c ON o.o_custkey = c.c_custkey"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert node in plan, f"hint {hint}: expected {node}\n{plan[:800]}"
+
+
+def test_cluster_by_hash_partitions_and_sorts(spark, sf_dir):
+    """SQL CLUSTER BY = DISTRIBUTE BY + SORT BY: one hash exchange on
+    the key and a within-partition sort — the pre-shuffle staging shape
+    for grouped sequential consumers."""
+    from defi_features_data_pipeline_spark.queries.core import _events
+
+    _events(spark, sf_dir).createOrReplaceTempView("cb_events")
+    plan = (
+        spark.sql("SELECT user_id, value FROM cb_events CLUSTER BY user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(user_id" in plan
+    assert "Sort [user_id" in plan
+    assert "ENSURE_REQUIREMENTS" not in plan.split("Exchange")[1].split("\n")[0]
+
+
+def test_cache_table_serves_from_memory(spark, sf_dir):
+    """CACHE TABLE must turn subsequent scans into InMemoryTableScan —
+    the interactive-reuse surface (a dashboard hitting one staged frame
+    many times must not re-read the lake)."""
+    from defi_features_data_pipeline_spark.queries.core import _t
+
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("cache_probe")
+    spark.sql("CACHE TABLE cache_probe")
+    try:
+        plan = (
+            spark.sql("SELECT n_nationkey FROM cache_probe")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Scan In-memory table" in plan or "InMemoryTableScan" in plan
+    finally:
+        spark.sql("UNCACHE TABLE cache_probe")
