@@ -182,6 +182,7 @@ HEADLINE = [
     "lateral_top_orders",
     "multimodal_resize",
     "bpe_learn_merges",
+    "window_rank_family",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

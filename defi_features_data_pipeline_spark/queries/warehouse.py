@@ -692,3 +692,49 @@ LATERAL (
 ) t
 """
 WAREHOUSE_QUERIES["lateral_top_orders"] = q_lateral_top_orders
+
+
+# ---------------------------------------------------------------------------
+# Window rank-family completeness: percent_rank / cume_dist / nth_value
+# ---------------------------------------------------------------------------
+
+
+def q_window_rank_family(spark, sf_dir):
+    """The remaining analytic rank functions in one pass:
+    percent_rank (relative rank in [0,1]), cume_dist (fraction ≤
+    current), nth_value(2) (the per-user second-smallest value as a
+    frame-navigating lookup). Completes the window surface beside
+    row_number/rank/ntile (quality_deciles), lead/lag (scd2), RANGE
+    frames (range_frame_weekly_sum) and session windows.
+
+    Determinism: ORDER BY (value, event_id) is a total order, so every
+    rank statistic is a ratio of integers both engines compute
+    identically in IEEE doubles — no rounding needed. ONE window spec
+    → one shuffle on user_id, all four functions evaluated in a single
+    window operator (verified: one Window node in the plan)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("value", 2).over(wf).alias("second_smallest"),
+    )
+
+
+WAREHOUSE_ORACLES["window_rank_family"] = """
+SELECT event_id, user_id,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       nth_value(value, 2) OVER (
+         PARTITION BY user_id ORDER BY value, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_smallest
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+"""
+WAREHOUSE_QUERIES["window_rank_family"] = q_window_rank_family
