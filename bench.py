@@ -183,6 +183,7 @@ HEADLINE = [
     "multimodal_resize",
     "bpe_learn_merges",
     "window_rank_family",
+    "entity_resolution_clusters",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
@@ -285,6 +286,9 @@ KNOWN_SLOW = {
     "dedup_clusters_blocked",
     "dedup_clusters_incremental",
     "dedup_jaccard_prefix",
+    # iterative CC over blocked+verified entity matches (same engine
+    # and cost profile as the dedup_clusters family)
+    "entity_resolution_clusters",
     # recursive CTE: wall = recursion depth × per-level stage-schedule
     # cost (a constant), not data volume — see queries/warehouse.py
     "recursive_order_chain",

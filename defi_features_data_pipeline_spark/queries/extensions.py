@@ -6186,3 +6186,75 @@ EXT_QUERIES["bpe_learn_merges"] = q_bpe_learn_merges
 # no EXT_ORACLES entry: iterative data-dependent argmax per round is not
 # one SQL statement — rows-only driver check; exact merge sequence is
 # pinned by the pure-Python reference test.
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution clusters — match pairs → transitive-closure entities
+# ---------------------------------------------------------------------------
+
+
+def q_entity_resolution_clusters(spark, sf_dir):
+    """ENTITY RESOLUTION step 2: the match pairs from
+    ``entity_match_pairs`` (blocked + edit-distance-verified) become
+    canonical ENTITIES via transitive closure — A≈B and B≈C put A,B,C
+    in one entity even when A,C never compared (different blocks or
+    distance > threshold). Same ``connected_components`` engine as the
+    dedup cluster family (parquet lineage cut per round, multi-phase
+    propagation, monotone-sum convergence); the canonical key is the
+    smallest member custkey, the survivor rule a downstream golden-
+    record merge uses. Oracle: the literal match SQL + a recursive-CTE
+    transitive closure.
+
+    100 TB notes: everything after the (blocked, Σ block², plan-swept)
+    pair pass is equi-join/groupBy on the match graph — which is tiny
+    relative to the input (matches are rare); rounds scale with
+    component diameter, ~O(log n) under the multi-phase loop."""
+    from ..operators.graph import connected_components
+
+    pairs = q_entity_match_pairs(spark, sf_dir).select("left_id", "right_id")
+    labels = connected_components(
+        pairs, "left_id", "right_id", symmetrize=True
+    )
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("entity_size"),
+        F.min("node").alias("canonical_custkey"),
+    ).select(
+        F.col("label").alias("entity_id"), "entity_size", "canonical_custkey"
+    )
+
+
+ORACLE_ENTITY_RESOLUTION_CLUSTERS = f"""
+WITH matched AS (
+  SELECT a.c_custkey AS left_id, b.c_custkey AS right_id
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= {ENTITY_MAX_EDIT}
+),
+edges AS (
+  SELECT left_id AS a, right_id AS b FROM matched
+  UNION SELECT right_id, left_id FROM matched
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+tc AS (
+  WITH RECURSIVE walk(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT walk.src, e.b FROM walk JOIN edges e ON walk.dst = e.a
+  )
+  SELECT src, dst FROM walk
+),
+labels AS (
+  SELECT n.node, least(n.node, min(tc.dst)) AS label
+  FROM nodes n LEFT JOIN tc ON tc.src = n.node
+  GROUP BY n.node
+)
+SELECT label AS entity_id,
+       COUNT(*) AS entity_size,
+       min(node) AS canonical_custkey
+FROM labels GROUP BY label
+"""
+
+EXT_QUERIES["entity_resolution_clusters"] = q_entity_resolution_clusters
+EXT_ORACLES["entity_resolution_clusters"] = ORACLE_ENTITY_RESOLUTION_CLUSTERS
