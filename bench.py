@@ -184,6 +184,8 @@ HEADLINE = [
     "bpe_learn_merges",
     "window_rank_family",
     "entity_resolution_clusters",
+    "bpe_tokenize_apply",
+    "user_event_sequences",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

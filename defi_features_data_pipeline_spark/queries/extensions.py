@@ -6258,3 +6258,169 @@ FROM labels GROUP BY label
 
 EXT_QUERIES["entity_resolution_clusters"] = q_entity_resolution_clusters
 EXT_ORACLES["entity_resolution_clusters"] = ORACLE_ENTITY_RESOLUTION_CLUSTERS
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenization (inference): apply a fixed merge list
+# ---------------------------------------------------------------------------
+
+# A tokenizer ships its learned merges as a static artifact
+# (merges.txt); applying them is the data-independent half of BPE, so
+# the gate parameterizes on a FIXED priority-ordered list (incl. two
+# second-order merges consuming earlier outputs) and the oracle
+# replays the identical sequence.
+BPE_APPLY_MERGES = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("t", "h"),
+    ("th", "e"), ("a", "n"), ("o", "n"), ("er", "s"),
+]
+# symbol separator: unit separator, absent from the ASCII corpus
+# (asserted in tests)
+BPE_SEP = "\x1f"
+# left != right for every merge => (a,b) adjacencies are pairwise
+# disjoint, so the greedy fold's merge set is the UNIQUE maximal set
+# and TWO replace passes per rule reach it (pass 1 can skip an
+# occurrence whose leading separator was consumed by the previous
+# match in a chain like "onon"; the survivors are isolated after pass
+# 1, so pass 2 gets them all). a == b (run) merges would need the
+# explicit fold.
+assert all(a != b for a, b in BPE_APPLY_MERGES)
+
+
+def q_bpe_tokenize_apply(spark, sf_dir):
+    """BPE TOKENIZATION (the inference side of ``bpe_learn_merges``):
+    fold each word's characters through a fixed priority-ordered merge
+    list — per merge one greedy left-to-right non-overlapping pass,
+    exactly Sennrich apply order. Output per document: character count,
+    token count after merging, and the chars-per-token compression
+    ratio a tokenizer budget planner needs.
+
+    Spark-first: the word is a separator-joined symbol string and each
+    merge is TWO ``replace(sep+a+sep+b+sep -> sep+ab+sep)`` passes —
+    for a != b the (a,b) adjacencies are pairwise disjoint, so the
+    greedy fold's merge set is the unique maximal one and two
+    left-to-right replace passes provably reach it (one pass alone
+    under-merges chains like "onon" whose occurrences share a
+    separator — caught by the property test's random fuzzing). All 16
+    replaces chain inside a single projection — whole-stage codegen,
+    zero shuffles before the final per-doc aggregate, zero Python.
+
+    100 TB notes: map-only until one map-side-combinable aggregate on
+    doc_id; the merge list is a plan literal (in production: generate
+    the expression from the merges.txt artifact — 30-50k merges would
+    instead use a trie-based Pandas UDF, the documented escape
+    hatch)."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    words = d.select(
+        "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("w")
+    )
+    sep = BPE_SEP
+    sym = F.concat(
+        F.lit(sep),
+        F.array_join(F.expr("transform(split(w, ''), c -> c)"), sep),
+        F.lit(sep),
+    )
+    for a, b in BPE_APPLY_MERGES:
+        for _ in range(2):  # see BPE_APPLY_MERGES a != b note
+            sym = F.replace(
+                sym, F.lit(f"{sep}{a}{sep}{b}{sep}"), F.lit(f"{sep}{a}{b}{sep}")
+            )
+    n_sym = F.size(F.split(F.expr(f"trim(BOTH '{sep}' FROM __sym)"), sep))
+    return (
+        words.select(
+            "doc_id", F.length("w").alias("n_chars"), sym.alias("__sym")
+        )
+        .select("doc_id", "n_chars", n_sym.alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_chars") / F.sum("n"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    sep = BPE_SEP
+    expr = (
+        f"'{sep}' || array_to_string("
+        f"string_split_regex(w, ''), '{sep}') || '{sep}'"
+    )
+    for a, b in BPE_APPLY_MERGES:
+        for _ in range(2):
+            expr = (
+                f"replace({expr}, '{sep}{a}{sep}{b}{sep}', '{sep}{a}{b}{sep}')"
+            )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest({TOKENS_DUCK}) AS w FROM documents
+),
+toks AS (
+  SELECT doc_id, length(w) AS n_chars,
+         length(string_split(trim({expr}, '{sep}'), '{sep}')) AS n
+  FROM words
+)
+SELECT doc_id, SUM(n_chars) AS n_chars, SUM(n) AS n_bpe_tokens,
+       round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n), 6) AS chars_per_token
+FROM toks GROUP BY 1
+"""
+
+
+EXT_QUERIES["bpe_tokenize_apply"] = q_bpe_tokenize_apply
+EXT_ORACLES["bpe_tokenize_apply"] = _bpe_apply_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic ordered array aggregation — event sequences per user
+# ---------------------------------------------------------------------------
+
+SEQ_PREFIX_LEN = 5
+
+
+def q_user_event_sequences(spark, sf_dir):
+    """ORDERED ARRAY AGGREGATION: each user's first 5 event types in
+    (ts, event_id) order as an array column — the sequence-feature
+    extraction a behavioral model consumes. collect_list is
+    ORDER-NONDETERMINISTIC on a distributed engine (partition arrival
+    order), so the discipline is: collect structs of
+    (sort_key..., payload), sort_array ONCE, then project the payload
+    — bit-deterministic under any partitioning. (ts, event_id) is a
+    total order so both engines build the identical sequence.
+
+    100 TB notes: one map-side-combinable aggregate on user_id; arrays
+    are bounded by the slice, and the struct sort is per-group local
+    work."""
+    from .core import _events
+
+    ev = _events(spark, sf_dir)
+    seq = F.slice(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").cast("long").alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("event_type").alias("y"),
+                    )
+                )
+            ),
+            lambda s: s["y"],
+        ),
+        1,
+        SEQ_PREFIX_LEN,
+    )
+    return ev.groupBy("user_id").agg(
+        seq.alias("first_events"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+EXT_ORACLES["user_event_sequences"] = f"""
+SELECT user_id,
+       (list(event_type ORDER BY {_epoch_sql('ts')}, event_id))[1:{SEQ_PREFIX_LEN}]
+         AS first_events,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+EXT_QUERIES["user_event_sequences"] = q_user_event_sequences

@@ -508,3 +508,91 @@ class TestBpeLearnMerges:
         assert any(
             m[1] in merged_syms or m[2] in merged_syms for m in want
         ), "corpus never exercised a second-order merge"
+
+
+class TestBpeTokenizeApply:
+    def test_replace_pass_equals_reference_fold(self, spark, sf_dir):
+        """The separator-string replace pass must implement exactly the
+        greedy left-to-right non-overlapping BPE merge (the explicit
+        list fold) — including overlap traps like 'aaa' under (a,a) —
+        and the corpus must not contain the separator."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from defi_features_data_pipeline_spark.queries import ALL_QUERIES
+        from defi_features_data_pipeline_spark.queries.core import _t
+        from defi_features_data_pipeline_spark.queries.extensions import (
+            BPE_APPLY_MERGES,
+            BPE_SEP,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        assert docs.filter(F.col("text").contains(BPE_SEP)).count() == 0
+
+        def fold(word):
+            syms = list(word)
+            for a, b in BPE_APPLY_MERGES:
+                out = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                syms = out
+            return syms
+
+        def via_replace(word):
+            s = BPE_SEP + BPE_SEP.join(list(word)) + BPE_SEP
+            for a, b in BPE_APPLY_MERGES:
+                for _ in range(2):  # two passes: see BPE_APPLY_MERGES
+                    s = s.replace(
+                        f"{BPE_SEP}{a}{BPE_SEP}{b}{BPE_SEP}",
+                        f"{BPE_SEP}{a}{b}{BPE_SEP}",
+                    )
+            return s.strip(BPE_SEP).split(BPE_SEP)
+
+        rng = random.Random(7)
+        alphabet = "erinotha"
+        words = ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+                 for _ in range(500)]
+        words += ["ererer", "ththe", "thers", "eer", "erer", "r", "er",
+                  "ononon", "rihnneononto", "onononononon"]
+        for w in words:
+            assert fold(w) == via_replace(w), w
+
+        # per-doc totals must be consistent: tokens never exceed chars
+        got = ALL_QUERIES["bpe_tokenize_apply"](spark, sf_dir)
+        assert got.filter("n_bpe_tokens > n_chars").count() == 0
+        assert got.filter("n_bpe_tokens <= 0").count() == 0
+
+
+class TestUserEventSequences:
+    def test_sequence_matches_sorted_events(self, spark, sf_dir):
+        """The collected array must equal the (ts, event_id)-sorted
+        event-type prefix for every user, regardless of partitioning."""
+        from pyspark.sql import functions as F
+
+        from defi_features_data_pipeline_spark.queries import ALL_QUERIES
+        from defi_features_data_pipeline_spark.queries.core import _events
+
+        got = {
+            r.user_id: (list(r.first_events), r.n_events)
+            for r in ALL_QUERIES["user_event_sequences"](spark, sf_dir).collect()
+        }
+        rows = (
+            _events(spark, sf_dir)
+            .select("user_id", F.col("ts").cast("long").alias("t"),
+                    "event_id", "event_type")
+            .collect()
+        )
+        from collections import defaultdict
+
+        per_user = defaultdict(list)
+        for r in rows:
+            per_user[r.user_id].append((r.t, r.event_id, r.event_type))
+        for uid, evs in per_user.items():
+            evs.sort()
+            want = [y for _, _, y in evs[:5]]
+            assert got[uid][0] == want, uid
+            assert got[uid][1] == len(evs)
