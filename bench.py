@@ -186,6 +186,7 @@ HEADLINE = [
     "entity_resolution_clusters",
     "bpe_tokenize_apply",
     "user_event_sequences",
+    "graph_bfs_distance",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

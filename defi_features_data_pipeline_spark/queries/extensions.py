@@ -6424,3 +6424,97 @@ SELECT user_id,
 FROM events GROUP BY 1
 """
 EXT_QUERIES["user_event_sequences"] = q_user_event_sequences
+
+
+# ---------------------------------------------------------------------------
+# BFS distance over the near-dup graph — bounded multi-hop reach
+# ---------------------------------------------------------------------------
+
+BFS_MAX_HOPS = 4
+BFS_SEED_MOD = 50  # seed set: doc_id % 50 == 0
+
+
+def q_graph_bfs_distance(spark, sf_dir):
+    """MULTI-SOURCE BFS over the verified near-dup graph: hop distance
+    (<= 4) from the seed set {doc_id % 50 == 0} — the "contamination
+    radius" query (which documents sit within k merge-hops of a known
+    bad/benchmark doc?) that turns pairwise dedup evidence into a
+    transitive blocklist. Frontier expansion: distance table starts at
+    the seeds, each hop is ONE equi-join frontier⋈edges + min-groupBy
+    against the known table — never a transitive-closure
+    materialization (the oracle's recursive CTE does exactly that,
+    which is fine for DuckDB at test scale and fatal at 100 TB; the
+    Spark loop is the scale form with O(hops) rounds and
+    frontier-sized state). Same lineage discipline as
+    connected_components: edges materialized once, per-hop
+    localCheckpoint (4 bounded hops, not a convergence loop).
+
+    Output: (doc_id, dist) for every reachable doc within the bound —
+    unreachable docs are absent (a production blocklist join is a
+    LEFT SEMI against this table)."""
+    edges = _lsh_edges(spark, sf_dir).select("doc_a", "doc_b")
+    edges = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint()
+    nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    dist = nodes.filter(
+        F.col("doc_id") % BFS_SEED_MOD == 0
+    ).select("doc_id", F.lit(0).alias("dist"))
+    frontier = dist
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        reached = (
+            frontier.join(edges, frontier.doc_id == edges.doc_a)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .join(dist, "doc_id", "left_anti")
+            .select("doc_id", F.lit(hop).alias("dist"))
+            .localCheckpoint()
+        )
+        if reached.isEmpty():
+            break
+        dist = dist.unionByName(reached).localCheckpoint()
+        frontier = reached
+    return dist
+
+
+ORACLE_GRAPH_BFS_DISTANCE = f"""
+WITH {{ctes}},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) >= {{thr}}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+walk AS (
+  WITH RECURSIVE w(node, d) AS (
+    SELECT node, 0 FROM nodes WHERE node % {BFS_SEED_MOD} = 0
+    UNION
+    SELECT e.b, w.d + 1 FROM w JOIN edges e ON w.node = e.a
+    WHERE w.d < {BFS_MAX_HOPS}
+  )
+  SELECT node, d FROM w
+)
+SELECT node AS doc_id, min(d) AS dist
+FROM walk GROUP BY node
+"""
+
+EXT_QUERIES["graph_bfs_distance"] = q_graph_bfs_distance
+EXT_ORACLES["graph_bfs_distance"] = ORACLE_GRAPH_BFS_DISTANCE.format(
+    ctes=_lsh_ctes(), thr=JACCARD_THRESHOLD
+)

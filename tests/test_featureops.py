@@ -596,3 +596,38 @@ class TestUserEventSequences:
             want = [y for _, _, y in evs[:5]]
             assert got[uid][0] == want, uid
             assert got[uid][1] == len(evs)
+
+
+class TestGraphBfsDistance:
+    def test_bfs_invariants(self, spark, sf_dir_t2):
+        """Seeds at distance 0; every positive-distance node has a
+        neighbor one hop closer; non-vacuous beyond the seed set."""
+        from pyspark.sql import functions as F
+
+        from defi_features_data_pipeline_spark.queries import ALL_QUERIES
+        from defi_features_data_pipeline_spark.queries.extensions import (
+            BFS_SEED_MOD,
+            _lsh_edges,
+        )
+
+        dist = ALL_QUERIES["graph_bfs_distance"](spark, sf_dir_t2)
+        assert dist.filter(
+            (F.col("doc_id") % BFS_SEED_MOD == 0) & (F.col("dist") != 0)
+        ).count() == 0
+        assert dist.filter("dist > 0").count() > 0
+
+        e = _lsh_edges(spark, sf_dir_t2).select("doc_a", "doc_b")
+        e = e.unionByName(
+            e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        d2 = dist.select(
+            F.col("doc_id").alias("nb"), F.col("dist").alias("nb_dist")
+        )
+        witness = (
+            dist.filter("dist > 0")
+            .join(e, dist.doc_id == e.doc_a)
+            .join(d2, e.doc_b == d2.nb)
+            .groupBy("doc_id", "dist")
+            .agg(F.min("nb_dist").alias("best_nb"))
+        )
+        assert witness.filter("best_nb != dist - 1").count() == 0
