@@ -187,6 +187,7 @@ HEADLINE = [
     "bpe_tokenize_apply",
     "user_event_sequences",
     "graph_bfs_distance",
+    "streaming_bitmap_distinct",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -6518,3 +6518,83 @@ EXT_QUERIES["graph_bfs_distance"] = q_graph_bfs_distance
 EXT_ORACLES["graph_bfs_distance"] = ORACLE_GRAPH_BFS_DISTANCE.format(
     ctes=_lsh_ctes(), thr=JACCARD_THRESHOLD
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental EXACT distinct via bitmap OR-merge
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_bitmap_distinct(spark, sf_dir):
+    """STREAMING EXACT DISTINCT maintained incrementally: each
+    micro-batch reduces to per-(event_type, bucket) BITMAPS
+    (bitmap_construct_agg over bitmap_bit_position) and OR-merges them
+    into a manifest-committed bitmap store — the streaming realization
+    of ``bitmap_count_distinct``'s storable-increment claim. Final
+    answer = SUM of per-bucket bitmap_count, which must equal the
+    plain COUNT(DISTINCT) over the whole feed (the SQL oracle).
+
+    Batch-order/partitioning invariance is structural: bitmap OR is
+    commutative, associative and idempotent, so duplicate users across
+    micro-batches, replayed batches, and any arrival order all
+    converge to the same store — exactly why this beats keeping raw
+    distinct values in stream state (bounded: ≤ 4 KB per bucket
+    however many events arrive; dropDuplicates state grows with
+    distinct count and needs a watermark to bound it).
+
+    100 TB notes: per batch ONE map-side-combinable aggregate over the
+    batch + an OR-merge against only the store's matching
+    (type, bucket) rows; the store is id-space-bounded, not
+    corpus-bounded."""
+    import tempfile
+
+    from ..sources.fsutil import manifest_resolve, read_manifested
+    from ..sources.sinks import upsert_manifested
+
+    ev = _stream_events(spark, sf_dir).select("event_type", "user_id")
+    root = os.path.join(tempfile.mkdtemp(prefix="stream_bitmap_"), "bitmaps")
+
+    def or_merge(batch_df, _batch_id):
+        inc = (
+            batch_df.select(
+                "event_type",
+                F.expr("bitmap_bucket_number(user_id)").alias("bn"),
+                F.expr("bitmap_bit_position(user_id)").alias("bp"),
+            )
+            .groupBy("event_type", "bn")
+            .agg(F.expr("bitmap_construct_agg(bp)").alias("bm"))
+        )
+        if manifest_resolve(spark, root) is not None:
+            prev = read_manifested(spark, root).select(
+                "event_type", "bn", "bm"
+            ).join(
+                inc.select("event_type", "bn").distinct(),
+                ["event_type", "bn"],
+                "semi",
+            )
+            inc = (
+                prev.unionByName(inc)
+                .groupBy("event_type", "bn")
+                .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+            )
+        inc = inc.withColumn(
+            "__k", F.concat_ws("|", "event_type", F.col("bn").cast("string"))
+        )
+        upsert_manifested(spark, inc, root, "__k")
+
+    q = ev.writeStream.foreachBatch(or_merge).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return (
+        read_manifested(spark, root)
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_users"))
+    )
+
+
+ORACLE_STREAMING_BITMAP_DISTINCT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY 1
+"""
+
+EXT_QUERIES["streaming_bitmap_distinct"] = q_streaming_bitmap_distinct
+EXT_ORACLES["streaming_bitmap_distinct"] = ORACLE_STREAMING_BITMAP_DISTINCT

@@ -314,3 +314,71 @@ def test_foreachbatch_upsert_newer_wins_across_batches(spark, tmp_path):
         for r in read_manifested(spark, root).collect()
     }
     assert got == {1: (900, 10.0), 2: (700, 7.0)}
+
+
+def test_bitmap_distinct_invariant_to_microbatching(spark, tmp_path):
+    """The foreachBatch bitmap OR-merge store must converge to the
+    exact distinct counts under adversarial micro-batching
+    (maxFilesPerTrigger=1 with duplicate users split across batches)
+    — OR is commutative/associative/idempotent, so any batch slicing
+    yields the same store."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from defi_features_data_pipeline_spark.sources.fsutil import (
+        manifest_resolve,
+        read_manifested,
+    )
+    from defi_features_data_pipeline_spark.sources.sinks import upsert_manifested
+
+    src = str(tmp_path / "bmsrc")
+    # users deliberately repeated across files; one spans buckets (70000)
+    files = [[("a", 1), ("a", 2)], [("a", 2), ("b", 1)],
+             [("a", 70000), ("b", 1)], [("b", 70000), ("a", 1)]]
+    for rows in files:
+        spark.createDataFrame(rows, "event_type string, user_id long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    ev = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    root = os.path.join(tempfile.mkdtemp(prefix="bm_inv_"), "bitmaps")
+
+    def or_merge(batch_df, _batch_id):
+        inc = (
+            batch_df.select(
+                "event_type",
+                F.expr("bitmap_bucket_number(user_id)").alias("bn"),
+                F.expr("bitmap_bit_position(user_id)").alias("bp"),
+            )
+            .groupBy("event_type", "bn")
+            .agg(F.expr("bitmap_construct_agg(bp)").alias("bm"))
+        )
+        if manifest_resolve(spark, root) is not None:
+            prev = read_manifested(spark, root).select(
+                "event_type", "bn", "bm"
+            ).join(
+                inc.select("event_type", "bn").distinct(),
+                ["event_type", "bn"], "semi",
+            )
+            inc = (
+                prev.unionByName(inc)
+                .groupBy("event_type", "bn")
+                .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+            )
+        inc = inc.withColumn(
+            "__k", F.concat_ws("|", "event_type", F.col("bn").cast("string"))
+        )
+        upsert_manifested(spark, inc, root, "__k")
+
+    q = ev.writeStream.foreachBatch(or_merge).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {
+        r.event_type: r.n
+        for r in read_manifested(spark, root)
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n"))
+        .collect()
+    }
+    assert got == {"a": 3, "b": 2}
