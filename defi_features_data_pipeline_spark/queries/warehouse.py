@@ -450,9 +450,14 @@ def q_resample_interpolate_linear(spark, sf_dir):
     Determinism: daily observed values are rounded to 6 dp first;
     the interpolation is then a fixed-shape IEEE expression (one
     divide, one multiply, one add on identical operands — both
-    engines' doubles round identically), rounded to 6 dp at the end.
-    Grid rows before the first / after the last observation don't
-    exist by construction, so prev and next are always defined.
+    engines' doubles round identically) emitted RAW: a final
+    round(·, 6) was tried and produced a 1-ULP mismatch at sf0.001
+    (38.7466665 straddles the 6 dp boundary and the engines' double
+    rounding disagrees — the cdc_snapshot_diff float-round trap), while
+    the unrounded doubles are bit-identical because every operand and
+    operation is identical. Grid rows before the first / after the
+    last observation don't exist by construction, so prev and next are
+    always defined.
 
     100 TB: two shuffles (daily rollup, per-user span) and two window
     passes all partitioned by user_id — an engine that reuses
@@ -513,7 +518,7 @@ def q_resample_interpolate_linear(spark, sf_dir):
     return j.select(
         F.col("__u").alias("user_id"),
         F.col("__day").alias("day"),
-        F.round(interp, 6).alias("interp_value"),
+        interp.alias("interp_value"),
         (F.col("__dp") == F.col("__day")).alias("observed"),
     )
 
@@ -552,10 +557,10 @@ j AS (
     ON grid.u = daily.user_id AND grid.day = daily.day
 )
 SELECT u AS user_id, gday AS day,
-       round(CASE WHEN dp = dn THEN vp
-                  ELSE vp + (vn - vp) *
-                       (CAST(gday - dp AS DOUBLE) / CAST(dn - dp AS DOUBLE))
-             END, 6) AS interp_value,
+       CASE WHEN dp = dn THEN vp
+            ELSE vp + (vn - vp) *
+                 (CAST(gday - dp AS DOUBLE) / CAST(dn - dp AS DOUBLE))
+       END AS interp_value,
        dp = gday AS observed
 FROM j
 """
