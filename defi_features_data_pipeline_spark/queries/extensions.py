@@ -2508,7 +2508,9 @@ EXT_ORACLES["streaming_dedup"] = ORACLE_STREAMING_DEDUP
 def q_streaming_sessionize(spark, sf_dir):
     """§2.9 stream SESSIONIZATION: native ``session_window`` (gap 30
     min) — the stateful merging-window operator; sessions extend while
-    successive events arrive strictly within the gap. ts truncated to
+    successive events arrive within (or exactly at) the gap — Spark
+    merges windows that touch, so only diff > gap splits (boundary
+    pinned by test). ts truncated to
     whole seconds first so the window arithmetic is exactly the epoch
     arithmetic the oracle runs. Over bounded input the session set
     equals the batch gap-rule sessionization (same rule as the batch
@@ -2529,15 +2531,19 @@ def q_streaming_sessionize(spark, sf_dir):
     )
 
 
-# gap rule: a session window covers [min t, max t + gap); the next event
-# MERGES iff it lands strictly inside, i.e. diff < 1800 — diff >= 1800
-# starts a new session.
+# gap rule: a session window covers [min t, max t + gap]; the next
+# event MERGES iff its window overlaps OR TOUCHES, i.e. diff <= 1800 —
+# only diff > 1800 starts a new session. Spark's session_window merges
+# at the exact-gap boundary (verified empirically at sf0.1, where two
+# events exactly 1800 s apart produced ONE session; pinned by
+# test_session_window_merges_at_exact_gap_boundary so a future Spark
+# semantics change announces itself).
 ORACLE_STREAMING_SESSIONIZE = f"""
 WITH e AS (SELECT user_id, {{epoch}} AS t FROM events),
 marks AS (
   SELECT user_id, t,
          CASE WHEN lag(t) OVER w IS NULL
-              OR t - lag(t) OVER w >= 1800 THEN 1 ELSE 0 END AS is_new
+              OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
   FROM e
   WINDOW w AS (PARTITION BY user_id ORDER BY t)
 ),

@@ -382,3 +382,41 @@ def test_bitmap_distinct_invariant_to_microbatching(spark, tmp_path):
         .collect()
     }
     assert got == {"a": 3, "b": 2}
+
+
+def test_session_window_merges_at_exact_gap_boundary(spark, tmp_path):
+    """Two events exactly gap seconds apart MERGE into one session
+    under Spark's session_window (touching windows merge; only
+    diff > gap splits) — the boundary rule the streaming_sessionize
+    oracle encodes. Caught at sf0.1 (one exact-1800s pair); pinned
+    here so a Spark semantics change announces itself."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "gapsrc")
+    base = 1_704_579_374
+    rows = [(1, base), (1, base + 1800), (1, base + 3601)]
+    spark.createDataFrame(rows, "user_id long, t long").withColumn(
+        "ts", F.col("t").cast("timestamp")
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    ev = spark.readStream.schema(schema).parquet(src)
+    sess = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("gap_boundary_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.n, r.w.start.timestamp(), r.w.end.timestamp())
+        for r in spark.table("gap_boundary_test").collect()
+    )
+    spark.sql("DROP TABLE IF EXISTS gap_boundary_test")
+    # exact-gap pair merged (n=2); diff=1801 split (n=1)
+    assert [n for n, _, _ in got] == [1, 2]
