@@ -61,3 +61,81 @@ def misra_gries_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
         .mapInPandas(sketch, schema=f"{key_col} {out_field.dataType.simpleString()}")
         .distinct()
     )
+
+
+def bitmap_distinct_buckets(
+    df: DataFrame, group_cols: list[str], id_col: str
+) -> DataFrame:
+    """Per-(group, bucket) EXACT-distinct bitmaps over an integer id
+    column: bitmap_bucket_number partitions the id space, one
+    bitmap_construct_agg per bucket. Fixed-size (≤4 KB/bucket),
+    map-side-combinable partials that MERGE via ``bitmap_or_agg``
+    (commutative/associative/idempotent) — the storable-increment
+    property COUNT DISTINCT lacks. Shared by the batch gate
+    (queries/warehouse.py::bitmap_count_distinct), the streaming
+    OR-merge sink below, and their tests, so all three exercise one
+    implementation."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(
+            *group_cols,
+            F.expr(f"bitmap_bucket_number({id_col})").alias("bn"),
+            F.expr(f"bitmap_bit_position({id_col})").alias("bp"),
+        )
+        .groupBy(*group_cols, "bn")
+        .agg(F.expr("bitmap_construct_agg(bp)").alias("bm"))
+    )
+
+
+def bitmap_or_merge_sink(spark, root: str, group_cols: list[str], id_col: str):
+    """foreachBatch function maintaining a manifest-committed bitmap
+    store: each micro-batch's per-(group, bucket) bitmaps OR-merge
+    against ONLY the store's matching rows, then publish atomically.
+    Replay-idempotent and batch-order invariant because bitmap OR is
+    commutative/associative/idempotent. Read the final counts with
+    ``bitmap_counts_from_store``."""
+    from pyspark.sql import functions as F
+
+    from ..sources.fsutil import manifest_resolve, read_manifested
+    from ..sources.sinks import upsert_manifested
+
+    def or_merge(batch_df, _batch_id):
+        inc = bitmap_distinct_buckets(batch_df, group_cols, id_col)
+        if manifest_resolve(spark, root) is not None:
+            prev = read_manifested(spark, root).select(
+                *group_cols, "bn", "bm"
+            ).join(
+                inc.select(*group_cols, "bn").distinct(),
+                [*group_cols, "bn"],
+                "semi",
+            )
+            inc = (
+                prev.unionByName(inc)
+                .groupBy(*group_cols, "bn")
+                .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+            )
+        inc = inc.withColumn(
+            "__k",
+            F.concat_ws(
+                "|", *group_cols, F.col("bn").cast("string")
+            ),
+        )
+        upsert_manifested(spark, inc, root, "__k")
+
+    return or_merge
+
+
+def bitmap_counts_from_store(spark, root: str, group_cols: list[str]) -> DataFrame:
+    """Exact distinct counts per group from a bitmap store maintained
+    by ``bitmap_or_merge_sink`` (buckets partition the id space, so
+    the per-bucket counts sum exactly)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.fsutil import read_manifested
+
+    return (
+        read_manifested(spark, root)
+        .groupBy(*group_cols)
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct"))
+    )

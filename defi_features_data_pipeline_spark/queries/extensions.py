@@ -6487,21 +6487,7 @@ def q_graph_bfs_distance(spark, sf_dir):
 
 ORACLE_GRAPH_BFS_DISTANCE = f"""
 WITH {{ctes}},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-common AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS n_common
-  FROM cand c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-  GROUP BY c.doc_a, c.doc_b
-),
-verified AS (
-  SELECT doc_a, doc_b
-  FROM common
-  JOIN sizes na ON na.doc_id = doc_a
-  JOIN sizes nb ON nb.doc_id = doc_b
-  WHERE round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) >= {{thr}}
-),
+{{verified}},
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM verified
   UNION SELECT doc_b, doc_a FROM verified
@@ -6522,7 +6508,7 @@ FROM walk GROUP BY node
 
 EXT_QUERIES["graph_bfs_distance"] = q_graph_bfs_distance
 EXT_ORACLES["graph_bfs_distance"] = ORACLE_GRAPH_BFS_DISTANCE.format(
-    ctes=_lsh_ctes(), thr=JACCARD_THRESHOLD
+    ctes=_lsh_ctes(), verified=_VERIFIED_CTES.format(thr=JACCARD_THRESHOLD)
 )
 
 
@@ -6554,46 +6540,18 @@ def q_streaming_bitmap_distinct(spark, sf_dir):
     corpus-bounded."""
     import tempfile
 
-    from ..sources.fsutil import manifest_resolve, read_manifested
-    from ..sources.sinks import upsert_manifested
+    from ..operators.sketches import (
+        bitmap_counts_from_store,
+        bitmap_or_merge_sink,
+    )
 
     ev = _stream_events(spark, sf_dir).select("event_type", "user_id")
     root = os.path.join(tempfile.mkdtemp(prefix="stream_bitmap_"), "bitmaps")
-
-    def or_merge(batch_df, _batch_id):
-        inc = (
-            batch_df.select(
-                "event_type",
-                F.expr("bitmap_bucket_number(user_id)").alias("bn"),
-                F.expr("bitmap_bit_position(user_id)").alias("bp"),
-            )
-            .groupBy("event_type", "bn")
-            .agg(F.expr("bitmap_construct_agg(bp)").alias("bm"))
-        )
-        if manifest_resolve(spark, root) is not None:
-            prev = read_manifested(spark, root).select(
-                "event_type", "bn", "bm"
-            ).join(
-                inc.select("event_type", "bn").distinct(),
-                ["event_type", "bn"],
-                "semi",
-            )
-            inc = (
-                prev.unionByName(inc)
-                .groupBy("event_type", "bn")
-                .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
-            )
-        inc = inc.withColumn(
-            "__k", F.concat_ws("|", "event_type", F.col("bn").cast("string"))
-        )
-        upsert_manifested(spark, inc, root, "__k")
-
-    q = ev.writeStream.foreachBatch(or_merge).trigger(availableNow=True).start()
+    sink = bitmap_or_merge_sink(spark, root, ["event_type"], "user_id")
+    q = ev.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()
-    return (
-        read_manifested(spark, root)
-        .groupBy("event_type")
-        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_users"))
+    return bitmap_counts_from_store(spark, root, ["event_type"]).withColumnRenamed(
+        "n_distinct", "n_distinct_users"
     )
 
 

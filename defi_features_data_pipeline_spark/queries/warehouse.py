@@ -39,11 +39,16 @@ def q_not_in_null_aware(spark, sf_dir):
     contains a NULL. The oracle is the LITERAL ``NOT IN`` SQL; the
     Spark side is the scalable rewrite:
 
-      k IS NOT NULL
-      AND (SELECT count(*) FROM s WHERE k IS NULL) = 0   -- guard
+      (SELECT count(*) FROM s WHERE k IS NULL) = 0          -- null guard
+      AND (k IS NOT NULL OR (SELECT count(*) FROM s) = 0)   -- empty case
       AND NOT EXISTS (SELECT 1 FROM s WHERE s.k = outer.k)
 
-    proving the rewrite preserves null-aware semantics. Spark CAN plan
+    proving the rewrite preserves ALL of NOT IN's three-valued
+    semantics — including the corner where the subquery is EMPTY:
+    ``x NOT IN ()`` is TRUE even for NULL x, so outer-NULL rows are
+    dropped only when the subquery is non-empty (pinned by a
+    dedicated test; both guards are uncorrelated scalar subqueries,
+    no join). Spark CAN plan
     a literal NOT IN, but only as a broadcast null-aware anti join
     (NAAJ is broadcast-only) or a BroadcastNestedLoopJoin — with a
     subquery too big to broadcast the literal form is a scale killer.
@@ -64,8 +69,9 @@ def q_not_in_null_aware(spark, sf_dir):
         )
         SELECT o_orderkey, o_custkey
         FROM v_orders
-        WHERE nullif(o_custkey % 100, 7) IS NOT NULL
-          AND (SELECT count(*) FROM s WHERE k IS NULL) = 0
+        WHERE (SELECT count(*) FROM s WHERE k IS NULL) = 0
+          AND (nullif(o_custkey % 100, 7) IS NOT NULL
+               OR (SELECT count(*) FROM s) = 0)
           AND NOT EXISTS (
                 SELECT 1 FROM s WHERE s.k = nullif(o_custkey % 100, 7)
           )
@@ -411,18 +417,12 @@ def q_bitmap_count_distinct(spark, sf_dir):
     tomorrow's batch ORs into them — exact incremental distinct users
     forever without rescanning history (the sketch-free twin of
     approx_distinct_users' HLL)."""
+    from ..operators.sketches import bitmap_distinct_buckets
+
     ev = _events(spark, sf_dir)
-    per_bucket = (
-        ev.select(
-            "event_type",
-            F.expr("bitmap_bucket_number(user_id)").alias("__bn"),
-            F.expr("bitmap_bit_position(user_id)").alias("__bp"),
-        )
-        .groupBy("event_type", "__bn")
-        .agg(F.expr("bitmap_construct_agg(__bp)").alias("__bm"))
-    )
+    per_bucket = bitmap_distinct_buckets(ev, ["event_type"], "user_id")
     return per_bucket.groupBy("event_type").agg(
-        F.sum(F.expr("bitmap_count(__bm)")).alias("n_distinct_users")
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_users")
     )
 
 
@@ -459,9 +459,10 @@ def q_resample_interpolate_linear(spark, sf_dir):
     last observation don't exist by construction, so prev and next are
     always defined.
 
-    100 TB: two shuffles (daily rollup, per-user span) and two window
-    passes all partitioned by user_id — an engine that reuses
-    partitioning runs one exchange; grid fan-out is calendar-bounded."""
+    100 TB: ONE corpus scan (the daily rollup); the span and both
+    window passes run over the |user×day| frame, all partitioned by
+    user_id — an engine that reuses partitioning runs one exchange;
+    grid fan-out is calendar-bounded."""
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir).select(
@@ -474,8 +475,11 @@ def q_resample_interpolate_linear(spark, sf_dir):
             6,
         ).alias("__v")
     )
+    # span from the DAILY frame (|user×day| rows, already shuffled on
+    # user_id) — deriving it from raw events would scan and shuffle
+    # the full corpus a second time for the same min/max.
     grid = (
-        ev.groupBy(F.col("user_id").alias("__u"))
+        daily.groupBy(F.col("user_id").alias("__u"))
         .agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
         .select(
             "__u",
@@ -585,12 +589,15 @@ def q_sql_macro_clamp(spark, sf_dir):
     expression (DuckDB macros would be the equivalent surface there).
 
     Expression is libm-free (sqrt is IEEE-exact, correctly rounded in
-    both engines): clamp value into [0, 500], then √(clamped)·10
-    rounded to 6 dp."""
+    both engines): clamp value into [0, 500], then √(clamped)·10 —
+    emitted RAW: identical operands through identical IEEE ops are
+    bit-equal, while a 6 dp round would reintroduce the 1-ULP
+    cross-engine boundary trap (sqrt outputs are dense irrationals;
+    see resample_interpolate_linear)."""
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION value_ladder(x DOUBLE) "
         "RETURNS DOUBLE "
-        "RETURN round(sqrt(least(greatest(x, 0.0D), 500.0D)) * 10.0D, 6)"
+        "RETURN sqrt(least(greatest(x, 0.0D), 500.0D)) * 10.0D"
     )
     ev = _events(spark, sf_dir)
     ev.select("event_id", "value").createOrReplaceTempView("v_ev_ladder")
@@ -602,8 +609,7 @@ def q_sql_macro_clamp(spark, sf_dir):
 
 WAREHOUSE_ORACLES["sql_macro_clamp"] = """
 SELECT event_id,
-       round(sqrt(least(greatest(value, 0.0), 500.0)) * 10.0, 6)
-         AS shaped_value
+       sqrt(least(greatest(value, 0.0), 500.0)) * 10.0 AS shaped_value
 FROM events
 """
 WAREHOUSE_QUERIES["sql_macro_clamp"] = q_sql_macro_clamp

@@ -327,11 +327,10 @@ def test_bitmap_distinct_invariant_to_microbatching(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from defi_features_data_pipeline_spark.sources.fsutil import (
-        manifest_resolve,
-        read_manifested,
+    from defi_features_data_pipeline_spark.operators.sketches import (
+        bitmap_counts_from_store,
+        bitmap_or_merge_sink,
     )
-    from defi_features_data_pipeline_spark.sources.sinks import upsert_manifested
 
     src = str(tmp_path / "bmsrc")
     # users deliberately repeated across files; one spans buckets (70000)
@@ -344,42 +343,12 @@ def test_bitmap_distinct_invariant_to_microbatching(spark, tmp_path):
     schema = spark.read.parquet(src).schema
     ev = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     root = os.path.join(tempfile.mkdtemp(prefix="bm_inv_"), "bitmaps")
-
-    def or_merge(batch_df, _batch_id):
-        inc = (
-            batch_df.select(
-                "event_type",
-                F.expr("bitmap_bucket_number(user_id)").alias("bn"),
-                F.expr("bitmap_bit_position(user_id)").alias("bp"),
-            )
-            .groupBy("event_type", "bn")
-            .agg(F.expr("bitmap_construct_agg(bp)").alias("bm"))
-        )
-        if manifest_resolve(spark, root) is not None:
-            prev = read_manifested(spark, root).select(
-                "event_type", "bn", "bm"
-            ).join(
-                inc.select("event_type", "bn").distinct(),
-                ["event_type", "bn"], "semi",
-            )
-            inc = (
-                prev.unionByName(inc)
-                .groupBy("event_type", "bn")
-                .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
-            )
-        inc = inc.withColumn(
-            "__k", F.concat_ws("|", "event_type", F.col("bn").cast("string"))
-        )
-        upsert_manifested(spark, inc, root, "__k")
-
-    q = ev.writeStream.foreachBatch(or_merge).trigger(availableNow=True).start()
+    sink = bitmap_or_merge_sink(spark, root, ["event_type"], "user_id")
+    q = ev.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination(120)
     got = {
-        r.event_type: r.n
-        for r in read_manifested(spark, root)
-        .groupBy("event_type")
-        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n"))
-        .collect()
+        r.event_type: r.n_distinct
+        for r in bitmap_counts_from_store(spark, root, ["event_type"]).collect()
     }
     assert got == {"a": 3, "b": 2}
 

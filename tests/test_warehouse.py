@@ -37,6 +37,27 @@ class TestNotInNullAware:
         assert literal.count() == 0
         assert rewrite.count() == 0
 
+    def test_empty_subquery_keeps_outer_nulls(self, spark):
+        """x NOT IN (empty set) is TRUE even for NULL x — the corner
+        the naive 'k IS NOT NULL' rewrite gets wrong. Literal and
+        rewrite must both return EVERY outer row, NULLs included."""
+        big = spark.createDataFrame([(1,), (None,), (5,)], "k bigint")
+        small = spark.createDataFrame([], "k bigint")
+        big.createOrReplaceTempView("t_big")
+        small.createOrReplaceTempView("t_small")
+        literal = spark.sql(
+            "SELECT k FROM t_big WHERE k NOT IN (SELECT k FROM t_small)"
+        )
+        rewrite = spark.sql("""
+            SELECT k FROM t_big
+            WHERE (SELECT count(*) FROM t_small WHERE k IS NULL) = 0
+              AND (k IS NOT NULL OR (SELECT count(*) FROM t_small) = 0)
+              AND NOT EXISTS (
+                    SELECT 1 FROM t_small s WHERE s.k = t_big.k)
+        """)
+        assert literal.count() == 3
+        assert rewrite.count() == 3
+
     def test_outer_null_rows_dropped_not_matched(self, spark):
         """Outer-side NULL keys are dropped (k NOT IN ... is NULL for
         NULL k), never treated as non-members."""
