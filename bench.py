@@ -188,6 +188,7 @@ HEADLINE = [
     "user_event_sequences",
     "graph_bfs_distance",
     "streaming_bitmap_distinct",
+    "scd2_dimension_join",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

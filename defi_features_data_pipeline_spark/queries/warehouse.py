@@ -749,3 +749,123 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
 """
 WAREHOUSE_QUERIES["window_rank_family"] = q_window_rank_family
+
+
+# ---------------------------------------------------------------------------
+# Fact × SCD2 dimension join — status as of event time
+# ---------------------------------------------------------------------------
+
+SCD2_BROWSE_TYPES = ("view", "click")
+
+
+def q_scd2_dimension_join(spark, sf_dir):
+    """FACT × SCD2-DIMENSION JOIN — the classic warehouse composition:
+    purchases (the fact) pick up the user's BROWSING STATE (an SCD
+    type-2 dimension built from view/click runs, same machinery as the
+    ``scd2_intervals`` gate) valid AT the purchase's event time:
+    ``t ∈ [eff_from, eff_to)``. Purchases before a user's first browse
+    interval keep a NULL state (left semantics).
+
+    Plan shape: the interval predicate rides on a user_id EQUI-join —
+    one hash join with the range as a residual filter, never a nested
+    loop (plan sweep). Per-user interval counts are history-bounded;
+    a dimension with huge per-key histories would switch to the
+    bucketized interval join (operators/interval.py) or an as-of on
+    eff_from.
+
+    Determinism: interval construction inherits scd2_intervals' total
+    order (t, event_id); the half-open [from, to) intervals of one
+    user never overlap, so each fact matches AT MOST one interval —
+    no tie to break."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("long").alias("t"),
+        "event_type",
+        "event_id",
+        "value",
+    )
+    browse = ev.filter(F.col("event_type").isin(*SCD2_BROWSE_TYPES))
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    marked = browse.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    runs = marked.withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    iv = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("t").alias("eff_from")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("eff_from", "run_id")
+    dim = iv.withColumn(
+        "eff_to",
+        F.coalesce(F.lead("eff_from").over(w2), F.lit(1 << 62)),
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("browse_state"),
+        "eff_from",
+        "eff_to",
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t", "value"
+    )
+    return fact.join(
+        dim,
+        (fact.user_id == dim.d_user)
+        & (fact.t >= dim.eff_from)
+        & (fact.t < dim.eff_to),
+        "left",
+    ).select(
+        "event_id",
+        "user_id",
+        "t",
+        F.round(F.col("value").cast(DEC).cast("double"), 6).alias("value"),
+        "browse_state",
+    )
+
+
+WAREHOUSE_ORACLES["scd2_dimension_join"] = """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t,
+         event_type, event_id, value
+  FROM events
+),
+browse AS (
+  SELECT * FROM e WHERE event_type IN ('view', 'click')
+),
+marked AS (
+  SELECT user_id, t, event_type, event_id,
+         CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+              THEN 0 ELSE 1 END AS chg
+  FROM browse WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+runs AS (
+  SELECT user_id, t, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+),
+iv AS (
+  SELECT user_id, event_type, run_id, min(t) AS eff_from
+  FROM runs GROUP BY 1, 2, 3
+),
+dim AS (
+  SELECT user_id AS d_user, event_type AS browse_state, eff_from,
+         coalesce(lead(eff_from) OVER w2, CAST(1 AS BIGINT) << 62) AS eff_to
+  FROM iv WINDOW w2 AS (PARTITION BY d_user ORDER BY eff_from, run_id)
+)
+SELECT f.event_id, f.user_id, f.t,
+       round(CAST(CAST(CAST(f.value AS DECIMAL(38,10)) AS VARCHAR) AS DOUBLE), 6)
+         AS value,
+       dim.browse_state
+FROM (SELECT event_id, user_id, t, value FROM e
+      WHERE event_type = 'purchase') f
+LEFT JOIN dim
+  ON f.user_id = dim.d_user AND f.t >= dim.eff_from AND f.t < dim.eff_to
+"""
+WAREHOUSE_QUERIES["scd2_dimension_join"] = q_scd2_dimension_join

@@ -319,3 +319,49 @@ class TestResampleInterpolateLinear:
             for r in rows:
                 want = float(np.interp(r.day.toordinal(), xs, vs))
                 assert abs(r.interp_value - want) < 1e-6, (uid, r)
+
+
+class TestScd2DimensionJoin:
+    def test_state_is_last_browse_before_purchase(self, spark, sf_dir):
+        """Each purchase's browse_state must equal the event_type of
+        the user's latest view/click at-or-before the purchase, and be
+        NULL iff no such event exists — the half-open interval join
+        re-derived independently per row."""
+        from collections import defaultdict
+
+        from defi_features_data_pipeline_spark.queries import ALL_QUERIES
+        from defi_features_data_pipeline_spark.queries.core import _events
+
+        got = {
+            r.event_id: r.browse_state
+            for r in ALL_QUERIES["scd2_dimension_join"](spark, sf_dir).collect()
+        }
+        rows = (
+            _events(spark, sf_dir)
+            .selectExpr(
+                "user_id", "cast(ts as long) t", "event_type", "event_id"
+            )
+            .collect()
+        )
+        browse = defaultdict(list)
+        purchases = []
+        for r in rows:
+            if r.event_type in ("view", "click"):
+                browse[r.user_id].append((r.t, r.event_id, r.event_type))
+            elif r.event_type == "purchase":
+                purchases.append(r)
+        assert len(got) == len(purchases)
+        n_null = n_set = 0
+        for p in purchases:
+            prior = [
+                (t, eid, y) for t, eid, y in browse[p.user_id]
+                if (t, eid) <= (p.t, float("inf"))
+                and t <= p.t
+            ]
+            want = max(prior)[2] if prior else None
+            if want is None:
+                n_null += 1
+            else:
+                n_set += 1
+            assert got[p.event_id] == want, (p.event_id, got[p.event_id], want)
+        assert n_set > 0  # non-vacuous match path
