@@ -189,6 +189,7 @@ HEADLINE = [
     "graph_bfs_distance",
     "streaming_bitmap_distinct",
     "scd2_dimension_join",
+    "exact_median_twopass",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -869,3 +869,113 @@ LEFT JOIN dim
   ON f.user_id = dim.d_user AND f.t >= dim.eff_from AND f.t < dim.eff_to
 """
 WAREHOUSE_QUERIES["scd2_dimension_join"] = q_scd2_dimension_join
+
+
+# ---------------------------------------------------------------------------
+# Exact median without group buffering — two-pass histogram selection
+# ---------------------------------------------------------------------------
+
+MEDIAN_BUCKETS = 1024
+
+
+def q_exact_median_twopass(spark, sf_dir):
+    """EXACT MEDIAN AT SCALE: Spark's exact ``percentile``/``median``
+    aggregates buffer every group value in executor memory — the
+    100 TB trap for large groups (percentile_bands inherits it;
+    percentile_approx trades exactness away). This operator computes
+    the EXACT lower median (quantile_disc 0.5 — the
+    floor((n−1)/2)+1-th order statistic) with bounded memory via
+    distributed selection:
+
+      pass 1 — per-group (n, lo, hi) + a 1024-bucket histogram over
+      [lo, hi]: one scan, map-side-combinable, O(B) state per group;
+      the cumulative bucket counts locate the bucket holding the
+      target rank and how many values fall below it;
+      pass 2 — only that bucket's values (≈ n/B per group under any
+      non-adversarial distribution) are sorted per group and the
+      (k − below)-th is selected.
+
+    Degenerate groups (lo == hi) short-circuit to lo with no second
+    pass. A bucket bloated by heavy duplicates would recurse (narrow
+    [lo, hi] to the bucket and re-histogram — O(log_B range) rounds);
+    one level suffices here and the recursion is the documented scale
+    path. Bucket routing is float arithmetic but only ROUTES values —
+    the selected order statistic is exact regardless of rounding,
+    because ranks are integers counted exactly."""
+    from pyspark.sql import Window
+
+    B = MEDIAN_BUCKETS
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    k = (F.floor((F.col("n") - 1) / 2) + 1).alias("k")
+    stats = stats.select("event_type", "n", "lo", "hi", k)
+
+    idx = F.when(F.col("lo") == F.col("hi"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(B - 1),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * B
+            ).cast("int"),
+        )
+    )
+    routed = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type", "value", idx.alias("bidx")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bidx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    buckets = (
+        routed.groupBy("event_type", "bidx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("cum", F.sum("cnt").over(wcum))
+    )
+    target = (
+        buckets.join(F.broadcast(stats.select("event_type", "k", "lo", "hi")),
+                     "event_type")
+        .filter((F.col("cum") >= F.col("k")) & (F.col("cum") - F.col("cnt") < F.col("k")))
+        .select(
+            "event_type",
+            F.col("bidx").alias("tb"),
+            (F.col("k") - (F.col("cum") - F.col("cnt"))).alias("local_k"),
+            "lo",
+            "hi",
+        )
+    )
+    degen = target.filter(F.col("lo") == F.col("hi")).select(
+        "event_type", F.col("lo").alias("median_value")
+    )
+    wv = Window.partitionBy("event_type").orderBy("value")
+    tsel = (
+        target.filter(F.col("lo") != F.col("hi"))
+        .select(
+            F.col("event_type").alias("t_et"),
+            "tb",
+            "local_k",
+        )
+    )
+    picked = (
+        routed.join(
+            F.broadcast(tsel),
+            (routed.event_type == tsel.t_et) & (routed.bidx == tsel.tb),
+        )
+        .select("event_type", "value", "local_k")
+        .withColumn("__rn", F.row_number().over(wv))
+        .filter(F.col("__rn") == F.col("local_k"))
+        .select("event_type", F.col("value").alias("median_value"))
+    )
+    return picked.unionByName(degen)
+
+
+WAREHOUSE_ORACLES["exact_median_twopass"] = """
+SELECT event_type, quantile_disc(value, 0.5) AS median_value
+FROM events GROUP BY 1
+"""
+WAREHOUSE_QUERIES["exact_median_twopass"] = q_exact_median_twopass

@@ -365,3 +365,54 @@ class TestScd2DimensionJoin:
                 n_set += 1
             assert got[p.event_id] == want, (p.event_id, got[p.event_id], want)
         assert n_set > 0  # non-vacuous match path
+
+
+class TestExactMedianTwoPass:
+    def test_matches_python_lower_median(self, spark, sf_dir):
+        from collections import defaultdict
+
+        got = {
+            r.event_type: r.median_value
+            for r in ALL_QUERIES["exact_median_twopass"](spark, sf_dir).collect()
+        }
+        from defi_features_data_pipeline_spark.queries.core import _events
+
+        vals = defaultdict(list)
+        for r in _events(spark, sf_dir).select("event_type", "value").collect():
+            vals[r.event_type].append(r.value)
+        for et, vs in vals.items():
+            vs.sort()
+            want = vs[(len(vs) - 1) // 2]
+            assert got[et] == want, (et, got[et], want)
+
+    def test_degenerate_and_duplicate_heavy_groups(self, spark, tmp_path):
+        """All-equal groups short-circuit; a median sitting inside a
+        run of duplicates is still the exact order statistic."""
+        import datetime
+
+        rows = []
+        eid = 0
+        ts = datetime.datetime(2024, 1, 1)
+        for v in [5.0] * 7:                       # degenerate: lo == hi
+            rows.append((eid, ts, 1, "flat", v, "{}")); eid += 1
+        for v in [1.0, 2.0, 2.0, 2.0, 9.0, 10.0]:  # median inside dup run
+            rows.append((eid, ts, 1, "dups", v, "{}")); eid += 1
+        for v in [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]:  # even n
+            rows.append((eid, ts, 1, "mixed", v, "{}")); eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        sf = str(tmp_path / "sfx")
+        import os
+
+        os.makedirs(sf)
+        df.coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+        got = {
+            r.event_type: r.median_value
+            for r in ALL_QUERIES["exact_median_twopass"](spark, sf).collect()
+        }
+        # lower medians: flat -> 5; dups: sorted [1,2,2,2,9,10] k=floor(5/2)+1=3 -> 2
+        # mixed: sorted [1,1,2,3,4,5,6,9] k=4 -> 3
+        assert got == {"flat": 5.0, "dups": 2.0, "mixed": 3.0}
