@@ -190,6 +190,7 @@ HEADLINE = [
     "streaming_bitmap_distinct",
     "scd2_dimension_join",
     "exact_median_twopass",
+    "presto_dialect_features",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -979,3 +979,82 @@ SELECT event_type, quantile_disc(value, 0.5) AS median_value
 FROM events GROUP BY 1
 """
 WAREHOUSE_QUERIES["exact_median_twopass"] = q_exact_median_twopass
+
+
+# ---------------------------------------------------------------------------
+# Presto/Athena dialect compatibility — the reference's SQL text on Spark
+# ---------------------------------------------------------------------------
+
+
+def q_presto_dialect_features(spark, sf_dir):
+    """PRESTO/ATHENA DIALECT EXECUTION: a feature query written in the
+    reference's Athena dialect — ``to_unixtime`` (the construct the
+    reference's lending/liquidation views actually use,
+    view_defi_lending_time_and_count_features.sql:6), Presto's 3-arg
+    ``date_add``/``date_diff``, ``arbitrary()`` — executed verbatim
+    through ``sources/presto_compat.py`` (SQL-UDF shims + conservative
+    textual rewrites). This is the migration surface: a reference user
+    pastes their Athena SQL and runs it on Spark unchanged. The
+    DuckDB oracle re-expresses the same semantics natively.
+
+    time_since uses the injected-now discipline (a fixed anchor, like
+    the reference's ``current_timestamp`` pinned at run start)."""
+    from ..sources.presto_compat import run_presto_sql
+
+    _events(spark, sf_dir).createOrReplaceTempView("v_events")
+    # Athena-dialect text (as a reference user would write it)
+    # the reference's pattern: to_unixtime on the pinned "now", integer
+    # epochs on the event side
+    # (view_defi_lending_time_and_count_features.sql:6)
+    sql = """
+        SELECT user_id,
+               cast(to_unixtime(timestamp '2026-01-01 00:00:00') as decimal)
+                 - max(cast(to_unixtime(ts) as bigint))
+                 AS time_since_last_event,
+               date_diff('day', min(ts), max(ts)) AS active_span_days,
+               date_add('day', 30, max(ts)) AS retention_deadline,
+               arbitrary(least_type) AS sample_type,
+               count(*) AS n_events
+        FROM (
+          SELECT user_id, ts, min(event_type) OVER (PARTITION BY user_id)
+                   AS least_type
+          FROM v_events
+        )
+        GROUP BY user_id
+    """
+    out = run_presto_sql(spark, sql)
+    # normalize for the cross-engine compare (decimal -> double via the
+    # standard discipline; timestamp -> epoch)
+    return out.select(
+        "user_id",
+        F.col("time_since_last_event").cast("double").alias(
+            "time_since_last_event"
+        ),
+        "active_span_days",
+        F.col("retention_deadline").cast("long").alias("retention_deadline"),
+        "sample_type",
+        "n_events",
+    )
+
+
+# FIXED anchor epoch for 2026-01-01 UTC
+_PRESTO_ANCHOR = 1_767_225_600
+
+# Elapsed-truncated day difference (Presto/Spark semantics) — DuckDB's
+# native date_diff counts calendar-boundary crossings instead, so the
+# oracle derives the span from integer epochs.
+WAREHOUSE_ORACLES["presto_dialect_features"] = f"""
+SELECT user_id,
+       CAST(CAST(({_PRESTO_ANCHOR}
+         - max(CAST(epoch_us(ts) // 1000000 AS BIGINT))) AS VARCHAR) AS DOUBLE)
+         AS time_since_last_event,
+       CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000
+            AS BIGINT) AS active_span_days,
+       CAST(epoch_us(max(ts) + INTERVAL 30 DAY) // 1000000 AS BIGINT)
+         AS retention_deadline,
+       min(event_type) AS sample_type,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+WAREHOUSE_QUERIES["presto_dialect_features"] = q_presto_dialect_features

@@ -1,0 +1,88 @@
+"""Presto/Athena dialect compatibility — run the reference's SQL text
+on Spark.
+
+The reference executes its transformations as Athena (Presto) SQL
+strings (src/pipelines/features/transformations/*.sql,
+src/pipelines/stage/transformations/stage_tranformation_queries.py).
+Most of that surface is engine-neutral (SUM/AVG/COALESCE/ABS/
+GREATEST/CAST), but a handful of constructs are Presto-only; this
+module provides the two pieces a migrating user needs:
+
+- ``register_presto_compat(spark)``: SQL scalar functions (Spark 4
+  ``CREATE FUNCTION ... RETURN`` — inlined at resolution, zero
+  slow-path cost) for Presto scalars Spark lacks by name, currently
+  ``to_unixtime`` (used by view_defi_lending_time_and_count_features
+  .sql:6 and view_defi_liquidation_features.sql).
+- ``translate_presto(sql)``: textual rewrites for constructs a
+  function can't cover — renames (``arbitrary``→``any_value``,
+  ``approx_distinct``→``approx_count_distinct`` — aggregates cannot
+  be SQL UDFs), argument-order changes (Presto's 3-arg
+  ``date_add('unit', n, ts)``→``timestampadd(unit, n, ts)``,
+  ``date_diff('unit', a, b)``→``timestampdiff(unit, b, a)`` — note
+  Presto's date_diff is b−a while TIMESTAMPDIFF is arg2−arg1), and
+  precision defaults (bare ``CAST(x AS DECIMAL)`` means decimal(38,0)
+  on Athena but decimal(10,0) on Spark — widened explicitly).
+
+The rewrites are deliberately conservative regex surgery over a known
+dialect subset — a full SQL transpiler (sqlglot) is the production
+upgrade and slots in behind the same two entry points.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Presto date_add/date_diff units are quoted strings; Spark's
+# TIMESTAMPADD/TIMESTAMPDIFF take bare keywords.
+_UNITS = "second|minute|hour|day|week|month|quarter|year"
+
+_REWRITES: list[tuple[re.Pattern, str]] = [
+    # arbitrary(x) -> any_value(x)
+    (re.compile(r"\barbitrary\s*\(", re.I), "any_value("),
+    # approx_distinct(x) -> approx_count_distinct(x)
+    (re.compile(r"\bapprox_distinct\s*\(", re.I), "approx_count_distinct("),
+    # date_add('day', n, ts) -> timestampadd(day, n, ts)
+    (
+        re.compile(rf"\bdate_add\s*\(\s*'({_UNITS})'\s*,", re.I),
+        r"timestampadd(\1,",
+    ),
+    # date_diff('day', a, b) [= b - a] -> timestampdiff(day, a, b) [= b - a]
+    (
+        re.compile(rf"\bdate_diff\s*\(\s*'({_UNITS})'\s*,", re.I),
+        r"timestampdiff(\1,",
+    ),
+    # bare DECIMAL cast: Athena treats as high-precision; Spark's
+    # default decimal(10,0) silently overflows epoch-scale values
+    (
+        re.compile(r"\bas\s+decimal\s*\)", re.I),
+        "as decimal(38,0))",
+    ),
+]
+
+
+def translate_presto(sql: str) -> str:
+    """Rewrite the known Presto-only constructs to Spark SQL. Pure
+    text transformation — call ``register_presto_compat`` once per
+    session for the function-name shims that need no rewriting."""
+    out = sql
+    for pat, repl in _REWRITES:
+        out = pat.sub(repl, out)
+    return out
+
+
+def register_presto_compat(spark) -> None:
+    """Register Presto scalar functions Spark lacks by name. SQL UDFs
+    inline into the plan (whole-stage codegen, no serialization)."""
+    # to_unixtime(timestamp) -> epoch seconds as DOUBLE (Presto
+    # semantics, sub-second precision preserved)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_unixtime(x TIMESTAMP) "
+        "RETURNS DOUBLE "
+        "RETURN cast(unix_micros(x) as double) / 1000000.0D"
+    )
+
+
+def run_presto_sql(spark, sql: str):
+    """Convenience: register compat functions, translate, execute."""
+    register_presto_compat(spark)
+    return spark.sql(translate_presto(sql))

@@ -416,3 +416,69 @@ class TestExactMedianTwoPass:
         # lower medians: flat -> 5; dups: sorted [1,2,2,2,9,10] k=floor(5/2)+1=3 -> 2
         # mixed: sorted [1,1,2,3,4,5,6,9] k=4 -> 3
         assert got == {"flat": 5.0, "dups": 2.0, "mixed": 3.0}
+
+
+class TestPrestoCompat:
+    def test_translate_rewrites(self):
+        from defi_features_data_pipeline_spark.sources.presto_compat import (
+            translate_presto,
+        )
+
+        t = translate_presto
+        assert t("SELECT arbitrary(x) FROM t") == "SELECT any_value(x) FROM t"
+        assert (
+            t("SELECT approx_distinct(u) FROM t")
+            == "SELECT approx_count_distinct(u) FROM t"
+        )
+        assert (
+            t("date_add('day', 30, ts)") == "timestampadd(day, 30, ts)"
+        )
+        assert (
+            t("date_diff('second', a, b)") == "timestampdiff(second, a, b)"
+        )
+        assert t("cast(x as decimal)") == "cast(x as decimal(38,0))"
+        # Spark's own 2-arg date_add must pass through untouched
+        assert t("date_add(d, 3)") == "date_add(d, 3)"
+        # already-precise decimal casts untouched
+        assert t("cast(x as decimal(18,2))") == "cast(x as decimal(18,2))"
+
+    def test_reference_view_shape_runs_verbatim(self, spark, sf_dir):
+        """The exact construct shape the reference's lending view uses
+        (cast(to_unixtime(<now>) as decimal) - min(epoch)) must run
+        unmodified through the compat layer and produce the epoch
+        arithmetic it means — and the bare-decimal widening must
+        prevent Spark's decimal(10,0) overflow on epoch-scale values
+        (1.7e9 fits decimal(10) but the sum path can exceed it)."""
+        from defi_features_data_pipeline_spark.queries.core import _events
+        from defi_features_data_pipeline_spark.sources.presto_compat import (
+            run_presto_sql,
+        )
+
+        _events(spark, sf_dir).createOrReplaceTempView("pc_events")
+        out = run_presto_sql(
+            spark,
+            """
+            SELECT user_id,
+                   cast(to_unixtime(timestamp '2026-01-01 00:00:00')
+                        as decimal)
+                     - min(cast(to_unixtime(ts) as bigint))
+                     AS time_since_first
+            FROM pc_events GROUP BY user_id
+            """,
+        ).collect()
+        import datetime
+
+        anchor = int(
+            datetime.datetime(
+                2026, 1, 1, tzinfo=datetime.timezone.utc
+            ).timestamp()
+        )
+        ref = {
+            r.user_id: anchor - int(r.mn.timestamp())
+            for r in _events(spark, sf_dir)
+            .selectExpr("user_id", "min(ts) over (partition by user_id) mn")
+            .distinct()
+            .collect()
+        }
+        got = {r.user_id: int(r.time_since_first) for r in out}
+        assert got == ref
