@@ -88,6 +88,11 @@ def _dsum_reagg(c) -> F.Column:
     return F.sum(c.cast("decimal(38,6)")).cast("double")
 
 
+# DuckDB decimal->double needs the VARCHAR hop (module doc); shared by
+# every oracle that renders a decimal column as a double.
+D2D_SQL = "CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
+
+
 def dsum_sql(expr: str) -> str:
     """DuckDB rendering of ``_dsum`` (varchar hop: see module doc)."""
     return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"

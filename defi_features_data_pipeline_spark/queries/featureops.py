@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .core import _events, _t, epoch_sql
+from .core import D2D_SQL, _events, _t, epoch_sql
 from .extensions import H_SQL, TOKENS_DUCK, TOKENS_SPARK, _h
 
 DEC = "decimal(38,10)"
@@ -30,7 +30,7 @@ DEC = "decimal(38,10)"
 FEATOPS_QUERIES: dict = {}
 FEATOPS_ORACLES: dict = {}
 
-_D2D = "CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
+_D2D = D2D_SQL
 
 
 # ---------------------------------------------------------------------------

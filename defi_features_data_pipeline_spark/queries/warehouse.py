@@ -19,12 +19,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .core import DEC, _events, _t, dsum_sql
+from .core import D2D_SQL, DEC, _events, _t, dsum_sql
+from .extensions import H_SQL, _h
 
 WAREHOUSE_QUERIES: dict = {}
 WAREHOUSE_ORACLES: dict = {}
 
-_D2D = "CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
+_D2D = D2D_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -362,7 +363,14 @@ def q_table_fingerprint(spark, sf_dir):
     output; per-partition-group fingerprints (here o_orderstatus; in
     production the partition column) let a mismatch be localized
     without re-scanning the whole table."""
-    o = _t(spark, sf_dir, "orders")
+    return fingerprint_orders(_t(spark, sf_dir, "orders"))
+
+
+def fingerprint_orders(o):
+    """Per-status (n_rows, fingerprint) over an orders frame — split
+    out so the layout-invariance test runs the PRODUCTION expression
+    over shuffled/tampered layouts instead of a copy. The row hash is
+    the portable md5-prefix hash (`extensions._h`)."""
     row_str = F.concat_ws(
         "|",
         F.col("o_orderkey").cast("string"),
@@ -371,10 +379,9 @@ def q_table_fingerprint(spark, sf_dir):
         F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
         F.col("o_orderdate").cast("timestamp").cast("long").cast("string"),
     )
-    h = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("bigint")
     return o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(h).alias("fingerprint"),
+        F.sum(_h(row_str)).alias("fingerprint"),
     )
 
 
@@ -390,9 +397,9 @@ WITH rows_r AS (
   FROM orders
 )
 SELECT o_orderstatus, count(*) AS n_rows,
-       SUM(CAST('0x' || substr(md5(r), 1, 8) AS BIGINT)) AS fingerprint
+       SUM({h}) AS fingerprint
 FROM rows_r GROUP BY 1
-"""
+""".format(h=H_SQL.format(x="r"))
 WAREHOUSE_QUERIES["table_fingerprint"] = q_table_fingerprint
 
 

@@ -187,29 +187,18 @@ class TestTableFingerprint:
             r.o_orderstatus: (r.n_rows, r.fingerprint)
             for r in ALL_QUERIES["table_fingerprint"](spark, sf_dir).collect()
         }
+        from defi_features_data_pipeline_spark.queries.warehouse import (
+            fingerprint_orders,
+        )
+
         o = _t(spark, sf_dir, "orders")
-        # same computation over a shuffled layout
+        # the PRODUCTION expression over a shuffled layout
         shuffled = o.repartition(7, "o_custkey").sortWithinPartitions(
             "o_totalprice"
         )
-        shuffled.createOrReplaceTempView("t_orders_shuffled")
-        row_str = F.concat_ws(
-            "|",
-            F.col("o_orderkey").cast("string"),
-            F.col("o_custkey").cast("string"),
-            F.col("o_orderstatus"),
-            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
-            F.col("o_orderdate").cast("timestamp").cast("long").cast("string"),
-        )
-        h = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("bigint")
         again = {
             r.o_orderstatus: (r.n_rows, r.fingerprint)
-            for r in shuffled.groupBy("o_orderstatus")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(h).alias("fingerprint"),
-            )
-            .collect()
+            for r in fingerprint_orders(shuffled).collect()
         }
         assert base == again
         # tamper one row -> that status's fingerprint moves, count same
@@ -221,12 +210,7 @@ class TestTableFingerprint:
         )
         t = {
             r.o_orderstatus: (r.n_rows, r.fingerprint)
-            for r in tampered.groupBy("o_orderstatus")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(h).alias("fingerprint"),
-            )
-            .collect()
+            for r in fingerprint_orders(tampered).collect()
         }
         assert t != base
         assert {k: v[0] for k, v in t.items()} == {
