@@ -191,6 +191,7 @@ HEADLINE = [
     "scd2_dimension_join",
     "exact_median_twopass",
     "presto_dialect_features",
+    "join_cardinality_audit",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

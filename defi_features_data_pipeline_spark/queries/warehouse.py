@@ -1065,3 +1065,62 @@ FROM events
 GROUP BY user_id
 """
 WAREHOUSE_QUERIES["presto_dialect_features"] = q_presto_dialect_features
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality audit — the many-to-many pre-flight
+# ---------------------------------------------------------------------------
+
+
+def q_join_cardinality_audit(spark, sf_dir):
+    """JOIN-CARDINALITY AUDIT: before shipping a join at 100 TB,
+    predict its output size and multiplicity profile from per-key
+    counts alone — Σ cnt_a·cnt_b over matching keys IS the exact
+    inner-join row count, computed from two tiny key-count frames
+    instead of the join itself. The companion diagnostic to
+    key_skew_profile: skew tells you HOW to shuffle, this tells you
+    whether the join is the join you meant (an accidental
+    many-to-many shows up as predicted_rows ≫ both inputs and
+    max_mult_a·max_mult_b ≫ 1 long before the cluster discovers it).
+
+    Audited join: orders ⋈ lineitem on orderkey (1:N by
+    construction — max_mult_a = 1 is itself the audited invariant).
+
+    100 TB notes: two map-side-combinable count aggregates + one
+    equi-join of |keys|-sized frames + a 1-row rollup; never touches
+    the joined payload."""
+    a = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    both = a.join(b, "k")
+    return both.agg(
+        F.count(F.lit(1)).alias("n_matching_keys"),
+        F.sum(F.col("ca") * F.col("cb")).alias("predicted_join_rows"),
+        F.max("ca").alias("max_mult_left"),
+        F.max("cb").alias("max_mult_right"),
+        F.sum(
+            F.when((F.col("ca") > 1) & (F.col("cb") > 1), 1).otherwise(0)
+        ).alias("n_many_to_many_keys"),
+    )
+
+
+WAREHOUSE_ORACLES["join_cardinality_audit"] = """
+WITH a AS (SELECT o_orderkey AS k, count(*) AS ca FROM orders GROUP BY 1),
+b AS (SELECT l_orderkey AS k, count(*) AS cb FROM lineitem GROUP BY 1),
+matched AS (SELECT a.k, ca, cb FROM a JOIN b ON a.k = b.k)
+SELECT count(*) AS n_matching_keys,
+       SUM(ca * cb) AS predicted_join_rows,
+       max(ca) AS max_mult_left,
+       max(cb) AS max_mult_right,
+       SUM(CASE WHEN ca > 1 AND cb > 1 THEN 1 ELSE 0 END)
+         AS n_many_to_many_keys
+FROM matched
+"""
+WAREHOUSE_QUERIES["join_cardinality_audit"] = q_join_cardinality_audit

@@ -466,3 +466,18 @@ class TestPrestoCompat:
         }
         got = {r.user_id: int(r.time_since_first) for r in out}
         assert got == ref
+
+
+class TestJoinCardinalityAudit:
+    def test_prediction_equals_actual_join_count(self, spark, sf_dir):
+        """The audit's predicted row count must equal the ACTUAL inner
+        join's count — and the audited 1:N invariant must hold."""
+        from defi_features_data_pipeline_spark.queries.core import _t
+
+        got = ALL_QUERIES["join_cardinality_audit"](spark, sf_dir).first()
+        o = _t(spark, sf_dir, "orders")
+        li = _t(spark, sf_dir, "lineitem")
+        actual = o.join(li, o.o_orderkey == li.l_orderkey).count()
+        assert got.predicted_join_rows == actual
+        assert got.max_mult_left == 1
+        assert got.n_many_to_many_keys == 0
