@@ -151,13 +151,28 @@ def q_recursive_order_chain(spark, sf_dir):
     and exceeding it is a loud error, never silent truncation.
     cum_price accumulates in DECIMAL(38,10) so every level is
     bit-exact in both engines."""
+    prev = spark.conf.get("spark.sql.cteRecursionLevelLimit", None)
     spark.conf.set("spark.sql.cteRecursionLevelLimit", str(RCTE_LEVEL_LIMIT))
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
-    nxt = spark.sql(_NXT_SQL.format(orders="v_orders")).localCheckpoint()
-    nxt.createOrReplaceTempView("v_order_nxt")
-    return spark.sql(
-        _RCTE_BODY.format(nxt="v_order_nxt", cast="CAST(cum_price AS DOUBLE)")
-    )
+    try:
+        _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+        nxt = spark.sql(_NXT_SQL.format(orders="v_orders")).localCheckpoint()
+        nxt.createOrReplaceTempView("v_order_nxt")
+        # the limit is read at ACTION time, so the recursion must run
+        # inside this window — localCheckpoint executes it eagerly
+        # (|orders| output rows, cheap to hold) before the restore below
+        return spark.sql(
+            _RCTE_BODY.format(
+                nxt="v_order_nxt", cast="CAST(cum_price AS DOUBLE)"
+            )
+        ).localCheckpoint()
+    finally:
+        # restore — raising the limit must not leak into later queries
+        # on the shared session (a later runaway recursion would run
+        # RCTE_LEVEL_LIMIT/default× longer before erroring)
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionLevelLimit", prev)
 
 
 q_recursive_order_chain.__doc__ = q_recursive_order_chain.__doc__.format(
@@ -291,6 +306,18 @@ def q_merge_apply_changes(spark, sf_dir):
     base = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
     )
+    # the synthetic-insert keys are only disjoint from real custkeys
+    # while max(c_custkey) < offset (violated around SF~67, where
+    # custkey max = 150k×SF crosses 10M) — CHECK the precondition
+    # instead of assuming it, so at a larger SF the gate fails loudly
+    # rather than silently flipping inserts into updates
+    max_key = base.agg(F.max("c_custkey")).first()[0]
+    if max_key is not None and max_key >= MERGE_INS_OFFSET:
+        raise ValueError(
+            f"merge_apply_changes: max(c_custkey)={max_key} >= "
+            f"MERGE_INS_OFFSET={MERGE_INS_OFFSET}; synthetic insert "
+            "keys would collide with base rows — raise the offset"
+        )
     ch = _merge_changes(spark, sf_dir)
     j = base.join(ch, base.c_custkey == ch.k, "full_outer")
     merged = j.filter(

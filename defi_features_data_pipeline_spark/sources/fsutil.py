@@ -306,9 +306,11 @@ def snapshot_publish(
          commit point. A crash before (3) leaves staged dirs a future
          publish GCs; readers keep resolving N−1.
 
-    GC keeps the last ``keep`` snapshots (reader-grace contract as
-    manifest_commit) and deletes data dirs no surviving snapshot
-    references. Returns the committed snapshot number."""
+    GC keeps the new snapshot plus the last ``keep`` prior snapshots
+    (reader-grace contract as manifest_commit), deletes data dirs no
+    surviving snapshot references, and sweeps orphaned ``.staging-v*``
+    dirs left by crashed attempts. Returns the committed snapshot
+    number."""
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs, root_p = _fs(spark, db_root)
     fs.mkdirs(root_p)
@@ -318,12 +320,27 @@ def snapshot_publish(
     if prev_versions:
         for t, path in snapshot_resolve(spark, root, prev_versions[-1]).items():
             prev_map[t] = path.rsplit(DATA_PREFIX, 1)[1]
-    # next snapshot number must also clear any crashed staging attempt
+    # next snapshot number must clear any crashed staging attempt.  A
+    # crash can leave three kinds of residue, each carrying a version
+    # number this publish must not reuse: a root-level snapshot-v*
+    # marker/mapping dir, a per-table data-v* dir (renamed before the
+    # mapping was written — invisible at the root), and a per-table
+    # .staging-v* dir (crash mid-write).  Reusing a number whose
+    # data-vN already exists would make fs.rename nest the new files
+    # INSIDE the stale dir (Hadoop rename-into-existing-dir), so the
+    # committed snapshot would resolve to the crashed attempt's data.
     staged = []
     for st in fs.listStatus(root_p) if fs.exists(root_p) else []:
         name = st.getPath().getName()
         if name.startswith(SNAPSHOT_PREFIX):
             staged.append(int(name[len(SNAPSHOT_PREFIX):].removesuffix(".d")))
+        elif st.isDirectory():
+            for ds in fs.listStatus(st.getPath()):
+                dname = ds.getPath().getName()
+                if dname.startswith(DATA_PREFIX):
+                    staged.append(int(dname[len(DATA_PREFIX):]))
+                elif dname.startswith(".staging-v"):
+                    staged.append(int(dname[len(".staging-v"):]))
     n = max(prev_versions + staged, default=0) + 1
 
     for t, df in tables.items():
@@ -341,8 +358,12 @@ def snapshot_publish(
         fs.create(jvm_path(f"{mdir}/{t}={v:010d}"), True).close()
     fs.create(jvm_path(_snapshot_marker(root, n)), True).close()  # COMMIT
 
-    # GC: old snapshots beyond keep, then unreferenced data dirs
-    survivors = [v for v in snapshot_versions(spark, root) if v > n - keep - 1]
+    # GC: old snapshots beyond keep, then unreferenced data dirs.
+    # Survivors are selected by RANK (the new snapshot plus the last
+    # ``keep`` committed before it), not by number arithmetic — gaps in
+    # the numbering (crashed attempts consume numbers) must not shrink
+    # the reader-grace window.
+    survivors = snapshot_versions(spark, root)[-(keep + 1):]
     referenced: set[tuple[str, int]] = set()
     for v in survivors:
         for t, path in snapshot_resolve(spark, root, v).items():
@@ -361,4 +382,8 @@ def snapshot_publish(
                 dv = int(dname[len(DATA_PREFIX):])
                 if (tname, dv) not in referenced and dv < n:
                     fs.delete(ds.getPath(), True)
+            elif dname.startswith(".staging-v"):
+                # orphan from a crashed attempt (this publish renamed
+                # its own staging dirs away before commit)
+                fs.delete(ds.getPath(), True)
     return n

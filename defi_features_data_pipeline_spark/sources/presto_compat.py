@@ -17,9 +17,11 @@ module provides the two pieces a migrating user needs:
   function can't cover — renames (``arbitrary``→``any_value``,
   ``approx_distinct``→``approx_count_distinct`` — aggregates cannot
   be SQL UDFs), argument-order changes (Presto's 3-arg
-  ``date_add('unit', n, ts)``→``timestampadd(unit, n, ts)``,
-  ``date_diff('unit', a, b)``→``timestampdiff(unit, b, a)`` — note
-  Presto's date_diff is b−a while TIMESTAMPDIFF is arg2−arg1), and
+  ``date_add('unit', n, ts)``→``timestampadd(unit, n, ts)``;
+  ``date_diff('unit', a, b)``→``timestampdiff(unit, a, b)`` keeps
+  argument order because BOTH compute arg3−arg2 — Presto's date_diff
+  is b−a and Spark's TIMESTAMPDIFF(unit, start, end) is end−start, so
+  no swap is needed or performed), and
   precision defaults (bare ``CAST(x AS DECIMAL)`` means decimal(38,0)
   on Athena but decimal(10,0) on Spark — widened explicitly).
 
