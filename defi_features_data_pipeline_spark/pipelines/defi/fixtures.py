@@ -105,6 +105,12 @@ def generate(spark: SparkSession, base_dir: str, scale: float = 1.0) -> dict[str
                     "protocol": proto,
                     "block_number": daily_blocks[d],
                     "block_timestamp": BASE_TS + d * 86400,
+                    # reference-exact raw columns (`historical_market_data
+                    # .py:24-26` selects `timestamp AS block_timestamp,
+                    # year, month`) so the literal stage SQL runs verbatim
+                    "timestamp": pd.Timestamp(BASE_TS + d * 86400, unit="s"),
+                    "year": str(pd.Timestamp(BASE_TS + d * 86400, unit="s").year),
+                    "month": str(pd.Timestamp(BASE_TS + d * 86400, unit="s").month),
                 }
             )
     pdf = pd.DataFrame(rows)
@@ -134,6 +140,13 @@ def generate(spark: SparkSession, base_dir: str, scale: float = 1.0) -> dict[str
                     "blocknumber": daily_blocks[d],
                     "protocol": PROTOCOLS[mi % 2] if mi >= 2 else PROTOCOLS[mi],
                     "block_timestamp": BASE_TS + d * 86400,
+                    # reference-exact raw columns (`historical_account_
+                    # positions.py` selects block_number, timestamp AS
+                    # block_timestamp, year, month) for the literal SQL
+                    "block_number": daily_blocks[d],
+                    "timestamp": pd.Timestamp(BASE_TS + d * 86400, unit="s"),
+                    "year": str(pd.Timestamp(BASE_TS + d * 86400, unit="s").year),
+                    "month": str(pd.Timestamp(BASE_TS + d * 86400, unit="s").month),
                 }
             )
             pos_id += 1

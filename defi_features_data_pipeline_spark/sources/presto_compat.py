@@ -62,14 +62,53 @@ _REWRITES: list[tuple[re.Pattern, str]] = [
 ]
 
 
-def translate_presto(sql: str) -> str:
+def translate_presto(sql: str, now_epoch: int | None = None) -> str:
     """Rewrite the known Presto-only constructs to Spark SQL. Pure
     text transformation — call ``register_presto_compat`` once per
-    session for the function-name shims that need no rewriting."""
+    session for the function-name shims that need no rewriting.
+
+    ``now_epoch``: when set, every ``current_timestamp`` is pinned to
+    ``timestamp_seconds(now_epoch)``. The reference's feature views
+    compute ``to_unixtime(current_timestamp) - min(ts)`` sentinels
+    (view_defi_lending_time_and_count_features.sql:6) — injectable
+    "now" is what makes a cross-engine hash comparison deterministic,
+    and is the same seam the DataFrame port exposes as ``now_epoch``."""
     out = sql
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
+    if now_epoch is not None:
+        out = re.sub(
+            r"\bcurrent_timestamp\b",
+            f"timestamp_seconds({int(now_epoch)})",
+            out,
+            flags=re.I,
+        )
     return out
+
+
+# Athena addresses tables as <database>.<table> (db_raw_prod /
+# db_stage_prod / db_analytics_prod / db_sandbox_prod — reference
+# config/settings.toml). Spark temp views are flat, so the literal SQL
+# corpus maps each database to a layer prefix: db_stage_prod.x ->
+# stage_x. A plain strip would collide (transpose_borrow_events exists
+# in BOTH stage and analytics).
+_SCHEMA_MAP = {
+    "db_raw_prod": "raw",
+    "db_stage_prod": "stage",
+    "db_analytics_prod": "analytics",
+    "db_sandbox_prod": "sandbox",
+}
+_SCHEMA_RE = re.compile(
+    r"\b(" + "|".join(_SCHEMA_MAP) + r")\.([A-Za-z_][A-Za-z0-9_]*)"
+)
+
+
+def qualify_schemas(sql: str) -> str:
+    """Map Athena ``<database>.<table>`` references to flat layer-
+    prefixed temp-view names (``db_stage_prod.t`` -> ``stage_t``)."""
+    return _SCHEMA_RE.sub(
+        lambda m: f"{_SCHEMA_MAP[m.group(1)]}_{m.group(2)}", sql
+    )
 
 
 def register_presto_compat(spark) -> None:
