@@ -694,6 +694,67 @@ def test_ivf_warm_index_runs_no_fit(spark, monkeypatch):
     assert len(centroids) == X._ivf_k(500)
 
 
+def test_warm_er_runs_no_pair_pipeline(spark, monkeypatch):
+    """LOAD-first contract for the ER edge artifact (r6 verdict #3):
+    with current on-disk artifacts, a fresh process (cache cleared)
+    must cluster without re-running the blocked Levenshtein pair pass,
+    and the warm result must equal the cold one exactly."""
+    from defi_features_data_pipeline_spark.queries import extensions as X
+
+    sf = "/root/testdata/sf0.001"
+    cold = sorted(
+        map(tuple, X.q_entity_resolution_clusters(spark, sf).collect())
+    )  # ensures artifacts exist + current
+    X._ER_EDGES_CACHE.pop(__import__("os").path.normpath(sf), None)
+
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("pair pipeline ran on a warm ER artifact")
+
+    monkeypatch.setattr(X, "q_entity_match_pairs", _boom)
+    warm = sorted(
+        map(tuple, X.q_entity_resolution_clusters(spark, sf).collect())
+    )
+    assert warm == cold and len(warm) > 0
+
+
+def test_er_artifact_rebuilds_on_name_change(spark, tmp_path, monkeypatch):
+    """The fingerprint must cover c_name (the edit distance's input):
+    same row count + custkeys but a renamed customer ⇒ stale artifact
+    detected ⇒ pair pipeline re-runs."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from defi_features_data_pipeline_spark.queries import extensions as X
+
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "sf_renamed")
+    shutil.copytree(src, sf)
+    X._er_edges(spark, sf)  # build for the copy
+    c = spark.read.parquet(f"{sf}/customer.parquet").withColumn(
+        "c_name",
+        F.when(F.col("c_custkey") == 1, F.lit("Totally Different Name")).otherwise(
+            F.col("c_name")
+        ),
+    )
+    c.write.mode("overwrite").parquet(f"{sf}/customer_new.parquet")
+    os.remove(f"{sf}/customer.parquet")  # testdata tables are single files
+    shutil.move(f"{sf}/customer_new.parquet", f"{sf}/customer.parquet")
+    X._ER_EDGES_CACHE.pop(__import__("os").path.normpath(sf), None)
+    ran = {"pairs": False}
+    orig = X.q_entity_match_pairs
+
+    def _spy(*a, **k):
+        ran["pairs"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(X, "q_entity_match_pairs", _spy)
+    X._er_edges(spark, sf)
+    assert ran["pairs"], "stale artifact was served after a name change"
+    shutil.rmtree(X.er_edges_dir(sf), ignore_errors=True)
+
+
 def test_multiprobe_crosses_boundary_and_improves_recall(spark):
     """A query near the midpoint of two centroids: nprobe=1 provably
     cannot return the true nearest neighbor (it lives in the other
