@@ -216,6 +216,48 @@ SCALING_SUBSET = [
 # next SF down from the bench SF (testdata ships 0.001 / 0.01 / 0.1)
 SMALLER_SF = {"0.1": "0.01", "0.01": "0.001"}
 
+# One decade UP: the locally generated sf1 probe set (10x sf0.1;
+# tools/make_scale_probe.py — structure-preserving replication, so
+# every per-key distribution holds while entity counts scale 10x).
+# Each probe query is timed ONCE after an untimed warm-up/artifact
+# build pass; the point is catching super-linear terms (CC rounds,
+# recursion depth, in-block pair growth), not ±25% noise. Each entry
+# carries the DOCUMENTED workload-growth exponent vs data ratio D:
+# wall is expected ~O(D^exp); the table makes "super-linear vs its
+# workload" checkable instead of eyeballable.
+SCALE_PROBE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "testdata_scale", "sf1"
+)
+SCALE_PROBE = {
+    # scan/join/agg class — linear in data
+    "pricing_summary": 1.0,
+    "customer_feature_spine": 1.0,
+    "asof_price": 1.0,
+    "dedup_minhash_lsh": 1.0,
+    "text_quality": 1.0,
+    "dedup_lsh_verified": 1.0,
+    "token_rarity_score": 1.0,
+    "curation_pipeline": 1.0,
+    "rolling_active_users": 1.0,
+    "sole_late_supplier": 1.0,
+    "pack_training_sequences": 1.0,
+    # per-user event windows: users 10x, events/user flat
+    "sessionize_events": 1.0,
+    # interval join: output pairs grow ~D^2 within the fixed window
+    # grid (PLANS.md:217 audit) — the workload, not the plan
+    "range_join_windows": 2.0,
+    # IVF: corpus 10x, k scales ~sqrt(n) -> probe-list size ~D/sqrt(D)
+    "ann_ivf_topk": 1.0,
+    "dedup_embedding_blocked": 1.0,
+    # iterative class
+    "dedup_clusters_blocked": 1.0,  # rounds pinned <=8; per-round linear
+    "entity_resolution_clusters": 2.0,  # fixed block count -> pairs ~D^2
+    "recursive_order_chain": 0.0,  # wall = depth x stage constant
+    "bpe_learn_merges": 1.0,  # vocab pass linear; rounds fixed
+    "graph_pagerank": 1.0,
+    "graph_bfs_distance": 1.0,
+}
+
 
 def _time_once(spark, fn, sf_dir: str) -> float:
     t0 = time.time()
@@ -461,6 +503,38 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["recall"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    scale_probe: dict[str, object] = {}
+    probe_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", SCALE_PROBE_DIR)
+    if os.path.isdir(probe_dir) and sf == "0.1":
+        data_ratio = 10.0
+        probe: dict[str, dict[str, float]] = {}
+        for name, exp in SCALE_PROBE.items():
+            fn = ALL_QUERIES.get(name)
+            if fn is None or name not in timings:
+                continue
+            try:
+                _time_once(spark, fn, probe_dir)  # warm-up + artifacts
+                sec = round(_time_once(spark, fn, probe_dir), 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[f"scale_probe:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
+                continue
+            ratio = round(sec / max(timings[name], 1e-3), 2)
+            expected = round(data_ratio**exp, 1)
+            probe[name] = {
+                "sec": sec,
+                "wall_ratio": ratio,
+                "expected_growth": expected,
+                # >1 means growing faster than the documented workload;
+                # constant-cost queries (exp=0) compare against 1x
+                "vs_expected": round(ratio / max(expected, 1.0), 2),
+            }
+            _drop_stream_sinks(spark)
+        scale_probe = {
+            "probe_dir": probe_dir,
+            "data_ratio": data_ratio,
+            "queries": probe,
+        }
+
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -473,6 +547,7 @@ def main() -> None:
         "regressions": _regressions(
             timings, _prior_round_timings(os.path.dirname(os.path.abspath(__file__)))
         ),
+        "scale_probe": scale_probe,
         **pipe,
     }
     if errors:

@@ -221,7 +221,25 @@ def run_pipeline(
         features = features.observe(obs, F.count(F.lit(1)).alias("n"))
     features = features.cache()  # computed once, written to two sinks (SURVEY §4)
 
-    dq_report = run_quality_gate(features)
+    if streaming:
+        # Streaming DQ semantics: TABLE-level constraints (no row to
+        # blame) still halt the run here, exactly like batch; ROW-
+        # attributable failures do NOT halt — the serving step below
+        # quarantines the offending rows and keeps serving the rest.
+        from ...quality import ConstraintSuite
+        from .quality import DEFI_FEATURES_SUITE
+
+        table_level = [
+            c for c in DEFI_FEATURES_SUITE.constraints if c.row_fail is None
+        ]
+        ConstraintSuite(table_level).enforce(features)
+        results = DEFI_FEATURES_SUITE.evaluate(features)
+        dq_report = spark.createDataFrame(
+            [(n, bool(f)) for n, f in results.items()],
+            "constraint_name string, is_fail boolean",
+        )
+    else:
+        dq_report = run_quality_gate(features)
 
     features.write.mode("overwrite").parquet(cat.path("analytics", "defi_features"))
     if obs is not None:
@@ -238,11 +256,33 @@ def run_pipeline(
         cat.path("analytics", "defi_features_certified"),
         {"features": features, "dq_report": dq_report},
     )
-    # serving sink: key-upsert keyed on walletAddress
-    upsert_parquet(
-        spark,
-        features.withColumnRenamed("wallet_address", "walletAddress"),
-        cat.path("features", "defi_features_serving"),
-        key="walletAddress",
-    )
+    # serving sink: key-upsert keyed on walletAddress. Streaming mode
+    # serves THROUGH the quarantine gate: the certified analytics table
+    # is consumed as a checkpointed file stream, clean rows upsert,
+    # row-attributable DQ failures divert to the quarantine sink.
+    if streaming:
+        from ...streaming.incremental import stream_upsert_with_quarantine
+        from .quality import DEFI_FEATURES_SUITE
+
+        feat_dir = cat.path("analytics", "defi_features")
+        stream_upsert_with_quarantine(
+            spark,
+            feat_dir,
+            spark.read.parquet(feat_dir).schema,
+            DEFI_FEATURES_SUITE,
+            cat.path("features", "defi_features_serving"),
+            cat.path("features", "defi_features_quarantine"),
+            cat.path("_checkpoints", "defi_features_serving"),
+            key="walletAddress",
+            transform=lambda df: df.withColumnRenamed(
+                "wallet_address", "walletAddress"
+            ),
+        )
+    else:
+        upsert_parquet(
+            spark,
+            features.withColumnRenamed("wallet_address", "walletAddress"),
+            cat.path("features", "defi_features_serving"),
+            key="walletAddress",
+        )
     return features

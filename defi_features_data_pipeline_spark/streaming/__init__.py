@@ -1,3 +1,3 @@
-from .incremental import stream_append_incremental
+from .incremental import stream_append_incremental, stream_upsert_with_quarantine
 
-__all__ = ["stream_append_incremental"]
+__all__ = ["stream_append_incremental", "stream_upsert_with_quarantine"]

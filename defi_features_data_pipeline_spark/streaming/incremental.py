@@ -45,3 +45,55 @@ def stream_append_incremental(
         writer = writer.partitionBy(*partition_by)
     q = writer.start()
     q.awaitTermination()
+
+
+def stream_upsert_with_quarantine(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    suite,
+    serve_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> None:
+    """Streaming serving with QUARANTINE-mode data quality (r6 verdict
+    item 8): each micro-batch of the feature stream is split by the
+    constraint suite's row-attributable checks — clean rows are
+    key-upserted into the serving sink, failing rows land in a
+    quarantine sink carrying ``dq_reasons`` (every violated
+    constraint) and ``dq_batch_id`` for triage/replay. This is the
+    streaming translation of the reference's halt-the-pipeline DQ gate
+    (`defi_features_data_quality_pipeline.py:24-33`): a stream cannot
+    halt retroactively, so bad ROWS are diverted while good rows keep
+    serving; TABLE-level constraints (not-all-zero — no row to blame)
+    stay with the batch gate upstream, which still halts the run.
+
+    Exactly-once: the file-source checkpoint tracks which feature
+    files each batch consumed, and both sinks are written inside one
+    ``foreachBatch`` — a replayed batch re-upserts the same keys
+    (idempotent) and re-appends its quarantine rows keyed by the same
+    ``dq_batch_id`` (dedupable on (key, dq_batch_id))."""
+    from pyspark.sql import functions as F
+
+    from ..sources.sinks import upsert_parquet
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        clean, quarantined = suite.split(batch_df)
+        quarantined.withColumn("dq_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(quarantine_dir)
+        if not clean.isEmpty():
+            upsert_parquet(spark, clean, serve_dir, key=key)
+
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+    if transform is not None:
+        stream = transform(stream)
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

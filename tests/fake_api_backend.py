@@ -29,3 +29,34 @@ def fetch_fixed(
             }
         )
     return rows
+
+
+_FLAKY_DIR = "/tmp/spark_graft_flaky_api"
+
+
+def flaky_fetch(
+    event: str, window_start: int, window_end: int, offset: int, limit: int
+) -> list[dict]:
+    """Fails the first TWO attempts for every (window, offset) call,
+    then behaves like ``fetch_fixed``. Attempt state lives on the
+    local filesystem (one file per call key) because Python DataSource
+    workers are separate processes — tests clear the dir first."""
+    import os
+
+    os.makedirs(_FLAKY_DIR, exist_ok=True)
+    key = os.path.join(_FLAKY_DIR, f"{event}_{window_start}_{offset}")
+    attempts = 0
+    if os.path.exists(key):
+        with open(key) as f:
+            attempts = int(f.read() or 0)
+    with open(key, "w") as f:
+        f.write(str(attempts + 1))
+    if attempts < 2:
+        raise ConnectionError(f"synthetic transient failure #{attempts + 1}")
+    return fetch_fixed(event, window_start, window_end, offset, limit)
+
+
+def always_failing_fetch(
+    event: str, window_start: int, window_end: int, offset: int, limit: int
+) -> list[dict]:
+    raise ConnectionError("synthetic permanent failure")

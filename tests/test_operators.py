@@ -498,6 +498,103 @@ def test_api_source_backend_seam(spark):
     assert {r["category"] for r in rows} == {"repay"}  # partition args flow through
 
 
+def test_api_source_retries_transient_failures(spark):
+    """Ingestion semantics (r6 verdict #7): the reference retries each
+    fetch x5 (`historical_market_data.py:19-37`). A backend failing the
+    first TWO attempts per call still yields a complete extract; a
+    PERMANENTLY failing backend fails the job loudly (documented
+    divergence: the reference returns None and silently drops the
+    block — silent data loss is the one reference behavior we refuse
+    to replicate)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from defi_features_data_pipeline_spark.sources.api_source import register
+    from tests import fake_api_backend as fake
+
+    register(spark)
+    shutil.rmtree(fake._FLAKY_DIR, ignore_errors=True)
+    df = (
+        spark.read.format("lending_events_api")
+        .option("event", "borrow")
+        .option("start", 1_700_000_000)
+        .option("end", 1_700_000_000 + 2 * 86400)
+        .option("backend", "tests.fake_api_backend:flaky_fetch")
+        .option("retry_backoff", "0.0")
+        .load()
+    )
+    assert df.count() == 2 * 2  # complete despite 2 failures per call
+    with _pytest.raises(Exception, match="(?i)after 5 attempts|ConnectionError"):
+        (
+            spark.read.format("lending_events_api")
+            .option("event", "borrow")
+            .option("start", 1_700_000_000)
+            .option("end", 1_700_000_000 + 86400)
+            .option("backend", "tests.fake_api_backend:always_failing_fetch")
+            .option("retry_backoff", "0.0")
+            .load()
+            .count()
+        )
+
+
+def test_api_source_max_window_clamp(spark):
+    """MAX_TIMEWINDOW_DAYS=10 (`config/settings.toml:10`): a 30-day
+    request ingests exactly the first 10 days — the incremental
+    watermark (S7) catches the rest up on later runs — so a backfill
+    can never issue an unbounded remote query."""
+    from defi_features_data_pipeline_spark.sources.api_source import register
+
+    register(spark)
+    df = (
+        spark.read.format("lending_events_api")
+        .option("event", "deposit")
+        .option("start", 1_700_000_000)
+        .option("end", 1_700_000_000 + 30 * 86400)
+        .load()
+    )
+    assert df.count() == 10 * 120  # clamped to 10 day-windows
+    assert df.rdd.getNumPartitions() == 10
+    wide = (
+        spark.read.format("lending_events_api")
+        .option("event", "deposit")
+        .option("start", 1_700_000_000)
+        .option("end", 1_700_000_000 + 30 * 86400)
+        .option("max_window_days", "30")
+        .load()
+    )
+    assert wide.count() == 30 * 120  # bound is explicit, not hardwired
+
+
+def test_api_source_bounded_concurrency(spark):
+    """NUMBER_OF_THREADS concurrency bound: max_parallel=3 packs the 10
+    day-windows into 3 fetch tasks (the cluster can never exceed the
+    remote API's parallel-call budget), with the extract byte-identical
+    to the unbounded layout."""
+    from defi_features_data_pipeline_spark.sources.api_source import register
+
+    register(spark)
+
+    def _read(**opts):
+        r = (
+            spark.read.format("lending_events_api")
+            .option("event", "withdraw")
+            .option("start", 1_700_000_000)
+            .option("end", 1_700_000_000 + 10 * 86400)
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    bounded = _read(max_parallel="3")
+    assert bounded.rdd.getNumPartitions() == 3
+    unbounded = _read()
+    assert unbounded.rdd.getNumPartitions() == 10
+    assert sorted(map(tuple, bounded.collect())) == sorted(
+        map(tuple, unbounded.collect())
+    )
+
+
 def test_approx_distinct_accuracy(spark):
     """The HLL++ sketch (rsd=0.02) must land within 5% of the exact
     distinct count — the accuracy contract that justifies swapping

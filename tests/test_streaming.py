@@ -389,3 +389,99 @@ def test_session_window_merges_at_exact_gap_boundary(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS gap_boundary_test")
     # exact-gap pair merged (n=2); diff=1801 split (n=1)
     assert [n for n, _, _ in got] == [1, 2]
+
+
+def test_streaming_quarantine_serves_good_rows(spark, tmp_path):
+    """Quarantine-mode DQ on the streaming serving path (r6 verdict
+    #8): rows violating a row-attributable constraint land in the
+    quarantine sink with their reasons; clean rows are upserted and
+    served; nothing is silently dropped (clean ∪ quarantine == input);
+    and a second incremental pass processes only the NEW file."""
+    from defi_features_data_pipeline_spark.pipelines.defi.quality import (
+        DEFI_FEATURES_SUITE,
+    )
+    from defi_features_data_pipeline_spark.streaming import (
+        stream_upsert_with_quarantine,
+    )
+
+    src = str(tmp_path / "features_stream")
+    serve = str(tmp_path / "serving")
+    quarantine = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    cols = (
+        "wallet_address string, total_collateral_eth double, "
+        "risk_factor double, borrow_count long, "
+        "unique_borrow_protocol_count long, unique_lending_protocol_count long, "
+        "deposit_count long, liquidation_count long, repay_count long"
+    )
+
+    def row(w, borrow=1, deposit=1, repay=0):
+        return (w, 10.0, 0.5, borrow, 1, 1, deposit, 0, repay)
+
+    batch1 = spark.createDataFrame(
+        [
+            row("0xgood1"),
+            row("0xgood2"),
+            row("0xbad_neg_deposit", deposit=-3),  # exist_negative_count
+            row("0xbad_neg_repay", repay=-1),
+        ],
+        cols,
+    )
+    batch1.write.mode("append").parquet(src)
+    run = lambda: stream_upsert_with_quarantine(  # noqa: E731
+        spark,
+        src,
+        batch1.schema,
+        DEFI_FEATURES_SUITE,
+        serve,
+        quarantine,
+        ckpt,
+        key="wallet_address",
+    )
+    run()
+    served = {r["wallet_address"] for r in spark.read.parquet(serve).collect()}
+    quar = spark.read.parquet(quarantine).collect()
+    assert served == {"0xgood1", "0xgood2"}
+    assert {r["wallet_address"] for r in quar} == {
+        "0xbad_neg_deposit",
+        "0xbad_neg_repay",
+    }
+    assert all(r["dq_reasons"] == ["exist_negative_count"] for r in quar)
+    assert len(served) + len(quar) == 4  # nothing silently dropped
+
+    # incremental pass: one new file, one new bad row — only the new
+    # file is processed (checkpoint), serving upserts, quarantine grows
+    spark.createDataFrame(
+        [row("0xgood3"), row("0xbad2", borrow=-9)], cols
+    ).write.mode("append").parquet(src)
+    run()
+    served2 = {r["wallet_address"] for r in spark.read.parquet(serve).collect()}
+    quar2 = spark.read.parquet(quarantine).collect()
+    assert served2 == {"0xgood1", "0xgood2", "0xgood3"}
+    assert len(quar2) == 3
+    batch_ids = {r["dq_batch_id"] for r in quar2}
+    assert len(batch_ids) == 2  # two micro-batches, attributable for replay
+
+
+def test_streaming_pipeline_serves_through_quarantine_gate(
+    spark, tmp_path_factory
+):
+    """E2E: the streaming pipeline's serving step now routes through
+    the quarantine gate — on a healthy lake every wallet reaches the
+    serving sink and the quarantine sink exists and is EMPTY (feature
+    counts are aggregates that cannot go negative from well-formed
+    fixtures; the bad-row diversion itself is pinned by
+    test_streaming_quarantine_serves_good_rows on the same operator +
+    suite). Equivalence with batch output is pinned by
+    test_defi_pipeline.py::test_streaming_mode_equivalence."""
+    from defi_features_data_pipeline_spark.pipelines.defi import run_pipeline
+    from defi_features_data_pipeline_spark.pipelines.defi.fixtures import generate
+
+    base = str(tmp_path_factory.mktemp("quarantine_lake"))
+    generate(spark, base, scale=0.2)
+    features = run_pipeline(spark, base, now_epoch=1_767_225_600, streaming=True)
+    n_wallets = features.count()
+    serve_dir = f"{base}/features/defi_features_serving"
+    quarantine_dir = f"{base}/features/defi_features_quarantine"
+    assert spark.read.parquet(serve_dir).count() == n_wallets
+    assert spark.read.parquet(quarantine_dir).count() == 0
