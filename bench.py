@@ -243,16 +243,20 @@ SCALE_PROBE = {
     "pack_training_sequences": 1.0,
     # per-user event windows: users 10x, events/user flat
     "sessionize_events": 1.0,
-    # interval join: output pairs grow ~D^2 within the fixed window
-    # grid (PLANS.md:217 audit) — the workload, not the plan
-    "range_join_windows": 2.0,
+    # range_join_windows is EXCLUDED: its output grows ~D^2 inside the
+    # fixed one-month event grid (PLANS.md audit), measured once in
+    # round 7 at 213 s for sf1 (~237x wall for 100x output + local
+    # spill) — a six-minute probe line that re-measures a documented
+    # workload quadratic buys nothing per round.
     # IVF: corpus 10x, k scales ~sqrt(n) -> probe-list size ~D/sqrt(D)
     "ann_ivf_topk": 1.0,
     "dedup_embedding_blocked": 1.0,
     # iterative class
     "dedup_clusters_blocked": 1.0,  # rounds pinned <=8; per-round linear
     "entity_resolution_clusters": 2.0,  # fixed block count -> pairs ~D^2
-    "recursive_order_chain": 0.0,  # wall = depth x stage constant
+    # depth is flat (orders/customer fixed) but each level's frontier
+    # join scales with |customers| — measured 3.8 s -> 46 s (~12x)
+    "recursive_order_chain": 1.0,
     "bpe_learn_merges": 1.0,  # vocab pass linear; rounds fixed
     "graph_pagerank": 1.0,
     "graph_bfs_distance": 1.0,

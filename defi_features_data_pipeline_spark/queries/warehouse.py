@@ -98,6 +98,13 @@ WAREHOUSE_QUERIES["not_in_null_aware"] = q_not_in_null_aware
 # 100). Chain depth here = max orders per customer (~25 at sf0.01,
 # ~40 at sf0.1); raised defensively for larger SFs.
 RCTE_LEVEL_LIMIT = 400
+# Spark also bounds the TOTAL rows a recursion may accumulate
+# (spark.sql.cteRecursionRowLimit, default 1M) — the chain emits one
+# row per order, so the default silently caps the query at |orders| <
+# 1M (the sf1 scale probe caught it: RECURSION_ROW_LIMIT_EXCEEDED at
+# 1.5M orders). Sized for ~sf100 here; a production run sizes it to
+# the expected chain row count, and exceeding it is a loud error.
+RCTE_ROW_LIMIT = 200_000_000
 
 _NXT_SQL = """
   SELECT o_custkey AS ck, o_orderkey AS ok,
@@ -152,7 +159,9 @@ def q_recursive_order_chain(spark, sf_dir):
     cum_price accumulates in DECIMAL(38,10) so every level is
     bit-exact in both engines."""
     prev = spark.conf.get("spark.sql.cteRecursionLevelLimit", None)
+    prev_rows = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionLevelLimit", str(RCTE_LEVEL_LIMIT))
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(RCTE_ROW_LIMIT))
     try:
         _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
         nxt = spark.sql(_NXT_SQL.format(orders="v_orders")).localCheckpoint()
@@ -166,13 +175,17 @@ def q_recursive_order_chain(spark, sf_dir):
             )
         ).localCheckpoint()
     finally:
-        # restore — raising the limit must not leak into later queries
+        # restore — raising the limits must not leak into later queries
         # on the shared session (a later runaway recursion would run
-        # RCTE_LEVEL_LIMIT/default× longer before erroring)
+        # far longer before erroring)
         if prev is None:
             spark.conf.unset("spark.sql.cteRecursionLevelLimit")
         else:
             spark.conf.set("spark.sql.cteRecursionLevelLimit", prev)
+        if prev_rows is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev_rows)
 
 
 q_recursive_order_chain.__doc__ = q_recursive_order_chain.__doc__.format(
