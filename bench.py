@@ -192,6 +192,8 @@ HEADLINE = [
     "exact_median_twopass",
     "presto_dialect_features",
     "join_cardinality_audit",
+    # round-7 additions
+    "zorder_cells",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -6730,3 +6730,90 @@ FROM events GROUP BY 1
 
 EXT_QUERIES["streaming_bitmap_distinct"] = q_streaming_bitmap_distinct
 EXT_ORACLES["streaming_bitmap_distinct"] = ORACLE_STREAMING_BITMAP_DISTINCT
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout — multi-dimensional clustering key (SURVEY §3 /
+# 100 TB-efficiency surface; file-skipping evidence in
+# tests/test_layout.py via operators/layout.py)
+# ---------------------------------------------------------------------------
+
+ZCELL_BITS = 6  # 64 buckets per dimension for the gate (operator: 12)
+
+
+def q_zorder_cells(spark, sf_dir):
+    """Z-ORDER CLUSTERING KEY, hash-gated: rank-bucketize (user_id, ts)
+    into 2^6 equal-frequency buckets each (deterministic total order —
+    ties broken by event_id), Morton-interleave the bucket ids
+    (``sources.layout.interleave_bits`` — the k=2 bit layout
+    ``write_zordered`` clusters files by), and aggregate per top-8-bit
+    curve cell. The oracle reproduces the bit arithmetic integer-for-
+    integer in DuckDB, so the gate pins the interleave itself; the
+    LAYOUT effect (tight per-file min/max in both dimensions, files
+    skipped under 2-D predicate boxes) is measured from real parquet
+    footers in tests/test_layout.py.
+
+    The equal-FREQUENCY bucketing here complements ``zorder_code``'s
+    min/max normalization: rank buckets are skew-robust (a hot key
+    cannot capture every cell), at the cost of a global window — at
+    real scale swap in approxQuantile-derived boundaries (one pass, no
+    window) with the same interleave downstream. The aggregate is
+    map-side combinable on a 64-bit key."""
+    from pyspark.sql import Window
+
+    from ..sources.layout import interleave_bits
+    from .core import _dsum, _events
+
+    n = 1 << ZCELL_BITS
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("t"), "value"
+    )
+    wx = Window.orderBy("user_id", "event_id")
+    wy = Window.orderBy("t", "event_id")
+    keyed = (
+        ev.withColumn("bx", F.ntile(n).over(wx) - 1)
+        .withColumn("by", F.ntile(n).over(wy) - 1)
+        .withColumn(
+            "zkey", interleave_bits(F.col("bx"), F.col("by"), ZCELL_BITS)
+        )
+    )
+    return (
+        keyed.groupBy(
+            F.shiftright(F.col("zkey"), 2 * ZCELL_BITS - 8).alias("zcell")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+def _zkey_sql(bx: str, by: str, bits: int) -> str:
+    """The identical Morton interleave as integer SQL (bit positions
+    are disjoint, so + == |)."""
+    terms = [
+        f"((({bx} >> {i}) & 1) << {2 * i}) + ((({by} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+from .core import dsum_sql as _dsum_sql  # noqa: E402
+
+ORACLE_ZORDER_CELLS = f"""
+WITH keyed AS (
+  SELECT user_id, value,
+         ntile({1 << ZCELL_BITS}) OVER (ORDER BY user_id, event_id) - 1 AS bx,
+         ntile({1 << ZCELL_BITS}) OVER (ORDER BY {_epoch_sql()}, event_id) - 1 AS by
+  FROM events
+)
+SELECT {_zkey_sql('bx', 'by', ZCELL_BITS)} >> {2 * ZCELL_BITS - 8} AS zcell,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {_dsum_sql("value")} AS sum_value
+FROM keyed GROUP BY 1
+"""
+
+EXT_QUERIES["zorder_cells"] = q_zorder_cells
+EXT_ORACLES["zorder_cells"] = ORACLE_ZORDER_CELLS

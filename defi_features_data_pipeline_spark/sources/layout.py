@@ -31,6 +31,26 @@ import operator
 from pyspark.sql import DataFrame, functions as F
 
 
+def interleave_bits(x: "F.Column", y: "F.Column", bits: int) -> "F.Column":
+    """Morton-interleave two non-negative ``bits``-bit ints: bit b of
+    ``x`` lands at position 2b, bit b of ``y`` at 2b+1 — exactly the
+    k=2 bit layout ``zorder_code`` produces (column i contributes bit b
+    at ``b*k+i``). Shared so the hash-gated ``zorder_cells`` query pins
+    the same integer arithmetic a DuckDB oracle reproduces. Pure
+    shift/mask expression; ``Column.bitwiseOR/AND`` because Python's
+    ``&``/``|`` on Columns are logical operators."""
+    if 2 * bits > 62:
+        raise ValueError("2*bits must fit a signed 64-bit int")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
 def zorder_code(df: DataFrame, cols: list[str], bits: int = 8) -> "F.Column":
     """Morton (Z-order) code column: each column min/max-normalized to
     ``bits`` bits, bits interleaved (column i contributes bit b to

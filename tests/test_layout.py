@@ -149,3 +149,43 @@ def test_orc_roundtrip_matches_parquet_source(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "event_type" in plan
+
+
+def test_interleave_bits_matches_python_reference(spark):
+    """The shared Morton expression (gate + writer) against a plain
+    Python bit-interleave, over an exhaustive small domain."""
+    from defi_features_data_pipeline_spark.sources.layout import interleave_bits
+
+    def py_morton(x, y, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    bits = 5
+    rows = [(x, y) for x in range(0, 32, 3) for y in range(0, 32, 5)]
+    df = spark.createDataFrame(rows, "x long, y long").withColumn(
+        "z", interleave_bits(F.col("x"), F.col("y"), bits)
+    )
+    for r in df.collect():
+        assert r["z"] == py_morton(r["x"], r["y"], bits), (r["x"], r["y"])
+
+
+def test_interleave_matches_zorder_code_layout(spark):
+    """interleave_bits IS zorder_code's k=2 bit layout: on a frame
+    whose two columns already span [0, 2^bits), the normalized Morton
+    code equals the raw interleave for every row."""
+    from defi_features_data_pipeline_spark.sources.layout import (
+        interleave_bits,
+        zorder_code,
+    )
+
+    bits = 4
+    top = (1 << bits) - 1
+    rows = [(x, y) for x in range(top + 1) for y in range(top + 1)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.withColumn("zc", zorder_code(df, ["a", "b"], bits)).withColumn(
+        "il", interleave_bits(F.col("a"), F.col("b"), bits)
+    )
+    assert got.filter(F.col("zc") != F.col("il")).count() == 0
