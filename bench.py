@@ -194,6 +194,7 @@ HEADLINE = [
     "join_cardinality_audit",
     # round-7 additions
     "zorder_cells",
+    "ivf_increment_drift",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

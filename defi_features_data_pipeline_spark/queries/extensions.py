@@ -611,6 +611,13 @@ def _write_ivf_artifacts(spark, adir: str, centroids, assign: DataFrame) -> None
         tmp = final + ".__tmp__"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         swap_dirs(spark, tmp, final)
+    # a REBUILT index invalidates the derived per-list build stats
+    # (ivf_assign_increment's drift baseline) — stale stats against
+    # fresh centroids would mis-measure drift silently
+    stats = os.path.join(adir, "list_stats")
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(stats).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jvm_path(stats), True)
 
 
 def _corpus_fingerprint(corpus_or_assign: DataFrame):
@@ -696,6 +703,147 @@ def _ivf_assignments(spark, sf_dir: str) -> DataFrame:
     (co-partitionable) column, never recomputed per search."""
     _ivf_index(spark, sf_dir)  # ensure built + current
     return spark.read.parquet(os.path.join(ivf_artifact_dir(sf_dir), "assignments"))
+
+
+def _assign_with_dist(e: DataFrame, centroids) -> DataFrame:
+    """(vec_id, cid, sqdist): nearest-centroid assignment PLUS the
+    squared L2 to the assigned centroid (6 dp), by the k-appropriate
+    path (literal expression / broadcast join — same arithmetic as
+    ``_assign_frame``, extended to carry the distance)."""
+    ordered = sorted(centroids)
+    if len(ordered) <= IVF_LITERAL_K_MAX:
+        c_sql, cid_sql = _centroid_lit_sql(ordered)
+        dists = F.transform(
+            F.expr(c_sql),
+            lambda cv: F.aggregate(
+                F.zip_with(F.col("v"), cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            ),
+        )
+        return e.select(
+            "vec_id",
+            F.element_at(
+                F.expr(cid_sql),
+                F.array_position(dists, F.array_min(dists)).cast("int"),
+            ).alias("cid"),
+            F.round(F.array_min(dists), 6).alias("sqdist"),
+        )
+    spark = e.sparkSession
+    cent = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in ordered],
+        "cid bigint, cv array<double>",
+    )
+    j = (
+        e.select("vec_id", F.col("v").alias("__v"))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(cent.withColumn("__k", F.lit(1))), "__k")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    best = j.select(
+        "vec_id", F.struct(dist.alias("d"), F.col("cid").alias("cid")).alias("__dc")
+    )
+    return best.groupBy("vec_id").agg(F.min("__dc").alias("__dc")).select(
+        "vec_id",
+        F.col("__dc.cid").alias("cid"),
+        F.round(F.col("__dc.d"), 6).alias("sqdist"),
+    )
+
+
+def _ivf_list_stats(spark, sf_dir: str) -> DataFrame:
+    """Per-list BUILD statistics (cid, n_build, mean_sqdist_build) —
+    the drift baseline for incremental index maintenance. Load-first
+    under ``artifacts/ivf/<sf>/list_stats``; backfilled with ONE corpus
+    pass when absent (older artifacts predate the stats table), and
+    invalidated by ``_write_ivf_artifacts`` on every refit so the
+    baseline always describes the centroids actually on disk."""
+    from ..sources.fsutil import has_committed_data, swap_dirs
+
+    centroids = _ivf_index(spark, sf_dir)  # ensure index current first
+    path = os.path.join(ivf_artifact_dir(sf_dir), "list_stats")
+    if has_committed_data(spark, path):
+        try:
+            return spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 — unreadable ⇒ backfill
+            pass
+    corpus = _vectors(spark, sf_dir, "vec_id", "v", "vn").drop("label")
+    stats = (
+        _assign_with_dist(corpus, centroids)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_build"),
+            F.round(F.avg("sqdist"), 6).alias("mean_sqdist_build"),
+        )
+    )
+    tmp = path + ".__tmp__"
+    stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+    swap_dirs(spark, tmp, path)
+    return spark.read.parquet(path)
+
+
+def ivf_assign_increment(
+    spark, sf_dir: str, new_vecs: DataFrame, drift_threshold: float = 2.0
+):
+    """INCREMENTAL INDEX MAINTENANCE: assign an APPEND batch of vectors
+    (vec_id, embedding) against the FROZEN index — zero k-means passes
+    — and report per-list drift so the operator, not a human, decides
+    when a refit is due. Returns ``(assignments, drift)``:
+
+    - ``assignments`` (vec_id, cid): computed with the exact build
+      arithmetic (``_assign_with_dist``), so appended vectors join the
+      same coarse lists searches probe; at 100 TB this is the ONLY
+      per-append cost — a narrow expression over the batch, no corpus
+      scan, no shuffle beyond the batch's own.
+    - ``drift`` (cid, n_new, mean_sqdist_new, n_build,
+      mean_sqdist_build, drift_ratio, refit): ratio of the batch's
+      mean assigned-distance to the build-time baseline per list
+      (baseline backfilled once per index — ``_ivf_list_stats``). A
+      ratio ≫ 1 means new data lands far from the centroids it is
+      forced into (distribution shift) — quantization quality decays
+      and recall follows, so ``refit`` flags the lists whose ratio
+      exceeds ``drift_threshold``; lists unseen at build time
+      (n_build null) always flag. The refit itself is the existing
+      build path, triggered by the caller on flagged evidence instead
+      of on a timer."""
+    centroids = _ivf_index(spark, sf_dir)
+    e = new_vecs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned = _assign_with_dist(e, centroids)
+    build = _ivf_list_stats(spark, sf_dir)
+    drift = (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.round(F.avg("sqdist"), 6).alias("mean_sqdist_new"),
+        )
+        .join(build, "cid", "left")
+        .select(
+            "cid",
+            "n_new",
+            "mean_sqdist_new",
+            "n_build",
+            "mean_sqdist_build",
+            F.round(
+                F.col("mean_sqdist_new")
+                / F.greatest(F.col("mean_sqdist_build"), F.lit(1e-12)),
+                4,
+            ).alias("drift_ratio"),
+            (
+                F.col("mean_sqdist_build").isNull()
+                | (
+                    F.col("mean_sqdist_new")
+                    > F.greatest(F.col("mean_sqdist_build"), F.lit(1e-12))
+                    * drift_threshold
+                )
+            ).alias("refit"),
+        )
+    )
+    return assigned.select("vec_id", "cid"), drift
 
 
 def q_knn_cosine_topk(spark, sf_dir):
@@ -6817,3 +6965,63 @@ FROM keyed GROUP BY 1
 
 EXT_QUERIES["zorder_cells"] = q_zorder_cells
 EXT_ORACLES["zorder_cells"] = ORACLE_ZORDER_CELLS
+
+
+# ---------------------------------------------------------------------------
+# IVF incremental maintenance drift gate
+# ---------------------------------------------------------------------------
+
+
+def q_ivf_increment_drift(spark, sf_dir):
+    """The DRIFT TABLE ``ivf_assign_increment`` produces for a
+    deterministic append batch (the first 100 corpus vectors under new
+    ids — in-distribution, so every refit flag is false and every
+    ratio ≈ 1). Hash-gated: the DuckDB oracle recomputes the batch's
+    nearest-centroid distances from the MATERIALIZED index parquet
+    (centroids + list_stats) with the same 6-dp rounding and
+    ties-to-lowest-cid rule, so the whole maintenance arithmetic —
+    assignment, per-list aggregation, baseline join, ratio, flag — is
+    pinned cross-engine."""
+    batch = (
+        _spread(spark, _t(spark, sf_dir, "embeddings"))
+        .filter(F.col("vec_id") < 100)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    _, drift = ivf_assign_increment(spark, sf_dir, batch)
+    return drift
+
+
+ORACLE_IVF_INCREMENT_DRIFT = f"""
+WITH cent AS (SELECT * FROM read_parquet('{IVF_ORACLE_DIR}/centroids/*.parquet')),
+stats AS (SELECT * FROM read_parquet('{IVF_ORACLE_DIR}/list_stats/*.parquet')),
+batch AS (
+  SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 100
+),
+scored AS (
+  SELECT b.vec_id, c.cid,
+         list_sum([(z[1] - z[2]) * (z[1] - z[2])
+                   FOR z IN list_zip(b.v, c.centroid)]) AS d
+  FROM batch b CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cid, round(d, 6) AS sqdist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT cid, COUNT(*) AS n_new, round(avg(sqdist), 6) AS mean_sqdist_new
+  FROM assigned GROUP BY 1
+)
+SELECT a.cid, a.n_new, a.mean_sqdist_new, s.n_build, s.mean_sqdist_build,
+       round(a.mean_sqdist_new / greatest(s.mean_sqdist_build, 1e-12), 4)
+         AS drift_ratio,
+       (s.mean_sqdist_build IS NULL
+        OR a.mean_sqdist_new > greatest(s.mean_sqdist_build, 1e-12) * 2.0)
+         AS refit
+FROM agg a LEFT JOIN stats s ON s.cid = a.cid
+"""
+
+EXT_QUERIES["ivf_increment_drift"] = q_ivf_increment_drift
+EXT_ORACLES["ivf_increment_drift"] = ORACLE_IVF_INCREMENT_DRIFT

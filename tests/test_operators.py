@@ -791,6 +791,84 @@ def test_ivf_warm_index_runs_no_fit(spark, monkeypatch):
     assert len(centroids) == X._ivf_k(500)
 
 
+def test_ivf_increment_assigns_without_fit_and_flags_drift(spark, monkeypatch):
+    """Incremental index maintenance: an append batch is assigned with
+    ZERO k-means passes (frozen index); assignments agree with the
+    build arithmetic (corpus vectors reproduce the artifact table
+    exactly); in-distribution appends do not flag a refit while a
+    shifted batch does — the refit trigger is measured evidence, not a
+    timer."""
+    import os as _os
+
+    from defi_features_data_pipeline_spark.queries import extensions as X
+
+    sf = "/root/testdata/sf0.001"
+    X._ivf_index(spark, sf)  # build + current
+    X._ivf_list_stats(spark, sf)  # baseline backfilled
+    X._IVF_CACHE.pop(_os.path.normpath(sf), None)
+
+    def _boom(*a, **k):  # pragma: no cover
+        raise AssertionError("k-means fit ran during incremental assign")
+
+    monkeypatch.setattr(X, "_kmeans_fit", _boom)
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    # 1) corpus vectors through the increment path == artifact table
+    got = dict(
+        (r["vec_id"], r["cid"])
+        for r in X.ivf_assign_increment(spark, sf, emb)[0].collect()
+    )
+    want = dict(
+        (r["vec_id"], r["cid"]) for r in X._ivf_assignments(spark, sf).collect()
+    )
+    assert got == want
+    # 2) in-distribution batch (a corpus sample, new ids): no refit flags
+    sample = emb.limit(50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    _, drift = X.ivf_assign_increment(spark, sf, sample)
+    assert drift.filter("refit").count() == 0
+    # 3) shifted batch (far from every centroid): every list flags
+    shifted = emb.limit(50).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x + 100.0D)").alias("embedding"),
+    )
+    _, drift2 = X.ivf_assign_increment(spark, sf, shifted)
+    rows = drift2.collect()
+    assert rows and all(r["refit"] for r in rows)
+    assert all(r["drift_ratio"] is None or r["drift_ratio"] > 2 for r in rows)
+
+
+def test_ivf_rebuild_invalidates_list_stats(spark, tmp_path):
+    """A refit must drop the derived per-list stats — a stale drift
+    baseline against fresh centroids would mis-measure silently."""
+    import shutil
+
+    from defi_features_data_pipeline_spark.queries import extensions as X
+
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "sf_ivf")
+    shutil.copytree(src, sf)
+    try:
+        X._ivf_index(spark, sf)
+        X._ivf_list_stats(spark, sf)
+        stats_path = __import__("os").path.join(
+            X.ivf_artifact_dir(sf), "list_stats"
+        )
+        from defi_features_data_pipeline_spark.sources.fsutil import (
+            has_committed_data,
+        )
+
+        assert has_committed_data(spark, stats_path)
+        cent = X._ivf_index(spark, sf)
+        asg = X._ivf_assignments(spark, sf)
+        X._write_ivf_artifacts(spark, X.ivf_artifact_dir(sf), cent, asg)
+        assert not has_committed_data(spark, stats_path)
+    finally:
+        shutil.rmtree(X.ivf_artifact_dir(sf), ignore_errors=True)
+        X._IVF_CACHE.pop(__import__("os").path.normpath(sf), None)
+
+
 def test_prefix_filter_selectivity_on_longtail(spark):
     """Measured proof of the corpus-shape claim in
     operators/similarity.py (r6 verdict #5): on a LONG-TAIL shingle
