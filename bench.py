@@ -195,6 +195,7 @@ HEADLINE = [
     # round-7 additions
     "zorder_cells",
     "ivf_increment_drift",
+    "hybrid_search_rrf",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

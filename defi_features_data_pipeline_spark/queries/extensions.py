@@ -7025,3 +7025,118 @@ FROM agg a LEFT JOIN stats s ON s.cid = a.cid
 
 EXT_QUERIES["ivf_increment_drift"] = q_ivf_increment_drift
 EXT_ORACLES["ivf_increment_drift"] = ORACLE_IVF_INCREMENT_DRIFT
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — BM25 ∪ dense cosine, reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_TOP_N = 15
+
+
+def q_hybrid_search_rrf(spark, sf_dir):
+    """HYBRID RETRIEVAL: fuse the lexical ranking (Okapi BM25 top-20,
+    ``q_bm25_search``) with a dense ranking (exact cosine of the corpus
+    against query vector vec_id=0, top-20) by RECIPROCAL-RANK FUSION —
+    score(d) = Σ_sources 1/(RRF_K + rank_source(d)) — the standard
+    zero-tuning fusion for sparse+dense retrieval stacks (and the
+    retrieval shape of a dedup-then-retrieve training-data loop). Ids
+    are fused on the synthetic corpus's shared id space (doc_id and
+    vec_id coincide below the embedding count).
+
+    Plan: both source rankings are top-20 TakeOrdered results — the
+    fusion's full-outer join and window run on ≤ 40 rows of metadata,
+    while each source keeps its own scalable plan (BM25: pruned
+    token-join; dense: broadcast query × corpus, no shuffle beyond the
+    top-k). Missing-from-one-source ids contribute 0 from that source
+    (COALESCE), never NULL-poisoning the fused score; ties break by
+    id. 100 TB notes: fusion cost is O(k) regardless of corpus size —
+    the sources bound it; RRF needs no score calibration between
+    engines whose score scales differ (ranks only)."""
+    from pyspark.sql import Window
+
+    lex = q_bm25_search(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("lex_rank"),
+    )
+    q = (
+        _vectors(spark, sf_dir, "query_id", "qv", "qn")
+        .drop("label")
+        .filter(F.col("query_id") == 0)
+    )
+    cand = _vectors(spark, sf_dir, "cand_id", "cv", "cn").drop("label")
+    dense_scored = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "cand_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    dense = (
+        dense_scored.orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
+        .limit(BM25_TOP_N)
+        .select(
+            F.col("cand_id").alias("id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc()))
+            .alias("dense_rank"),
+        )
+    )
+    fused = (
+        lex.join(dense, "id", "full_outer")
+        .select(
+            "id",
+            "lex_rank",
+            "dense_rank",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rank")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("id").asc())
+        .limit(RRF_TOP_N)
+    )
+    return fused
+
+
+ORACLE_HYBRID_SEARCH_RRF = f"""
+WITH lex_scores AS ({ORACLE_BM25_SEARCH}),
+lex AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+  FROM lex_scores
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dense_scored AS (
+  SELECT e.vec_id AS cand_id,
+         round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> 0
+),
+dense AS (
+  SELECT cand_id AS id,
+         row_number() OVER (ORDER BY cos_sim DESC, cand_id ASC) AS dense_rank
+  FROM (SELECT * FROM dense_scored
+        ORDER BY cos_sim DESC, cand_id ASC LIMIT {BM25_TOP_N})
+)
+SELECT COALESCE(lex.id, dense.id) AS id, lex_rank, dense_rank,
+       round(COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + dense_rank), 0.0), 6) AS rrf
+FROM lex FULL OUTER JOIN dense ON lex.id = dense.id
+ORDER BY rrf DESC, id ASC LIMIT {RRF_TOP_N}
+"""
+
+EXT_QUERIES["hybrid_search_rrf"] = q_hybrid_search_rrf
+EXT_ORACLES["hybrid_search_rrf"] = ORACLE_HYBRID_SEARCH_RRF

@@ -30,7 +30,11 @@ BANNED = ("CartesianProduct", "BroadcastNestedLoopJoin")
 # Scalar attaches (global aggregate -> every row) must NOT appear here:
 # they are expressed as DataFrame.scalar() subqueries, which plan as a
 # Subquery literal, not a join.
-ALLOWED_BOUNDED = {"knn_cosine_topk"}
+#   hybrid_search_rrf      dense leg broadcasts ONE query vector (1*N
+#                          scores — the exact-cosine baseline by
+#                          construction; the scale path swaps in
+#                          ann_ivf_* for that leg, fusion unchanged)
+ALLOWED_BOUNDED = {"knn_cosine_topk", "hybrid_search_rrf"}
 
 # Deliberately-quadratic recall baselines: excluded from the sweep
 # because their all-pairs shape is the point — and they are fenced by a
