@@ -44,6 +44,46 @@ def compact_parquet(
     return len(files), after
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    target_file_mb: int = 512,
+    bits: int = 8,
+    n_files: int | None = None,
+) -> tuple[int, int]:
+    """OPTIMIZE + ZORDER in one maintenance pass (the lakehouse
+    ``OPTIMIZE tbl ZORDER BY (a, b)``): bin-pack the table's current
+    bytes into ~target-sized files AND cluster them on the Morton
+    curve of ``cols`` — after the rewrite every file is a compact
+    multi-dimensional tile, so min/max footer stats prune on EVERY
+    z column (sources/layout.py) and the small-file problem is gone in
+    the same single shuffle. Swap-based like compact_parquet: readers
+    never observe a partial state. Returns (files_before,
+    files_after)."""
+    from .fsutil import list_parquet_files, swap_dirs
+    from .layout import zorder_code
+
+    files = list_parquet_files(spark, path)
+    if not files:
+        return (0, 0)
+    total_bytes = sum(sz for _, sz in files)
+    n_out = n_files or max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    z = df.withColumn("__z", zorder_code(df, cols, bits))
+    tmp = path.rstrip("/") + ".__optimize_tmp__"
+    (
+        z.repartitionByRange(n_out, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    swap_dirs(spark, tmp, path)
+    return len(files), len(list_parquet_files(spark, path))
+
+
 def merge_incremental_aggregate(
     stored: DataFrame | None,
     increment: DataFrame,

@@ -535,3 +535,55 @@ class TestTextFormatIngestion:
                 .option("mode", "FAILFAST")
                 .json(p)
             ).collect()
+
+
+def test_optimize_zorder_compacts_and_tiles(spark, tmp_path):
+    """OPTIMIZE+ZORDER in one pass: a many-small-file table written in
+    time order becomes few files whose footer min/max are tight in
+    BOTH z dimensions — data identical, fewer files, and a selective
+    predicate on the SECOND dimension can skip most files (impossible
+    in the time-ordered layout, where every file spans the full
+    user_id domain)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from defi_features_data_pipeline_spark.sources.maintenance import (
+        optimize_zorder,
+    )
+
+    from defi_features_data_pipeline_spark.queries.core import _events
+
+    path = str(tmp_path / "events_tbl")
+    ev = _events(spark, "/root/testdata/sf0.01").select(
+        "event_id", F.col("ts").cast("long").alias("t"), "user_id", "value"
+    )
+    # simulate a daily append history: 20 time-ordered files
+    ev.orderBy("t").repartitionByRange(20, "t").write.mode("overwrite").parquet(path)
+    before_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    def files_hit(p, col, lo, hi):
+        hit, total = 0, 0
+        for f in sorted(glob.glob(f"{p}/part-*.parquet")):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            cmin = min(md.row_group(g).column(idx).statistics.min
+                       for g in range(md.num_row_groups))
+            cmax = max(md.row_group(g).column(idx).statistics.max
+                       for g in range(md.num_row_groups))
+            total += 1
+            hit += int(cmax >= lo and cmin <= hi)
+        return hit, total
+
+    # time-ordered layout: a narrow user_id predicate prunes nothing
+    lo, hi = 10, 20
+    hit0, total0 = files_hit(path, "user_id", lo, hi)
+    assert total0 == 20 and hit0 == total0
+
+    nb, na = optimize_zorder(spark, path, ["t", "user_id"], n_files=8)
+    assert nb == 20 and na == 8  # compacted 20 -> 8
+    after_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after_rows == before_rows  # rewrite loses nothing
+
+    hit1, total1 = files_hit(path, "user_id", lo, hi)
+    assert hit1 < total1, "z-ordered files should prune on user_id"
