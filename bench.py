@@ -283,26 +283,22 @@ def _ivf_recall(spark, sf_dir: str) -> dict[str, object]:
     {1,2,4,8} with mean candidate counts — the tuning table a 100 TB
     deployment reads to pick its operating point), recorded per round
     so index-quality regressions show up next to wall-time.
-    Driver-side work is 10 queries × ≤10 rows per operating point."""
+    Driver-side work is 10 queries × ≤10 rows per operating point.
+    The curve computes the exact baseline ONCE; the legacy per-gate
+    keys are its nprobe=1/nprobe=2 points (ann_ivf_topk's
+    assignment-join probe list IS _ivf_probes' first element, and
+    ann_ivf_multiprobe is exactly nprobe=2) — no second brute-force
+    cross join."""
     from defi_features_data_pipeline_spark.queries.extensions import (
         ann_recall_curve,
     )
 
-    exact = {
-        (r["query_id"], r["cand_id"])
-        for r in ALL_QUERIES["knn_cosine_topk"](spark, sf_dir)
-        .filter("rank <= 3")
-        .collect()
+    curve = ann_recall_curve(spark, sf_dir)
+    return {
+        "ann_ivf_topk_recall_at_3": curve["nprobe_1"]["recall_at_3"],
+        "ann_ivf_multiprobe_recall_at_3": curve["nprobe_2"]["recall_at_3"],
+        "curve": curve,
     }
-    out: dict[str, object] = {}
-    for name in ("ann_ivf_topk", "ann_ivf_multiprobe"):
-        got = {
-            (r["query_id"], r["cand_id"])
-            for r in ALL_QUERIES[name](spark, sf_dir).collect()
-        }
-        out[f"{name}_recall_at_3"] = round(len(exact & got) / max(len(exact), 1), 4)
-    out["curve"] = ann_recall_curve(spark, sf_dir)
-    return out
 
 
 def _prior_round_timings(here: str) -> dict[str, float]:
@@ -514,7 +510,14 @@ def main() -> None:
     scale_probe: dict[str, object] = {}
     probe_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", SCALE_PROBE_DIR)
     if os.path.isdir(probe_dir) and sf == "0.1":
-        data_ratio = 10.0
+        # derive the ratio from the probe dir's sf name (a probe set
+        # generated at a different replication factor must not be
+        # compared against a hardcoded 10x expectation)
+        probe_sf = probe_dir.rstrip("/").rsplit("sf", 1)[-1]
+        try:
+            data_ratio = round(float(probe_sf) / float(sf), 2)
+        except ValueError:
+            data_ratio = 10.0
         probe: dict[str, dict[str, float]] = {}
         for name, exp in SCALE_PROBE.items():
             fn = ALL_QUERIES.get(name)

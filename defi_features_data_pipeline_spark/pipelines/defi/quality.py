@@ -28,12 +28,17 @@ DEFI_FEATURES_SUITE = ConstraintSuite(
 )
 
 
+def report_frame(spark, results: dict[str, bool]) -> DataFrame:
+    """The (constraint_name, is_fail) frame mirroring the reference's
+    DQ-query result shape — one definition for both serving modes."""
+    return spark.createDataFrame(
+        [(name, bool(failed)) for name, failed in results.items()],
+        "constraint_name string, is_fail boolean",
+    )
+
+
 def run_quality_gate(features: DataFrame) -> DataFrame:
     """Evaluate + enforce; returns the (constraint_name, is_fail) frame
     (all-False when passing), mirroring the reference's result shape."""
     results = DEFI_FEATURES_SUITE.enforce(features)
-    spark = features.sparkSession
-    return spark.createDataFrame(
-        [(name, failed) for name, failed in results.items()],
-        "constraint_name string, is_fail boolean",
-    )
+    return report_frame(features.sparkSession, results)

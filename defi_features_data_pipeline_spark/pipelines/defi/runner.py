@@ -226,18 +226,21 @@ def run_pipeline(
         # blame) still halt the run here, exactly like batch; ROW-
         # attributable failures do NOT halt — the serving step below
         # quarantines the offending rows and keeps serving the rest.
-        from ...quality import ConstraintSuite
-        from .quality import DEFI_FEATURES_SUITE
+        # ONE evaluate() covers both (single aggregation job).
+        from ...quality import DataQualityError
+        from .quality import DEFI_FEATURES_SUITE, report_frame
 
-        table_level = [
-            c for c in DEFI_FEATURES_SUITE.constraints if c.row_fail is None
-        ]
-        ConstraintSuite(table_level).enforce(features)
         results = DEFI_FEATURES_SUITE.evaluate(features)
-        dq_report = spark.createDataFrame(
-            [(n, bool(f)) for n, f in results.items()],
-            "constraint_name string, is_fail boolean",
-        )
+        table_level_failed = [
+            c.name
+            for c in DEFI_FEATURES_SUITE.constraints
+            if c.row_fail is None and results[c.name]
+        ]
+        if table_level_failed:
+            raise DataQualityError(
+                f"data quality constraints failed: {table_level_failed}"
+            )
+        dq_report = report_frame(spark, results)
     else:
         dq_report = run_quality_gate(features)
 

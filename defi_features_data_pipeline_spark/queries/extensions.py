@@ -501,7 +501,21 @@ def _assign_via_join(e: DataFrame, centroids, vec_col: str = "v", id_col: str = 
     ``test_assign_join_equals_literal``. The constant-key join plans
     as a BroadcastHashJoin of the k-row table: k x N distance
     evaluations, the same work the expression does, shaped as a join
-    the optimizer can size."""
+    the optimizer can size. ONE implementation: delegates to
+    ``_join_assign_with_dist`` and drops the distance column."""
+    return _join_assign_with_dist(e, centroids, vec_col, id_col).select(
+        id_col, "cid"
+    )
+
+
+def _join_assign_with_dist(
+    e: DataFrame, centroids, vec_col: str = "v", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id_col, cid, sqdist) — the broadcast-join assignment with the
+    6-dp-rounded squared L2 to the assigned centroid. The single body
+    both ``_assign_via_join`` (drops sqdist) and ``_assign_with_dist``
+    (large-k branch) call, so the tie rule / fold can never drift
+    between the build and maintenance paths."""
     spark = e.sparkSession
     ordered = sorted(centroids)
     cent = spark.createDataFrame(
@@ -521,7 +535,11 @@ def _assign_via_join(e: DataFrame, centroids, vec_col: str = "v", id_col: str = 
     best = j.select(
         id_col, F.struct(dist.alias("d"), F.col("cid").alias("cid")).alias("__dc")
     )
-    return best.groupBy(id_col).agg(F.min("__dc").getField("cid").alias("cid"))
+    return best.groupBy(id_col).agg(F.min("__dc").alias("__dc")).select(
+        id_col,
+        F.col("__dc.cid").alias("cid"),
+        F.round(F.col("__dc.d"), 6).alias("sqdist"),
+    )
 
 
 def _assign_frame(e: DataFrame, centroids) -> DataFrame:
@@ -603,6 +621,15 @@ def _write_ivf_artifacts(spark, adir: str, centroids, assign: DataFrame) -> None
         [(int(cid), [float(x) for x in cv]) for cid, cv in centroids],
         "cid int, centroid array<double>",
     )
+    # a REBUILT index invalidates the derived per-list build stats
+    # (ivf_assign_increment's drift baseline). Delete BEFORE the
+    # centroid swap: a crash between the two then leaves the OLD index
+    # with missing stats (a correct backfill on next use), never a NEW
+    # index paired with the old baseline (silent drift mis-measure).
+    stats = os.path.join(adir, "list_stats")
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(stats).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jvm_path(stats), True)
     # coalesce(1): the artifacts are k rows / n_vec 2-col rows — at real
     # scale the assignment table would stay partitioned (drop the
     # coalesce); the swap keeps readers off partial writes.
@@ -611,13 +638,6 @@ def _write_ivf_artifacts(spark, adir: str, centroids, assign: DataFrame) -> None
         tmp = final + ".__tmp__"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         swap_dirs(spark, tmp, final)
-    # a REBUILT index invalidates the derived per-list build stats
-    # (ivf_assign_increment's drift baseline) — stale stats against
-    # fresh centroids would mis-measure drift silently
-    stats = os.path.join(adir, "list_stats")
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    fs = jvm_path(stats).getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(jvm_path(stats), True)
 
 
 def _corpus_fingerprint(corpus_or_assign: DataFrame):
@@ -708,7 +728,8 @@ def _ivf_assignments(spark, sf_dir: str) -> DataFrame:
 def _assign_with_dist(e: DataFrame, centroids) -> DataFrame:
     """(vec_id, cid, sqdist): nearest-centroid assignment PLUS the
     squared L2 to the assigned centroid (6 dp), by the k-appropriate
-    path (literal expression / broadcast join — same arithmetic as
+    path (literal expression up to IVF_LITERAL_K_MAX, else the shared
+    broadcast-join body ``_join_assign_with_dist`` — same arithmetic as
     ``_assign_frame``, extended to carry the distance)."""
     ordered = sorted(centroids)
     if len(ordered) <= IVF_LITERAL_K_MAX:
@@ -729,29 +750,7 @@ def _assign_with_dist(e: DataFrame, centroids) -> DataFrame:
             ).alias("cid"),
             F.round(F.array_min(dists), 6).alias("sqdist"),
         )
-    spark = e.sparkSession
-    cent = spark.createDataFrame(
-        [(int(cid), [float(x) for x in cv]) for cid, cv in ordered],
-        "cid bigint, cv array<double>",
-    )
-    j = (
-        e.select("vec_id", F.col("v").alias("__v"))
-        .withColumn("__k", F.lit(1))
-        .join(F.broadcast(cent.withColumn("__k", F.lit(1))), "__k")
-    )
-    dist = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, val: acc + val,
-    )
-    best = j.select(
-        "vec_id", F.struct(dist.alias("d"), F.col("cid").alias("cid")).alias("__dc")
-    )
-    return best.groupBy("vec_id").agg(F.min("__dc").alias("__dc")).select(
-        "vec_id",
-        F.col("__dc.cid").alias("cid"),
-        F.round(F.col("__dc.d"), 6).alias("sqdist"),
-    )
+    return _join_assign_with_dist(e, centroids)
 
 
 def _ivf_list_stats(spark, sf_dir: str) -> DataFrame:

@@ -109,6 +109,20 @@ class LendingEventsReader(DataSourceReader):
         return min(self.end, self.start + self.max_window_days * WINDOW_SECONDS)
 
     def partitions(self):
+        if self.clamped_end() < self.end:
+            # the truncation must not be invisible: a caller outside
+            # the S7 watermark re-run loop would otherwise ship a
+            # silently incomplete extract (raise max_window_days to
+            # opt out explicitly)
+            import warnings
+
+            warnings.warn(
+                f"lending_events_api: requested window [{self.start},"
+                f"{self.end}) clamped to {self.max_window_days} days "
+                f"(ends {self.clamped_end()}); incremental re-runs "
+                "ingest the remainder",
+                stacklevel=2,
+            )
         windows = [
             (s, min(s + WINDOW_SECONDS, self.clamped_end()))
             for s in range(self.start, self.clamped_end(), WINDOW_SECONDS)

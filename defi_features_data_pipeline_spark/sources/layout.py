@@ -41,6 +41,10 @@ def interleave_bits(x: "F.Column", y: "F.Column", bits: int) -> "F.Column":
     ``&``/``|`` on Columns are logical operators."""
     if 2 * bits > 62:
         raise ValueError("2*bits must fit a signed 64-bit int")
+    # cast to LONG before shifting: on an int-typed input (ntile
+    # returns int) shiftleft stays 32-bit and wraps/sign-extends past
+    # position 31, silently corrupting codes for bits >= 16
+    x, y = x.cast("long"), y.cast("long")
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = z.bitwiseOR(

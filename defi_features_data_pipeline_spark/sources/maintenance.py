@@ -62,7 +62,7 @@ def optimize_zorder(
     never observe a partial state. Returns (files_before,
     files_after)."""
     from .fsutil import list_parquet_files, swap_dirs
-    from .layout import zorder_code
+    from .layout import write_zordered
 
     files = list_parquet_files(spark, path)
     if not files:
@@ -70,16 +70,10 @@ def optimize_zorder(
     total_bytes = sum(sz for _, sz in files)
     n_out = n_files or max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
 
-    df = spark.read.parquet(path)
-    z = df.withColumn("__z", zorder_code(df, cols, bits))
+    # ONE z-write recipe lives in sources/layout.py; this pass adds the
+    # bin-packed file count and the atomic swap
     tmp = path.rstrip("/") + ".__optimize_tmp__"
-    (
-        z.repartitionByRange(n_out, F.col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
+    write_zordered(spark.read.parquet(path), tmp, cols, bits=bits, n_files=n_out)
     swap_dirs(spark, tmp, path)
     return len(files), len(list_parquet_files(spark, path))
 

@@ -77,8 +77,10 @@ def translate_presto(sql: str, now_epoch: int | None = None) -> str:
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
     if now_epoch is not None:
+        # cover Presto's parenthesized form too — a bare rewrite would
+        # turn current_timestamp() into timestamp_seconds(N)()
         out = re.sub(
-            r"\bcurrent_timestamp\b",
+            r"\bcurrent_timestamp\b(\s*\(\s*\))?",
             f"timestamp_seconds({int(now_epoch)})",
             out,
             flags=re.I,

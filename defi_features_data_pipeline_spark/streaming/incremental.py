@@ -80,10 +80,16 @@ def stream_upsert_with_quarantine(
     from ..sources.sinks import upsert_parquet
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources.fsutil import has_committed_data
+
         clean, quarantined = suite.split(batch_df)
-        quarantined.withColumn("dq_batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(quarantine_dir)
+        tagged = quarantined.withColumn("dq_batch_id", F.lit(batch_id))
+        # append only when there is something to quarantine — an
+        # unconditional append would accumulate one empty part file
+        # per healthy micro-batch forever. The first batch writes even
+        # when empty so the sink exists with its schema for readers.
+        if not tagged.isEmpty() or not has_committed_data(spark, quarantine_dir):
+            tagged.write.mode("append").parquet(quarantine_dir)
         if not clean.isEmpty():
             upsert_parquet(spark, clean, serve_dir, key=key)
 

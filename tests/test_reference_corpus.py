@@ -157,3 +157,9 @@ def test_translate_presto_pins_now(spark):
     )
     assert "current_timestamp" not in sql.lower()
     assert spark.sql(sql).first()["now_s"] == NOW
+    # Presto's parenthesized form must not become timestamp_seconds(N)()
+    sql2 = translate_presto(
+        "SELECT cast(to_unixtime(current_timestamp()) as decimal) AS now_s",
+        now_epoch=NOW,
+    )
+    assert spark.sql(sql2).first()["now_s"] == NOW
