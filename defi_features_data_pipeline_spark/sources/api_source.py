@@ -201,5 +201,130 @@ class LendingEventsAPISource(DataSource):
         return LendingEventsReader(self.options)
 
 
+# ---------------------------------------------------------------------------
+# S2/S3: block-pinned Graph-positions source with KEYSET pagination
+# ---------------------------------------------------------------------------
+
+KEYSET_PAGE = 1_000  # the Graph's page cap (`historical_account_positions.py:83`)
+
+
+def fetch_positions(block_number: int, last_id: str, limit: int) -> list[dict]:
+    """Synthetic stand-in for the block-pinned Graph query
+    (`historical_account_positions.py:40-106`): positions AT a pinned
+    block, keyset-paginated by ``id > last_id`` in id order.
+    Deterministic in (block_number, last_id): ~1.7 pages per block so
+    the keyset loop is actually exercised."""
+    per_block = 1_700
+    all_ids = [f"pos-{block_number}-{i:06d}" for i in range(per_block)]
+    start = 0
+    if last_id:
+        # strictly-after semantics of keyset pagination
+        import bisect
+
+        start = bisect.bisect_right(all_ids, last_id)
+    rows = []
+    for pid in all_ids[start : start + limit]:
+        seed = hashlib.md5(pid.encode()).hexdigest()
+        rows.append(
+            {
+                "id": pid,
+                "account": "0x" + seed[:40],
+                "balance": float(int(seed[:8], 16)),
+                "side": "BORROWER" if int(seed[8], 16) % 2 else "LENDER",
+                "block_number": block_number,
+                "protocol": "aave-v2-eth" if int(seed[9], 16) % 2 else "compound-v2-eth",
+            }
+        )
+    return rows
+
+
+DEFAULT_POSITIONS_BACKEND = f"{__name__}:fetch_positions"
+
+
+class _BlockPartition(InputPartition):
+    def __init__(self, blocks: list[int]):
+        self.blocks = blocks
+
+
+class GraphPositionsReader(DataSourceReader):
+    """One fetch task per PINNED BLOCK (the reference queries the
+    subgraph's state AT each daily first block — S2), each draining its
+    keyset pages sequentially (S3: ``last_id`` cursor, page cap
+    ``KEYSET_PAGE``, stop on a short page). ``max_parallel`` packs
+    blocks per task exactly like the events reader — the reference
+    bounds the same fan-out with an asyncio.Semaphore
+    (CURRENT_POSITIONS_MAX_PARALLEL_REQUESTS)."""
+
+    def __init__(self, options: dict):
+        self.block_start = int(options["block_start"])
+        self.block_end = int(options["block_end"])
+        self.block_step = int(options.get("block_step", 7200))
+        self.backend = options.get("backend", DEFAULT_POSITIONS_BACKEND)
+        self.max_retries = int(options.get("max_retries", MAX_RETRIES))
+        self.retry_backoff = float(options.get("retry_backoff", 0.05))
+        self.max_parallel = int(options.get("max_parallel", 0))
+
+    def partitions(self):
+        blocks = list(range(self.block_start, self.block_end, self.block_step))
+        if self.max_parallel > 0 and len(blocks) > self.max_parallel:
+            buckets: list[list[int]] = [[] for _ in range(self.max_parallel)]
+            for i, b in enumerate(blocks):
+                buckets[i % self.max_parallel].append(b)
+            return [_BlockPartition(b) for b in buckets if b]
+        return [_BlockPartition([b]) for b in blocks]
+
+    def read(self, partition: _BlockPartition) -> Iterator[tuple]:
+        fetch = _resolve_backend(self.backend)
+        for block in partition.blocks:
+            last_id = ""
+            while True:  # keyset pagination (S3)
+                last: Exception | None = None
+                page = None
+                for attempt in range(self.max_retries):
+                    try:
+                        page = fetch(block, last_id, KEYSET_PAGE)
+                        break
+                    except Exception as exc:  # noqa: BLE001
+                        last = exc
+                        if attempt + 1 < self.max_retries:
+                            time.sleep(self.retry_backoff * (attempt + 1))
+                if page is None:
+                    raise RuntimeError(
+                        f"positions fetch failed after {self.max_retries} "
+                        f"attempts: block={block} last_id={last_id!r}"
+                    ) from last
+                for r in page:
+                    yield (
+                        r["id"],
+                        r["account"],
+                        r["balance"],
+                        r["side"],
+                        r["block_number"],
+                        r["protocol"],
+                    )
+                if len(page) < KEYSET_PAGE:
+                    break
+                last_id = page[-1]["id"]
+
+
+class GraphPositionsAPISource(DataSource):
+    """``spark.read.format("graph_positions_api")`` — options:
+    block_start, block_end, block_step (default 7200 ≈ daily)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "graph_positions_api"
+
+    def schema(self) -> str:
+        return (
+            "id string, account string, balance double, side string,"
+            " block_number long, protocol string"
+        )
+
+    def reader(self, schema) -> GraphPositionsReader:
+        return GraphPositionsReader(self.options)
+
+
 def register(spark) -> None:
     spark.dataSource.register(LendingEventsAPISource)
+    spark.dataSource.register(GraphPositionsAPISource)

@@ -566,6 +566,39 @@ def test_api_source_max_window_clamp(spark):
     assert wide.count() == 30 * 120  # bound is explicit, not hardwired
 
 
+def test_graph_positions_keyset_pagination(spark):
+    """S2/S3: block-pinned partitions with keyset pagination — 1,700
+    positions per block means two pages per block (1,000 + 700: the
+    cursor loop actually runs), every id unique, every row pinned to
+    its partition's block, and the extract is deterministic."""
+    from defi_features_data_pipeline_spark.sources.api_source import register
+
+    register(spark)
+
+    def _read(**opts):
+        r = (
+            spark.read.format("graph_positions_api")
+            .option("block_start", 18_000_000)
+            .option("block_end", 18_000_000 + 3 * 7200)
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    df = _read()
+    rows = df.collect()
+    assert df.rdd.getNumPartitions() == 3  # one per pinned block
+    assert len(rows) == 3 * 1700  # both keyset pages drained per block
+    assert len({r["id"] for r in rows}) == len(rows)  # cursor skips nothing
+    assert {r["block_number"] for r in rows} == {
+        18_000_000, 18_007_200, 18_014_400
+    }
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, _read().collect()))
+    bounded = _read(max_parallel="2")
+    assert bounded.rdd.getNumPartitions() == 2
+    assert sorted(map(tuple, bounded.collect())) == sorted(map(tuple, rows))
+
+
 def test_api_source_bounded_concurrency(spark):
     """NUMBER_OF_THREADS concurrency bound: max_parallel=3 packs the 10
     day-windows into 3 fetch tasks (the cluster can never exceed the
