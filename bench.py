@@ -509,6 +509,17 @@ def main() -> None:
 
     scale_probe: dict[str, object] = {}
     probe_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", SCALE_PROBE_DIR)
+    if not os.path.isdir(probe_dir) and probe_dir == SCALE_PROBE_DIR and sf == "0.1":
+        # self-heal in a fresh checkout: the probe data is gitignored
+        # (deterministic generator, ~1 min) while its index artifacts
+        # are committed — regenerate so fingerprints match again
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from make_scale_probe import generate as _gen_probe
+
+            _gen_probe(10, sf_dir, probe_dir)
+        except Exception as exc:  # noqa: BLE001 — probe is optional
+            errors["scale_probe"] = f"{type(exc).__name__}: {exc}"[:300]
     if os.path.isdir(probe_dir) and sf == "0.1":
         # derive the ratio from the probe dir's sf name (a probe set
         # generated at a different replication factor must not be

@@ -252,8 +252,8 @@ class GraphPositionsReader(DataSourceReader):
     keyset pages sequentially (S3: ``last_id`` cursor, page cap
     ``KEYSET_PAGE``, stop on a short page). ``max_parallel`` packs
     blocks per task exactly like the events reader — the reference
-    bounds the same fan-out with an asyncio.Semaphore
-    (CURRENT_POSITIONS_MAX_PARALLEL_REQUESTS)."""
+    bounds the same fan-out with ``asyncio.Semaphore(10)``
+    (`historical_account_positions.py:138`)."""
 
     def __init__(self, options: dict):
         self.block_start = int(options["block_start"])
