@@ -1349,7 +1349,14 @@ def q_token_rarity_score(spark, sf_dir):
     toks = d.withColumn("__toks", F.expr(TOKENS_SPARK)).select(
         "doc_id", F.explode_outer("__toks").alias("t")
     ).filter(F.col("t").isNotNull())
-    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    # shuffle_hash hint: the vocabulary is CORPUS-SCALED (unbounded at
+    # real scale; Heaps' law) — the planner's post-aggregate size
+    # estimate auto-broadcast it, which failed outright at the sf10
+    # probe. A per-partition hash build scales; a broadcast must fit
+    # one node.
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf")).hint(
+        "shuffle_hash"
+    )
     total = freq.agg(F.sum("tf").cast("double").alias("__total"))
     # corpus total as a scalar subquery (runs once, embeds as literal)
     # instead of a 1-row crossJoin — drops the BNLJ node entirely
@@ -1538,9 +1545,29 @@ def q_dedup_lsh_verified(spark, sf_dir):
     candidate list joins back to the shingle table on doc id, so the
     verify cost is O(candidates x shingles-per-doc), never O(n^2).
     ``dedup_ngram_jaccard`` is the exact-baseline twin kept for recall
-    measurement; this composition is what ships at scale."""
-    cand = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    sh = _doc_shingles(spark, sf_dir)
+    measurement; this composition is what ships at scale.
+
+    Join-strategy note (sf10 probe finding): the verify joins'
+    original shape joined the candidate list against the FULL shingle
+    table — whose compressed-bytes estimate sat under the broadcast
+    threshold, so the planner built a 25M-row hashed relation and
+    failed outright at sf10 ("Not enough memory to build and
+    broadcast"). The scalable shape reduces the shingle table FIRST
+    with a left-semi join against the candidate-touched doc ids (one
+    shuffle; the corpus side streams, never builds), after which every
+    verify frame is bounded by |candidates| x shingles-per-doc and any
+    join strategy fits."""
+    cand = (
+        q_dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # 3 consumers; don't re-run banding per branch
+    )
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _doc_shingles(spark, sf_dir).join(ids, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s"))
