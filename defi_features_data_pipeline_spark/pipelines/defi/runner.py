@@ -252,12 +252,28 @@ def run_pipeline(
     # consumer can never read new features against the previous run's
     # report (sources/fsutil.py::snapshot_publish; readers use
     # snapshot_resolve(cat.path("analytics", "defi_features_certified"))).
+    #
+    # Streaming mode does not halt on row-attributable failures, so
+    # "certified" must not quietly include rows that failed constraints:
+    # the snapshot's `features` table is the CLEAN split and the failing
+    # rows are published alongside as `quarantine` (with dq_reasons), so
+    # certified consumers get the same rows the serving sink serves and
+    # triage keeps its evidence. Batch mode halted on ANY failure above,
+    # so there `features` is the full (all-clean) frame and `quarantine`
+    # is empty by construction.
     from ...sources.fsutil import snapshot_publish
 
+    from .quality import DEFI_FEATURES_SUITE as _suite
+
+    certified_clean, certified_quarantine = _suite.split(features)
     snapshot_publish(
         spark,
         cat.path("analytics", "defi_features_certified"),
-        {"features": features, "dq_report": dq_report},
+        {
+            "features": certified_clean,
+            "dq_report": dq_report,
+            "quarantine": certified_quarantine,
+        },
     )
     # serving sink: key-upsert keyed on walletAddress. Streaming mode
     # serves THROUGH the quarantine gate: the certified analytics table

@@ -807,13 +807,38 @@ def ivf_assign_increment(
       exceeds ``drift_threshold``; lists unseen at build time
       (n_build null) always flag. The refit itself is the existing
       build path, triggered by the caller on flagged evidence instead
-      of on a timer."""
+      of on a timer.
+
+    Degenerate baselines: a list whose build vectors sit exactly on
+    their centroid (singleton or duplicate-vector list) has
+    ``mean_sqdist_build == 0`` — an absolute 1e-12 floor there makes
+    any nonzero in-distribution append explode the ratio (~1e12) and
+    spuriously flag. The floor is therefore DATA-RELATIVE: 1e-3 of
+    the corpus-wide weighted mean build distance (itself 6-dp rounded,
+    exact-decimal accumulated, so both engines derive the identical
+    epsilon), with 1e-12 as the last-resort bound when the whole
+    build is degenerate."""
     centroids = _ivf_index(spark, sf_dir)
     e = new_vecs.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     assigned = _assign_with_dist(e, centroids)
     build = _ivf_list_stats(spark, sf_dir)
+    # corpus-wide weighted mean of the (already 6-dp) per-list build
+    # means: decimal numerator (exact, order-independent), pure double
+    # division, 6-dp round — bit-identical in Spark and DuckDB.
+    gmean = build.agg(
+        F.round(
+            F.sum(
+                F.col("mean_sqdist_build").cast("decimal(38,10)")
+                * F.col("n_build")
+            ).cast("double")
+            / F.sum("n_build").cast("double"),
+            6,
+        ).alias("g")
+    )
+    eps = F.greatest(gmean.scalar() * F.lit(1e-3), F.lit(1e-12))
+    floor = F.greatest(F.col("mean_sqdist_build"), eps)
     drift = (
         assigned.groupBy("cid")
         .agg(
@@ -827,18 +852,10 @@ def ivf_assign_increment(
             "mean_sqdist_new",
             "n_build",
             "mean_sqdist_build",
-            F.round(
-                F.col("mean_sqdist_new")
-                / F.greatest(F.col("mean_sqdist_build"), F.lit(1e-12)),
-                4,
-            ).alias("drift_ratio"),
+            F.round(F.col("mean_sqdist_new") / floor, 4).alias("drift_ratio"),
             (
                 F.col("mean_sqdist_build").isNull()
-                | (
-                    F.col("mean_sqdist_new")
-                    > F.greatest(F.col("mean_sqdist_build"), F.lit(1e-12))
-                    * drift_threshold
-                )
+                | (F.col("mean_sqdist_new") > floor * drift_threshold)
             ).alias("refit"),
         )
     )
@@ -7039,14 +7056,22 @@ assigned AS (
 agg AS (
   SELECT cid, COUNT(*) AS n_new, round(avg(sqdist), 6) AS mean_sqdist_new
   FROM assigned GROUP BY 1
+),
+gstat AS (
+  SELECT greatest(
+           round(CAST(CAST(SUM(CAST(mean_sqdist_build AS DECIMAL(38,10))
+                               * n_build) AS VARCHAR) AS DOUBLE)
+                 / CAST(SUM(n_build) AS DOUBLE), 6) * 1e-3,
+           1e-12) AS eps
+  FROM stats
 )
 SELECT a.cid, a.n_new, a.mean_sqdist_new, s.n_build, s.mean_sqdist_build,
-       round(a.mean_sqdist_new / greatest(s.mean_sqdist_build, 1e-12), 4)
+       round(a.mean_sqdist_new / greatest(s.mean_sqdist_build, g.eps), 4)
          AS drift_ratio,
        (s.mean_sqdist_build IS NULL
-        OR a.mean_sqdist_new > greatest(s.mean_sqdist_build, 1e-12) * 2.0)
+        OR a.mean_sqdist_new > greatest(s.mean_sqdist_build, g.eps) * 2.0)
          AS refit
-FROM agg a LEFT JOIN stats s ON s.cid = a.cid
+FROM agg a LEFT JOIN stats s ON s.cid = a.cid CROSS JOIN gstat g
 """
 
 EXT_QUERIES["ivf_increment_drift"] = q_ivf_increment_drift

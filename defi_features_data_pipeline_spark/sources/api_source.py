@@ -99,6 +99,9 @@ class LendingEventsReader(DataSourceReader):
         self.max_window_days = int(
             options.get("max_window_days", MAX_TIMEWINDOW_DAYS)
         )
+        self.allow_truncation = (
+            str(options.get("allow_truncation", "false")).lower() == "true"
+        )
         self.max_parallel = int(options.get("max_parallel", 0))  # 0 = unbounded
 
     def clamped_end(self) -> int:
@@ -110,10 +113,25 @@ class LendingEventsReader(DataSourceReader):
 
     def partitions(self):
         if self.clamped_end() < self.end:
-            # the truncation must not be invisible: a caller outside
-            # the S7 watermark re-run loop would otherwise ship a
-            # silently incomplete extract (raise max_window_days to
-            # opt out explicitly)
+            # The truncation must be IN-BAND, not a driver-side warning
+            # a batch caller can miss: a clamped read succeeds only when
+            # the caller explicitly acknowledged partial extracts with
+            # allow_truncation=true (the S7 watermark re-run loop does —
+            # it re-reads from the high watermark until caught up);
+            # a one-shot backfill that forgot the clamp fails LOUDLY
+            # here instead of shipping 10 of 30 days with a green job
+            # status. DIVERGENCE, documented: the reference clamps
+            # silently (config/settings.toml MAX_TIMEWINDOW +
+            # historical_market_data.py window loop).
+            if not self.allow_truncation:
+                raise ValueError(
+                    f"lending_events_api: requested window [{self.start},"
+                    f"{self.end}) exceeds max_window_days="
+                    f"{self.max_window_days} and would be truncated at "
+                    f"{self.clamped_end()}. Pass allow_truncation=true "
+                    "to accept a clamped extract (incremental re-runs "
+                    "ingest the remainder), or raise max_window_days."
+                )
             import warnings
 
             warnings.warn(

@@ -72,26 +72,51 @@ def stream_upsert_with_quarantine(
 
     Exactly-once: the file-source checkpoint tracks which feature
     files each batch consumed, and both sinks are written inside one
-    ``foreachBatch`` — a replayed batch re-upserts the same keys
-    (idempotent) and re-appends its quarantine rows keyed by the same
-    ``dq_batch_id`` (dedupable on (key, dq_batch_id))."""
-    from pyspark.sql import functions as F
+    ``foreachBatch``. A replayed batch re-upserts the same keys
+    (idempotent) and OVERWRITES its own quarantine partition —
+    quarantine rows land under ``dq_batch_id=<id>/`` (a partition
+    directory keyed by the batch id), so a crash between the two
+    writes followed by a replay replaces the partial partition instead
+    of duplicating rows; readers of the quarantine sink see standard
+    partition discovery with ``dq_batch_id`` as a column and never
+    need to dedup.
+
+    Per-batch cost: the batch is persisted once, so the clean/
+    quarantine split and the two emptiness probes all scan the cached
+    micro-batch — one source read per batch, not three (the split's
+    two filters re-read the file source otherwise)."""
+    import os as _os
 
     from ..sources.sinks import upsert_parquet
 
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        from ..sources.fsutil import has_committed_data
+    def _quarantine_sink_exists() -> bool:
+        from ..sources.fsutil import _fs
 
-        clean, quarantined = suite.split(batch_df)
-        tagged = quarantined.withColumn("dq_batch_id", F.lit(batch_id))
-        # append only when there is something to quarantine — an
-        # unconditional append would accumulate one empty part file
-        # per healthy micro-batch forever. The first batch writes even
-        # when empty so the sink exists with its schema for readers.
-        if not tagged.isEmpty() or not has_committed_data(spark, quarantine_dir):
-            tagged.write.mode("append").parquet(quarantine_dir)
-        if not clean.isEmpty():
-            upsert_parquet(spark, clean, serve_dir, key=key)
+        fs, p = _fs(spark, quarantine_dir)
+        if not fs.exists(p):
+            return False
+        for st in fs.listStatus(p):
+            if st.getPath().getName().startswith("dq_batch_id="):
+                return True
+        return False
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            clean, quarantined = suite.split(batch_df)
+            part_dir = _os.path.join(quarantine_dir, f"dq_batch_id={batch_id}")
+            # write only when there is something to quarantine — an
+            # unconditional write would accumulate one empty partition
+            # per healthy micro-batch forever. The first batch writes
+            # even when empty so the sink exists with its schema for
+            # readers. mode=overwrite scoped to THIS batch's partition
+            # directory makes replay idempotent.
+            if not quarantined.isEmpty() or not _quarantine_sink_exists():
+                quarantined.write.mode("overwrite").parquet(part_dir)
+            if not clean.isEmpty():
+                upsert_parquet(spark, clean, serve_dir, key=key)
+        finally:
+            batch_df.unpersist()
 
     stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
     if transform is not None:

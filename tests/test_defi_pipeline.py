@@ -246,7 +246,11 @@ def test_certified_snapshot_pairs_features_with_dq_report(spark, lake, features)
     """The analytics layer publishes features + the DQ report that
     certified them as ONE cross-table snapshot: both resolve from the
     same version, the feature table matches the serving contract row
-    count, and the report certifies a passing run (all is_fail false)."""
+    count, and the report certifies a passing run (all is_fail false).
+    The snapshot also carries the `quarantine` table (rows that failed
+    row-attributable constraints, with dq_reasons) so certified
+    consumers never receive failing rows unknowingly — empty on this
+    healthy lake."""
     from defi_features_data_pipeline_spark.sources.fsutil import (
         snapshot_resolve,
         snapshot_versions,
@@ -256,9 +260,12 @@ def test_certified_snapshot_pairs_features_with_dq_report(spark, lake, features)
     versions = snapshot_versions(spark, root)
     assert versions, "pipeline did not publish a certified snapshot"
     m = snapshot_resolve(spark, root)
-    assert set(m) == {"features", "dq_report"}
+    assert set(m) == {"features", "dq_report", "quarantine"}
     feats = spark.read.parquet(m["features"])
     report = spark.read.parquet(m["dq_report"])
     assert feats.count() == features.count()
     rows = report.collect()
     assert rows and all(not r["is_fail"] for r in rows)
+    quarantine = spark.read.parquet(m["quarantine"])
+    assert "dq_reasons" in quarantine.columns
+    assert quarantine.count() == 0  # healthy lake: nothing diverted

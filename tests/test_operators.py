@@ -542,15 +542,29 @@ def test_api_source_max_window_clamp(spark):
     """MAX_TIMEWINDOW_DAYS=10 (`config/settings.toml:10`): a 30-day
     request ingests exactly the first 10 days — the incremental
     watermark (S7) catches the rest up on later runs — so a backfill
-    can never issue an unbounded remote query."""
+    can never issue an unbounded remote query. Truncation is IN-BAND:
+    without allow_truncation=true an over-clamp request FAILS loudly
+    instead of shipping a partial extract under a green job status."""
+    import pytest as _pytest
+
     from defi_features_data_pipeline_spark.sources.api_source import register
 
     register(spark)
+    with _pytest.raises(Exception, match="allow_truncation"):
+        (
+            spark.read.format("lending_events_api")
+            .option("event", "deposit")
+            .option("start", 1_700_000_000)
+            .option("end", 1_700_000_000 + 30 * 86400)
+            .load()
+            .count()
+        )
     df = (
         spark.read.format("lending_events_api")
         .option("event", "deposit")
         .option("start", 1_700_000_000)
         .option("end", 1_700_000_000 + 30 * 86400)
+        .option("allow_truncation", "true")
         .load()
     )
     assert df.count() == 10 * 120  # clamped to 10 day-windows
@@ -870,6 +884,40 @@ def test_ivf_increment_assigns_without_fit_and_flags_drift(spark, monkeypatch):
     rows = drift2.collect()
     assert rows and all(r["refit"] for r in rows)
     assert all(r["drift_ratio"] is None or r["drift_ratio"] > 2 for r in rows)
+
+
+def test_ivf_increment_zero_baseline_list_uses_relative_floor(spark, monkeypatch):
+    """A list whose build vectors sit exactly on their centroid has
+    mean_sqdist_build == 0; with an ABSOLUTE 1e-12 floor any nonzero
+    in-distribution append exploded drift_ratio (~1e9) and spuriously
+    flagged a refit. The floor is data-relative (1e-3 of the corpus-
+    wide weighted mean build distance), so tiny-distance appends to a
+    degenerate list stay quiet while genuinely spread-out appends
+    still flag."""
+    from defi_features_data_pipeline_spark.queries import extensions as X
+
+    cent = [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
+    stats = spark.createDataFrame(
+        [(0, 5, 0.0), (1, 95, 0.5)],
+        "cid bigint, n_build bigint, mean_sqdist_build double",
+    )
+    monkeypatch.setattr(X, "_ivf_index", lambda *a, **k: cent)
+    monkeypatch.setattr(X, "_ivf_list_stats", lambda *a, **k: stats)
+    # global weighted mean g = (0*5 + 0.5*95)/100 = 0.475 → eps = 4.75e-4
+    # batch lands on the degenerate list at sqdist 1e-4 < eps*2 → quiet
+    near = spark.createDataFrame(
+        [(1, [0.01, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    _, drift = X.ivf_assign_increment(spark, "unused", near)
+    row = drift.filter("cid = 0").first()
+    assert row["refit"] is False
+    assert row["drift_ratio"] < 1.0  # 1e-4 / 4.75e-4 ≈ 0.21, not ~1e8
+    # spread-out appends to the same degenerate list still flag
+    far = spark.createDataFrame(
+        [(2, [0.3, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    _, drift2 = X.ivf_assign_increment(spark, "unused", far)
+    assert drift2.filter("cid = 0").first()["refit"] is True
 
 
 def test_ivf_rebuild_invalidates_list_stats(spark, tmp_path):

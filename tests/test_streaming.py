@@ -428,14 +428,14 @@ def test_streaming_quarantine_serves_good_rows(spark, tmp_path):
         cols,
     )
     batch1.write.mode("append").parquet(src)
-    run = lambda: stream_upsert_with_quarantine(  # noqa: E731
+    run = lambda c=ckpt: stream_upsert_with_quarantine(  # noqa: E731
         spark,
         src,
         batch1.schema,
         DEFI_FEATURES_SUITE,
         serve,
         quarantine,
-        ckpt,
+        c,
         key="wallet_address",
     )
     run()
@@ -461,6 +461,32 @@ def test_streaming_quarantine_serves_good_rows(spark, tmp_path):
     assert len(quar2) == 3
     batch_ids = {r["dq_batch_id"] for r in quar2}
     assert len(batch_ids) == 2  # two micro-batches, attributable for replay
+
+    # crash-replay idempotency: restart from a checkpoint whose last
+    # batch's commit marker never landed — the classic crash-between-
+    # sink-writes window (checkpoint copied to a fresh path: Spark
+    # caches metadata-log state per checkpoint path in-process). The
+    # replayed batch OVERWRITES its own dq_batch_id partition, so the
+    # quarantine sink holds exactly the same rows, never duplicates.
+    import os
+    import shutil
+
+    ckpt2 = str(tmp_path / "ckpt_replay")
+    shutil.copytree(ckpt, ckpt2)
+    commits = os.path.join(ckpt2, "commits")
+    last_commit = max(
+        f for f in os.listdir(commits) if not f.startswith(".")
+    )
+    os.remove(os.path.join(commits, last_commit))
+    crc = os.path.join(commits, f".{last_commit}.crc")
+    if os.path.exists(crc):  # stale Hadoop checksum blocks the rewrite
+        os.remove(crc)
+    run(ckpt2)
+    quar3 = spark.read.parquet(quarantine).collect()
+    assert len(quar3) == 3
+    assert {(r["wallet_address"], r["dq_batch_id"]) for r in quar3} == {
+        (r["wallet_address"], r["dq_batch_id"]) for r in quar2
+    }
 
 
 def test_streaming_pipeline_serves_through_quarantine_gate(
