@@ -256,25 +256,32 @@ def q_small_qty_order_revenue(spark, sf_dir):
     in decimal(38,10); the 0.2*avg threshold and the `<` compare run in
     doubles derived identically in both engines.
 
-    100 TB: per-part stats are map-side combinable and tiny (one row
-    per part) — they broadcast back to the fact, so the fact shuffles
-    ZERO times; the brand filter prunes the part dim before both the
-    broadcast join and the final aggregate."""
+    100 TB: the brand filter prunes the part dim, and the per-part
+    stats are computed over the ALREADY-pruned fact (the brand is a
+    part attribute, so every row of a surviving partkey survives the
+    join — the per-part average is unchanged). The stats frame is one
+    row per surviving part — still CORPUS-SCALED (part count grows
+    with the corpus), so it is NOT broadcast-hinted: the stats↔fact
+    join shuffles on l_partkey (both sides already hash-compatible),
+    and AQE may still broadcast it at runtime from the stage's ACTUAL
+    size — the estimate-independent policy the sf10 probe taught
+    (session.py broadcast policy)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select(
         "p_partkey"
     )
-    stats = li.groupBy("l_partkey").agg(
+    branded = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    stats = branded.groupBy(F.col("l_partkey").alias("__pk")).agg(
         (
             F.sum(F.col("l_quantity").cast(DEC)).cast("double")
             / F.count(F.lit(1))
         ).alias("__avg_qty")
-    ).withColumnRenamed("l_partkey", "__pk")
+    )
     small = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(stats), F.col("l_partkey") == F.col("__pk"))
+        branded
+        .join(stats, F.col("l_partkey") == F.col("__pk"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("__avg_qty"))
     )
     return small.agg(

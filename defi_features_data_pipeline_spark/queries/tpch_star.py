@@ -497,8 +497,11 @@ def q_dominant_part_suppliers(spark, sf_dir):
 
     100 TB: the name filter prunes parts before broadcast; the pair
     and part rollups are map-side combinable on the same partkey-heavy
-    keys; the surviving supplier keyset is tiny and broadcasts into the
-    semi join — supplier itself never shuffles."""
+    keys and their join shuffles on partkey (both rollups are
+    CORPUS-SCALED — one row per surviving part / part-supplier pair —
+    so neither is broadcast-hinted; AQE may broadcast at runtime from
+    ACTUAL sizes, per the session broadcast policy). The dominant
+    keyset into the semi join is likewise left unhinted."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
     bolt = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select(
         "p_partkey"
@@ -511,13 +514,13 @@ def q_dominant_part_suppliers(spark, sf_dir):
         F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("__tot")
     )
     dominant = (
-        pair.join(F.broadcast(per_part), F.col("l_partkey") == F.col("__pk"))
+        pair.join(per_part, F.col("l_partkey") == F.col("__pk"))
         .filter(F.col("__sq") > F.lit(0.15) * F.col("__tot"))
         .select("l_suppkey")
     )
     s = _t(spark, sf_dir, "supplier")
     return s.join(
-        F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name", "s_acctbal")
 
 

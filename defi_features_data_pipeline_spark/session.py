@@ -39,7 +39,23 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast policy — the sf10-probe lesson made structural:
+        # ESTIMATE-driven broadcasts are off (-1). A static size
+        # estimate is compressed-bytes × pruning ratios — its margin to
+        # the true in-memory size is unbounded, and both 100×-probe
+        # failures were corpus-scaled frames whose estimate happened to
+        # sit under the threshold. Broadcasts now happen only when
+        # (a) the query EXPLICITLY broadcast()s a frame it can prove
+        # bounded (dims, top-k results, centroid tables), or (b) AQE
+        # converts a shuffle join at RUNTIME from the materialized
+        # stage's ACTUAL size (64 MB) — true at any scale by
+        # definition. tests/test_plan_sweep.py enforces (a) never
+        # covers a corpus-scaled subtree.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

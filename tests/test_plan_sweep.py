@@ -64,3 +64,136 @@ def test_exact_baselines_guarded_at_scale(spark, sf_dir, name, twin, monkeypatch
     monkeypatch.setenv("SPARK_GRAFT_EXACT_BASELINE_MAX_ROWS", "10")
     with pytest.raises(ValueError, match=twin):
         ALL_QUERIES[name](spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-broadcast sweep — the sf10 lesson as a standing structural ban
+# ---------------------------------------------------------------------------
+#
+# Both r7 sf10-probe failures shared one mechanism: a corpus-derived
+# frame whose size ESTIMATE (compressed bytes × pruning/aggregate
+# ratios) sat under the broadcast threshold, so the planner built a
+# hashed relation of something that is executor-memory-scale at 100 TB.
+# Two layers enforce the fix:
+#   1. session policy (session.py): spark.sql.autoBroadcastJoinThreshold
+#      = -1 — static, estimate-fed broadcasts are OFF; AQE's RUNTIME
+#      conversion (actual stage sizes) and explicit broadcast() remain.
+#   2. this sweep: every gated query's plan is composed at the sweep SF
+#      with AQE off and audited — no BroadcastExchange may cover a
+#      corpus-table scan (documents/embeddings/lineitem/orders/events)
+#      without a structural bound (limit / global or bounded-domain-key
+#      aggregate / left-semi reduction) on the path
+#      (plans/inspect.py::corpus_broadcast_violations).
+#
+# BOUNDED_BROADCAST_OK: explicit broadcast()s whose build side is
+# bounded BY CONSTRUCTION in a way the plan walker cannot prove.
+# Every entry must say WHY the frame cannot scale with the corpus.
+
+import os
+
+from defi_features_data_pipeline_spark.plans.inspect import (
+    corpus_broadcast_violations,
+)
+
+SWEEP_SF_DIR = os.environ.get("SPARK_GRAFT_SWEEP_SF_DIR", "/root/testdata/sf0.1")
+
+BOUNDED_BROADCAST_OK = {
+    "knn_cosine_topk": "build side is the <=10 query vectors (vec_id < 10)",
+    "hybrid_search_rrf": "dense leg broadcasts ONE query vector (vec_id = 0)",
+    "ann_ivf_topk": "query vector + nprobe probe-list rows (k-bounded index)",
+    "ann_ivf_multiprobe": "query vector + k-bounded multiprobe list",
+    "ann_ivf_quantized": "query vector + k-bounded probe list",
+    "ann_pq_adc": "per-query ADC LUT: m subspaces x 256 codes rows",
+    "ann_pq_rescore": "ADC LUT + top-N shortlist ids (window-rank bounded)",
+    "decontaminate_overlap": (
+        "benchmark shingle set (doc_id < 5 stand-in): a test SUITE, "
+        "fixed size by definition, never corpus-scaled"
+    ),
+    "heavy_hitters_mg": (
+        "Misra-Gries candidate set: <= ceil(1/phi)+1 keys by the "
+        "sketch's capacity bound (operators/sketches.py)"
+    ),
+    "pareto_frontier": (
+        "per-day prior-max map: one row per calendar day — bounded by "
+        "the calendar, not the data (skyline_2d docstring)"
+    ),
+    "exact_median_twopass": (
+        "per-(event_type, bucket) stats: |event-type enum| x 1024 "
+        "histogram buckets, both domains fixed by construction"
+    ),
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(set(ALL_QUERIES) - set(BOUNDED_BROADCAST_OK) - EXACT_BASELINES),
+)
+def test_no_unbounded_corpus_broadcast(spark, name):
+    """No gated query may put an unbounded corpus-table subtree under a
+    BroadcastExchange — composed at sf0.1 with AQE off so every static
+    broadcast decision is an explicit, walkable exchange node."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = ALL_QUERIES[name](spark, SWEEP_SF_DIR)
+        bad = corpus_broadcast_violations(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert not bad, (
+        f"{name}: corpus-scaled subtree under BroadcastExchange "
+        f"(estimate-dependent broadcast): {bad}"
+    )
+
+
+def test_session_policy_disables_estimate_broadcasts(spark):
+    """The session must keep static (estimate-fed) broadcasts off and
+    runtime (actual-size-fed) conversion on — the policy layer the
+    sweep above assumes."""
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+    assert (
+        int(spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+        > 0
+    )
+
+
+def test_sweep_flags_reverted_token_rarity_shape(spark, sf_dir):
+    """Detector power: rebuilding the PRE-FIX token_rarity_score shape
+    (git e1c99c2^ — corpus-scaled vocabulary aggregate with no join
+    pin) under a restored 10 MB estimate threshold MUST produce a
+    violation, and the shipped query under the same threshold must
+    stay clean — proving the sweep would have caught the sf10 failure
+    before the probe did."""
+    from pyspark.sql import functions as F
+
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        TOKENS_SPARK,
+        _spread,
+        _t,
+    )
+
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        d = _spread(spark, _t(spark, sf_dir, "documents"))
+        toks = (
+            d.withColumn("__toks", F.expr(TOKENS_SPARK))
+            .select("doc_id", F.explode_outer("__toks").alias("t"))
+            .filter(F.col("t").isNotNull())
+        )
+        freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+        prefix = toks.join(freq, "t").groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_tokens")
+        )
+        assert corpus_broadcast_violations(prefix), (
+            "pre-fix shape not flagged — the sweep lost its detection power"
+        )
+        fixed = ALL_QUERIES["token_rarity_score"](spark, sf_dir)
+        assert not corpus_broadcast_violations(fixed)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

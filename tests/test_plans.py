@@ -307,6 +307,10 @@ def test_aqe_splits_skewed_join_partition(spark):
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # the session leaves RUNTIME broadcast conversion on (actual
+        # sizes are trustworthy); here it must be off too or AQE turns
+        # the join into a BHJ before the skew splitter can see it
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
     }
     old = {}
     for k in confs:
