@@ -206,6 +206,51 @@ WAREHOUSE_ORACLES["recursive_order_chain"] = (
 WAREHOUSE_QUERIES["recursive_order_chain"] = q_recursive_order_chain
 
 
+def q_chain_closure(spark, sf_dir):
+    """The O(log depth) CLOSURE of ``recursive_order_chain``: the same
+    per-customer order chains (hop number + exact-decimal running
+    spend), computed by pointer-doubling list ranking
+    (`operators/graph.py::chain_closure`) instead of one recursion
+    level per chain depth. Held to the IDENTICAL recursive-SQL oracle,
+    so the two gates pin that the closure is a pure plan upgrade:
+    same rows, same hashes, ceil(log2(depth))+1 self-join rounds in
+    place of depth sequential stages.
+
+    100 TB notes: the recursive CTE's wall is depth-proportional
+    stage scheduling (r7 probe: 30.9 s at sf1, 7.8× for 10× data —
+    the worst growth ratio in the suite); this path pays ~6 rounds
+    for depth ≤ 64 and each round is one equi self-join of the
+    (id, ptr, rank, acc) frame — |orders| rows, 4 narrow columns —
+    with per-round parquet lineage cuts. The dialect-surface
+    recursive gate stays for parity; this is the operator a 100 TB
+    consumer should call."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import chain_closure
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nodes = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("id"),
+        F.lag("o_orderkey").over(w).alias("prev_id"),
+        F.col("o_totalprice").cast("decimal(38,10)").alias("value"),
+    )
+    closed = chain_closure(nodes, "id", "prev_id", "value")
+    return closed.join(
+        nodes.select("ck", "id"), "id"
+    ).select(
+        F.col("ck").alias("o_custkey"),
+        F.col("id").alias("o_orderkey"),
+        F.col("hop").cast("int").alias("hop"),
+        F.col("cum").cast("double").alias("cum_spend"),
+    )
+
+
+WAREHOUSE_ORACLES["chain_closure"] = WAREHOUSE_ORACLES["recursive_order_chain"]
+WAREHOUSE_QUERIES["chain_closure"] = q_chain_closure
+
+
 # ---------------------------------------------------------------------------
 # UNPIVOT / melt — wide metrics to long (completes the pivot family)
 # ---------------------------------------------------------------------------

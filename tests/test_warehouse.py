@@ -117,6 +117,57 @@ class TestRecursiveOrderChain:
             spark.conf.set("spark.sql.cteRecursionLevelLimit", prev)
 
 
+class TestChainClosure:
+    def test_rounds_are_logarithmic_in_depth(self, spark):
+        """Pointer doubling must finish one 64-deep chain in ~log2(64)
+        rounds, not 64 — the whole point of the closure vs the
+        per-level recursion. Values are pinned against the analytic
+        prefix sums."""
+        import math
+
+        from defi_features_data_pipeline_spark.operators.graph import (
+            chain_closure,
+        )
+
+        depth = 64
+        rows = [(i, i - 1 if i > 0 else None, float(i + 1)) for i in range(depth)]
+        nodes = spark.createDataFrame(
+            rows, "id bigint, prev_id bigint, value double"
+        )
+        stats = {}
+        got = {
+            r["id"]: (r["hop"], float(r["cum"]))
+            for r in chain_closure(nodes, stats=stats).collect()
+        }
+        assert stats["rounds"] <= math.ceil(math.log2(depth)) + 1  # 7, not 64
+        for i in range(depth):
+            want_cum = sum(range(1, i + 2))  # 1+2+...+(i+1)
+            assert got[i] == (i + 1, float(want_cum))
+
+    def test_cycle_raises_instead_of_truncating(self, spark):
+        """A prev-pointer cycle never reaches a null head — the
+        operator must fail loudly, not return truncated sums."""
+        from defi_features_data_pipeline_spark.operators.graph import (
+            chain_closure,
+        )
+
+        nodes = spark.createDataFrame(
+            [(0, 2, 1.0), (1, 0, 1.0), (2, 1, 1.0)],
+            "id bigint, prev_id bigint, value double",
+        )
+        with pytest.raises(RuntimeError, match="cycle|converge"):
+            chain_closure(nodes, max_rounds=6)
+
+    def test_closure_matches_recursive_gate(self, spark, sf_dir):
+        """chain_closure is a pure plan upgrade of the recursive CTE:
+        identical rows on the same corpus (both also share one oracle
+        in the driver gate)."""
+        a = ALL_QUERIES["chain_closure"](spark, sf_dir)
+        b = ALL_QUERIES["recursive_order_chain"](spark, sf_dir)
+        assert a.count() == b.count()
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
 class TestUnpivotMetrics:
     def test_three_rows_per_customer_and_roundtrip(self, spark, sf_dir):
         got = ALL_QUERIES["unpivot_metrics"](spark, sf_dir)
