@@ -115,3 +115,119 @@ def point_in_interval_join(
         .drop(exploded["__bucket"])
         .drop(p["__bucket"])
     )
+
+
+def point_in_interval_agg(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_time: str,
+    start: str,
+    end: str,
+    interval_id: str,
+    fine_width: int,
+    sum_cols: tuple[str, ...] = (),
+    max_buckets_per_interval: int = 64,
+) -> DataFrame:
+    """Per-interval COUNT/SUM of contained points WITHOUT materializing
+    the (point, interval) pairs — the aggregate twin of
+    ``point_in_interval_join`` for the common "how many / how much per
+    window" question.
+
+    ``point_in_interval_join`` + groupBy is output-bound: dense data
+    makes |pairs| grow as |points| × |intervals| / grid even though the
+    final answer is one row per interval (the r7 sf1 probe measured the
+    pair-producing gate at 213 s for exactly this reason — workload,
+    not plan). This operator pushes the aggregate BELOW the residual
+    join with the classic two-level decomposition:
+
+    1. points pre-aggregate per FINE bucket ``floor(t / fine_width)``
+       → (bucket, cnt, partial sums) — one map-side-combinable pass,
+       |buckets| output rows;
+    2. each interval explodes to its covered fine buckets (bounded by
+       the loud ``max_buckets_per_interval`` guard) and each bucket is
+       classified FULL (entirely inside [start, end]) or EDGE;
+    3. FULL buckets take the pre-aggregated (cnt, sums) directly — a
+       bucket-keyed equi-join against |buckets| rows, never points;
+    4. only EDGE buckets (≤ 2 per interval) join actual points, with
+       the exact BETWEEN residual;
+    5. one final groupBy(interval_id) sums the contributions.
+
+    Pair materialization is thus ≤ 2 × fine_width worth of points per
+    interval instead of the full window. Counts are exact; sums
+    accumulate in DECIMAL(38,10) (exact, association-independent).
+    Time columns must be INTEGRAL epoch values — full-bucket
+    containment tests ``[k·w, (k+1)·w − 1] ⊆ [start, end]``, which is
+    only exact on integers. Inner-join semantics: intervals containing
+    no points are absent (same contract as the pair-producing join).
+    Output: (interval_id, n_points, sum_<c> for each sum col)."""
+    if fine_width <= 0:
+        raise ValueError("fine_width must be positive")
+    integral = {"byte", "short", "integer", "long"}
+    for df, col in ((points, point_time), (intervals, start), (intervals, end)):
+        t = df.schema[col].dataType
+        if t.typeName() not in integral:
+            raise TypeError(
+                f"time column {col!r} must be an integral epoch type for "
+                f"exact bucket containment, got {t}"
+            )
+
+    dec = "decimal(38,10)"
+    bucket_aggs = [F.count(F.lit(1)).alias("__cnt")] + [
+        F.sum(F.col(c).cast(dec)).alias(f"__s_{c}") for c in sum_cols
+    ]
+    p = points.withColumn("__b", F.floor(F.col(point_time) / fine_width))
+    per_bucket = p.groupBy("__b").agg(*bucket_aggs)
+
+    overlap = (
+        F.floor(F.col(end) / fine_width) - F.floor(F.col(start) / fine_width) + 1
+    )
+    guard = F.assert_true(
+        overlap <= max_buckets_per_interval,
+        F.concat(
+            F.lit("point_in_interval_agg: an interval spans "),
+            overlap.cast("string"),
+            F.lit(
+                f" fine buckets (> {max_buckets_per_interval}); raise "
+                "fine_width or max_buckets_per_interval"
+            ),
+        ),
+    )
+    exploded = intervals.filter(F.col(start) <= F.col(end)).withColumn(
+        "__b",
+        F.explode(
+            F.when(
+                guard.isNull(),
+                F.sequence(
+                    F.floor(F.col(start) / fine_width),
+                    F.floor(F.col(end) / fine_width),
+                ),
+            )
+        ),
+    )
+    is_full = (F.col("__b") * fine_width >= F.col(start)) & (
+        (F.col("__b") + 1) * fine_width - 1 <= F.col(end)
+    )
+
+    contrib_cols = [interval_id, "__cnt"] + [f"__s_{c}" for c in sum_cols]
+    full = (
+        exploded.filter(is_full)
+        .join(per_bucket, "__b")
+        .select(*contrib_cols)
+    )
+    edge_pairs = (
+        exploded.filter(~is_full)
+        .join(p, "__b")
+        .filter(
+            (F.col(start) <= F.col(point_time))
+            & (F.col(point_time) <= F.col(end))
+        )
+    )
+    edge = edge_pairs.select(
+        interval_id,
+        F.lit(1).cast("long").alias("__cnt"),
+        *[F.col(c).cast(dec).alias(f"__s_{c}") for c in sum_cols],
+    )
+    out_aggs = [F.sum("__cnt").alias("n_points")] + [
+        F.sum(f"__s_{c}").cast(dec).alias(f"sum_{c}") for c in sum_cols
+    ]
+    return full.unionByName(edge).groupBy(interval_id).agg(*out_aggs)

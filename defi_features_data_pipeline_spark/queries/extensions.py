@@ -21,8 +21,10 @@ from __future__ import annotations
 
 import hashlib
 import os
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -1146,16 +1148,247 @@ FROM documents
 """
 
 
-def decode_image_stub(payload: bytes) -> dict:
-    """Placeholder for environments with an actual image codec.
+# ---------------------------------------------------------------------------
+# REAL multimodal decode — codec-free fixed-layout formats (BMP, WAV)
+# ---------------------------------------------------------------------------
+#
+# The container has no image/audio codec libraries, but BMP (BI_RGB
+# 24-bit) and WAV (PCM 16-bit) are FIXED-LAYOUT formats decodable with
+# pure struct/numpy — so the decode step is real byte-level parsing,
+# not a stub: magic validation, header field reads, row padding,
+# bottom-up row order, BGR channel order (BMP); RIFF chunk walking and
+# little-endian int16 samples (WAV). Payload bytes are generated
+# DETERMINISTICALLY from doc_id (pixel/sample values are a pure integer
+# function of (doc_id, position)), which gives the DuckDB oracle an
+# ANALYTIC twin: it computes the same integer statistics from the
+# formula without touching bytes — any decoder layout error (padding,
+# channel order, row direction, chunk offset) breaks the hash match.
 
-    The container has no image/audio libraries; the Spark-side plumbing
-    (binary column → mapInPandas batches → typed struct out) is real
-    and tested via q_multimodal_extract. Wire PIL/ffmpeg here when
-    available."""
-    raise NotImplementedError(
-        "image/audio decode requires codec libraries not present in this environment"
+
+def _bmp_width_height(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 9, 5 + doc_id % 7
+
+
+def _bmp_bytes(doc_id: int) -> bytes:
+    """BI_RGB 24-bit BMP: 14-byte file header + 40-byte info header +
+    bottom-up rows padded to 4 bytes, BGR byte order."""
+    w, h = _bmp_width_height(doc_id)
+    stride = (w * 3 + 3) // 4 * 4
+    pixel_bytes = stride * h
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + pixel_bytes, 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
     )
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up on disk
+        row = bytearray()
+        for x in range(w):
+            r = (doc_id * 7 + x * 13 + y * 31) % 256
+            g = (doc_id * 11 + x * 3 + y * 5) % 256
+            b = (doc_id * 17 + x * 29 + y * 23) % 256
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (stride - w * 3)
+        rows.append(bytes(row))
+    return header + info + b"".join(rows)
+
+
+def _wav_params(doc_id: int) -> tuple[int, int]:
+    return 8000 + (doc_id % 5) * 1000, 50 + doc_id % 50
+
+
+def _wav_bytes(doc_id: int) -> bytes:
+    """RIFF/WAVE, PCM 16-bit mono little-endian."""
+    sr, n = _wav_params(doc_id)
+    samples = [((doc_id * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+    data = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def q_multimodal_decode_bmp(spark, sf_dir):
+    """IMAGE DECODE over a binary column: one mapInPandas stage encodes
+    a deterministic BMP per document, a SECOND independent mapInPandas
+    stage decodes it back by parsing the ACTUAL bytes (magic check,
+    pixel-array offset from the file header, width/height/bpp from the
+    info header, 4-byte row padding, bottom-up row order, BGR→RGB) and
+    emits integer image statistics: dimensions, pixel count, and the
+    exact luma sum Σ(299·R + 587·G + 114·B) (milli-scaled BT.601,
+    integer-exact). The oracle recomputes the statistics ANALYTICALLY
+    from the generator formula — the gate fails on any byte-layout
+    mistake in the decoder.
+
+    100 TB notes: both stages are map-only Arrow-batched passes over
+    the binary column — no shuffle at all (the final sort is the
+    driver compare's, not the plan's); a real corpus swaps the encode
+    stage for a parquet binary column read, decode unchanged."""
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_bmp_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_ids, widths, heights, npix, luma = [], [], [], [], []
+        for pdf in batches:
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(buf)
+                if buf[:2] != b"BM":
+                    raise ValueError(f"doc {doc_id}: not a BMP payload")
+                offset = struct.unpack_from("<I", buf, 10)[0]
+                hdr_sz, w, h, planes, bpp = struct.unpack_from("<IiiHH", buf, 14)
+                if hdr_sz != 40 or planes != 1 or bpp != 24:
+                    raise ValueError(f"doc {doc_id}: unsupported BMP variant")
+                stride = (w * 3 + 3) // 4 * 4
+                ah = abs(h)
+                arr = np.frombuffer(
+                    buf, dtype=np.uint8, count=stride * ah, offset=offset
+                ).reshape(ah, stride)
+                pix = arr[:, : w * 3].reshape(ah, w, 3)
+                if h > 0:
+                    pix = pix[::-1]  # bottom-up → top-down
+                b = pix[..., 0].astype(np.int64)
+                g = pix[..., 1].astype(np.int64)
+                r = pix[..., 2].astype(np.int64)
+                out_ids.append(doc_id)
+                widths.append(w)
+                heights.append(ah)
+                npix.append(w * ah)
+                luma.append(int((299 * r + 587 * g + 114 * b).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "width": widths,
+                    "height": heights,
+                    "n_pixels": npix,
+                    "luma_milli": luma,
+                }
+            )
+            out_ids, widths, heights, npix, luma = [], [], [], [], []
+
+    payloads = d.mapInPandas(encode, schema="doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        schema="doc_id long, width long, height long, n_pixels long, "
+        "luma_milli long",
+    )
+
+
+ORACLE_MULTIMODAL_DECODE_BMP = """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d
+)
+SELECT doc_id, w AS width, h AS height, COUNT(*) AS n_pixels,
+       CAST(SUM(
+         299 * ((doc_id * 7 + (i % w) * 13 + (i // w) * 31) % 256)
+       + 587 * ((doc_id * 11 + (i % w) * 3 + (i // w) * 5) % 256)
+       + 114 * ((doc_id * 17 + (i % w) * 29 + (i // w) * 23) % 256)
+       ) AS BIGINT) AS luma_milli
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
+def q_multimodal_decode_wav(spark, sf_dir):
+    """AUDIO DECODE over a binary column — the WAV sibling of
+    ``multimodal_decode_bmp``: encode a deterministic PCM-16 mono WAV
+    per document, then parse the ACTUAL bytes back (RIFF/WAVE magic,
+    fmt chunk fields, chunk walk to the data chunk, little-endian
+    int16 samples) and emit integer audio statistics: sample rate and
+    count from the headers, Σ|s| and the energy Σs² from the samples
+    (both integer-exact). Oracle is the analytic twin of the
+    generator formula. Map-only Arrow-batched, no shuffle."""
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_wav_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, srs, ns, sabs, energy = [], [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(buf)
+                if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                    raise ValueError(f"doc {doc_id}: not a WAV payload")
+                pos, sr, bits, channels, data = 12, None, None, None, None
+                while pos + 8 <= len(buf):
+                    cid = buf[pos : pos + 4]
+                    sz = struct.unpack_from("<I", buf, pos + 4)[0]
+                    if cid == b"fmt ":
+                        fmt_code, channels, sr, _, _, bits = struct.unpack_from(
+                            "<HHIIHH", buf, pos + 8
+                        )
+                        if fmt_code != 1:
+                            raise ValueError(f"doc {doc_id}: not PCM")
+                    elif cid == b"data":
+                        data = buf[pos + 8 : pos + 8 + sz]
+                    pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+                if data is None or bits != 16 or channels != 1:
+                    raise ValueError(f"doc {doc_id}: unsupported WAV layout")
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                ids.append(doc_id)
+                srs.append(sr)
+                ns.append(len(s))
+                sabs.append(int(np.abs(s).sum()))
+                energy.append(int((s * s).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": srs,
+                    "n_samples": ns,
+                    "sum_abs": sabs,
+                    "energy": energy,
+                }
+            )
+
+    payloads = d.mapInPandas(encode, schema="doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        schema="doc_id long, sample_rate long, n_samples long, "
+        "sum_abs long, energy long",
+    )
+
+
+ORACLE_MULTIMODAL_DECODE_WAV = """
+WITH d AS (
+  SELECT doc_id, 8000 + (doc_id % 5) * 1000 AS sr, 50 + doc_id % 50 AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, sr, n,
+         ((doc_id * 31 + unnest(range(0, n)) * 17) % 65536) - 32768 AS v
+  FROM d
+)
+SELECT doc_id, sr AS sample_rate, n AS n_samples,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(SUM(v * v) AS BIGINT) AS energy
+FROM s
+GROUP BY doc_id, sr, n
+"""
 
 
 EXT_QUERIES = {
@@ -1169,6 +1402,8 @@ EXT_QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_extract": q_multimodal_extract,
+    "multimodal_decode_bmp": q_multimodal_decode_bmp,
+    "multimodal_decode_wav": q_multimodal_decode_wav,
 }
 
 EXT_ORACLES = {
@@ -1182,6 +1417,8 @@ EXT_ORACLES = {
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "multimodal_extract": ORACLE_MULTIMODAL_EXTRACT,
+    "multimodal_decode_bmp": ORACLE_MULTIMODAL_DECODE_BMP,
+    "multimodal_decode_wav": ORACLE_MULTIMODAL_DECODE_WAV,
 }
 
 
@@ -2492,6 +2729,64 @@ EXT_QUERIES["range_join_windows"] = q_range_join_windows
 EXT_ORACLES["range_join_windows"] = ORACLE_RANGE_JOIN_WINDOWS
 
 
+def q_range_join_windows_agg(spark, sf_dir):
+    """The AGGREGATE twin of ``range_join_windows``: per-window view
+    count + exact-decimal value sum with the aggregate pushed BELOW
+    the residual join (``operators.interval.point_in_interval_agg``).
+    The pair-producing gate is output-bound — dense data grows |pairs|
+    quadratically inside a fixed time grid (r7 sf1 probe: 213 s,
+    workload not plan) — while real consumers usually want per-window
+    aggregates: this plan pre-aggregates points per 10-minute fine
+    bucket, takes FULL buckets' (cnt, sum) in bulk, and touches actual
+    points only for the ≤ 2 EDGE buckets per window, so cost scales
+    with |points| + |windows| · buckets-per-window, NOT with |pairs|.
+    countDistinct stays with the pair gate (distincts don't merge
+    across buckets)."""
+    from ..operators.interval import point_in_interval_agg
+    from .core import _events
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("ts").cast("long").alias("t"),
+        "value",
+    )
+    wins = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("win_id"),
+        (F.col("ts").cast("long") - 3600).alias("win_start"),
+        (F.col("ts").cast("long") + 3600).alias("win_end"),
+    )
+    agg = point_in_interval_agg(
+        views, wins, "t", "win_start", "win_end",
+        interval_id="win_id", fine_width=600, sum_cols=("value",),
+    )
+    return agg.select(
+        "win_id",
+        F.col("n_points").alias("n_views"),
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+    )
+
+
+ORACLE_RANGE_JOIN_WINDOWS_AGG = f"""
+WITH p AS (
+  SELECT {_epoch_sql()} AS t, value FROM events WHERE event_type = 'view'
+),
+i AS (
+  SELECT event_id AS win_id,
+         {_epoch_sql()} - 3600 AS win_start,
+         {_epoch_sql()} + 3600 AS win_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT win_id, count(*) AS n_views,
+       round(CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE), 6) AS sum_value
+FROM i JOIN p ON p.t BETWEEN i.win_start AND i.win_end
+GROUP BY win_id
+"""
+
+EXT_QUERIES["range_join_windows_agg"] = q_range_join_windows_agg
+EXT_ORACLES["range_join_windows_agg"] = ORACLE_RANGE_JOIN_WINDOWS_AGG
+
+
 def q_streaming_hourly_counts(spark, sf_dir):
     """§2.9, oracle-verified STREAMING: a Structured-Streaming windowed
     aggregation (tumbling 1 h on event time, watermarked) run with
@@ -3012,7 +3307,8 @@ EXT_ORACLES["dedup_clusters_incremental"] = ORACLE_DEDUP_CLUSTERS_LSH
 def q_multimodal_frame_sample(spark, sf_dir):
     """Multimodal FRAME SAMPLING plumbing: the binary payload is
     "decoded" (here: utf-8 — the deterministic stand-in for a video
-    codec, see ``decode_image_stub``) inside an Arrow-batched
+    codec; real byte-level decode is proven by
+    ``multimodal_decode_bmp``/``_wav``) inside an Arrow-batched
     mapInPandas, then fixed-stride frames are sampled and fingerprinted
     — one output row per frame (row-multiplying UDF output, the shape a
     real frame sampler has). Stride 256 / frame 64; per-frame md5 lets
@@ -6288,7 +6584,8 @@ RESIZE_STRIDE = 4  # keep every 4th sample — a 4x "downscale"
 def q_multimodal_resize(spark, sf_dir):
     """Multimodal RESIZE plumbing: the downscale stage of an
     image/audio pipeline as an Arrow-batched mapInPandas — decode the
-    binary payload (utf-8 stand-in, see ``decode_image_stub``),
+    binary payload (utf-8 stand-in; real byte-level decode is proven
+    by ``multimodal_decode_bmp``/``_wav``),
     subsample every RESIZE_STRIDE-th sample (the 1-D analogue of
     nearest-neighbor downscaling; a real image resize is the same
     shape with a 2-D stride over W×H), and emit resized dims + a
@@ -6359,6 +6656,9 @@ EXT_ORACLES["multimodal_resize"] = ORACLE_MULTIMODAL_RESIZE
 # ---------------------------------------------------------------------------
 
 BPE_N_MERGES = 8
+# symbol separator: unit separator, absent from the ASCII corpus
+# (asserted in tests); shared by the learn oracle and the apply gate
+BPE_SEP = "\x1f"
 
 
 def q_bpe_learn_merges(spark, sf_dir):
@@ -6383,10 +6683,16 @@ def q_bpe_learn_merges(spark, sf_dir):
          (a,a) folds to [aa, a]), then localCheckpoint so round plans
          stay constant-size (the connected_components lineage lesson).
 
-    NOT SQL-expressible as one statement (each round's input depends
-    on the previous round's data-dependent argmax) → rows-only driver
-    gate, like ivf_kmeans_build; the merge SEQUENCE is pinned exactly
-    by a pure-Python reference BPE in tests/test_featureops.py.
+    Oracle: the loop is data-dependent per round but the ROUND COUNT
+    is a constant — so the DuckDB oracle UNROLLS all 8 rounds as
+    chained CTEs (pair-count CTE → argmax CTE with the identical
+    (count DESC, left, right) tie-break → fold CTE), the same
+    unrolling trick the PageRank oracle uses. The fold is the proven
+    two-pass separator-replace from ``bpe_tokenize_apply`` — exact
+    for a != b merges (this corpus's learned merges are all a != b;
+    an a == b run-merge would diverge LOUDLY as a hash mismatch, and
+    the pure-Python reference BPE in tests/test_featureops.py pins
+    the sequence independently of both engines).
 
     100 TB notes: the corpus-size pass happens ONCE (word frequency);
     every round after that runs on the distinct-word table (vocab ≪
@@ -6455,10 +6761,61 @@ def q_bpe_learn_merges(spark, sf_dir):
     )
 
 
+def _bpe_learn_oracle() -> str:
+    """DuckDB oracle for the merge-learning loop: the 8 rounds UNROLL
+    as chained CTE triples — p{r} (pair counts from the previous fold
+    state), t{r} (argmax with the identical count-DESC/left/right
+    tie-break), w{r} (two-pass separator-replace fold of t{r}'s pair,
+    exact for a != b merges — `BPE_APPLY_MERGES` note). The oracle
+    derives every merge from the DATA, independently of the Spark
+    loop, so the whole sequence is hash-pinned cross-engine."""
+    sep = BPE_SEP
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+  SELECT COUNT(*) AS freq,
+         '{sep}' || array_to_string(string_split_regex(w, ''), '{sep}')
+           || '{sep}' AS s
+  FROM (SELECT unnest({TOKENS_DUCK}) AS w FROM documents)
+  GROUP BY w
+  HAVING length(w) >= 2
+)"""
+    ]
+    for r in range(1, BPE_N_MERGES + 1):
+        prev = f"w{r - 1}"
+        ctes.append(f"""p{r} AS MATERIALIZED (
+  SELECT p.a AS "left", p.b AS "right", SUM(freq) AS pair_count
+  FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, length(l)),
+                                 i -> {{'a': l[i], 'b': l[i+1]}})) AS p
+    FROM (SELECT freq, string_split(trim(s, '{sep}'), '{sep}') AS l
+          FROM {prev})
+  )
+  GROUP BY 1, 2
+)""")
+        ctes.append(f"""t{r} AS MATERIALIZED (
+  SELECT {r} AS round, "left", "right", "left" || "right" AS merged,
+         CAST(pair_count AS BIGINT) AS pair_count
+  FROM p{r} ORDER BY pair_count DESC, "left", "right" LIMIT 1
+)""")
+        rep = "s"
+        for _ in range(2):  # two passes: see BPE_APPLY_MERGES a != b note
+            rep = (
+                f"replace({rep}, '{sep}' || (SELECT \"left\" FROM t{r}) || "
+                f"'{sep}' || (SELECT \"right\" FROM t{r}) || '{sep}', "
+                f"'{sep}' || (SELECT merged FROM t{r}) || '{sep}')"
+            )
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT freq, {rep} AS s FROM {prev})"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM t{r}" for r in range(1, BPE_N_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 EXT_QUERIES["bpe_learn_merges"] = q_bpe_learn_merges
-# no EXT_ORACLES entry: iterative data-dependent argmax per round is not
-# one SQL statement — rows-only driver check; exact merge sequence is
-# pinned by the pure-Python reference test.
+EXT_ORACLES["bpe_learn_merges"] = _bpe_learn_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -6638,9 +6995,6 @@ BPE_APPLY_MERGES = [
     ("e", "r"), ("o", "r"), ("i", "n"), ("t", "h"),
     ("th", "e"), ("a", "n"), ("o", "n"), ("er", "s"),
 ]
-# symbol separator: unit separator, absent from the ASCII corpus
-# (asserted in tests)
-BPE_SEP = "\x1f"
 # left != right for every merge => (a,b) adjacencies are pairwise
 # disjoint, so the greedy fold's merge set is the UNIQUE maximal set
 # and TWO replace passes per rule reach it (pass 1 can skip an
