@@ -196,6 +196,12 @@ HEADLINE = [
     "zorder_cells",
     "ivf_increment_drift",
     "hybrid_search_rrf",
+    # round-8 additions
+    "chain_closure",
+    "range_join_windows_agg",
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
+    "ann_ivf_soft_topk",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
@@ -261,10 +267,35 @@ SCALE_PROBE = {
     # depth is flat (orders/customer fixed) but each level's frontier
     # join scales with |customers| — measured 3.8 s -> 46 s (~12x)
     "recursive_order_chain": 1.0,
+    # the r8 pointer-doubling closure of the same chain: log2(depth)
+    # rounds, each one equi self-join — measured 1.2x wall at 10x data
+    "chain_closure": 1.0,
+    # the r8 aggregate twin of range_join_windows: output is one row
+    # per window, pairs materialize only for the <=2 edge buckets
+    "range_join_windows_agg": 1.0,
     "bpe_learn_merges": 1.0,  # vocab pass linear; rounds fixed
     "graph_pagerank": 1.0,
     "graph_bfs_distance": 1.0,
 }
+
+# 100x probe (r7 verdict item 8 → r8): the sf10 run that caught the
+# two auto-broadcast scale-killers, kept as a warm 7-query subset
+# behind `--sf10` / SPARK_GRAFT_SF10=1 (each ~10-60 s at 100x — too
+# heavy to run thrice per round, too valuable to run never). When the
+# flag is off, the newest recorded block is carried forward into
+# BENCH_full so every round's artifact stays self-contained.
+SCALE_PROBE_100X = {
+    "pricing_summary": 1.0,
+    "customer_feature_spine": 1.0,
+    "dedup_lsh_verified": 1.0,
+    "token_rarity_score": 1.0,
+    "dedup_clusters_blocked": 1.0,
+    "recursive_order_chain": 1.0,
+    "chain_closure": 1.0,
+}
+SCALE_PROBE_100X_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "testdata_scale", "sf10"
+)
 
 
 def _time_once(spark, fn, sf_dir: str) -> float:
@@ -557,6 +588,64 @@ def main() -> None:
             "queries": probe,
         }
 
+    here = os.path.dirname(os.path.abspath(__file__))
+    probe_100x: dict[str, object] = {}
+    want_100x = "--sf10" in sys.argv or os.environ.get("SPARK_GRAFT_SF10") == "1"
+    if want_100x and os.path.isdir(SCALE_PROBE_100X_DIR) and sf == "0.1":
+        rows: dict[str, dict[str, float]] = {}
+        for name, exp in SCALE_PROBE_100X.items():
+            fn = ALL_QUERIES.get(name)
+            if fn is None or name not in timings:
+                continue
+            try:
+                _time_once(spark, fn, SCALE_PROBE_100X_DIR)  # warm artifacts
+                sec = round(_time_once(spark, fn, SCALE_PROBE_100X_DIR), 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[f"scale_probe_100x:{name}"] = (
+                    f"{type(exc).__name__}: {exc}"[:300]
+                )
+                continue
+            ratio = round(sec / max(timings[name], 1e-3), 2)
+            expected = round(100.0**exp, 1)
+            rows[name] = {
+                "sec": sec,
+                "wall_ratio": ratio,
+                "expected_growth": expected,
+                "vs_expected": round(ratio / max(expected, 1.0), 2),
+            }
+            _drop_stream_sinks(spark)
+        probe_100x = {
+            "probe_dir": SCALE_PROBE_100X_DIR,
+            "data_ratio": 100.0,
+            "queries": rows,
+        }
+    elif sf == "0.1":
+        # flag off: carry the newest recorded block forward so each
+        # round's BENCH_full stays self-contained
+        import glob as _glob
+        import re as _re
+
+        newest: tuple[int, dict] | None = None
+        for path in _glob.glob(os.path.join(here, "BENCH_full_r*.json")):
+            m = _re.search(r"BENCH_full_r(\d+)\.json$", path)
+            if not m:
+                continue
+            try:
+                with open(path) as f:
+                    doc = json.load(f)
+            except Exception:  # noqa: BLE001
+                continue
+            blk = doc.get("scale_probe_100x")
+            if isinstance(blk, dict) and blk.get("queries"):
+                n = int(m.group(1))
+                if newest is None or n > newest[0]:
+                    newest = (n, blk)
+        if newest:
+            probe_100x = {
+                **newest[1],
+                "reused_from_round": newest[0],
+            }
+
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -570,6 +659,7 @@ def main() -> None:
             timings, _prior_round_timings(os.path.dirname(os.path.abspath(__file__)))
         ),
         "scale_probe": scale_probe,
+        "scale_probe_100x": probe_100x,
         **pipe,
     }
     if errors:
@@ -580,7 +670,6 @@ def main() -> None:
     # per-query/scaling/recall/regression data is parseable later.
     # N = 1 + newest driver-recorded round (this bench runs before the
     # driver records round N's file).
-    here = os.path.dirname(os.path.abspath(__file__))
     try:
         import glob
         import re

@@ -623,15 +623,17 @@ def _write_ivf_artifacts(spark, adir: str, centroids, assign: DataFrame) -> None
         [(int(cid), [float(x) for x in cv]) for cid, cv in centroids],
         "cid int, centroid array<double>",
     )
-    # a REBUILT index invalidates the derived per-list build stats
-    # (ivf_assign_increment's drift baseline). Delete BEFORE the
-    # centroid swap: a crash between the two then leaves the OLD index
-    # with missing stats (a correct backfill on next use), never a NEW
-    # index paired with the old baseline (silent drift mis-measure).
-    stats = os.path.join(adir, "list_stats")
+    # a REBUILT index invalidates the DERIVED artifacts — the per-list
+    # build stats (ivf_assign_increment's drift baseline) and the soft
+    # 2-way assignment replica. Delete BEFORE the centroid swap: a
+    # crash between the two then leaves the OLD index with missing
+    # derived tables (a correct backfill on next use), never a NEW
+    # index paired with stale derivations (silent mis-measure).
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    fs = jvm_path(stats).getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(jvm_path(stats), True)
+    for derived in ("list_stats", "assignments_soft"):
+        p = os.path.join(adir, derived)
+        fs = jvm_path(p).getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jvm_path(p), True)
     # coalesce(1): the artifacts are k rows / n_vec 2-col rows — at real
     # scale the assignment table would stay partitioned (drop the
     # coalesce); the swap keeps readers off partial writes.
@@ -725,6 +727,49 @@ def _ivf_assignments(spark, sf_dir: str) -> DataFrame:
     (co-partitionable) column, never recomputed per search."""
     _ivf_index(spark, sf_dir)  # ensure built + current
     return spark.read.parquet(os.path.join(ivf_artifact_dir(sf_dir), "assignments"))
+
+
+def _ivf_assignments_soft(spark, sf_dir: str) -> DataFrame:
+    """SOFT (2-way) assignment artifact: each corpus vector indexed
+    under its TWO nearest lists — the standard IVF replication trick
+    for corpora with weak cluster structure. On this corpus the
+    vectors are near-uniform on the unit sphere (PLANS.md r8 recall
+    analysis): true cosine neighbors scatter across list boundaries,
+    so single-assignment recall@10 saturates at ~0.86 even probing
+    8/32 lists, while 2-way replication reaches ≥0.95 at the same
+    nprobe — better init cannot close this (farthest-point init
+    measured WORSE; there are no better centroids to find on a
+    uniform sphere), only replication can.
+
+    Load-first under ``artifacts/ivf/<sf>/assignments_soft`` (freshness:
+    2 rows per current-corpus vector, fingerprint-checked); built from
+    the FROZEN centroids with the exact probe arithmetic
+    (``_ivf_probes`` at nprobe=2 — same rounding and ties-to-lowest-cid
+    rule the search side uses), zero k-means passes. Invalidated by
+    ``_write_ivf_artifacts`` on every refit. Storage/scan cost is 2×
+    the hard assignment — the documented price of the recall."""
+    from ..sources.fsutil import has_committed_data, swap_dirs
+
+    centroids = _ivf_index(spark, sf_dir)  # ensure built + current
+    path = os.path.join(ivf_artifact_dir(sf_dir), "assignments_soft")
+    corpus = _vectors(spark, sf_dir, "vec_id", "v", "vn").drop("label")
+    want_n, want_s = _corpus_fingerprint(corpus)
+    if has_committed_data(spark, path):
+        try:
+            soft = spark.read.parquet(path)
+            n, s = _corpus_fingerprint(soft)
+            if (n, s) == (2 * want_n, 2 * want_s):
+                return soft
+        except Exception:  # noqa: BLE001 — unreadable ⇒ rebuild
+            pass
+    soft = corpus.select(
+        "vec_id",
+        F.explode(_ivf_probes(centroids, F.col("v"), 2)).alias("cid"),
+    )
+    tmp = path + ".__tmp__"
+    soft.coalesce(1).write.mode("overwrite").parquet(tmp)
+    swap_dirs(spark, tmp, path)
+    return spark.read.parquet(path)
 
 
 def _assign_with_dist(e: DataFrame, centroids) -> DataFrame:
@@ -2164,15 +2209,19 @@ EXT_QUERIES["approx_distinct_users"] = q_approx_distinct_users
 # no oracle on purpose: sketches are engine-specific (rows-only check)
 
 
-def _ann_multiprobe_scored(spark, sf_dir, nprobe: int):
+def _ann_multiprobe_scored(spark, sf_dir, nprobe: int, soft: bool = False):
     """Candidate generation + exact-cosine scoring for IVF search at a
     given ``nprobe``: each query fans out to its ``nprobe`` nearest
     centroids by L2 (``_ivf_probes`` — the k×d literal expression runs
     over the 10 query rows only, never the corpus), explode →
     equi-join on list id against the materialized assignment table.
-    Returns the scored (query_id, cand_id, cos_sim) candidate frame —
-    ``q_ann_ivf_multiprobe`` windows it to a gate; ``ann_recall_curve``
-    sweeps nprobe over it to produce the recall/cost tuning table."""
+    ``soft=True`` joins the 2-way replica (``_ivf_assignments_soft``)
+    instead — a candidate whose two lists are BOTH probed would match
+    twice, so the pair set is de-duplicated before scoring. Returns
+    the scored (query_id, cand_id, cos_sim) candidate frame —
+    ``q_ann_ivf_multiprobe``/``q_ann_ivf_soft_topk`` window it to
+    gates; ``ann_recall_curve`` sweeps nprobe over both variants to
+    produce the recall/cost tuning table."""
     centroids = _ivf_index(spark, sf_dir)
     q = (
         _vectors(spark, sf_dir, "query_id", "qv", "qn")
@@ -2185,23 +2234,30 @@ def _ann_multiprobe_scored(spark, sf_dir, nprobe: int):
         "qn",
         F.explode(_ivf_probes(centroids, F.col("qv"), nprobe)).alias("plabel"),
     )
+    assign = (
+        _ivf_assignments_soft(spark, sf_dir)
+        if soft
+        else _ivf_assignments(spark, sf_dir)
+    )
     cand = (
         _vectors(spark, sf_dir, "cand_id", "cv", "cn")
         .drop("label")
-        .join(_ivf_assignments(spark, sf_dir), F.col("cand_id") == F.col("vec_id"))
+        .join(assign, F.col("cand_id") == F.col("vec_id"))
         .select("cand_id", "cv", "cn", F.col("cid").alias("clabel"))
     )
-    return (
+    matched = (
         F.broadcast(probes)
         .join(cand, F.col("plabel") == F.col("clabel"))
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(
-                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
-            ).alias("cos_sim"),
-        )
+    )
+    if soft:
+        matched = matched.dropDuplicates(["query_id", "cand_id"])
+    return matched.select(
+        "query_id",
+        "cand_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cos_sim"),
     )
 
 
@@ -2272,24 +2328,28 @@ def ann_recall_curve(
     }
     n_queries = len({r["query_id"] for r in exact}) or 1
     out: dict[str, dict] = {}
-    for nprobe in nprobes:
-        scored = _ann_multiprobe_scored(spark, sf_dir, nprobe)
-        n_cand = scored.count()
-        got = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= kmax)
-            .select("query_id", "cand_id", "rank")
-            .collect()
-        )
-        point: dict[str, float] = {
-            "mean_candidates_per_query": round(n_cand / n_queries, 1)
-        }
-        for k in ks:
-            hits = {(r["query_id"], r["cand_id"]) for r in got if r["rank"] <= k}
-            point[f"recall_at_{k}"] = round(
-                len(exact_at[k] & hits) / max(len(exact_at[k]), 1), 4
+    for soft in (False, True):
+        for nprobe in nprobes:
+            scored = _ann_multiprobe_scored(spark, sf_dir, nprobe, soft=soft)
+            n_cand = scored.count()
+            got = (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= kmax)
+                .select("query_id", "cand_id", "rank")
+                .collect()
             )
-        out[f"nprobe_{nprobe}"] = point
+            point: dict[str, float] = {
+                "mean_candidates_per_query": round(n_cand / n_queries, 1)
+            }
+            for k in ks:
+                hits = {
+                    (r["query_id"], r["cand_id"]) for r in got if r["rank"] <= k
+                }
+                point[f"recall_at_{k}"] = round(
+                    len(exact_at[k] & hits) / max(len(exact_at[k]), 1), 4
+                )
+            key = f"soft2_nprobe_{nprobe}" if soft else f"nprobe_{nprobe}"
+            out[key] = point
     return out
 
 
@@ -2332,6 +2392,74 @@ SELECT query_id, cand_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
 
 EXT_QUERIES["ann_ivf_multiprobe"] = q_ann_ivf_multiprobe
 EXT_ORACLES["ann_ivf_multiprobe"] = ORACLE_ANN_IVF_MULTIPROBE
+
+
+def q_ann_ivf_soft_topk(spark, sf_dir):
+    """IVF ANN over the SOFT (2-way) assignment replica at nprobe=2 —
+    the recall-recovery path for weak-cluster corpora
+    (``_ivf_assignments_soft``): each corpus vector is indexed under
+    its two nearest lists, so a true neighbor sitting just across a
+    list boundary is still reachable from the query's probes. The r8
+    recall analysis (PLANS.md) measured single-assignment recall@10
+    saturating at ~0.86 with 8/32 lists probed — a property of this
+    corpus's near-uniform sphere geometry that no init improves —
+    while 2-way replication reaches ≥0.95 at the same nprobe for ~2×
+    candidate cost. The DuckDB oracle reproduces probe choice AND the
+    replica join (with the same pair de-dup) from the materialized
+    artifacts."""
+    from pyspark.sql import Window
+
+    scored = _ann_multiprobe_scored(spark, sf_dir, 2, soft=True)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+ORACLE_ANN_IVF_SOFT_TOPK = f"""
+WITH asg AS (SELECT * FROM read_parquet('{IVF_ORACLE_DIR}/assignments/*.parquet')),
+soft AS (SELECT * FROM read_parquet('{IVF_ORACLE_DIR}/assignments_soft/*.parquet')),
+cent AS (SELECT * FROM read_parquet('{IVF_ORACLE_DIR}/centroids/*.parquet')),
+q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, qa.cid AS qcid
+      FROM embeddings e JOIN asg qa ON qa.vec_id = e.vec_id
+      WHERE e.vec_id < 10),
+second AS (
+  SELECT query_id, cid AS plabel FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_sum([(z[1] - z[2]) * (z[1] - z[2])
+                              FOR z IN list_zip(CAST(q.qv AS DOUBLE[]), c.centroid)]), 6),
+                      c.cid
+           ) AS rn
+    FROM q JOIN cent c ON c.cid <> q.qcid
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qcid AS plabel FROM q
+  UNION ALL
+  SELECT query_id, plabel FROM second
+),
+scored AS (
+  SELECT DISTINCT q.query_id, e.vec_id AS cand_id,
+         round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM q JOIN probes p ON p.query_id = q.query_id
+  JOIN soft ca ON ca.cid = p.plabel
+  JOIN embeddings e ON e.vec_id = ca.vec_id
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, cand_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+EXT_QUERIES["ann_ivf_soft_topk"] = q_ann_ivf_soft_topk
+EXT_ORACLES["ann_ivf_soft_topk"] = ORACLE_ANN_IVF_SOFT_TOPK
 
 
 def q_ann_ivf_quantized(spark, sf_dir):

@@ -1024,12 +1024,27 @@ def test_ann_recall_curve_monotone(spark):
     sf = "/root/testdata/sf0.001"
     k_lists = _ivf_k(500)
     curve = ann_recall_curve(spark, sf, nprobes=(1, 2, 4, k_lists), ks=(3, 10))
-    points = [curve[f"nprobe_{p}"] for p in (1, 2, 4, k_lists)]
-    for metric in ("recall_at_3", "recall_at_10", "mean_candidates_per_query"):
-        vals = [pt[metric] for pt in points]
-        assert vals == sorted(vals), (metric, vals)
-    assert points[-1]["recall_at_3"] == 1.0
-    assert points[-1]["recall_at_10"] == 1.0
+    for prefix in ("nprobe_", "soft2_nprobe_"):
+        points = [curve[f"{prefix}{p}"] for p in (1, 2, 4, k_lists)]
+        for metric in (
+            "recall_at_3",
+            "recall_at_10",
+            "mean_candidates_per_query",
+        ):
+            vals = [pt[metric] for pt in points]
+            assert vals == sorted(vals), (prefix, metric, vals)
+        assert points[-1]["recall_at_3"] == 1.0
+        assert points[-1]["recall_at_10"] == 1.0
+    # the 2-way replica DOMINATES single assignment point-for-point:
+    # same probes, strictly larger candidate set (r8 verdict item 5 —
+    # the recall-recovery lever on this corpus's near-uniform sphere,
+    # where no init can move the single-assignment ceiling)
+    for p in (1, 2, 4, k_lists):
+        for k in (3, 10):
+            assert (
+                curve[f"soft2_nprobe_{p}"][f"recall_at_{k}"]
+                >= curve[f"nprobe_{p}"][f"recall_at_{k}"]
+            )
 
 
 def test_warm_er_runs_no_pair_pipeline(spark, monkeypatch):

@@ -102,6 +102,7 @@ BOUNDED_BROADCAST_OK = {
     "hybrid_search_rrf": "dense leg broadcasts ONE query vector (vec_id = 0)",
     "ann_ivf_topk": "query vector + nprobe probe-list rows (k-bounded index)",
     "ann_ivf_multiprobe": "query vector + k-bounded multiprobe list",
+    "ann_ivf_soft_topk": "query vector + k-bounded probe list (soft replica)",
     "ann_ivf_quantized": "query vector + k-bounded probe list",
     "ann_pq_adc": "per-query ADC LUT: m subspaces x 256 codes rows",
     "ann_pq_rescore": "ADC LUT + top-N shortlist ids (window-rank bounded)",
