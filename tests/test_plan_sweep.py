@@ -1,16 +1,22 @@
-"""Plan-regression sweep: EVERY gated query's physical plan is checked
-for the two shapes that kill a 100 TB run outright — CartesianProduct
-(O(n*m) pairs materialized) and BroadcastNestedLoopJoin (O(n*m)
-comparisons, plus an unbounded broadcast). Individual plan tests in
-test_plans.py assert what the hot queries SHOULD look like; this sweep
-asserts what no query may EVER look like, so a future edit that trips
-Catalyst into a nested loop (e.g. an OR join condition, a non-equi
-predicate left as the only join condition) fails CI instead of failing
-at the cluster.
+"""Plan-regression sweeps: EVERY gated query's physical plan is checked
+for the shapes that kill a 100 TB run outright.
 
-Plans are built at sf0.001 — planning only; nothing is executed except
-the handful of queries that drive iterative/driver-side logic while
-composing their result.
+Sweep 1 (sf0.001): CartesianProduct (O(n*m) pairs materialized) and
+BroadcastNestedLoopJoin (O(n*m) comparisons, plus an unbounded
+broadcast). Individual plan tests in test_plans.py assert what the hot
+queries SHOULD look like; this sweep asserts what no query may EVER
+look like, so a future edit that trips Catalyst into a nested loop
+(e.g. an OR join condition, a non-equi predicate left as the only join
+condition) fails CI instead of failing at the cluster.
+
+Sweep 2 (sf0.1, r8): no BroadcastExchange may cover an UNBOUNDED
+corpus-table subtree — the structural form of the r7 sf10-probe lesson
+(estimate-dependent broadcasts of corpus-scaled frames). See the
+section comment below.
+
+Plans are built without executing; the only execution is the handful
+of queries that drive iterative/driver-side logic while composing
+their result.
 """
 
 from __future__ import annotations
