@@ -202,6 +202,13 @@ HEADLINE = [
     "multimodal_decode_bmp",
     "multimodal_decode_wav",
     "ann_ivf_soft_topk",
+    # round-8 learned-model family
+    "quality_classifier_train",
+    "quality_classifier_score",
+    "dedup_substring_spans",
+    "unigram_perplexity_buckets",
+    "domain_mixture_sample",
+    "dsir_importance_weights",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

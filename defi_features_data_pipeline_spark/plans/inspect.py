@@ -64,7 +64,11 @@ _AGG_NODES = ("HashAggregateExec", "SortAggregateExec", "ObjectHashAggregateExec
 # observation:
 #   event_type — the event taxonomy (borrow/repay/deposit/...), fixed
 #                by the product's event schema, not by data volume
-BOUNDED_DOMAIN_COLUMNS = frozenset({"event_type"})
+#   source     — the document-source registry: ingestion is configured
+#                per named source, so the set is an operator-maintained
+#                enum, not corpus-scaled
+#   lang       — ISO language codes: a closed vocabulary by definition
+BOUNDED_DOMAIN_COLUMNS = frozenset({"event_type", "source", "lang"})
 
 _ATTR_RE = _re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)#\d+")
 

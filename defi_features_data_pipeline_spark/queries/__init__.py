@@ -17,13 +17,20 @@ try:  # extensions are added incrementally
 except ImportError:  # pragma: no cover
     EXT_QUERIES, EXT_ORACLES = {}, {}
 
+try:  # learned-model operators build on extensions' token helpers
+    from .learnops import LEARNOPS_ORACLES, LEARNOPS_QUERIES
+except ImportError:  # pragma: no cover
+    LEARNOPS_QUERIES, LEARNOPS_ORACLES = {}, {}
+
 ALL_QUERIES = {
     **CORE_QUERIES, **TPCH_QUERIES, **STAR_QUERIES,
     **EXT_QUERIES, **FEATOPS_QUERIES, **WAREHOUSE_QUERIES,
+    **LEARNOPS_QUERIES,
 }
 ALL_ORACLES = {
     **CORE_ORACLES, **TPCH_ORACLES, **STAR_ORACLES,
     **EXT_ORACLES, **FEATOPS_ORACLES, **WAREHOUSE_ORACLES,
+    **LEARNOPS_ORACLES,
 }
 
 __all__ = ["ALL_QUERIES", "ALL_ORACLES"]

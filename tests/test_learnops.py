@@ -1,0 +1,299 @@
+"""Independent-reference tests for queries/learnops.py — pure-Python /
+decimal recomputation, NOT the DuckDB oracle (the oracle gate proves
+cross-engine agreement; these prove the shared formula itself is right
+— the round-6 outlier_zscore lesson)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+import pytest
+
+
+def _docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .toPandas()
+    )
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text.lower()) if t]
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _q6(x: float) -> Decimal:
+    """decimal(18,6) cast semantics (HALF_UP on the double's value)."""
+    return Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+
+class TestQualityClassifier:
+    STOP = {"the", "a", "of", "and", "in", "to", "is"}
+
+    def _features(self, pdf: pd.DataFrame):
+        rows = []
+        for did, text, nc in zip(pdf["doc_id"], pdf["text"], pdf["n_chars"]):
+            tk = _toks(text)
+            if not tk:
+                continue
+            nt = len(tk)
+            stop = sum(1 for t in tk if t in self.STOP)
+            chars = sum(len(t) for t in tk)
+            rows.append(
+                (
+                    did,
+                    1 if nc >= 300 else 0,
+                    1.0,
+                    nt / 100.0,
+                    ((stop * 10000) // nt) / 10000.0,
+                    ((chars * 10000) // (nt * 10)) / 10000.0,
+                )
+            )
+        return rows
+
+    def _train(self, rows):
+        """Pure-Python GD mirror: rational sigmoid, floor-scaled 6 dp
+        quantization, exact-Decimal gradient accumulation."""
+        n = len(rows)
+        w = [0.0, 0.0, 0.0, 0.0]
+        for _ in range(8):
+            g = [Decimal(0)] * 4
+            for _, y, x0, x1, x2, x3 in rows:
+                m = ((w[0] * x0 + w[1] * x1) + w[2] * x2) + w[3] * x3
+                p = math.floor((0.5 + 0.5 * (m / (1.0 + abs(m)))) * 1e6) / 1e6
+                r = _q6(y - p)
+                for j, x in enumerate((x0, x1, x2, x3)):
+                    g[j] += r * _q6(x)
+            gs = [
+                float(gj.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+                for gj in g
+            ]
+            w = [
+                math.floor((w[j] + 0.5 * (gs[j] / n)) * 1e6) / 1e6
+                for j in range(4)
+            ]
+        return w
+
+    def test_weights_match_python_gd(self, spark, sf_dir):
+        from defi_features_data_pipeline_spark.queries.learnops import _qc_train
+
+        got, n = _qc_train(spark, sf_dir)
+        rows = self._features(_docs(spark, sf_dir))
+        assert n == len(rows)
+        want = self._train(rows)
+        assert got == pytest.approx(want, abs=0)  # bit-exact trajectory
+
+    def test_classifier_beats_majority_baseline(self, spark, sf_dir):
+        """The learned model must actually separate the label — in-
+        sample accuracy strictly above the majority-class rate."""
+        from defi_features_data_pipeline_spark.queries.learnops import (
+            q_quality_classifier_score,
+        )
+
+        pdf = q_quality_classifier_score(spark, sf_dir).toPandas()
+        acc = (pdf["pred_high"] == pdf["label_high"]).mean()
+        base = max(pdf["label_high"].mean(), 1 - pdf["label_high"].mean())
+        assert acc > base + 0.02, (acc, base)
+
+    def test_probabilities_are_quantized_and_bounded(self, spark, sf_dir):
+        from defi_features_data_pipeline_spark.queries.learnops import (
+            q_quality_classifier_score,
+        )
+
+        pdf = q_quality_classifier_score(spark, sf_dir).toPandas()
+        assert ((pdf["p_quality"] >= 0) & (pdf["p_quality"] <= 1)).all()
+        # floor-scaled to 1e-6: scaling back up must give integers
+        scaled = pdf["p_quality"] * 1e6
+        assert (abs(scaled - scaled.round()) < 1e-6).all()
+
+
+class TestDedupSubstringSpans:
+    K = 8
+
+    def test_matches_python_window_hashing(self, spark, sf_dir):
+        from defi_features_data_pipeline_spark.queries.learnops import (
+            q_dedup_substring_spans,
+        )
+
+        got = {
+            r["doc_id"]: r
+            for r in q_dedup_substring_spans(spark, sf_dir).collect()
+        }
+        pdf = _docs(spark, sf_dir)
+        wins: dict[int, list[int]] = {}
+        owners: dict[int, set[int]] = defaultdict(set)
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            tk = _toks(text)
+            hs = [
+                _h32(" ".join(tk[i : i + self.K]))
+                for i in range(len(tk) - self.K + 1)
+            ]
+            wins[did] = hs
+            for h in hs:
+                owners[h].add(did)
+        assert set(got) == set(wins)
+        for did, hs in wins.items():
+            dup = sum(1 for h in hs if len(owners[h]) >= 2)
+            assert got[did]["n_windows"] == len(hs)
+            assert got[did]["dup_windows"] == dup
+            if hs:
+                assert got[did]["dup_fraction"] == pytest.approx(
+                    dup / len(hs), abs=1e-6
+                )
+                assert got[did]["dup_heavy"] == (
+                    got[did]["dup_fraction"] >= 0.25
+                )
+            else:
+                assert got[did]["dup_fraction"] == 0.0
+                assert not got[did]["dup_heavy"]
+        # the synthetic corpus must actually contain cross-doc spans,
+        # or the operator is vacuous at this SF
+        assert any(len(o) >= 2 for o in owners.values())
+
+
+class TestUnigramPerplexityBuckets:
+    def test_matches_python_unigram_lm(self, spark, sf_dir):
+        from defi_features_data_pipeline_spark.queries.learnops import (
+            q_unigram_perplexity_buckets,
+        )
+
+        got = {
+            r["doc_id"]: r
+            for r in q_unigram_perplexity_buckets(spark, sf_dir).collect()
+        }
+        pdf = _docs(spark, sf_dir)
+        tf: dict[str, int] = defaultdict(int)
+        doc_toks = {}
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            tk = _toks(text)
+            if tk:
+                doc_toks[did] = tk
+            for t in tk:
+                tf[t] += 1
+        total = float(sum(tf.values()))
+        nll = {
+            did: -sum(round(math.log(tf[t] / total), 10) for t in tk) / len(tk)
+            for did, tk in doc_toks.items()
+        }
+        assert set(got) == set(doc_toks)
+        for did in nll:
+            assert got[did]["nll"] == pytest.approx(nll[did], abs=1e-5)
+        # bucket assignment: thirds by (nll, doc_id) within language
+        lang = {d: l for d, l in zip(pdf["doc_id"], pdf["lang"])}
+        by_lang: dict[str, list[int]] = defaultdict(list)
+        for did in doc_toks:
+            by_lang[lang[did]].append(did)
+        for lg, dids in by_lang.items():
+            dids.sort(key=lambda d: (nll[d], d))
+            n = len(dids)
+            for r, did in enumerate(dids, start=1):
+                b = 1 + (3 * (r - 1)) // n
+                want = {1: "head", 2: "middle", 3: "tail"}[b]
+                assert got[did]["bucket"] == want, (lg, did)
+
+    def test_each_language_has_all_three_buckets(self, spark, sf_dir):
+        from defi_features_data_pipeline_spark.queries.learnops import (
+            q_unigram_perplexity_buckets,
+        )
+
+        pdf = q_unigram_perplexity_buckets(spark, sf_dir).toPandas()
+        per = pdf.groupby("lang")["bucket"].nunique()
+        assert (per[pdf.groupby("lang").size() >= 3] == 3).all()
+
+
+class TestDsirImportanceWeights:
+    def test_matches_python_likelihood_ratio(self, spark, sf_dir):
+        from defi_features_data_pipeline_spark.queries.learnops import (
+            q_dsir_importance_weights,
+        )
+
+        got = {
+            r["doc_id"]: r
+            for r in q_dsir_importance_weights(spark, sf_dir).collect()
+        }
+        pdf = _docs(spark, sf_dir)
+        c_raw: dict[str, int] = defaultdict(int)
+        c_tgt: dict[str, int] = defaultdict(int)
+        doc_toks = {}
+        for did, text, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+            tk = _toks(text)
+            if tk:
+                doc_toks[did] = tk
+            for t in tk:
+                c_raw[t] += 1
+                if lg == "en":
+                    c_tgt[t] += 1
+        n_raw = float(sum(c_raw.values()))
+        n_tgt = float(sum(c_tgt.values()))
+        v = float(len(c_raw))
+        assert set(got) == set(doc_toks)
+        for did, tk in doc_toks.items():
+            w = sum(
+                round(
+                    math.log(
+                        ((c_tgt[t] + 1) / (n_tgt + v))
+                        / ((c_raw[t] + 1) / (n_raw + v))
+                    ),
+                    10,
+                )
+                for t in tk
+            ) / len(tk)
+            assert got[did]["n_tokens"] == len(tk)
+            assert got[did]["dsir_weight"] == pytest.approx(w, abs=1e-5)
+            assert got[did]["selected"] == (got[did]["dsir_weight"] > 0)
+
+    def test_target_docs_score_higher(self, spark, sf_dir):
+        """The weight must actually separate the target domain: mean
+        weight of target-language docs above mean of the rest."""
+        from defi_features_data_pipeline_spark.queries.learnops import (
+            q_dsir_importance_weights,
+        )
+
+        pdf = q_dsir_importance_weights(spark, sf_dir).toPandas()
+        tgt = pdf.loc[pdf["lang"] == "en", "dsir_weight"].mean()
+        rest = pdf.loc[pdf["lang"] != "en", "dsir_weight"].mean()
+        assert tgt > rest
+
+
+class TestDomainMixtureSample:
+    def test_matches_python_integer_rates(self, spark, sf_dir):
+        from defi_features_data_pipeline_spark.queries.learnops import (
+            q_domain_mixture_sample,
+        )
+
+        got = {
+            r["source"]: r for r in q_domain_mixture_sample(spark, sf_dir).collect()
+        }
+        pdf = _docs(spark, sf_dir)
+        n_total = len(pdf)
+        boost = {"src0", "src1", "src2", "src3"}
+        counts = pdf.groupby("source").size().to_dict()
+        for src, c in counts.items():
+            tgt = 100_000 if src in boost else 37_500
+            keep_ppm = min(1_000_000, (tgt * n_total) // c)
+            kept = sum(
+                1
+                for did in pdf.loc[pdf["source"] == src, "doc_id"]
+                if _h32(f"mix:{did}") % 1_000_000 < keep_ppm
+            )
+            assert got[src]["n_in"] == c
+            assert got[src]["keep_ppm"] == keep_ppm
+            assert got[src]["n_kept"] == kept
+
+    def test_downsampling_actually_happens(self, spark, sf_dir):
+        from defi_features_data_pipeline_spark.queries.learnops import (
+            q_domain_mixture_sample,
+        )
+
+        pdf = q_domain_mixture_sample(spark, sf_dir).toPandas()
+        assert (pdf["n_kept"] <= pdf["n_in"]).all()
+        assert (pdf["n_kept"] < pdf["n_in"]).any()  # some source shrank
