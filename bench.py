@@ -209,6 +209,7 @@ HEADLINE = [
     "unigram_perplexity_buckets",
     "domain_mixture_sample",
     "dsir_importance_weights",
+    "streaming_quality_filter",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
@@ -283,6 +284,13 @@ SCALE_PROBE = {
     "bpe_learn_merges": 1.0,  # vocab pass linear; rounds fixed
     "graph_pagerank": 1.0,
     "graph_bfs_distance": 1.0,
+    # r8 learned-model family: all single-scan + vocab-sized-model
+    # shapes — GD iterations fixed, window explode linear, mixture
+    # rollup bounded-domain
+    "quality_classifier_train": 1.0,
+    "dedup_substring_spans": 1.0,
+    "unigram_perplexity_buckets": 1.0,
+    "dsir_importance_weights": 1.0,
 }
 
 # 100x probe (r7 verdict item 8 → r8): the sf10 run that caught the

@@ -84,10 +84,10 @@ QC_FEATURES_DUCK = f"""qf AS MATERIALIZED (
 )"""
 
 
-def _qc_features(spark, sf_dir) -> DataFrame:
-    """Per-doc (y, x0..x3) feature frame — one corpus pass, pure column
-    arithmetic (JVM codegen); empty docs dropped in both engines."""
-    d = _spread(spark, _t(spark, sf_dir, "documents"))
+def _qc_feature_frame(d: DataFrame) -> DataFrame:
+    """Per-doc (y, x0..x3) feature columns over ANY documents frame —
+    batch or streaming (pure stateless column arithmetic, JVM
+    codegen); empty docs dropped in both engines."""
     d = d.withColumn("__toks", F.expr(TOKENS_SPARK)).filter(F.size("__toks") > 0)
     nt = F.size("__toks").cast("double")
     stop_k = F.expr(
@@ -108,6 +108,10 @@ def _qc_features(spark, sf_dir) -> DataFrame:
         (stop_k.cast("double") / F.lit(10000.0)).alias("x2"),
         (chars_k.cast("double") / F.lit(10000.0)).alias("x3"),
     )
+
+
+def _qc_features(spark, sf_dir) -> DataFrame:
+    return _qc_feature_frame(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 def _qc_p_col(w: list[float]) -> F.Column:
@@ -570,6 +574,61 @@ def q_domain_mixture_sample(spark, sf_dir):
             "keep_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming classifier filter (offline fit → online score)
+# ---------------------------------------------------------------------------
+
+
+def _stream_documents(spark, sf_dir) -> DataFrame:
+    """readStream over the documents table (single parquet exposed
+    through a tempdir symlink — the file source requires a directory,
+    same mechanics as extensions._stream_events)."""
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    d = tempfile.mkdtemp(prefix="stream_documents_")
+    os.symlink(path, os.path.join(d, "documents.parquet"))
+    return spark.readStream.schema(schema).parquet(d)
+
+
+def q_streaming_quality_filter(spark, sf_dir):
+    """§2.9 STREAMING CLASSIFIER FILTER: fit the quality classifier
+    OFFLINE on the static corpus, then score and filter the document
+    STREAM with the frozen weights — the train-offline/score-online
+    deployment shape of classifier-based curation. The scoring stage
+    is stateless column arithmetic (no state store, no watermark, no
+    shuffle): the highest-throughput class of streaming operator, and
+    the weights ride into every micro-batch as literals exactly as a
+    broadcast model would.
+
+    Over bounded input the kept set equals the batch score gate
+    filtered at p ≥ 0.5, which is what the oracle checks."""
+    from .extensions import _run_stream
+
+    w, _ = _qc_train(spark, sf_dir)  # offline fit (batch, cached)
+    feats = _qc_feature_frame(_stream_documents(spark, sf_dir))
+    p = _qc_p_col(w)
+    kept = feats.select("doc_id", p.alias("p_quality")).filter(
+        F.col("p_quality") >= F.lit(0.5)
+    )
+    name = _run_stream(kept, "append")
+    return spark.table(name)
+
+
+LEARNOPS_QUERIES["streaming_quality_filter"] = q_streaming_quality_filter
+LEARNOPS_ORACLES["streaming_quality_filter"] = (
+    "WITH "
+    + _qc_train_ctes()
+    + f"""
+SELECT doc_id, {_QC_P_FINAL} AS p_quality
+FROM qf CROSS JOIN w{QC_ITERS} w
+WHERE {_QC_P_FINAL} >= 0.5
+"""
+)
 
 
 # ---------------------------------------------------------------------------

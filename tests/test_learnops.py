@@ -210,6 +210,29 @@ class TestUnigramPerplexityBuckets:
         assert (per[pdf.groupby("lang").size() >= 3] == 3).all()
 
 
+class TestStreamingQualityFilter:
+    def test_stream_equals_batch_filter(self, spark, sf_dir):
+        """Over bounded input the streaming filter's kept set must
+        equal the batch score gate filtered at p >= 0.5 — same frozen
+        weights, same stateless scoring expression."""
+        from defi_features_data_pipeline_spark.queries.learnops import (
+            q_quality_classifier_score,
+            q_streaming_quality_filter,
+        )
+
+        got = {
+            r["doc_id"]: r["p_quality"]
+            for r in q_streaming_quality_filter(spark, sf_dir).collect()
+        }
+        batch = {
+            r["doc_id"]: r["p_quality"]
+            for r in q_quality_classifier_score(spark, sf_dir).collect()
+            if r["p_quality"] >= 0.5
+        }
+        assert got == batch
+        assert got  # the filter must keep something at this SF
+
+
 class TestDsirImportanceWeights:
     def test_matches_python_likelihood_ratio(self, spark, sf_dir):
         from defi_features_data_pipeline_spark.queries.learnops import (
