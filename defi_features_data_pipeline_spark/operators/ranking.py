@@ -117,6 +117,108 @@ def global_ntile(
     return ranked.withColumn(bucket_col, bucket.cast("int")).drop("__grank")
 
 
+def grouped_rank(
+    df: DataFrame,
+    group_by: list[str],
+    order_by: list[str],
+    rank_col: str = "rank",
+) -> tuple[DataFrame, dict[tuple, int]]:
+    """1-based rank WITHIN each group under a total order, for
+    LOW-CARDINALITY groups (languages, sources, event types) — without
+    the group-per-task collapse.
+
+    ``row_number() OVER (PARTITION BY lang ...)`` puts each language's
+    ENTIRE corpus on one task — with 5 languages over 100 TB that is 5
+    tasks doing all the work. This rewrite range-partitions on
+    (group, order) — groups larger than a partition span several
+    CONSECUTIVE partitions — then applies the global_rank offset trick
+    per (partition, group): counts per (pid, group) go to the driver
+    (bounded O(P·|groups|) metadata — that is why this is for
+    low-cardinality groups; a high-cardinality PARTITION BY is already
+    parallel and needs none of this), cumulative offsets per group in
+    pid order come back as a literal map, and rank = group offset in
+    this partition + local row_number partitioned by (pid, group).
+
+    Group columns must be non-null (map keys join on a string
+    concatenation). Returns (ranked_df, {group_tuple: total_rows}) —
+    the totals are free (same collect) and grouped_ntile needs them.
+
+    Same checkpoint-pinning rationale as global_rank: the sampled
+    range boundaries must not re-draw between the size collect and the
+    consuming job."""
+    gcols = [F.col(c) for c in group_by]
+    ocols = [F.col(c) for c in order_by]
+    n_part = max(df.rdd.getNumPartitions(), 1)
+    ranged = (
+        df.repartitionByRange(n_part, *gcols, *ocols)
+        .sortWithinPartitions(*gcols, *ocols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    rows = (
+        ranged.groupBy("__pid", *group_by)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    totals: dict[tuple, int] = {}
+    offsets: dict[tuple, int] = {}
+    for r in sorted(rows, key=lambda r: r["__pid"]):
+        gk = tuple(str(r[c]) for c in group_by)
+        offsets[(r["__pid"], *gk)] = totals.get(gk, 0)
+        totals[gk] = totals.get(gk, 0) + r["n"]
+    sep = "\x1f"
+    key = F.concat_ws(
+        sep, F.col("__pid").cast("string"), *[c.cast("string") for c in gcols]
+    )
+    items = [
+        F.lit(x)
+        for pk, off in offsets.items()
+        for x in (sep.join(str(p) for p in pk), off)
+    ]
+    offset_expr = (
+        F.element_at(F.create_map(*items), key) if items else F.lit(0)
+    )
+    w = Window.partitionBy("__pid", *group_by).orderBy(*ocols)
+    return (
+        ranged.withColumn(
+            rank_col, (offset_expr + F.row_number().over(w)).cast("long")
+        ).drop("__pid"),
+        totals,
+    )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    k: int,
+    group_by: list[str],
+    order_by: list[str],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact NTILE(k) PER GROUP for low-cardinality groups, scalable
+    (see grouped_rank). SQL NTILE semantics within each group: with
+    n = group rows, q = n // k, r = n % k, the first r buckets hold
+    q+1 rows and the rest hold q."""
+    ranked, totals = grouped_rank(df, group_by, order_by, rank_col="__grank")
+    sep = "\x1f"
+    gkey = F.concat_ws(sep, *[F.col(c).cast("string") for c in group_by])
+    items = [
+        F.lit(x) for gk, n in totals.items() for x in (sep.join(gk), n)
+    ]
+    n_expr = (
+        F.element_at(F.create_map(*items), gkey).cast("long")
+        if items
+        else F.lit(0).cast("long")
+    )
+    q = F.floor(n_expr / F.lit(k)).cast("long")
+    r = n_expr % F.lit(k)
+    big = (q + F.lit(1)) * r
+    rank = F.col("__grank")
+    bucket = F.when(
+        (q == 0) | (rank <= big), F.ceil(rank / (q + F.lit(1)))
+    ).otherwise(r + F.ceil((rank - big) / q))
+    return ranked.withColumn(bucket_col, bucket.cast("int")).drop("__grank")
+
+
 def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     """2-D Pareto frontier: keep rows not dominated by any row with a
     strictly smaller ``x`` and a ``y`` at least as large (rows sharing

@@ -360,8 +360,11 @@ def q_dedup_substring_spans(spark, sf_dir):
             6,
         ),
     ).otherwise(F.lit(0.0))
+    # the doc-id spine for zero-count rejoin reads the raw scan (2
+    # bigints/row) — no _spread: re-spreading a key-only projection
+    # would just add a round-robin Exchange before the join shuffle
     return (
-        d.select("doc_id")
+        _t(spark, sf_dir, "documents").select("doc_id")
         .join(n_win, "doc_id", "left")
         .join(n_dup, "doc_id", "left")
         .select(
@@ -422,16 +425,18 @@ def q_unigram_perplexity_buckets(spark, sf_dir):
     Determinism: logp is a ratio of exact integer counts; ln() — the
     only libm call — is rounded at 10 dp per INSTANCE, then the
     per-doc mean accumulates in exact decimal (doc_lm_score
-    discipline). Thirds are assigned by exact rank arithmetic
-    1 + (3·(r−1)) div n — identical integer semantics in both engines
-    and total-order deterministic via the (nll, doc_id) tie-break.
+    discipline). Thirds are exact SQL NTILE(3) semantics per language,
+    total-order deterministic via the (nll, doc_id) tie-break.
 
     100 TB: the unigram model is CORPUS-SCALED (Heaps' law) → pinned
     `shuffle_hash`, never an estimate-driven broadcast (the
-    token_rarity_score sf10 lesson); the rank runs per-language, which
-    at real scale is low-cardinality-skewed — swap the row_number for
-    the GK-sketch thresholds (operators/sketches.py) at cluster SF;
-    the bucket semantics (thirds by score order) are unchanged."""
+    token_rarity_score sf10 lesson). The per-language thirds come from
+    ``operators.ranking.grouped_ntile`` — a plain
+    PARTITION BY lang window would put each language's ENTIRE corpus
+    on one task (5 languages = 5 tasks at any scale); grouped_ntile
+    range-partitions on (lang, nll, doc_id) and reassembles exact
+    ranks from O(P·|langs|) driver metadata, so the sort stays as
+    parallel as the cluster."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = (
         d.withColumn("__toks", F.expr(TOKENS_SPARK))
@@ -454,24 +459,20 @@ def q_unigram_perplexity_buckets(spark, sf_dir):
             ).alias("nll")
         )
     )
-    from pyspark.sql import Window
+    from ..operators.ranking import grouped_ntile
 
-    wspec = Window.partitionBy("lang")
-    r = F.row_number().over(wspec.orderBy("nll", "doc_id"))
-    n_l = F.count(F.lit(1)).over(wspec)
-    b = F.expr("1 + (3 * (rn - 1)) div nl")
-    return (
-        scored.withColumn("rn", r)
-        .withColumn("nl", n_l)
-        .select(
-            "doc_id",
-            "lang",
-            "nll",
-            F.when(b == 1, F.lit("head"))
-            .when(b == 2, F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("bucket"),
-        )
+    tiled = grouped_ntile(
+        scored, 3, ["lang"], ["nll", "doc_id"], bucket_col="__b"
+    )
+    b = F.col("__b")
+    return tiled.select(
+        "doc_id",
+        "lang",
+        "nll",
+        F.when(b == 1, F.lit("head"))
+        .when(b == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )
 
 
@@ -491,13 +492,11 @@ scored AS (
 ),
 ranked AS (
   SELECT doc_id, lang, nll,
-         row_number() OVER (PARTITION BY lang ORDER BY nll, doc_id) AS rn,
-         count(*) OVER (PARTITION BY lang) AS nl
+         ntile(3) OVER (PARTITION BY lang ORDER BY nll, doc_id) AS b
   FROM scored
 )
 SELECT doc_id, lang, nll,
-       CASE 1 + (3 * (rn - 1)) // nl
-            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM ranked
 """
 LEARNOPS_QUERIES["unigram_perplexity_buckets"] = q_unigram_perplexity_buckets

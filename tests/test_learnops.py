@@ -187,7 +187,8 @@ class TestUnigramPerplexityBuckets:
         assert set(got) == set(doc_toks)
         for did in nll:
             assert got[did]["nll"] == pytest.approx(nll[did], abs=1e-5)
-        # bucket assignment: thirds by (nll, doc_id) within language
+        # bucket assignment: SQL NTILE(3) semantics per language —
+        # with n = q*3 + r, the first r buckets hold q+1 rows
         lang = {d: l for d, l in zip(pdf["doc_id"], pdf["lang"])}
         by_lang: dict[str, list[int]] = defaultdict(list)
         for did in doc_toks:
@@ -195,8 +196,12 @@ class TestUnigramPerplexityBuckets:
         for lg, dids in by_lang.items():
             dids.sort(key=lambda d: (nll[d], d))
             n = len(dids)
+            q, rem = divmod(n, 3)
             for r, did in enumerate(dids, start=1):
-                b = 1 + (3 * (r - 1)) // n
+                if q == 0 or r <= (q + 1) * rem:
+                    b = math.ceil(r / (q + 1))
+                else:
+                    b = rem + math.ceil((r - (q + 1) * rem) / q)
                 want = {1: "head", 2: "middle", 3: "tail"}[b]
                 assert got[did]["bucket"] == want, (lg, did)
 
@@ -208,6 +213,62 @@ class TestUnigramPerplexityBuckets:
         pdf = q_unigram_perplexity_buckets(spark, sf_dir).toPandas()
         per = pdf.groupby("lang")["bucket"].nunique()
         assert (per[pdf.groupby("lang").size() >= 3] == 3).all()
+
+
+class TestGroupedNtile:
+    def test_matches_window_ntile(self, spark, sf_dir):
+        """grouped_ntile must equal Spark's own NTILE window (the
+        single-task-per-group plan it replaces) on a real frame with
+        uneven group sizes."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from defi_features_data_pipeline_spark.operators.ranking import (
+            grouped_ntile,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "n_chars"
+        )
+        got = {
+            r["doc_id"]: r["b"]
+            for r in grouped_ntile(
+                d, 4, ["lang"], ["n_chars", "doc_id"], bucket_col="b"
+            ).collect()
+        }
+        w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+        want = {
+            r["doc_id"]: r["b"]
+            for r in d.withColumn("b", F.ntile(4).over(w)).collect()
+        }
+        assert got == want
+
+    def test_parallel_rank_spans_partitions(self, spark, sf_dir):
+        """The point of the rewrite: the ranked frame must NOT be
+        collapsed to one partition per group — with more input
+        partitions than groups, at least one group must span several
+        range partitions."""
+        from pyspark.sql import functions as F
+
+        from defi_features_data_pipeline_spark.operators.ranking import (
+            grouped_rank,
+        )
+
+        d = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "lang", "n_chars")
+            .repartition(16)
+        )
+        ranked, totals = grouped_rank(d, ["lang"], ["n_chars", "doc_id"])
+        # recompute pid spread per group on the materialized frame
+        spread = (
+            ranked.withColumn("__p", F.spark_partition_id())
+            .groupBy("lang")
+            .agg(F.countDistinct("__p").alias("np"))
+            .collect()
+        )
+        assert max(r["np"] for r in spread) > 1
+        assert sum(totals.values()) == d.count()
 
 
 class TestStreamingQualityFilter:
