@@ -307,6 +307,10 @@ SCALE_PROBE_100X = {
     "dedup_clusters_blocked": 1.0,
     "recursive_order_chain": 1.0,
     "chain_closure": 1.0,
+    # r8 learned-model family representative: corpus-scaled dup-window
+    # set through the pinned shuffle_hash semi-join (measured 22.6 s at
+    # 100x ≈ 9x wall; whole family 10-25 s, all sublinear)
+    "dedup_substring_spans": 1.0,
 }
 SCALE_PROBE_100X_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "testdata_scale", "sf10"
