@@ -210,6 +210,8 @@ HEADLINE = [
     "domain_mixture_sample",
     "dsir_importance_weights",
     "streaming_quality_filter",
+    "dedup_span_extents",
+    "embedding_pca_power",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

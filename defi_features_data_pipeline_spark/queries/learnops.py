@@ -575,6 +575,103 @@ def q_domain_mixture_sample(spark, sf_dir):
     )
 
 
+_SPAN_POS_WINDOWS_SPARK = (
+    f"CASE WHEN size(__toks) >= {SPAN_WINDOW_TOKENS} THEN "
+    f"transform(sequence(1, size(__toks) - {SPAN_WINDOW_TOKENS - 1}), "
+    f"i -> struct(i AS pos, concat_ws(' ', slice(__toks, i, "
+    f"{SPAN_WINDOW_TOKENS})) AS w)) "
+    "ELSE array() END"
+)
+_SPAN_POS_WINDOWS_DUCK = (
+    f"CASE WHEN len(__toks) >= {SPAN_WINDOW_TOKENS} THEN "
+    f"[{{'pos': i, 'w': array_to_string(__toks[i:i+{SPAN_WINDOW_TOKENS - 1}],"
+    f" ' ')}} FOR i IN range(1, len(__toks) - {SPAN_WINDOW_TOKENS - 2})] "
+    "ELSE [] END"
+)
+
+
+def q_dedup_span_extents(spark, sf_dir):
+    """MAXIMAL DUPLICATED-SPAN EXTENTS: merge runs of consecutive
+    duplicated window positions into maximal (start, end) token spans
+    per document — the actual output shape of suffix-array substring
+    dedup ("cut these spans out of the training set"), where
+    dedup_substring_spans only reports the per-doc fraction.
+
+    The merge is the gaps-and-islands pattern: among a doc's
+    duplicated positions ordered by pos, island id = pos − row_number
+    is constant exactly along consecutive runs; one keyed aggregate
+    per island yields the span. The row_number window partitions by
+    doc_id — HIGH-cardinality (one doc's dup positions per task), so
+    unlike a global rank this parallelizes for free at any corpus
+    size.
+
+    100 TB: same linear explode + pinned-shuffle_hash dup set as
+    dedup_substring_spans; the islands window shuffles by doc_id once;
+    spans per doc are bounded by positions. Output: one row per
+    maximal span with its token extent [span_start, span_end]."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    pw = (
+        d.withColumn("__toks", F.expr(TOKENS_SPARK))
+        .select("doc_id", F.explode(F.expr(_SPAN_POS_WINDOWS_SPARK)).alias("pw"))
+        .select("doc_id", F.col("pw.pos").alias("pos"), _h(F.col("pw.w")).alias("wh"))
+    )
+    pw = pw.localCheckpoint(eager=False)  # dup-set build + probe share it
+    dup = (
+        pw.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh")
+        .hint("shuffle_hash")
+    )
+    from pyspark.sql import Window
+
+    hits = pw.join(dup, "wh", "left_semi")
+    isle = F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    return (
+        hits.withColumn("__isle", isle)
+        .groupBy("doc_id", "__isle")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(SPAN_WINDOW_TOKENS - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_windows",
+        )
+    )
+
+
+LEARNOPS_ORACLES["dedup_span_extents"] = f"""
+WITH pw AS (
+  SELECT doc_id, u.pw['pos'] AS pos, {H_SQL.format(x="u.pw['w']")} AS wh
+  FROM (SELECT doc_id, {_SPAN_POS_WINDOWS_DUCK} AS pws
+        FROM (SELECT doc_id, {TOKENS_DUCK} AS __toks FROM documents)),
+       unnest(pws) AS u(pw)
+),
+dup AS (SELECT wh FROM (SELECT wh, count(DISTINCT doc_id) AS nd
+                        FROM pw GROUP BY wh) WHERE nd >= 2),
+hits AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isle
+  FROM pw WHERE wh IN (SELECT wh FROM dup)
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + {SPAN_WINDOW_TOKENS - 1} AS span_end,
+       max(pos) + {SPAN_WINDOW_TOKENS - 1} - min(pos) + 1 AS span_tokens,
+       count(*) AS n_windows
+FROM hits
+GROUP BY doc_id, isle
+"""
+LEARNOPS_QUERIES["dedup_span_extents"] = q_dedup_span_extents
+
+
 # ---------------------------------------------------------------------------
 # Streaming classifier filter (offline fit → online score)
 # ---------------------------------------------------------------------------
@@ -628,6 +725,238 @@ FROM qf CROSS JOIN w{QC_ITERS} w
 WHERE {_QC_P_FINAL} >= 0.5
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration PCA over embeddings (distributed spectral op)
+# ---------------------------------------------------------------------------
+
+PCA_D = 8          # leading embedding dims the gate decomposes
+PCA_SQUARINGS = 16  # A ← A²/‖A²‖_F, 16× → 2^16 effective power steps
+
+
+def q_embedding_pca_power(spark, sf_dir):
+    """POWER-ITERATION PCA: the dominant principal component of the
+    embedding cloud — the spectral primitive behind whitening, OOD
+    scoring, and spectral-clustering curation. Two distributed passes
+    build exact O(d²) driver metadata, then the iteration runs on the
+    d×d scatter matrix driver-side:
+
+      1. per-dim mean (one decimal aggregate, d sums);
+      2. centered scatter G = Σ (x−μ)(x−μ)ᵀ — ONE aggregate computing
+         the d(d+1)/2 upper-triangle entries as exact decimal sums
+         (products evaluated in double — FLOAT widens to double
+         exactly — then cast decimal(38,15) per INSTANCE, the
+         graph_pagerank discipline, so accumulation order cannot move
+         any entry);
+      3. power iteration by REPEATED SQUARING: A ← A²/‖A²‖_F sixteen
+         times (= 2^16 effective power steps — a plain K-step loop
+         cannot converge on a near-isotropic cloud whose eigengap is
+         tiny; the numpy reference test caught exactly that), then
+         v = A·v₀ normalized, λ = vᵀGv against the ORIGINAL scatter.
+         Every step is IEEE doubles with a PINNED left-associated
+         row-major parse tree — the oracle unrolls the SAME squarings
+         as CTEs over its own G and must land on bit-identical
+         loadings (sqrt and / are IEEE correctly-rounded everywhere;
+         no libm beyond sqrt).
+
+    100 TB: both passes are map-side-combinable aggregates over the
+    corpus; nothing row-proportional reaches the driver (d means +
+    d(d+1)/2 sums); the iteration itself costs O(d²·iters) scalar
+    flops. Sign and value are deterministic (fixed positive init).
+    Output: one row per dim with its loading + the shared Rayleigh
+    eigenvalue, floor-quantized at 6 dp."""
+    e = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    x = e.select(
+        *[
+            F.element_at(F.col("embedding"), i + 1)
+            .cast("double")
+            .alias(f"x{i}")
+            for i in range(PCA_D)
+        ]
+    ).localCheckpoint(eager=True)  # mean + scatter passes share the scan
+    n = x.count()
+    srow = x.agg(
+        *[
+            F.round(F.sum(F.col(f"x{i}").cast("decimal(38,15)")), 10).alias(
+                f"s{i}"
+            )
+            for i in range(PCA_D)
+        ]
+    ).first()
+    mu = [float(srow[f"s{i}"]) / n for i in range(PCA_D)]
+    aggs = []
+    for i in range(PCA_D):
+        for j in range(i, PCA_D):
+            aggs.append(
+                F.round(
+                    F.sum(
+                        (
+                            (F.col(f"x{i}") - F.lit(mu[i]))
+                            * (F.col(f"x{j}") - F.lit(mu[j]))
+                        ).cast("decimal(38,15)")
+                    ),
+                    10,
+                ).alias(f"g_{i}_{j}")
+            )
+    grow = x.agg(*aggs).first()
+    g = [[0.0] * PCA_D for _ in range(PCA_D)]
+    for i in range(PCA_D):
+        for j in range(i, PCA_D):
+            g[i][j] = g[j][i] = float(grow[f"g_{i}_{j}"])
+    # repeated squaring in driver doubles (O(d³) per squaring), same
+    # pinned row-major accumulation order as the oracle's CTEs
+    def _frob(m: list[list[float]]) -> float:
+        sq = 0.0
+        for i in range(PCA_D):
+            for j in range(PCA_D):
+                sq = sq + m[i][j] * m[i][j]
+        return math.sqrt(sq)
+
+    f0 = _frob(g)
+    a = [[g[i][j] / f0 for j in range(PCA_D)] for i in range(PCA_D)]
+    for _ in range(PCA_SQUARINGS):
+        b = [[0.0] * PCA_D for _ in range(PCA_D)]
+        for i in range(PCA_D):
+            for j in range(PCA_D):
+                acc = 0.0
+                for k in range(PCA_D):
+                    acc = acc + a[i][k] * a[k][j]
+                b[i][j] = acc
+        fb = _frob(b)
+        a = [[b[i][j] / fb for j in range(PCA_D)] for i in range(PCA_D)]
+    c0 = 1.0 / math.sqrt(float(PCA_D))
+    u = []
+    for i in range(PCA_D):
+        acc = 0.0
+        for j in range(PCA_D):
+            acc = acc + a[i][j] * c0
+        u.append(acc)
+    sq = 0.0
+    for i in range(PCA_D):
+        sq = sq + u[i] * u[i]
+    nrm = math.sqrt(sq)
+    v = [ui / nrm for ui in u]
+    w = []
+    for i in range(PCA_D):
+        acc = 0.0
+        for j in range(PCA_D):
+            acc = acc + g[i][j] * v[j]
+        w.append(acc)
+    lam = 0.0
+    for i in range(PCA_D):
+        lam = lam + v[i] * w[i]
+    q6 = lambda z: math.floor(z * 1e6) / 1e6  # noqa: E731 — shared quantizer
+    return spark.createDataFrame(
+        [(i, q6(v[i]), q6(lam)) for i in range(PCA_D)],
+        "dim int, loading double, eigenvalue double",
+    )
+
+
+def _pca_oracle() -> str:
+    d = PCA_D
+    dims = range(d)
+    xcols = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in dims
+    )
+    scols = ", ".join(
+        f"round(SUM(CAST(x{i} AS DECIMAL(38,15))), 10) AS s{i}" for i in dims
+    )
+    mcols = ", ".join(
+        f"{D2D_SQL.format(x=f's{i}')} / nn.n AS m{i}" for i in dims
+    )
+    gcols = ", ".join(
+        f"round({D2D_SQL.format(x=f'SUM(CAST((x{i} - mu.m{i}) * (x{j} - mu.m{j}) AS DECIMAL(38,15)))')}, 10) AS g_{i}_{j}"
+        for i in dims
+        for j in range(i, d)
+    )
+
+    def gref(i: int, j: int) -> str:
+        a, b = min(i, j), max(i, j)
+        return f"g_{a}_{b}"
+
+    def frob(ref) -> str:
+        # row-major (i outer, j inner) — MUST match _frob's loop order
+        terms = [f"{ref(i, j)} * {ref(i, j)}" for i in dims for j in dims]
+        return "sqrt(" + " + ".join(terms) + ")"
+
+    parts = [
+        f"x AS MATERIALIZED (SELECT {xcols} FROM embeddings)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM x)",
+        f"ms AS (SELECT {scols} FROM x)",
+        f"mu AS (SELECT {mcols} FROM ms CROSS JOIN nn)",
+        f"cov AS MATERIALIZED (SELECT {gcols} FROM x CROSS JOIN mu)",
+        f"f0 AS MATERIALIZED (SELECT {frob(lambda i, j: 'cov.' + gref(i, j))} AS f FROM cov)",
+        "a0 AS MATERIALIZED (SELECT "
+        + ", ".join(
+            f"cov.{gref(i, j)} / f0.f AS a_{i}_{j}" for i in dims for j in dims
+        )
+        + " FROM cov CROSS JOIN f0)",
+    ]
+    for k in range(1, PCA_SQUARINGS + 1):
+        bcols = ", ".join(
+            f"a.a_{i}_0 * a.a_0_{j} "
+            + " ".join(f"+ a.a_{i}_{m} * a.a_{m}_{j}" for m in range(1, d))
+            + f" AS b_{i}_{j}"
+            for i in dims
+            for j in dims
+        )
+        parts.append(f"b{k} AS MATERIALIZED (SELECT {bcols} FROM a{k - 1} a)")
+        parts.append(
+            f"f{k} AS MATERIALIZED (SELECT "
+            f"{frob(lambda i, j: f'b.b_{i}_{j}')} AS f FROM b{k} b)"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"b.b_{i}_{j} / f{k}.f AS a_{i}_{j}" for i in dims for j in dims
+            )
+            + f" FROM b{k} b CROSS JOIN f{k})"
+        )
+    ak = f"a{PCA_SQUARINGS}"
+    ucols = ", ".join(
+        f"a.a_{i}_0 * (1.0 / sqrt({d}.0)) "
+        + " ".join(f"+ a.a_{i}_{j} * (1.0 / sqrt({d}.0))" for j in range(1, d))
+        + f" AS u{i}"
+        for i in dims
+    )
+    parts.append(f"uv AS MATERIALIZED (SELECT {ucols} FROM {ak} a)")
+    nrm = "sqrt(u0 * u0 " + " ".join(
+        f"+ u{i} * u{i}" for i in range(1, d)
+    ) + ")"
+    parts.append(
+        "vv AS MATERIALIZED (SELECT "
+        + ", ".join(f"u{i} / {nrm} AS c{i}" for i in dims)
+        + " FROM uv)"
+    )
+    wcols = ", ".join(
+        f"cov.{gref(i, 0)} * v.c0 "
+        + " ".join(f"+ cov.{gref(i, j)} * v.c{j}" for j in range(1, d))
+        + f" AS u{i}"
+        for i in dims
+    )
+    parts.append(f"wf AS MATERIALIZED (SELECT {wcols} FROM cov CROSS JOIN vv v)")
+    lam = "v.c0 * wf.u0 " + " ".join(
+        f"+ v.c{i} * wf.u{i}" for i in range(1, d)
+    )
+    loading = " ".join(
+        f"WHEN {i} THEN floor(v.c{i} * 1000000.0) / 1000000.0" for i in dims
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT t.dim,
+       CASE t.dim {loading} END AS loading,
+       floor(({lam}) * 1000000.0) / 1000000.0 AS eigenvalue
+FROM vv v CROSS JOIN wf
+CROSS JOIN (VALUES {', '.join(f'({i})' for i in dims)}) AS t(dim)
+"""
+    )
+
+
+LEARNOPS_QUERIES["embedding_pca_power"] = q_embedding_pca_power
+LEARNOPS_ORACLES["embedding_pca_power"] = _pca_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -215,6 +215,95 @@ class TestUnigramPerplexityBuckets:
         assert (per[pdf.groupby("lang").size() >= 3] == 3).all()
 
 
+class TestDedupSpanExtents:
+    K = 8
+
+    def test_matches_python_islands(self, spark, sf_dir):
+        """Spans == maximal runs of consecutive duplicated window
+        positions recomputed in pure Python."""
+        from defi_features_data_pipeline_spark.queries.learnops import (
+            q_dedup_span_extents,
+        )
+
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"], r["n_windows"])
+            for r in q_dedup_span_extents(spark, sf_dir).collect()
+        )
+        pdf = _docs(spark, sf_dir)
+        owners: dict[int, set[int]] = defaultdict(set)
+        poshash = {}
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            tk = _toks(text)
+            hs = [
+                (i + 1, _h32(" ".join(tk[i : i + self.K])))
+                for i in range(len(tk) - self.K + 1)
+            ]
+            poshash[did] = hs
+            for _, h in hs:
+                owners[h].add(did)
+        want = []
+        for did, hs in poshash.items():
+            dup_pos = [p for p, h in hs if len(owners[h]) >= 2]
+            run: list[int] = []
+            for p in dup_pos + [None]:
+                if run and (p is None or p != run[-1] + 1):
+                    s, e = run[0], run[-1] + self.K - 1
+                    want.append((did, s, e, e - s + 1, len(run)))
+                    run = []
+                if p is not None:
+                    run.append(p)
+        assert got == sorted(want)
+        assert got  # corpus must contain at least one span at this SF
+
+    def test_spans_do_not_overlap_within_doc(self, spark, sf_dir):
+        from defi_features_data_pipeline_spark.queries.learnops import (
+            q_dedup_span_extents,
+        )
+
+        by_doc: dict[int, list] = defaultdict(list)
+        for r in q_dedup_span_extents(spark, sf_dir).collect():
+            by_doc[r["doc_id"]].append((r["span_start"], r["span_end"]))
+        for spans in by_doc.values():
+            spans.sort()
+            for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+                # maximal islands: next span starts AFTER a gap of at
+                # least one non-duplicated window position
+                assert s2 > e1 - self.K + 2
+
+
+class TestEmbeddingPcaPower:
+    def test_matches_numpy_eigendecomposition(self, spark, sf_dir):
+        """Loadings == numpy's dominant eigenvector of the centered
+        scatter matrix (up to the 6 dp quantization), eigenvalue ==
+        the dominant eigenvalue."""
+        import numpy as np
+
+        from defi_features_data_pipeline_spark.queries.learnops import (
+            PCA_D,
+            q_embedding_pca_power,
+        )
+
+        rows = q_embedding_pca_power(spark, sf_dir).collect()
+        v = np.zeros(PCA_D)
+        for r in rows:
+            v[r["dim"]] = r["loading"]
+        lam = rows[0]["eigenvalue"]
+        pdf = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("embedding")
+            .toPandas()
+        )
+        x = np.array([list(e[:PCA_D]) for e in pdf["embedding"]], dtype=np.float64)
+        xc = x - x.mean(axis=0)
+        g = xc.T @ xc
+        evals, evecs = np.linalg.eigh(g)
+        top = evecs[:, -1]
+        cos = abs(float(np.dot(v, top)) / (np.linalg.norm(v) * np.linalg.norm(top)))
+        assert cos > 1 - 1e-6, cos
+        assert lam == pytest.approx(float(evals[-1]), rel=1e-5)
+        assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
+
+
 class TestGroupedNtile:
     def test_matches_window_ntile(self, spark, sf_dir):
         """grouped_ntile must equal Spark's own NTILE window (the
