@@ -212,6 +212,7 @@ HEADLINE = [
     "streaming_quality_filter",
     "dedup_span_extents",
     "embedding_pca_power",
+    "embedding_pca_project",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -766,6 +766,32 @@ def q_embedding_pca_power(spark, sf_dir):
     flops. Sign and value are deterministic (fixed positive init).
     Output: one row per dim with its loading + the shared Rayleigh
     eigenvalue, floor-quantized at 6 dp."""
+    mu, v, lam = _pca_fit(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, _q6(v[i]), _q6(lam)) for i in range(PCA_D)],
+        "dim int, loading double, eigenvalue double",
+    )
+
+
+def _q6(z: float) -> float:
+    """floor-scaled 6 dp quantizer (see _qc_p_col rationale)."""
+    return math.floor(z * 1e6) / 1e6
+
+
+# Per-process memo of the fitted component, keyed on the embeddings
+# file identity (same discipline as _QC_WEIGHT_CACHE).
+_PCA_CACHE: dict[tuple, tuple[list[float], list[float], float]] = {}
+
+
+def _pca_fit(spark, sf_dir) -> tuple[list[float], list[float], float]:
+    """Fit the dominant component; returns (mu, v, lam) — UNquantized
+    doubles (gates quantize at output time)."""
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(p)
+    key = (p, st.st_mtime_ns, st.st_size)
+    hit = _PCA_CACHE.get(key)
+    if hit is not None:
+        return hit
     e = _spread(spark, _t(spark, sf_dir, "embeddings"))
     x = e.select(
         *[
@@ -846,17 +872,55 @@ def q_embedding_pca_power(spark, sf_dir):
     lam = 0.0
     for i in range(PCA_D):
         lam = lam + v[i] * w[i]
-    q6 = lambda z: math.floor(z * 1e6) / 1e6  # noqa: E731 — shared quantizer
-    return spark.createDataFrame(
-        [(i, q6(v[i]), q6(lam)) for i in range(PCA_D)],
-        "dim int, loading double, eigenvalue double",
+    _PCA_CACHE[key] = (mu, v, lam)
+    return mu, v, lam
+
+
+def q_embedding_pca_project(spark, sf_dir):
+    """PCA PROJECTION + RESIDUAL OOD SCORE: apply the fitted component
+    back to every vector in one distributed pass — pc1 = vᵀ(x−μ) (the
+    leading whitened coordinate) and resid_sq = ‖x−μ‖² − pc1² (the
+    energy OFF the dominant direction — the classic reconstruction-
+    error outlier/OOD score a curation pipeline thresholds).
+
+    The fit-apply split mirrors the quality classifier: fit once
+    (memoized per corpus file), apply as pure column arithmetic with
+    the component as literals — zero joins, zero shuffle; at 100 TB
+    the apply is a map-only scan-stage pass. Parse trees pinned
+    left-associated, floor-quantized at 6 dp; the oracle recomputes
+    the WHOLE fit through the squaring CTEs and projects with the
+    identical expression."""
+    mu, v, _ = _pca_fit(spark, sf_dir)
+    e = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    x = e.select(
+        "vec_id",
+        *[
+            F.element_at(F.col("embedding"), i + 1)
+            .cast("double")
+            .alias(f"x{i}")
+            for i in range(PCA_D)
+        ],
+    )
+    proj = F.lit(v[0]) * (F.col("x0") - F.lit(mu[0]))
+    for i in range(1, PCA_D):
+        proj = proj + F.lit(v[i]) * (F.col(f"x{i}") - F.lit(mu[i]))
+    ss = (F.col("x0") - F.lit(mu[0])) * (F.col("x0") - F.lit(mu[0]))
+    for i in range(1, PCA_D):
+        ci = F.col(f"x{i}") - F.lit(mu[i])
+        ss = ss + ci * ci
+    resid = ss - proj * proj
+    fq = lambda c: F.floor(c * F.lit(1000000.0)).cast("double") / F.lit(  # noqa: E731
+        1000000.0
+    )
+    return x.select(
+        "vec_id", fq(proj).alias("pc1_score"), fq(resid).alias("resid_sq")
     )
 
 
-def _pca_oracle() -> str:
+def _pca_oracle(project: bool = False) -> str:
     d = PCA_D
     dims = range(d)
-    xcols = ", ".join(
+    xcols = "vec_id, " + ", ".join(
         f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in dims
     )
     scols = ", ".join(
@@ -939,6 +1003,25 @@ def _pca_oracle() -> str:
     lam = "v.c0 * wf.u0 " + " ".join(
         f"+ v.c{i} * wf.u{i}" for i in range(1, d)
     )
+    if project:
+        # identical parse trees to q_embedding_pca_project
+        proj = "v.c0 * (x.x0 - mu.m0) " + " ".join(
+            f"+ v.c{i} * (x.x{i} - mu.m{i})" for i in range(1, d)
+        )
+        ss = "(x.x0 - mu.m0) * (x.x0 - mu.m0) " + " ".join(
+            f"+ (x.x{i} - mu.m{i}) * (x.x{i} - mu.m{i})" for i in range(1, d)
+        )
+        return (
+            "WITH "
+            + ",\n".join(parts)
+            + f"""
+SELECT x.vec_id,
+       floor(({proj}) * 1000000.0) / 1000000.0 AS pc1_score,
+       floor((({ss}) - ({proj}) * ({proj})) * 1000000.0) / 1000000.0
+         AS resid_sq
+FROM x CROSS JOIN vv v CROSS JOIN mu
+"""
+        )
     loading = " ".join(
         f"WHEN {i} THEN floor(v.c{i} * 1000000.0) / 1000000.0" for i in dims
     )
@@ -957,6 +1040,8 @@ CROSS JOIN (VALUES {', '.join(f'({i})' for i in dims)}) AS t(dim)
 
 LEARNOPS_QUERIES["embedding_pca_power"] = q_embedding_pca_power
 LEARNOPS_ORACLES["embedding_pca_power"] = _pca_oracle()
+LEARNOPS_QUERIES["embedding_pca_project"] = q_embedding_pca_project
+LEARNOPS_ORACLES["embedding_pca_project"] = _pca_oracle(project=True)
 
 
 # ---------------------------------------------------------------------------

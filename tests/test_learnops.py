@@ -304,6 +304,42 @@ class TestEmbeddingPcaPower:
         assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
 
 
+class TestEmbeddingPcaProject:
+    def test_matches_numpy_projection(self, spark, sf_dir):
+        import numpy as np
+
+        from defi_features_data_pipeline_spark.queries.learnops import (
+            PCA_D,
+            q_embedding_pca_project,
+        )
+
+        got = {
+            r["vec_id"]: (r["pc1_score"], r["resid_sq"])
+            for r in q_embedding_pca_project(spark, sf_dir).collect()
+        }
+        pdf = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", "embedding")
+            .toPandas()
+        )
+        x = np.array([list(e[:PCA_D]) for e in pdf["embedding"]], dtype=np.float64)
+        xc = x - x.mean(axis=0)
+        g = xc.T @ xc
+        _, evecs = np.linalg.eigh(g)
+        top = evecs[:, -1]
+        proj = xc @ top
+        # sign of the fitted component is deterministic but arbitrary
+        # vs numpy's — align on the best-correlated sign
+        ours = np.array([got[v][0] for v in pdf["vec_id"]])
+        if float(np.dot(ours, proj)) < 0:
+            proj = -proj
+        assert np.abs(ours - proj).max() < 1e-4
+        resid = (xc * xc).sum(axis=1) - proj * proj
+        ours_r = np.array([got[v][1] for v in pdf["vec_id"]])
+        assert np.abs(ours_r - resid).max() < 1e-4
+        assert (ours_r >= -1e-6).all()  # residual energy is non-negative
+
+
 class TestGroupedNtile:
     def test_matches_window_ntile(self, spark, sf_dir):
         """grouped_ntile must equal Spark's own NTILE window (the
