@@ -213,6 +213,7 @@ HEADLINE = [
     "dedup_span_extents",
     "embedding_pca_power",
     "embedding_pca_project",
+    "training_shard_manifest",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

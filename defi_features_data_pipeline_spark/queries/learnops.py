@@ -673,6 +673,63 @@ LEARNOPS_QUERIES["dedup_span_extents"] = q_dedup_span_extents
 
 
 # ---------------------------------------------------------------------------
+# Training shard manifest (deterministic shuffle-and-shard)
+# ---------------------------------------------------------------------------
+
+SHARD_COUNT = 16
+
+
+def q_training_shard_manifest(spark, sf_dir):
+    """TRAINING SHARD MANIFEST: the last step before the trainer —
+    deterministically SHUFFLE the corpus and split it into shards,
+    emitting (doc, shard, position) so any engine can materialize
+    byte-identical shard files. Shard = content hash mod S; order
+    within a shard = an independent second hash (so shard assignment
+    and shuffle order are uncorrelated), ties broken by doc_id.
+
+    The intra-shard position is ``grouped_rank`` — shards are a
+    LOW-CARDINALITY group (S=16 at any corpus size), so a plain
+    PARTITION BY shard row_number would collapse each shard onto one
+    task; grouped_rank keeps the sort as parallel as the cluster and
+    reassembles exact positions from O(P·S) driver metadata.
+
+    100 TB: hash + mod are scan-stage map work; the rank is one range
+    shuffle; writing the actual shards is then a partitionBy(shard)
+    sorted write. Rerun-stable and auditable — the manifest IS the
+    shuffle."""
+    from ..operators.ranking import grouped_rank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    frame = d.select(
+        "doc_id",
+        F.pmod(
+            _h(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+            F.lit(SHARD_COUNT),
+        ).alias("shard"),
+        _h(F.concat(F.lit("order:"), F.col("doc_id").cast("string"))).alias(
+            "__h2"
+        ),
+    )
+    ranked, _ = grouped_rank(frame, ["shard"], ["__h2", "doc_id"], rank_col="pos")
+    return ranked.select("doc_id", "shard", "pos")
+
+
+LEARNOPS_ORACLES["training_shard_manifest"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         {H_SQL.format(x="'shard:' || CAST(doc_id AS VARCHAR)")}
+           % {SHARD_COUNT} AS shard,
+         {H_SQL.format(x="'order:' || CAST(doc_id AS VARCHAR)")} AS h2
+  FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS pos
+FROM s
+"""
+LEARNOPS_QUERIES["training_shard_manifest"] = q_training_shard_manifest
+
+
+# ---------------------------------------------------------------------------
 # Streaming classifier filter (offline fit → online score)
 # ---------------------------------------------------------------------------
 

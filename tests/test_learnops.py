@@ -340,6 +340,37 @@ class TestEmbeddingPcaProject:
         assert (ours_r >= -1e-6).all()  # residual energy is non-negative
 
 
+class TestTrainingShardManifest:
+    def test_matches_python_shuffle(self, spark, sf_dir):
+        from defi_features_data_pipeline_spark.queries.learnops import (
+            SHARD_COUNT,
+            q_training_shard_manifest,
+        )
+
+        got = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in q_training_shard_manifest(spark, sf_dir).collect()
+        }
+        pdf = _docs(spark, sf_dir)
+        by_shard: dict[int, list] = defaultdict(list)
+        for did in pdf["doc_id"]:
+            sh = _h32(f"shard:{did}") % SHARD_COUNT
+            by_shard[sh].append((_h32(f"order:{did}"), did))
+        want = {}
+        for sh, lst in by_shard.items():
+            for pos, (_, did) in enumerate(sorted(lst), start=1):
+                want[did] = (sh, pos)
+        assert got == want
+        # every shard is contiguous 1..n and the shuffle actually
+        # decorrelates from doc_id order (some shard is non-monotone)
+        nonmono = 0
+        for sh, lst in by_shard.items():
+            docs_in_rank_order = [d for _, d in sorted(lst)]
+            if docs_in_rank_order != sorted(docs_in_rank_order):
+                nonmono += 1
+        assert nonmono > 0
+
+
 class TestGroupedNtile:
     def test_matches_window_ntile(self, spark, sf_dir):
         """grouped_ntile must equal Spark's own NTILE window (the
