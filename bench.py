@@ -214,6 +214,8 @@ HEADLINE = [
     "embedding_pca_power",
     "embedding_pca_project",
     "training_shard_manifest",
+    "doc_lm_interpolated",
+    "token_budget_selection",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

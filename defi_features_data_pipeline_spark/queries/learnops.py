@@ -673,6 +673,182 @@ LEARNOPS_QUERIES["dedup_span_extents"] = q_dedup_span_extents
 
 
 # ---------------------------------------------------------------------------
+# Interpolated bigram-unigram LM scoring (Jelinek-Mercer)
+# ---------------------------------------------------------------------------
+
+JM_LAMBDA = 0.5  # exact 2^-1 interpolation weight
+
+
+def q_doc_lm_interpolated(spark, sf_dir):
+    """JELINEK-MERCER INTERPOLATED LM SCORE: per-doc mean log of
+    p̂(w2|w1) = λ·p_bigram(w2|w1) + (1−λ)·p_unigram(w2) — the backoff
+    smoothing that separates doc_lm_score's raw-MLE bigram (which
+    assigns nothing to unseen continuations) from a usable LM filter.
+    λ = 0.5 exactly (power of two).
+
+    Determinism: both component probabilities are ratios of exact
+    integer counts composed in IEEE doubles with a pinned tree
+    (λ·a + (1−λ)·b, left-assoc); ln — the only libm call — rounds at
+    10 dp per INSTANCE; per-doc mean accumulates in exact decimal
+    (doc_lm_score discipline).
+
+    100 TB: bigram AND unigram models come from one exploded bigram
+    pass (the unigram table is the bigram table's w2 rollup — no
+    second corpus scan); both are CORPUS-SCALED → pinned
+    `shuffle_hash`; per-doc rollup map-side combinable."""
+    d = _spread(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
+    inst = (
+        d.withColumn("__toks", F.expr(TOKENS_SPARK))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(__toks) >= 2 THEN "
+                    "transform(sequence(0, size(__toks) - 2), "
+                    "i -> struct(__toks[i] AS w1, __toks[i+1] AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    inst = inst.localCheckpoint(eager=False)  # models + probe share the pass
+    c12 = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c12 = c12.localCheckpoint(eager=False)  # feeds BOTH rollups + the join
+    c1 = c12.groupBy(F.col("w1").alias("k1")).agg(F.sum("c12").alias("c1"))
+    cw = c12.groupBy(F.col("w2").alias("k2")).agg(F.sum("c12").alias("cw"))
+    ntot = cw.agg(F.sum("cw").cast("double").alias("n"))
+    p_bg = F.col("c12").cast("double") / F.col("c1").cast("double")
+    p_ug = F.col("cw").cast("double") / ntot.scalar()
+    logp = F.round(
+        F.log(F.lit(JM_LAMBDA) * p_bg + F.lit(1.0 - JM_LAMBDA) * p_ug), 10
+    )
+    scored = (
+        inst.join(c12.hint("shuffle_hash"), ["w1", "w2"])
+        .join(c1.hint("shuffle_hash"), F.col("w1") == F.col("k1"))
+        .join(cw.hint("shuffle_hash"), F.col("w2") == F.col("k2"))
+        .select("doc_id", logp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("lp").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).alias("lm_score"),
+    )
+
+
+LEARNOPS_ORACLES["doc_lm_interpolated"] = f"""
+WITH toked AS (
+  SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+),
+inst AS (
+  SELECT doc_id, u.bg['w1'] AS w1, u.bg['w2'] AS w2
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 2 THEN
+             [{{'w1': toks[i], 'w2': toks[i+1]}} FOR i IN range(1, len(toks))]
+           ELSE [] END AS bgs
+    FROM toked
+  ), unnest(bgs) AS u(bg)
+),
+c12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM inst GROUP BY 1, 2),
+c1 AS (SELECT w1 AS k1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+cw AS MATERIALIZED (SELECT w2 AS k2, sum(c12) AS cw FROM c12 GROUP BY 1),
+ntot AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM cw),
+scored AS (
+  SELECT doc_id,
+         round(ln({JM_LAMBDA} * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                  + {1.0 - JM_LAMBDA} * (CAST(cw AS DOUBLE) / ntot.n)), 10)
+           AS lp
+  FROM inst
+  JOIN c12 USING (w1, w2)
+  JOIN c1 ON c1.k1 = inst.w1
+  JOIN cw ON cw.k2 = inst.w2
+  CROSS JOIN ntot
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+             / count(*), 8) AS lm_score
+FROM scored
+GROUP BY doc_id
+"""
+LEARNOPS_QUERIES["doc_lm_interpolated"] = q_doc_lm_interpolated
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection (best docs until the budget is spent)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET_PCT = 20  # keep the best docs until 20% of corpus tokens
+
+
+def q_token_budget_selection(spark, sf_dir):
+    """TOKEN-BUDGET SELECTION: "give the trainer the BEST 20% of
+    tokens" — rank documents by the fitted quality-classifier score
+    (best first, doc_id tie-break), take the running token total in
+    that order, keep documents while it stays within the budget. The
+    composition of two fitted/derived primitives: the classifier
+    (memoized fit) supplies the order; ``global_prefix_sum`` supplies
+    the exact running total WITHOUT a single-partition window (range
+    sort + per-partition offsets — the distributed scan primitive).
+
+    Budget and running totals are exact BIGINT arithmetic
+    (budget = total·20 div 100); the only double is the order key,
+    which both engines quantized identically at 6 dp.
+
+    100 TB: scoring is map-only; the prefix sum is one range shuffle;
+    the filter is a scan-stage comparison against an embedded scalar."""
+    from ..operators.ranking import global_prefix_sum
+
+    w, _ = _qc_train(spark, sf_dir)
+    feats = _qc_features(spark, sf_dir)
+    p = _qc_p_col(w)
+    scored = feats.select(
+        "doc_id",
+        F.expr("CAST(x1 * 100.0 AS BIGINT)").alias("n_tokens"),
+        p.alias("p_quality"),
+    ).withColumn("__ord", -F.col("p_quality"))
+    summed = global_prefix_sum(
+        scored, ["__ord", "doc_id"], "n_tokens", out_col="cum_tokens"
+    )
+    total = scored.agg(F.sum("n_tokens").cast("bigint").alias("t"))
+    # budget = (total·pct) div 100 — exact bigint, no float in the cap
+    budget = F.expr(f"(__t * {TOKEN_BUDGET_PCT}) div 100")
+    return (
+        summed.withColumn("__t", total.scalar())
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "n_tokens", "p_quality", "cum_tokens")
+    )
+
+
+LEARNOPS_ORACLES["token_budget_selection"] = (
+    "WITH "
+    + _qc_train_ctes()
+    + f""",
+scored AS (
+  SELECT doc_id, CAST(x1 * 100.0 AS BIGINT) AS n_tokens,
+         {_QC_P_FINAL} AS p_quality
+  FROM qf CROSS JOIN w{QC_ITERS} w
+),
+summed AS (
+  SELECT doc_id, n_tokens, p_quality,
+         SUM(n_tokens) OVER (ORDER BY -p_quality, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM scored
+),
+tot AS (SELECT sum(n_tokens) AS t FROM scored)
+SELECT doc_id, n_tokens, p_quality, cum_tokens
+FROM summed CROSS JOIN tot
+WHERE cum_tokens <= (tot.t * {TOKEN_BUDGET_PCT}) // 100
+"""
+)
+LEARNOPS_QUERIES["token_budget_selection"] = q_token_budget_selection
+
+
+# ---------------------------------------------------------------------------
 # Training shard manifest (deterministic shuffle-and-shard)
 # ---------------------------------------------------------------------------
 

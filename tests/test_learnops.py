@@ -340,6 +340,97 @@ class TestEmbeddingPcaProject:
         assert (ours_r >= -1e-6).all()  # residual energy is non-negative
 
 
+class TestDocLmInterpolated:
+    def test_matches_python_jelinek_mercer(self, spark, sf_dir):
+        from defi_features_data_pipeline_spark.queries.learnops import (
+            q_doc_lm_interpolated,
+        )
+
+        got = {
+            r["doc_id"]: r for r in q_doc_lm_interpolated(spark, sf_dir).collect()
+        }
+        pdf = _docs(spark, sf_dir)
+        c12: dict[tuple, int] = defaultdict(int)
+        doc_bgs = {}
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            tk = _toks(text)
+            bgs = list(zip(tk, tk[1:]))
+            if bgs:
+                doc_bgs[did] = bgs
+            for bg in bgs:
+                c12[bg] += 1
+        c1: dict[str, int] = defaultdict(int)
+        cw: dict[str, int] = defaultdict(int)
+        for (w1, w2), c in c12.items():
+            c1[w1] += c
+            cw[w2] += c
+        n = float(sum(cw.values()))
+        assert set(got) == set(doc_bgs)
+        for did, bgs in doc_bgs.items():
+            s = sum(
+                round(
+                    math.log(
+                        0.5 * (c12[(w1, w2)] / c1[w1]) + 0.5 * (cw[w2] / n)
+                    ),
+                    10,
+                )
+                for w1, w2 in bgs
+            ) / len(bgs)
+            assert got[did]["n_bigrams"] == len(bgs)
+            assert got[did]["lm_score"] == pytest.approx(s, abs=1e-6)
+
+    def test_interpolation_differs_from_pure_bigram(self, spark, sf_dir):
+        """Smoothing must actually change scores vs the raw-MLE bigram
+        gate (else the operator is a rename)."""
+        from defi_features_data_pipeline_spark.queries.extensions import (
+            q_doc_lm_score,
+        )
+        from defi_features_data_pipeline_spark.queries.learnops import (
+            q_doc_lm_interpolated,
+        )
+
+        a = {r["doc_id"]: r["lm_score"] for r in q_doc_lm_interpolated(spark, sf_dir).collect()}
+        b = {r["doc_id"]: r["lm_score"] for r in q_doc_lm_score(spark, sf_dir).collect()}
+        diffs = [abs(a[d] - b[d]) for d in a]
+        assert max(diffs) > 1e-3
+
+
+class TestTokenBudgetSelection:
+    def test_budget_respected_and_maximal(self, spark, sf_dir):
+        from defi_features_data_pipeline_spark.queries.learnops import (
+            TOKEN_BUDGET_PCT,
+            q_quality_classifier_score,
+            q_token_budget_selection,
+        )
+
+        kept = {
+            r["doc_id"]: r for r in q_token_budget_selection(spark, sf_dir).collect()
+        }
+        scores = {
+            r["doc_id"]: r["p_quality"]
+            for r in q_quality_classifier_score(spark, sf_dir).collect()
+        }
+        pdf = _docs(spark, sf_dir)
+        ntok = {
+            did: len(_toks(t))
+            for did, t in zip(pdf["doc_id"], pdf["text"])
+            if _toks(t)
+        }
+        total = sum(ntok.values())
+        budget = (total * TOKEN_BUDGET_PCT) // 100
+        order = sorted(ntok, key=lambda d: (-scores[d], d))
+        cum, want = 0, {}
+        for d in order:
+            cum += ntok[d]
+            if cum <= budget:
+                want[d] = cum
+            else:
+                break  # prefix selection: first overflow ends the take
+        assert {d: r["cum_tokens"] for d, r in kept.items()} == want
+        if kept:
+            assert max(r["cum_tokens"] for r in kept.values()) <= budget
+
+
 class TestTrainingShardManifest:
     def test_matches_python_shuffle(self, spark, sf_dir):
         from defi_features_data_pipeline_spark.queries.learnops import (
