@@ -216,6 +216,7 @@ HEADLINE = [
     "training_shard_manifest",
     "doc_lm_interpolated",
     "token_budget_selection",
+    "audio_energy_windows",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -7673,3 +7673,100 @@ ORDER BY rrf DESC, id ASC LIMIT {RRF_TOP_N}
 
 EXT_QUERIES["hybrid_search_rrf"] = q_hybrid_search_rrf
 EXT_ORACLES["hybrid_search_rrf"] = ORACLE_HYBRID_SEARCH_RRF
+
+
+AUDIO_WINDOW_SAMPLES = 16  # tumbling energy-window width
+
+
+def q_audio_energy_windows(spark, sf_dir):
+    """AUDIO ENERGY PROFILE: tumbling 16-sample windows over the
+    decoded PCM stream, emitting Σ|s| and Σs² per window — the
+    voice-activity / silence-trim pre-filter of audio curation (drop
+    windows under an energy floor before the expensive featurizer).
+    Extends ``multimodal_decode_wav`` from per-file statistics to a
+    per-WINDOW explode: the byte-level chunk walk is identical; the
+    output is one row per (doc, window), integer-exact.
+
+    100 TB notes: both stages stay map-only Arrow-batched passes over
+    the binary column (the explode happens inside the decode UDF — no
+    shuffle); the analytic oracle recomputes every window from the
+    generator formula, so any sample-indexing mistake (window offsets,
+    last-partial-window length) breaks the hash."""
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_wav_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        W = AUDIO_WINDOW_SAMPLES
+        for pdf in batches:
+            ids, wins, cnts, sabs, energy = [], [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(buf)
+                if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                    raise ValueError(f"doc {doc_id}: not a WAV payload")
+                pos, bits, channels, data = 12, None, None, None
+                while pos + 8 <= len(buf):
+                    cid = buf[pos : pos + 4]
+                    sz = struct.unpack_from("<I", buf, pos + 4)[0]
+                    if cid == b"fmt ":
+                        fmt_code, channels, _, _, _, bits = struct.unpack_from(
+                            "<HHIIHH", buf, pos + 8
+                        )
+                        if fmt_code != 1:
+                            raise ValueError(f"doc {doc_id}: not PCM")
+                    elif cid == b"data":
+                        data = buf[pos + 8 : pos + 8 + sz]
+                    pos += 8 + sz + (sz & 1)
+                if data is None or bits != 16 or channels != 1:
+                    raise ValueError(f"doc {doc_id}: unsupported WAV layout")
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                for k in range((len(s) + W - 1) // W):
+                    seg = s[k * W : (k + 1) * W]
+                    ids.append(doc_id)
+                    wins.append(k)
+                    cnts.append(len(seg))
+                    sabs.append(int(np.abs(seg).sum()))
+                    energy.append(int((seg * seg).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "win": wins,
+                    "n_in_win": cnts,
+                    "sum_abs": sabs,
+                    "energy": energy,
+                }
+            )
+
+    payloads = d.mapInPandas(encode, schema="doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        schema="doc_id long, win long, n_in_win long, sum_abs long, "
+        "energy long",
+    )
+
+
+ORACLE_AUDIO_ENERGY_WINDOWS = f"""
+WITH d AS (
+  SELECT doc_id, 50 + doc_id % 50 AS n FROM documents
+),
+s AS (
+  SELECT doc_id, i, ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+  FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM d)
+)
+SELECT doc_id, i // {AUDIO_WINDOW_SAMPLES} AS win,
+       count(*) AS n_in_win,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(SUM(v * v) AS BIGINT) AS energy
+FROM s
+GROUP BY doc_id, i // {AUDIO_WINDOW_SAMPLES}
+"""
+
+EXT_QUERIES["audio_energy_windows"] = q_audio_energy_windows
+EXT_ORACLES["audio_energy_windows"] = ORACLE_AUDIO_ENERGY_WINDOWS
