@@ -217,6 +217,7 @@ HEADLINE = [
     "doc_lm_interpolated",
     "token_budget_selection",
     "audio_energy_windows",
+    "multimodal_decode_avi",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

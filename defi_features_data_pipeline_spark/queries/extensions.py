@@ -7770,3 +7770,204 @@ GROUP BY doc_id, i // {AUDIO_WINDOW_SAMPLES}
 
 EXT_QUERIES["audio_energy_windows"] = q_audio_energy_windows
 EXT_ORACLES["audio_energy_windows"] = ORACLE_AUDIO_ENERGY_WINDOWS
+
+
+AVI_SAMPLE_EVERY = 2  # decode every 2nd frame
+
+
+def _avi_params(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) of the deterministic test video."""
+    return 4 + doc_id % 5, 3 + doc_id % 4, 4 + doc_id % 8
+
+
+def _avi_frame_pixels(doc_id: int, f: int, w: int, h: int) -> bytes:
+    """One uncompressed DIB frame: bottom-up rows, BGR, 4-byte stride."""
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up on disk
+        row = bytearray()
+        for x in range(w):
+            r = (doc_id * 7 + f * 41 + x * 13 + y * 31) % 256
+            g = (doc_id * 11 + f * 43 + x * 3 + y * 5) % 256
+            b = (doc_id * 17 + f * 47 + x * 29 + y * 23) % 256
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (stride - w * 3)
+        rows.append(bytes(row))
+    return b"".join(rows)
+
+
+def _avi_bytes(doc_id: int) -> bytes:
+    """RIFF/AVI container: LIST hdrl (avih MainAVIHeader + LIST strl
+    with strh/strf), LIST movi with one '00db' uncompressed-DIB chunk
+    per frame. Every structural field a real demuxer reads (magic,
+    list types, avih frame count / dimensions, per-frame chunk sizes)
+    is populated for real."""
+    w, h, nf = _avi_params(doc_id)
+    stride = (w * 3 + 3) // 4 * 4
+    frame_sz = stride * h
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return cid + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b""
+        )
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        33333, frame_sz * 30, 0, 0x10, nf, 0, 1, frame_sz, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 30, 0,
+                                        nf, frame_sz, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_sz, 2835, 2835, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(
+        b"movi",
+        b"".join(
+            chunk(b"00db", _avi_frame_pixels(doc_id, f, w, h)) for f in range(nf)
+        ),
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def q_multimodal_decode_avi(spark, sf_dir):
+    """VIDEO FRAME-SAMPLE over a binary column — completes the
+    image (``multimodal_decode_bmp``) / audio (``multimodal_decode_wav``)
+    / video triad with a REAL container parse: one Arrow-batched
+    mapInPandas stage encodes a deterministic uncompressed RIFF/AVI per
+    document, a SECOND independent stage demuxes the ACTUAL bytes
+    (RIFF/'AVI ' magic, LIST walk, avih MainAVIHeader for frame count +
+    dimensions, LIST movi '00db' chunk walk) and samples every
+    ``AVI_SAMPLE_EVERY``-th frame, emitting one row per SAMPLED frame
+    with its exact integer luma sum Σ(299·R + 587·G + 114·B) —
+    pixel decode (bottom-up BGR DIB, 4-byte stride) is paid ONLY for
+    sampled frames, the frame-sampling economics of real video curation.
+    The oracle recomputes every sampled frame ANALYTICALLY from the
+    generator formula, so any demux mistake (chunk padding, header
+    offsets, row direction, BGR order, sampling phase) breaks the hash.
+
+    100 TB notes: both stages stay map-only Arrow-batched passes over
+    the binary column — no shuffle; a real corpus swaps the encode
+    stage for a parquet binary read, demux unchanged."""
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_avi_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, widths, heights, luma = [], [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(buf)
+                if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+                    raise ValueError(f"doc {doc_id}: not an AVI payload")
+                w = h = nf = None
+                frames = []
+                pos = 12
+                while pos + 8 <= len(buf):
+                    cid = buf[pos : pos + 4]
+                    sz = struct.unpack_from("<I", buf, pos + 4)[0]
+                    if cid == b"LIST":
+                        ltype = buf[pos + 8 : pos + 12]
+                        if ltype == b"hdrl":
+                            ip = pos + 12
+                            end = pos + 8 + sz
+                            while ip + 8 <= end:
+                                icid = buf[ip : ip + 4]
+                                isz = struct.unpack_from("<I", buf, ip + 4)[0]
+                                if icid == b"avih":
+                                    nf, w, h = struct.unpack_from(
+                                        "<I", buf, ip + 8 + 16
+                                    )[0], *struct.unpack_from("<II", buf, ip + 8 + 32)
+                                ip += 8 + isz + (isz & 1)
+                        elif ltype == b"movi":
+                            ip = pos + 12
+                            end = pos + 8 + sz
+                            while ip + 8 <= end:
+                                icid = buf[ip : ip + 4]
+                                isz = struct.unpack_from("<I", buf, ip + 4)[0]
+                                if icid == b"00db":
+                                    frames.append((ip + 8, isz))
+                                ip += 8 + isz + (isz & 1)
+                    pos += 8 + sz + (sz & 1)
+                if w is None or nf is None or len(frames) != nf:
+                    raise ValueError(f"doc {doc_id}: malformed AVI")
+                stride = (w * 3 + 3) // 4 * 4
+                for f, (off, fsz) in enumerate(frames):
+                    if f % AVI_SAMPLE_EVERY:
+                        continue  # sampling: skip pixel decode entirely
+                    if fsz != stride * h:
+                        raise ValueError(f"doc {doc_id}: bad frame size")
+                    arr = np.frombuffer(
+                        buf, dtype=np.uint8, count=fsz, offset=off
+                    ).reshape(h, stride)
+                    pix = arr[:, : w * 3].reshape(h, w, 3)[::-1]  # top-down
+                    b_, g_, r_ = (
+                        pix[..., 0].astype(np.int64),
+                        pix[..., 1].astype(np.int64),
+                        pix[..., 2].astype(np.int64),
+                    )
+                    ids.append(doc_id)
+                    fidx.append(f)
+                    widths.append(w)
+                    heights.append(h)
+                    luma.append(int((299 * r_ + 587 * g_ + 114 * b_).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": fidx,
+                    "width": widths,
+                    "height": heights,
+                    "luma_milli": luma,
+                }
+            )
+
+    payloads = d.mapInPandas(encode, schema="doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        schema="doc_id long, frame_idx long, width long, height long, "
+        "luma_milli long",
+    )
+
+
+ORACLE_MULTIMODAL_DECODE_AVI = f"""
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         4 + doc_id % 8 AS nf
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM d
+),
+px AS (
+  SELECT doc_id, w, h, f, unnest(range(0, w * h)) AS i
+  FROM fr WHERE f % {AVI_SAMPLE_EVERY} = 0
+)
+SELECT doc_id, f AS frame_idx, w AS width, h AS height,
+       CAST(SUM(
+         299 * ((doc_id * 7 + f * 41 + (i % w) * 13 + (i // w) * 31) % 256)
+       + 587 * ((doc_id * 11 + f * 43 + (i % w) * 3 + (i // w) * 5) % 256)
+       + 114 * ((doc_id * 17 + f * 47 + (i % w) * 29 + (i // w) * 23) % 256)
+       ) AS BIGINT) AS luma_milli
+FROM px
+GROUP BY doc_id, f, w, h
+"""
+
+EXT_QUERIES["multimodal_decode_avi"] = q_multimodal_decode_avi
+EXT_ORACLES["multimodal_decode_avi"] = ORACLE_MULTIMODAL_DECODE_AVI
