@@ -218,6 +218,7 @@ HEADLINE = [
     "token_budget_selection",
     "audio_energy_windows",
     "multimodal_decode_avi",
+    "audio_active_segments",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

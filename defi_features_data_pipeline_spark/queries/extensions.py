@@ -7971,3 +7971,65 @@ GROUP BY doc_id, f, w, h
 
 EXT_QUERIES["multimodal_decode_avi"] = q_multimodal_decode_avi
 EXT_ORACLES["multimodal_decode_avi"] = ORACLE_MULTIMODAL_DECODE_AVI
+
+
+AUDIO_ENERGY_FLOOR = 1 << 32  # Σs² over a 16-sample window (≈ half-range avg)
+
+
+def q_audio_active_segments(spark, sf_dir):
+    """VAD-STYLE SILENCE TRIM: contiguous runs of energetic windows.
+    Composes the ``audio_energy_windows`` decode (map-only Arrow pass)
+    with a gaps-and-islands merge: windows with Σs² under
+    ``AUDIO_ENERGY_FLOOR`` are silence; consecutive ACTIVE windows
+    collapse to one segment row (start/end window, width, total
+    energy) via the win − row_number island key — the same merge shape
+    as ``dedup_span_extents``, applied to the audio modality. This is
+    the "trim to speech segments before the expensive featurizer" step
+    of audio curation.
+
+    100 TB notes: the only shuffle is the per-doc window function, and
+    it runs on the FILTERED active-window rows (≤7 per doc here;
+    bounded by payload length generally), never on raw samples —
+    sample→window reduction happens inside the decode UDF."""
+    from pyspark.sql import Window
+
+    wins = q_audio_energy_windows(spark, sf_dir)
+    act = wins.filter(F.col("energy") >= AUDIO_ENERGY_FLOOR)
+    w = Window.partitionBy("doc_id").orderBy("win")
+    isl = act.withColumn("island", F.col("win") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("win").alias("seg_start"),
+            F.max("win").alias("seg_end"),
+            F.count("*").alias("n_wins"),
+            F.sum("energy").alias("seg_energy"),
+        )
+        .select("doc_id", "seg_start", "seg_end", "n_wins", "seg_energy")
+    )
+
+
+ORACLE_AUDIO_ACTIVE_SEGMENTS = f"""
+WITH d AS (
+  SELECT doc_id, 50 + doc_id % 50 AS n FROM documents
+),
+s AS (
+  SELECT doc_id, i, ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+  FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM d)
+),
+w AS (
+  SELECT doc_id, i // {AUDIO_WINDOW_SAMPLES} AS win, SUM(v * v) AS energy
+  FROM s GROUP BY doc_id, i // {AUDIO_WINDOW_SAMPLES}
+),
+a AS (
+  SELECT doc_id, win, energy,
+         win - row_number() OVER (PARTITION BY doc_id ORDER BY win) AS island
+  FROM w WHERE energy >= {AUDIO_ENERGY_FLOOR}
+)
+SELECT doc_id, MIN(win) AS seg_start, MAX(win) AS seg_end,
+       COUNT(*) AS n_wins, CAST(SUM(energy) AS BIGINT) AS seg_energy
+FROM a GROUP BY doc_id, island
+"""
+
+EXT_QUERIES["audio_active_segments"] = q_audio_active_segments
+EXT_ORACLES["audio_active_segments"] = ORACLE_AUDIO_ACTIVE_SEGMENTS
