@@ -219,6 +219,7 @@ HEADLINE = [
     "audio_energy_windows",
     "multimodal_decode_avi",
     "audio_active_segments",
+    "length_bucketed_batches",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

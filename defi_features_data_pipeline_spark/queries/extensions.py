@@ -8033,3 +8033,90 @@ FROM a GROUP BY doc_id, island
 
 EXT_QUERIES["audio_active_segments"] = q_audio_active_segments
 EXT_ORACLES["audio_active_segments"] = ORACLE_AUDIO_ACTIVE_SEGMENTS
+
+
+LEN_BUCKET_WIDTH = 32  # tokens per length bucket
+LEN_BATCH_SIZE = 8     # docs per training batch
+
+
+def q_length_bucketed_batches(spark, sf_dir):
+    """LENGTH-BUCKETED BATCHING: the padding-minimization step between
+    tokenization and the trainer — docs are binned into
+    ``LEN_BUCKET_WIDTH``-token length buckets, deterministically
+    shuffled WITHIN each bucket (independent content hash, doc_id
+    tie-break), and cut into ``LEN_BATCH_SIZE``-doc batches; each row
+    carries its batch's pad target (batch max tokens) and its own pad
+    waste. Batching similar lengths together is what keeps padded-token
+    waste low; the emitted manifest is byte-reproducible.
+
+    100 TB notes: length buckets are LOW-cardinality (≈ max_len/32
+    groups at any corpus size), so in-bucket positions use
+    ``grouped_rank`` — a plain PARTITION BY bucket row_number would
+    put each bucket's whole corpus on one task. The per-batch pad
+    target is a window over (bucket, batch_id) — HIGH cardinality
+    (corpus/8 groups), which is exactly where a plain window IS the
+    scalable plan. Token counting is scan-stage JVM work."""
+    from ..operators.ranking import grouped_rank
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    frame = d.select(
+        "doc_id",
+        F.size(F.expr(TOKENS_SPARK)).cast("long").alias("n_tokens"),
+        _h(F.concat(F.lit("batch:"), F.col("doc_id").cast("string"))).alias(
+            "__h"
+        ),
+    ).withColumn(
+        "len_bucket", F.floor(F.col("n_tokens") / LEN_BUCKET_WIDTH)
+    )
+    ranked, _ = grouped_rank(
+        frame, ["len_bucket"], ["__h", "doc_id"], rank_col="__rk"
+    )
+    rk0 = F.col("__rk") - 1
+    batched = ranked.select(
+        "doc_id",
+        "len_bucket",
+        F.floor(rk0 / LEN_BATCH_SIZE).alias("batch_id"),
+        (rk0 % LEN_BATCH_SIZE).alias("pos_in_batch"),
+        "n_tokens",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("len_bucket", "batch_id")
+    return batched.select(
+        "doc_id",
+        "len_bucket",
+        "batch_id",
+        "pos_in_batch",
+        "n_tokens",
+        F.max("n_tokens").over(w).alias("pad_to"),
+        (F.max("n_tokens").over(w) - F.col("n_tokens")).alias("pad_waste"),
+    )
+
+
+ORACLE_LENGTH_BUCKETED_BATCHES = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({TOKENS_DUCK}) AS BIGINT) AS n_tokens,
+         {H_SQL.format(x="'batch:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens, n_tokens // {LEN_BUCKET_WIDTH} AS len_bucket,
+         row_number() OVER (
+           PARTITION BY n_tokens // {LEN_BUCKET_WIDTH} ORDER BY h, doc_id
+         ) - 1 AS rk
+  FROM t
+)
+SELECT doc_id, len_bucket, rk // {LEN_BATCH_SIZE} AS batch_id,
+       rk % {LEN_BATCH_SIZE} AS pos_in_batch, n_tokens,
+       MAX(n_tokens) OVER (
+         PARTITION BY len_bucket, rk // {LEN_BATCH_SIZE}
+       ) AS pad_to,
+       MAX(n_tokens) OVER (
+         PARTITION BY len_bucket, rk // {LEN_BATCH_SIZE}
+       ) - n_tokens AS pad_waste
+FROM r
+"""
+
+EXT_QUERIES["length_bucketed_batches"] = q_length_bucketed_batches
+EXT_ORACLES["length_bucketed_batches"] = ORACLE_LENGTH_BUCKETED_BATCHES
