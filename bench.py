@@ -220,6 +220,7 @@ HEADLINE = [
     "multimodal_decode_avi",
     "audio_active_segments",
     "length_bucketed_batches",
+    "inverted_index_blocks",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

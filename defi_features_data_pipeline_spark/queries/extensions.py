@@ -8120,3 +8120,80 @@ FROM r
 
 EXT_QUERIES["length_bucketed_batches"] = q_length_bucketed_batches
 EXT_ORACLES["length_bucketed_batches"] = ORACLE_LENGTH_BUCKETED_BATCHES
+
+
+POSTING_BLOCK = 128  # posting-list entries per block (Lucene-style)
+
+
+def q_inverted_index_blocks(spark, sf_dir):
+    """INVERTED-INDEX BUILD, block-sharded postings: per term, the
+    sorted posting list is cut into ``POSTING_BLOCK``-entry blocks,
+    each emitted as (base_doc = block's first absolute doc_id,
+    gaps = delta-encoded successors, first delta 0) — the Lucene
+    block-postings layout, and the reason a 100 TB index build never
+    materializes "one row = one term's whole posting list": a stopword
+    term's postings are corpus-sized and CANNOT be one array cell;
+    fixed blocks bound every row and give the serving side skip
+    pointers for free.
+
+    Plan: explode→DISTINCT builds (term, doc_id); in-term positions
+    come from ``grouped_rank`` (this corpus's vocabulary is tiny, so a
+    plain PARTITION BY term row_number would collapse each term onto
+    one task — the hot-stopword skew trap; with a Heaps-scale
+    vocabulary the plain window becomes fine and grouped_rank's
+    O(P·|vocab|) driver metadata does not, which is the documented
+    cutover); the delta encode is a lag over (term, block) — HIGH
+    cardinality, where a window is the scalable plan — and the block
+    assembly is one sorted-struct collect bounded at 128 entries."""
+    from pyspark.sql import Window
+
+    from ..operators.ranking import grouped_rank
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    tok = d.select(
+        F.explode(F.expr(TOKENS_SPARK)).alias("term"), "doc_id"
+    ).distinct()
+    ranked, _ = grouped_rank(tok, ["term"], ["doc_id"], rank_col="__rk")
+    blk = ranked.withColumn(
+        "block_id", F.floor((F.col("__rk") - 1) / POSTING_BLOCK)
+    )
+    w = Window.partitionBy("term", "block_id").orderBy("doc_id")
+    gapped = blk.withColumn(
+        "gap", F.coalesce(F.col("doc_id") - F.lag("doc_id").over(w), F.lit(0))
+    )
+    return gapped.groupBy("term", "block_id").agg(
+        F.count(F.lit(1)).alias("n_in_block"),
+        F.min("doc_id").alias("base_doc"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc_id").alias("d"),
+                                        F.col("gap").alias("g")))
+            ),
+            lambda s: s["g"],
+        ).alias("gaps"),
+    )
+
+
+ORACLE_INVERTED_INDEX_BLOCKS = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({TOKENS_DUCK}) AS term FROM documents
+),
+r AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1 AS rk
+  FROM tok
+),
+b AS (
+  SELECT term, doc_id, rk // {POSTING_BLOCK} AS block_id,
+         doc_id - lag(doc_id) OVER (
+           PARTITION BY term, rk // {POSTING_BLOCK} ORDER BY doc_id
+         ) AS gap
+  FROM r
+)
+SELECT term, block_id, count(*) AS n_in_block, MIN(doc_id) AS base_doc,
+       list(coalesce(gap, 0) ORDER BY doc_id) AS gaps
+FROM b GROUP BY term, block_id
+"""
+
+EXT_QUERIES["inverted_index_blocks"] = q_inverted_index_blocks
+EXT_ORACLES["inverted_index_blocks"] = ORACLE_INVERTED_INDEX_BLOCKS
