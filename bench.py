@@ -221,6 +221,7 @@ HEADLINE = [
     "audio_active_segments",
     "length_bucketed_batches",
     "inverted_index_blocks",
+    "boolean_and_from_index",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -8197,3 +8197,51 @@ FROM b GROUP BY term, block_id
 
 EXT_QUERIES["inverted_index_blocks"] = q_inverted_index_blocks
 EXT_ORACLES["inverted_index_blocks"] = ORACLE_INVERTED_INDEX_BLOCKS
+
+
+BOOL_TERM_A, BOOL_TERM_B = "spark", "vector"
+
+
+def q_boolean_and_from_index(spark, sf_dir):
+    """BOOLEAN AND RETRIEVAL **through the index**: consumes the
+    ``inverted_index_blocks`` artifact — prunes to the two query
+    terms' blocks first (the point of an index: touched data is
+    O(matching postings), not O(corpus)), reconstructs absolute
+    doc_ids from (base_doc, gaps) with a higher-order ``aggregate``
+    prefix sum (pure JVM, no UDF), and intersects the two posting
+    sets with a semi join. The oracle answers the same conjunctive
+    query straight off the corpus — so the gate proves the
+    block/delta encoding ROUND-TRIPS: any gap or base error changes
+    the reconstructed ids and breaks the hash.
+
+    100 TB notes: after the term filter everything is proportional to
+    the two terms' posting lengths; reconstruction is per-row array
+    work over ≤128-entry blocks; the AND is an equi semi join on
+    doc_id."""
+    blocks = q_inverted_index_blocks(spark, sf_dir)
+    sel = blocks.filter(F.col("term").isin(BOOL_TERM_A, BOOL_TERM_B))
+    recon = F.expr(
+        "aggregate(gaps,"
+        " named_struct('last', CAST(base_doc AS BIGINT),"
+        "              'arr', CAST(array() AS ARRAY<BIGINT>)),"
+        " (acc, g) -> named_struct('last', acc.last + g,"
+        "                          'arr', array_append(acc.arr, acc.last + g)),"
+        " acc -> acc.arr)"
+    )
+    docs = sel.select("term", F.explode(recon).alias("doc_id"))
+    a = docs.filter(F.col("term") == BOOL_TERM_A).select("doc_id")
+    b = docs.filter(F.col("term") == BOOL_TERM_B).select("doc_id")
+    return a.join(b, "doc_id", "left_semi")
+
+
+ORACLE_BOOLEAN_AND_FROM_INDEX = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({TOKENS_DUCK}) AS term FROM documents
+)
+SELECT a.doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+WHERE a.term = '{BOOL_TERM_A}' AND b.term = '{BOOL_TERM_B}'
+"""
+
+EXT_QUERIES["boolean_and_from_index"] = q_boolean_and_from_index
+EXT_ORACLES["boolean_and_from_index"] = ORACLE_BOOLEAN_AND_FROM_INDEX
