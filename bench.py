@@ -222,6 +222,7 @@ HEADLINE = [
     "length_bucketed_batches",
     "inverted_index_blocks",
     "boolean_and_from_index",
+    "cdc_chunk_dedup",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

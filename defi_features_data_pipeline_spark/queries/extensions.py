@@ -8245,3 +8245,99 @@ WHERE a.term = '{BOOL_TERM_A}' AND b.term = '{BOOL_TERM_B}'
 
 EXT_QUERIES["boolean_and_from_index"] = q_boolean_and_from_index
 EXT_ORACLES["boolean_and_from_index"] = ORACLE_BOOLEAN_AND_FROM_INDEX
+
+
+CDC_BOUNDARY_MOD = 8  # E[chunk] = 8 tokens; boundary iff h(token) % 8 == 0
+
+
+def q_cdc_chunk_dedup(spark, sf_dir):
+    """CONTENT-DEFINED CHUNKING dedup: chunk boundaries are a property
+    of the CONTENT (token hash % {mod} == 0), not of positions — so a
+    one-token insertion shifts only the chunk it lands in, while
+    fixed-stride windows (``chunk_documents``) shift every downstream
+    window. This is the rsync/CDC trick applied to corpus dedup: chunk
+    every doc, hash chunks, report chunks occurring more than once
+    with their corpus counts.
+
+    Plan: posexplode → boundary flag (scan-stage hash) → per-doc
+    running-sum segment id (window on doc_id — high cardinality,
+    parallel) → ordered-struct collect per (doc, seg) → corpus-wide
+    groupBy(chunk hash). All JVM; dup-report output is bounded by the
+    duplicate population."""
+    from pyspark.sql import Window
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.posexplode(F.expr(TOKENS_SPARK)).alias("pos", "tok")
+    )
+    b = F.when(
+        F.pmod(_h(F.concat(F.lit("cdc:"), F.col("tok"))), F.lit(CDC_BOUNDARY_MOD))
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    segd = tok.withColumn("seg", F.sum(b).over(w))
+    chunks = segd.groupBy("doc_id", "seg").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("pos").alias("p"), F.col("tok").alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    hashed = chunks.select(
+        "doc_id",
+        "n_toks",
+        _h(F.concat(F.lit("chunk:"), F.col("chunk_text"))).alias("chunk_hash"),
+    )
+    return (
+        hashed.groupBy("chunk_hash")
+        .agg(
+            F.max("n_toks").alias("chunk_tokens"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+ORACLE_CDC_CHUNK_DEDUP = f"""
+WITH toked AS (
+  SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+),
+tokrows AS (
+  SELECT doc_id, u.c['p'] AS p, u.c['t'] AS t
+  FROM (
+    SELECT doc_id,
+           [{{'p': i, 't': toks[i]}} FOR i IN range(1, len(toks) + 1)] AS cs
+    FROM toked WHERE len(toks) > 0
+  ), unnest(cs) AS u(c)
+),
+segd AS (
+  SELECT doc_id, p, t,
+         SUM(CASE WHEN {H_SQL.format(x="'cdc:' || t")} % {CDC_BOUNDARY_MOD} = 0
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS seg
+  FROM tokrows
+),
+chunks AS (
+  SELECT doc_id, seg, count(*) AS n_toks,
+         string_agg(t, ' ' ORDER BY p) AS chunk_text
+  FROM segd GROUP BY doc_id, seg
+)
+SELECT {H_SQL.format(x="'chunk:' || chunk_text")} AS chunk_hash,
+       MAX(n_toks) AS chunk_tokens,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM chunks
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+EXT_QUERIES["cdc_chunk_dedup"] = q_cdc_chunk_dedup
+EXT_ORACLES["cdc_chunk_dedup"] = ORACLE_CDC_CHUNK_DEDUP
