@@ -223,6 +223,7 @@ HEADLINE = [
     "inverted_index_blocks",
     "boolean_and_from_index",
     "cdc_chunk_dedup",
+    "html_strip_extract",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

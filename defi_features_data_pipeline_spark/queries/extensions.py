@@ -8341,3 +8341,70 @@ GROUP BY 1 HAVING count(*) > 1
 
 EXT_QUERIES["cdc_chunk_dedup"] = q_cdc_chunk_dedup
 EXT_ORACLES["cdc_chunk_dedup"] = ORACLE_CDC_CHUNK_DEDUP
+
+
+def q_html_strip_extract(spark, sf_dir):
+    """HTML BOILERPLATE STRIP (main-content extraction): each doc is
+    wrapped in a deterministic page shell (head/style, nav, footer)
+    and the op recovers the main content with a pure-JVM
+    ``regexp_replace`` chain — drop head, drop nav, drop footer, strip
+    remaining tags, collapse whitespace. Emits the extracted length,
+    a content hash, and the boilerplate fraction (permyriad,
+    floor-scaled — the round(double) cross-engine trap avoided). The
+    oracle builds the SAME shell but derives the expected extraction
+    ANALYTICALLY from the raw text — the gate fails if the strip chain
+    loses or leaks a single character.
+
+    100 TB notes: entirely scan-stage whole-stage-codegen column work —
+    zero UDFs, zero shuffles (regex patterns chosen inside the
+    Java∩RE2 common dialect: non-greedy, char classes; no lookaround).
+    """
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>body-margin-0</style></head><body>"
+              "<nav>home | about | contact</nav><main><p>"),
+        F.col("text"),
+        F.lit("</p></main><footer>copyright corp "),
+        (F.lit(2000) + F.col("doc_id") % 25).cast("string"),
+        F.lit("</footer></body></html>"),
+    )
+    s = F.regexp_replace(html, "<head>.*?</head>", "")
+    s = F.regexp_replace(s, "<nav>.*?</nav>", "")
+    s = F.regexp_replace(s, "<footer>.*?</footer>", "")
+    s = F.regexp_replace(s, "<[^>]+>", " ")
+    extracted = F.trim(F.regexp_replace(s, "\\s+", " "))
+    return d.select(
+        "doc_id",
+        F.length(extracted).cast("long").alias("n_chars_extracted"),
+        _h(F.concat(F.lit("x:"), extracted)).alias("extract_hash"),
+        F.floor(
+            (F.length(html) - F.length(extracted)).cast("long")
+            * 10000
+            / F.length(html)
+        ).alias("boiler_permyriad"),
+    )
+
+
+ORACLE_HTML_STRIP_EXTRACT = f"""
+WITH h AS (
+  SELECT doc_id, text, n_chars,
+         '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><style>body-margin-0</style></head><body>'
+         || '<nav>home | about | contact</nav><main><p>'
+         || text
+         || '</p></main><footer>copyright corp '
+         || CAST(2000 + doc_id % 25 AS VARCHAR)
+         || '</footer></body></html>' AS html
+  FROM documents
+)
+SELECT doc_id,
+       n_chars AS n_chars_extracted,
+       {H_SQL.format(x="'x:' || text")} AS extract_hash,
+       (length(html) - n_chars) * 10000 // length(html) AS boiler_permyriad
+FROM h
+"""
+
+EXT_QUERIES["html_strip_extract"] = q_html_strip_extract
+EXT_ORACLES["html_strip_extract"] = ORACLE_HTML_STRIP_EXTRACT
