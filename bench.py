@@ -224,6 +224,7 @@ HEADLINE = [
     "boolean_and_from_index",
     "cdc_chunk_dedup",
     "html_strip_extract",
+    "split_leakage_report",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

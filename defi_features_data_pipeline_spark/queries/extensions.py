@@ -8408,3 +8408,79 @@ FROM h
 
 EXT_QUERIES["html_strip_extract"] = q_html_strip_extract
 EXT_ORACLES["html_strip_extract"] = ORACLE_HTML_STRIP_EXTRACT
+
+
+def q_split_leakage_report(spark, sf_dir):
+    """SPLIT-LEAKAGE AUDIT: the integrity check every training-data
+    pipeline needs between dedup and training — verified near-dup
+    pairs (``dedup_lsh_verified``) whose endpoints land on OPPOSITE
+    sides of the deterministic train/test split: each such pair is an
+    eval example whose near-copy sits in the training set, silently
+    inflating eval. Emits the leaking pairs with their Jaccard and
+    split labels; empty output is the pass condition a pipeline gate
+    would assert.
+
+    100 TB notes: the edge list is the (already linear) LSH→verify
+    composition's output — small relative to the corpus; the split
+    label is scan-stage hash arithmetic joined in by doc id. Nothing
+    here revisits shingles."""
+    edges = q_dedup_lsh_verified(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(_h(F.col("doc_id").cast("string")), F.lit(100))
+    labels = d.select(
+        "doc_id",
+        F.when(bucket < 20, F.lit("test")).otherwise(F.lit("train")).alias(
+            "split"
+        ),
+    )
+    la = labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        edges.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+    )
+
+
+ORACLE_SPLIT_LEAKAGE_REPORT = f"""
+WITH {_lsh_ctes()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+),
+ver AS (
+  SELECT doc_a, doc_b,
+         round(CAST(n_common AS DOUBLE)
+               / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+  FROM common
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE)
+              / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6)
+        >= {JACCARD_THRESHOLD}
+),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN {H_SQL.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 20
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents
+)
+SELECT v.doc_a, v.doc_b, v.jaccard,
+       a.split AS split_a, b.split AS split_b
+FROM ver v
+JOIN lab a ON a.doc_id = v.doc_a
+JOIN lab b ON b.doc_id = v.doc_b
+WHERE a.split <> b.split
+"""
+
+EXT_QUERIES["split_leakage_report"] = q_split_leakage_report
+EXT_ORACLES["split_leakage_report"] = ORACLE_SPLIT_LEAKAGE_REPORT
