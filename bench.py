@@ -225,6 +225,7 @@ HEADLINE = [
     "cdc_chunk_dedup",
     "html_strip_extract",
     "split_leakage_report",
+    "phrase_query_positional",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -8484,3 +8484,59 @@ WHERE a.split <> b.split
 
 EXT_QUERIES["split_leakage_report"] = q_split_leakage_report
 EXT_ORACLES["split_leakage_report"] = ORACLE_SPLIT_LEAKAGE_REPORT
+
+
+PHRASE_QUERY = ("table", "scan")
+
+
+def q_phrase_query_positional(spark, sf_dir):
+    """PHRASE QUERY via positional postings: find documents containing
+    the exact phrase "{a} {b}" by intersecting the two terms'
+    positional posting lists on (doc, pos+1) adjacency — the plan a
+    positional inverted index executes, and the retrieval-side sibling
+    of ``boolean_and_from_index`` (which proves bag-of-words AND).
+    Output: per matching doc, occurrence count and first position.
+
+    100 TB notes: the term filters are scan-stage and SELECTIVE — only
+    the two query terms' postings enter the join (in a served system
+    they'd be index lookups; the plan after that point is identical);
+    the adjacency check is an equi-join on (doc_id, pos), no
+    inequality, no BNLJ."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.posexplode(F.expr(TOKENS_SPARK)).alias("pos", "tok")
+    )
+    a, b = PHRASE_QUERY
+    t1 = tok.filter(F.col("tok") == a).select(
+        "doc_id", F.col("pos").cast("long").alias("pos")
+    )
+    t2 = tok.filter(F.col("tok") == b).select(
+        F.col("doc_id").alias("doc_id2"), (F.col("pos") - 1).cast("long").alias("pos2")
+    )
+    hits = t1.join(
+        t2,
+        (F.col("doc_id") == F.col("doc_id2")) & (F.col("pos") == F.col("pos2")),
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("pos").alias("first_pos"),
+    )
+
+
+ORACLE_PHRASE_QUERY_POSITIONAL = f"""
+WITH toked AS (
+  SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+),
+hits AS (
+  SELECT doc_id, i - 1 AS pos0
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM toked
+  )
+  WHERE toks[i] = '{PHRASE_QUERY[0]}' AND toks[i + 1] = '{PHRASE_QUERY[1]}'
+)
+SELECT doc_id, count(*) AS n_occurrences, CAST(min(pos0) AS BIGINT) AS first_pos
+FROM hits GROUP BY doc_id
+"""
+
+EXT_QUERIES["phrase_query_positional"] = q_phrase_query_positional
+EXT_ORACLES["phrase_query_positional"] = ORACLE_PHRASE_QUERY_POSITIONAL
