@@ -246,3 +246,131 @@ def test_skyline_2d_property(spark, rows):
         if not any(x2 < x and y2 >= y for (x2, y2) in rows)
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Round-8 text/multimodal additions: pure-Python properties (no Spark)
+# --------------------------------------------------------------------------
+
+import hashlib as _hl
+import struct as _struct
+
+
+def _cdc_h(tok: str) -> int:
+    return int(_hl.md5(f"cdc:{tok}".encode()).hexdigest()[:8], 16)
+
+
+def _cdc_chunks(tokens: list[str], mod: int = 8) -> list[str]:
+    """Python mirror of the cdc_chunk_dedup boundary rule: a boundary
+    token STARTS a new chunk (inclusive running sum of flags)."""
+    chunks, cur = [], []
+    for t in tokens:
+        if _cdc_h(t) % mod == 0 and cur:
+            chunks.append(" ".join(cur))
+            cur = []
+        cur.append(t)
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
+VOCAB = [
+    "the", "fast", "key", "order", "sort", "table", "scan", "merge",
+    "part", "window", "small", "hash", "join", "batch", "stream",
+    "spark", "dup", "row", "data", "slow", "filter", "customer",
+]
+
+cdc_tokens = st.lists(st.sampled_from(VOCAB), min_size=40, max_size=200)
+
+
+@given(tokens=cdc_tokens, at=st.integers(10, 30), ins=st.sampled_from(VOCAB))
+@settings(**SETTINGS)
+def test_cdc_insertion_locality(tokens, at, ins):
+    """THE reason content-defined chunking exists: inserting one token
+    perturbs only the chunk it lands in (and at most its two
+    neighbours if the token is itself a boundary), while fixed-stride
+    windows shift EVERY window downstream of the insertion point.
+    Verified on the same boundary rule the cdc_chunk_dedup gate uses."""
+    from collections import Counter
+
+    before = Counter(_cdc_chunks(tokens))
+    mutated = tokens[:at] + [ins] + tokens[at:]
+    after = Counter(_cdc_chunks(mutated))
+    # chunks touched = symmetric difference; CDC keeps it local
+    changed = sum(((before - after) + (after - before)).values())
+    assert changed <= 4, f"CDC perturbation not local: {changed} chunks changed"
+
+    # fixed-stride contrast: windows at/after the insertion all shift
+    W = 8
+    fixed_before = [" ".join(tokens[i : i + W]) for i in range(0, len(tokens), W)]
+    fixed_after = [
+        " ".join(mutated[i : i + W]) for i in range(0, len(mutated), W)
+    ]
+    n_shared = len(
+        set(fixed_before) & set(fixed_after)
+    )  # only windows fully before `at` can survive
+    assert n_shared <= at // W + 1
+
+
+def test_avi_container_structure():
+    """The deterministic AVI generator emits a demuxable container:
+    magic, avih dimensions/frame count, and one correctly-sized 00db
+    chunk per frame (the exact fields q_multimodal_decode_avi reads)."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _avi_bytes,
+        _avi_params,
+    )
+
+    for doc_id in (0, 3, 44, 1017):
+        buf = _avi_bytes(doc_id)
+        w, h, nf = _avi_params(doc_id)
+        assert buf[:4] == b"RIFF" and buf[8:12] == b"AVI "
+        stride = (w * 3 + 3) // 4 * 4
+        frames = []
+        got = {}
+        pos = 12
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            sz = _struct.unpack_from("<I", buf, pos + 4)[0]
+            if cid == b"LIST":
+                ltype = buf[pos + 8 : pos + 12]
+                ip, end = pos + 12, pos + 8 + sz
+                while ip + 8 <= end:
+                    icid = buf[ip : ip + 4]
+                    isz = _struct.unpack_from("<I", buf, ip + 4)[0]
+                    if ltype == b"hdrl" and icid == b"avih":
+                        got["nf"] = _struct.unpack_from("<I", buf, ip + 8 + 16)[0]
+                        got["w"], got["h"] = _struct.unpack_from(
+                            "<II", buf, ip + 8 + 32
+                        )
+                    if ltype == b"movi" and icid == b"00db":
+                        frames.append(isz)
+                    ip += 8 + isz + (isz & 1)
+            pos += 8 + sz + (sz & 1)
+        assert got == {"nf": nf, "w": w, "h": h}
+        assert len(frames) == nf and all(s == stride * h for s in frames)
+
+
+posting_ids = st.lists(
+    st.integers(0, 10_000), min_size=1, max_size=400, unique=True
+)
+
+
+@given(ids=posting_ids)
+@settings(**SETTINGS)
+def test_posting_block_gap_roundtrip(ids):
+    """Block/delta posting encoding (inverted_index_blocks) round-trips
+    for any doc-id set: cut the sorted list into 128-entry blocks,
+    delta-encode with first-gap 0, reconstruct via prefix sums."""
+    B = 128
+    sorted_ids = sorted(ids)
+    recon = []
+    for s in range(0, len(sorted_ids), B):
+        block = sorted_ids[s : s + B]
+        base = block[0]
+        gaps = [0] + [b - a for a, b in zip(block, block[1:])]
+        last = base
+        for g in gaps:
+            last += g
+            recon.append(last)
+    assert recon == sorted_ids
