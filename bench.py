@@ -226,6 +226,7 @@ HEADLINE = [
     "html_strip_extract",
     "split_leakage_report",
     "phrase_query_positional",
+    "cross_source_dup_matrix",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

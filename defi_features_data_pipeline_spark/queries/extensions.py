@@ -8540,3 +8540,69 @@ FROM hits GROUP BY doc_id
 
 EXT_QUERIES["phrase_query_positional"] = q_phrase_query_positional
 EXT_ORACLES["phrase_query_positional"] = ORACLE_PHRASE_QUERY_POSITIONAL
+
+
+def q_cross_source_dup_matrix(spark, sf_dir):
+    """PROVENANCE DUPLICATION MATRIX: verified near-dup pairs rolled up
+    by unordered source pair — the "which feeds copy from which"
+    dashboard that decides per-source dedup aggressiveness and crawl
+    dedup order. Exact-decimal Jaccard mass per cell (order-proof; no
+    float sum), unordered (least, greatest) cell key so A→B and B→A
+    land in one cell.
+
+    100 TB notes: input is the already-linear LSH→verify edge list;
+    labels join in by doc id; the rollup key domain is |sources|² —
+    bounded."""
+    edges = q_dedup_lsh_verified(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    lab = edges.join(sa, "doc_a").join(sb, "doc_b")
+    return (
+        lab.select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+            F.col("jaccard").cast("decimal(18,6)").alias("j"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("j").cast("double").alias("sum_jaccard"),
+        )
+    )
+
+
+ORACLE_CROSS_SOURCE_DUP_MATRIX = f"""
+WITH {_lsh_ctes()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+),
+ver AS (
+  SELECT doc_a, doc_b,
+         round(CAST(n_common AS DOUBLE)
+               / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+  FROM common
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE)
+              / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6)
+        >= {JACCARD_THRESHOLD}
+)
+SELECT least(da.source, db.source) AS source_x,
+       greatest(da.source, db.source) AS source_y,
+       count(*) AS n_pairs,
+       CAST(CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+         AS sum_jaccard
+FROM ver v
+JOIN documents da ON da.doc_id = v.doc_a
+JOIN documents db ON db.doc_id = v.doc_b
+GROUP BY 1, 2
+"""
+
+EXT_QUERIES["cross_source_dup_matrix"] = q_cross_source_dup_matrix
+EXT_ORACLES["cross_source_dup_matrix"] = ORACLE_CROSS_SOURCE_DUP_MATRIX
