@@ -227,6 +227,7 @@ HEADLINE = [
     "split_leakage_report",
     "phrase_query_positional",
     "cross_source_dup_matrix",
+    "index_segment_merge",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -8145,11 +8145,17 @@ def q_inverted_index_blocks(spark, sf_dir):
     cutover); the delta encode is a lag over (term, block) — HIGH
     cardinality, where a window is the scalable plan — and the block
     assembly is one sorted-struct collect bounded at 128 entries."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return _index_blocks_from(d)
+
+
+def _index_blocks_from(d: DataFrame) -> DataFrame:
+    """Block-postings build over any (doc_id, text) frame — shared by
+    the monolithic gate and the LSM-segment gate."""
     from pyspark.sql import Window
 
     from ..operators.ranking import grouped_rank
 
-    d = _spread(spark, _t(spark, sf_dir, "documents"))
     tok = d.select(
         F.explode(F.expr(TOKENS_SPARK)).alias("term"), "doc_id"
     ).distinct()
@@ -8219,16 +8225,26 @@ def q_boolean_and_from_index(spark, sf_dir):
     work over ≤128-entry blocks; the AND is an equi semi join on
     doc_id."""
     blocks = q_inverted_index_blocks(spark, sf_dir)
+    return _and_query_over_blocks(blocks)
+
+
+_POSTING_RECON = (
+    "aggregate(gaps,"
+    " named_struct('last', CAST(base_doc AS BIGINT),"
+    "              'arr', CAST(array() AS ARRAY<BIGINT>)),"
+    " (acc, g) -> named_struct('last', acc.last + g,"
+    "                          'arr', array_append(acc.arr, acc.last + g)),"
+    " acc -> acc.arr)"
+)
+
+
+def _and_query_over_blocks(blocks: DataFrame) -> DataFrame:
+    """Conjunctive AND of BOOL_TERM_A/B over any block-postings frame
+    (monolithic or a union of LSM segments)."""
     sel = blocks.filter(F.col("term").isin(BOOL_TERM_A, BOOL_TERM_B))
-    recon = F.expr(
-        "aggregate(gaps,"
-        " named_struct('last', CAST(base_doc AS BIGINT),"
-        "              'arr', CAST(array() AS ARRAY<BIGINT>)),"
-        " (acc, g) -> named_struct('last', acc.last + g,"
-        "                          'arr', array_append(acc.arr, acc.last + g)),"
-        " acc -> acc.arr)"
-    )
-    docs = sel.select("term", F.explode(recon).alias("doc_id"))
+    docs = sel.select("term", F.explode(F.expr(_POSTING_RECON)).alias("doc_id"))
+    # no distinct needed: within one index a doc posts once per term,
+    # and LSM segments partition the doc space (disjoint by construction)
     a = docs.filter(F.col("term") == BOOL_TERM_A).select("doc_id")
     b = docs.filter(F.col("term") == BOOL_TERM_B).select("doc_id")
     return a.join(b, "doc_id", "left_semi")
@@ -8606,3 +8622,41 @@ GROUP BY 1, 2
 
 EXT_QUERIES["cross_source_dup_matrix"] = q_cross_source_dup_matrix
 EXT_ORACLES["cross_source_dup_matrix"] = ORACLE_CROSS_SOURCE_DUP_MATRIX
+
+
+INDEX_DELTA_MOD = 10  # delta segment: doc_id % 10 == 0 (the "new docs")
+
+
+def q_index_segment_merge(spark, sf_dir):
+    """LSM-SEGMENT INDEX SERVING: appending documents to a block
+    index cannot splice postings into existing 128-entry blocks
+    (every block boundary after the insertion would shift — a full
+    rewrite); real engines write the new docs as a SEPARATE SEGMENT
+    and serve queries over the segment UNION, compacting later. This
+    gate proves the segment path: build the block index over the base
+    corpus (doc_id % {mod} != 0) and a second segment over the delta
+    (doc_id % {mod} == 0), union them, and run the same conjunctive
+    AND as ``boolean_and_from_index`` — the oracle answers off the
+    FULL corpus, so serving over segments must equal the monolithic
+    index exactly.
+
+    100 TB notes: the delta build touches only delta bytes (the
+    incremental-maintenance property); segments are disjoint by
+    construction so the union needs no dedup; per-term work stays
+    bounded by posting length within each segment."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    base = d.filter(F.col("doc_id") % INDEX_DELTA_MOD != 0)
+    delta = d.filter(F.col("doc_id") % INDEX_DELTA_MOD == 0)
+    segs = (
+        _index_blocks_from(base)
+        .withColumn("segment", F.lit(0))
+        .unionByName(_index_blocks_from(delta).withColumn("segment", F.lit(1)))
+    )
+    return _and_query_over_blocks(segs)
+
+
+# same answer as the monolithic-index gate: the corpus-level truth
+ORACLE_INDEX_SEGMENT_MERGE = ORACLE_BOOLEAN_AND_FROM_INDEX
+
+EXT_QUERIES["index_segment_merge"] = q_index_segment_merge
+EXT_ORACLES["index_segment_merge"] = ORACLE_INDEX_SEGMENT_MERGE
