@@ -228,6 +228,7 @@ HEADLINE = [
     "phrase_query_positional",
     "cross_source_dup_matrix",
     "index_segment_merge",
+    "unimax_language_budget",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -1398,3 +1398,103 @@ SELECT rates.source, n_in, COALESCE(n_kept, 0) AS n_kept, keep_ppm
 FROM rates LEFT JOIN kept ON kept.source = rates.source
 """
 LEARNOPS_QUERIES["domain_mixture_sample"] = q_domain_mixture_sample
+
+
+# ---------------------------------------------------------------------------
+# UniMax-style budgeted language mixing (epoch-capped waterfill)
+# ---------------------------------------------------------------------------
+
+UNIMAX_EPOCH_CAP = 2          # no language repeats more than 2 epochs
+UNIMAX_BUDGET_NUM = 3         # training budget = 3/2 x corpus tokens
+UNIMAX_BUDGET_DEN = 2
+UNIMAX_N_LANGS = 5            # oracle unroll width (asserted at runtime)
+
+
+def q_unimax_language_budget(spark, sf_dir):
+    """UNIMAX-STYLE LANGUAGE BUDGETING (epoch-capped waterfill, after
+    Chung et al. 2023): given a total training-token budget and a
+    per-language repeat cap, languages are processed in ASCENDING
+    availability order; each gets min(avail x cap, remaining budget /
+    remaining languages), and what a capped language leaves on the
+    table flows to larger languages. Exact integer arithmetic
+    throughout (floor divisions), so both engines agree bit-for-bit.
+
+    100 TB notes: the distributed work is ONE bounded-domain-key
+    aggregate (per-language token totals — the allowed broadcast/
+    collect class); the waterfill itself is O(|langs|) driver
+    metadata, the k-means-centroid pattern. The oracle unrolls the
+    same {n} steps as chained CTEs."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    t = (
+        d.select(
+            "lang", F.size(F.expr(TOKENS_SPARK)).cast("long").alias("nt")
+        )
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("n"))
+    )
+    rows = t.collect()  # O(|langs|) — bounded-domain key
+    assert len(rows) == UNIMAX_N_LANGS, (
+        f"oracle unrolled for {UNIMAX_N_LANGS} langs, corpus has {len(rows)}"
+    )
+    total = sum(r["n"] for r in rows)
+    remaining = total * UNIMAX_BUDGET_NUM // UNIMAX_BUDGET_DEN
+    k = len(rows)
+    out = []
+    for r in sorted(rows, key=lambda r: (r["n"], r["lang"])):
+        quota = remaining // k
+        cap = r["n"] * UNIMAX_EPOCH_CAP
+        alloc = min(cap, quota)
+        out.append(
+            (
+                r["lang"],
+                r["n"],
+                alloc,
+                alloc * 1_000_000 // r["n"] if r["n"] else 0,
+                "epochs" if cap <= quota else "budget",
+            )
+        )
+        remaining -= alloc
+        k -= 1
+    return spark.createDataFrame(
+        out,
+        "lang string, n_tokens_avail long, alloc_tokens long, "
+        "epochs_ppm long, capped_by string",
+    )
+
+
+def _unimax_oracle() -> str:
+    E, K = UNIMAX_EPOCH_CAP, UNIMAX_N_LANGS
+    steps, minus = [], ""
+    for i in range(1, K + 1):
+        prev = ", ".join(f"a{j}" for j in range(1, i))
+        frm = "o, tot" + (f", {prev}" if prev else "")
+        quota = f"(tot.b0{minus}) // {K - i + 1}"
+        steps.append(
+            f"a{i} AS (\n"
+            f"  SELECT o.lang, o.n, {quota} AS quota,\n"
+            f"         least(o.n * {E}, {quota}) AS alloc\n"
+            f"  FROM {frm} WHERE o.rnk = {i}\n)"
+        )
+        minus += f" - a{i}.alloc"
+    union = "\nUNION ALL\n".join(f"SELECT * FROM a{i}" for i in range(1, K + 1))
+    return f"""
+WITH t AS (
+  SELECT lang, CAST(SUM(len({TOKENS_DUCK})) AS BIGINT) AS n
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(SUM(n) * {UNIMAX_BUDGET_NUM} // {UNIMAX_BUDGET_DEN} AS BIGINT)
+    AS b0 FROM t
+),
+o AS (SELECT lang, n, row_number() OVER (ORDER BY n, lang) AS rnk FROM t),
+{",".join(steps)},
+u AS ({union})
+SELECT lang, n AS n_tokens_avail, alloc AS alloc_tokens,
+       alloc * 1000000 // n AS epochs_ppm,
+       CASE WHEN n * {E} <= quota THEN 'epochs' ELSE 'budget' END AS capped_by
+FROM u
+"""
+
+
+LEARNOPS_QUERIES["unimax_language_budget"] = q_unimax_language_budget
+LEARNOPS_ORACLES["unimax_language_budget"] = _unimax_oracle()
