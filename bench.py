@@ -229,6 +229,7 @@ HEADLINE = [
     "cross_source_dup_matrix",
     "index_segment_merge",
     "unimax_language_budget",
+    "streaming_index_segments",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
@@ -310,6 +311,14 @@ SCALE_PROBE = {
     "dedup_substring_spans": 1.0,
     "unigram_perplexity_buckets": 1.0,
     "dsir_importance_weights": 1.0,
+    # r8 retrieval/CDC/batching/multimodal tail: explode+rank+window
+    # and map-only Arrow shapes, all linear in corpus bytes
+    "inverted_index_blocks": 1.0,
+    "cdc_chunk_dedup": 1.0,
+    "length_bucketed_batches": 1.0,
+    "multimodal_decode_avi": 1.0,
+    # edge list is LSH-verify output (linear); labels are scan-stage
+    "split_leakage_report": 1.0,
 }
 
 # 100x probe (r7 verdict item 8 → r8): the sf10 run that caught the

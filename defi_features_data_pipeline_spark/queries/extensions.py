@@ -8660,3 +8660,59 @@ ORACLE_INDEX_SEGMENT_MERGE = ORACLE_BOOLEAN_AND_FROM_INDEX
 
 EXT_QUERIES["index_segment_merge"] = q_index_segment_merge
 EXT_ORACLES["index_segment_merge"] = ORACLE_INDEX_SEGMENT_MERGE
+
+
+def q_streaming_index_segments(spark, sf_dir):
+    """§2.9 ∘ LSM INDEX: STREAMING index maintenance — the documents
+    table arrives as micro-batches (file source, one file per
+    trigger), and each batch builds its OWN posting segment, written
+    to a per-batch directory with overwrite (idempotent replay — the
+    quarantine-sink discipline); nothing ever splices existing blocks.
+    After the bounded stream drains, the conjunctive AND query served
+    over the UNION of all segments must equal the corpus-level truth —
+    the oracle is the same monolithic answer as
+    ``boolean_and_from_index``, so segment count and boundaries are
+    proven invisible to readers.
+
+    100 TB notes: per-batch work is proportional to BATCH bytes (the
+    incremental-maintenance property); segment compaction is a later
+    background rewrite, not a serving dependency; replay overwrites
+    its own segment directory, never duplicating postings."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="stream_docs_src_")
+    store = tempfile.mkdtemp(prefix="stream_index_segs_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d.repartition(4, F.col("doc_id")).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def build_segment(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        seg = _index_blocks_from(batch_df)
+        seg.write.mode("overwrite").parquet(
+            os.path.join(store, f"segment={batch_id}")
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(build_segment)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    segs = spark.read.option("basePath", store).parquet(
+        os.path.join(store, "segment=*")
+    )
+    return _and_query_over_blocks(segs)
+
+
+# reader-invisible segmentation: same corpus-level answer
+ORACLE_STREAMING_INDEX_SEGMENTS = ORACLE_BOOLEAN_AND_FROM_INDEX
+
+EXT_QUERIES["streaming_index_segments"] = q_streaming_index_segments
+EXT_ORACLES["streaming_index_segments"] = ORACLE_STREAMING_INDEX_SEGMENTS
