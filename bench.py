@@ -230,6 +230,7 @@ HEADLINE = [
     "index_segment_merge",
     "unimax_language_budget",
     "streaming_index_segments",
+    "collocation_pmi",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -8716,3 +8716,91 @@ ORACLE_STREAMING_INDEX_SEGMENTS = ORACLE_BOOLEAN_AND_FROM_INDEX
 
 EXT_QUERIES["streaming_index_segments"] = q_streaming_index_segments
 EXT_ORACLES["streaming_index_segments"] = ORACLE_STREAMING_INDEX_SEGMENTS
+
+
+PMI_MIN_COUNT = 5  # bigram support floor — kills noise collocations
+
+
+def q_collocation_pmi(spark, sf_dir):
+    """COLLOCATION MINING via pointwise mutual information:
+    PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) over corpus bigram and
+    unigram MLE estimates, support-floored at {mc} occurrences — the
+    phrase-discovery pass that feeds tokenizer vocab extensions and
+    query expansion. The ln argument is assembled from exact integer
+    counts in a FIXED left-associative double expression (identical
+    IEEE result in both engines) and the ln output is rounded at 6 dp
+    — the doc_lm_score libm discipline.
+
+    100 TB notes: one exploded pass per n-gram order; every join is
+    between VOCAB-sized aggregate tables (never back to instances);
+    output is bounded by the support floor."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    toked = d.withColumn("__toks", F.expr(TOKENS_SPARK))
+    uni = toked.select(F.explode("__toks").alias("w"))
+    c_uni = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nu = uni.groupBy().agg(F.count(F.lit(1)).alias("nu"))
+    bg = toked.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__toks) >= 2 THEN "
+                "transform(sequence(0, size(__toks) - 2), "
+                "i -> struct(__toks[i] AS w1, __toks[i+1] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c_bg = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    nbi = bg.groupBy().agg(F.count(F.lit(1)).alias("nbi"))
+    ca = c_uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    cb = c_uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    joined = (
+        c_bg.join(ca, "w1").join(cb, "w2").crossJoin(nu).crossJoin(nbi)
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") * F.col("nu") * F.col("nu"))
+            / (F.col("nbi").cast("double") * F.col("c_a") * F.col("c_b"))
+        ),
+        6,
+    )
+    return joined.select("w1", "w2", "c_ab", pmi.alias("pmi"))
+
+
+ORACLE_COLLOCATION_PMI = f"""
+WITH toked AS (
+  SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+),
+uni AS (SELECT unnest(toks) AS w FROM toked),
+c_uni AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+nu AS (SELECT count(*) AS nu FROM uni),
+bg AS (
+  SELECT u.bg['w1'] AS w1, u.bg['w2'] AS w2
+  FROM (
+    SELECT CASE WHEN len(toks) >= 2 THEN
+             [{{'w1': toks[i], 'w2': toks[i+1]}} FOR i IN range(1, len(toks))]
+           ELSE [] END AS bgs
+    FROM toked
+  ), unnest(bgs) AS u(bg)
+),
+c_bg AS (
+  SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2
+  HAVING count(*) >= {PMI_MIN_COUNT}
+),
+nbi AS (SELECT count(*) AS nbi FROM bg)
+SELECT w1, w2, c_ab,
+       round(ln(
+         (CAST(c_ab AS DOUBLE) * nu.nu * nu.nu)
+         / (CAST(nbi.nbi AS DOUBLE) * ca.c * cb.c)
+       ), 6) AS pmi
+FROM c_bg
+JOIN c_uni ca ON ca.w = c_bg.w1
+JOIN c_uni cb ON cb.w = c_bg.w2
+CROSS JOIN nu CROSS JOIN nbi
+"""
+
+EXT_QUERIES["collocation_pmi"] = q_collocation_pmi
+EXT_ORACLES["collocation_pmi"] = ORACLE_COLLOCATION_PMI
