@@ -231,6 +231,7 @@ HEADLINE = [
     "unimax_language_budget",
     "streaming_index_segments",
     "collocation_pmi",
+    "doc_novelty_temporal",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -1498,3 +1498,83 @@ FROM u
 
 LEARNOPS_QUERIES["unimax_language_budget"] = q_unimax_language_budget
 LEARNOPS_ORACLES["unimax_language_budget"] = _unimax_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Temporal novelty score (first-seen window fraction)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_novelty_temporal(spark, sf_dir):
+    """TEMPORAL NOVELTY SCORE: the fraction of a document's 8-token
+    windows whose FIRST corpus occurrence (min doc_id — ingestion
+    order proxy) is this document — the "how much of this doc is new
+    text vs. re-crawl of things we already hold" signal that an
+    incremental curation loop uses to triage fresh data. Novelty is
+    the complement view of the duplicated-span fraction
+    (``dedup_substring_spans``): spans ask "is this window ANYWHERE
+    else", novelty asks "who had it FIRST". Integer-exact ppm output.
+
+    100 TB: one tokenize+explode pass (checkpointed, feeds both the
+    first-seen build and the probe); the first-seen table is
+    CORPUS-SCALED → pinned `shuffle_hash` equi-join, never an
+    estimate-fed broadcast (PLANS.md sf10 rule); per-doc rollup is
+    map-side combinable; sub-window docs rejoin with zeros."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    wh = (
+        d.withColumn("__toks", F.expr(TOKENS_SPARK))
+        .select("doc_id", F.explode(F.expr(_SPAN_WINDOWS_SPARK)).alias("w"))
+        .select("doc_id", _h(F.col("w")).alias("wh"))
+    )
+    wh = wh.localCheckpoint(eager=False)
+    firsts = (
+        wh.groupBy("wh")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .hint("shuffle_hash")
+    )
+    probe = (
+        wh.join(firsts, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(probe, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.coalesce(
+                F.expr("n_novel * 1000000 div n_windows"), F.lit(0)
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+LEARNOPS_ORACLES["doc_novelty_temporal"] = f"""
+WITH toked AS (
+  SELECT doc_id, {TOKENS_DUCK} AS __toks FROM documents
+),
+wh AS (
+  SELECT doc_id, {H_SQL.format(x="w")} AS wh
+  FROM (SELECT doc_id, unnest({_SPAN_WINDOWS_DUCK}) AS w FROM toked)
+),
+firsts AS (SELECT wh, min(doc_id) AS first_doc FROM wh GROUP BY 1),
+probe AS (
+  SELECT w.doc_id, count(*) AS n_windows,
+         CAST(SUM(CASE WHEN f.first_doc = w.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM wh w JOIN firsts f USING (wh) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(n_windows, 0) AS n_windows,
+       COALESCE(n_novel, 0) AS n_novel,
+       COALESCE(n_novel * 1000000 // n_windows, 0) AS novelty_ppm
+FROM documents d LEFT JOIN probe ON probe.doc_id = d.doc_id
+"""
+LEARNOPS_QUERIES["doc_novelty_temporal"] = q_doc_novelty_temporal
