@@ -232,6 +232,7 @@ HEADLINE = [
     "streaming_index_segments",
     "collocation_pmi",
     "doc_novelty_temporal",
+    "contrastive_negatives",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -8804,3 +8804,112 @@ CROSS JOIN nu CROSS JOIN nbi
 
 EXT_QUERIES["collocation_pmi"] = q_collocation_pmi
 EXT_ORACLES["collocation_pmi"] = ORACLE_COLLOCATION_PMI
+
+
+NEG_PER_DOC = 4    # negatives requested per anchor
+NEG_BUCKETS = 64   # candidate-pool buckets (bounded representative table)
+
+
+def q_contrastive_negatives(spark, sf_dir):
+    """CONTRASTIVE NEGATIVE SAMPLING: deterministic training-pair
+    generation — each anchor doc draws {k} pseudo-random negatives,
+    then drops any that is (a) itself or (b) a VERIFIED near-duplicate
+    of the anchor (a "negative" that is actually a positive poisons
+    the contrastive loss; this is the dedup-evidence-aware form of
+    negative mining). Contiguity-free candidate scheme: every doc
+    hashes into one of {b} buckets; the per-bucket min doc_id is the
+    bucket's representative; anchor i's k-th draw targets bucket
+    h(i,k) — no dependence on dense ids, rerun-stable anywhere.
+
+    100 TB notes: the representative table is BOUNDED ({b} rows —
+    the explicitly-broadcastable class); draws are scan-stage hash
+    arithmetic + explode(k); the near-dup exclusion is an anti join
+    against the linear LSH-verify edge list."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    reps = (
+        d.groupBy(
+            F.pmod(
+                _h(F.concat(F.lit("bkt:"), F.col("doc_id").cast("string"))),
+                F.lit(NEG_BUCKETS),
+            ).alias("b")
+        )
+        .agg(F.min("doc_id").alias("neg_id"))
+    )
+    cand = (
+        d.select(
+            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(NEG_PER_DOC - 1))).alias("k")
+        )
+        .withColumn(
+            "tb",
+            F.pmod(
+                _h(
+                    F.concat(
+                        F.lit("neg:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                F.lit(NEG_BUCKETS),
+            ),
+        )
+        .join(F.broadcast(reps), F.col("tb") == F.col("b"))
+        .filter(F.col("neg_id") != F.col("doc_id"))
+        .select("doc_id", F.col("k").cast("long").alias("k"), "neg_id")
+    )
+    edges = q_dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
+    both = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("neg_id"))
+    return cand.join(both, ["doc_id", "neg_id"], "left_anti")
+
+
+ORACLE_CONTRASTIVE_NEGATIVES = f"""
+WITH {_lsh_ctes()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+),
+ver AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE)
+              / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6)
+        >= {JACCARD_THRESHOLD}
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM ver
+  UNION ALL SELECT doc_b, doc_a FROM ver
+),
+reps AS (
+  SELECT {H_SQL.format(x="'bkt:' || CAST(doc_id AS VARCHAR)")}
+           % {NEG_BUCKETS} AS b,
+         min(doc_id) AS neg_id
+  FROM documents GROUP BY 1
+),
+cands AS (
+  SELECT d.doc_id, k.k, r.neg_id
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, {NEG_PER_DOC})) AS k) k
+  JOIN reps r
+    ON r.b = {H_SQL.format(
+        x="'neg:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k.k AS VARCHAR)"
+    )} % {NEG_BUCKETS}
+  WHERE r.neg_id <> d.doc_id
+)
+SELECT c.doc_id, c.k, c.neg_id
+FROM cands c
+LEFT JOIN pairs p ON p.doc_a = c.doc_id AND p.doc_b = c.neg_id
+WHERE p.doc_a IS NULL
+"""
+
+EXT_QUERIES["contrastive_negatives"] = q_contrastive_negatives
+EXT_ORACLES["contrastive_negatives"] = ORACLE_CONTRASTIVE_NEGATIVES
