@@ -233,6 +233,7 @@ HEADLINE = [
     "collocation_pmi",
     "doc_novelty_temporal",
     "contrastive_negatives",
+    "observed_scan_metrics",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

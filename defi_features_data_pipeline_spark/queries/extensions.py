@@ -8913,3 +8913,54 @@ WHERE p.doc_a IS NULL
 
 EXT_QUERIES["contrastive_negatives"] = q_contrastive_negatives
 EXT_ORACLES["contrastive_negatives"] = ORACLE_CONTRASTIVE_NEGATIVES
+
+
+def q_observed_scan_metrics(spark, sf_dir):
+    """PIGGYBACKED DQ METRICS via ``Dataset.observe``: row count,
+    exact-decimal value sum, and min/max ride on the SAME pass that
+    does the real work (here: a noop-sink write of the filtered scan)
+    — zero extra jobs, zero second scan. This is how a 100 TB pipeline
+    collects freshness/volume metrics without paying for a dedicated
+    metrics query; the observation result is O(1) driver metadata
+    returned as a one-row frame and oracle-checked against a direct
+    aggregation.
+
+    Observe accepts only deterministic non-distinct aggregates — the
+    same restriction that makes the metrics mergeable across tasks."""
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    obs = Observation("scan_dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("sum_qty"),
+        F.min("l_orderkey").alias("min_ok"),
+        F.max("l_orderkey").alias("max_ok"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                float(str(m["sum_qty"])),
+                int(m["min_ok"]),
+                int(m["max_ok"]),
+            )
+        ],
+        "n_rows long, sum_qty double, min_ok long, max_ok long",
+    )
+
+
+ORACLE_OBSERVED_SCAN_METRICS = """
+SELECT count(*) AS n_rows,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+         AS sum_qty,
+       min(l_orderkey) AS min_ok,
+       max(l_orderkey) AS max_ok
+FROM lineitem WHERE l_quantity > 0
+"""
+
+EXT_QUERIES["observed_scan_metrics"] = q_observed_scan_metrics
+EXT_ORACLES["observed_scan_metrics"] = ORACLE_OBSERVED_SCAN_METRICS
