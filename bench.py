@@ -234,6 +234,7 @@ HEADLINE = [
     "doc_novelty_temporal",
     "contrastive_negatives",
     "observed_scan_metrics",
+    "classifier_calibration_bins",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

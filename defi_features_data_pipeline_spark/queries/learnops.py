@@ -1578,3 +1578,67 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN probe ON probe.doc_id = d.doc_id
 """
 LEARNOPS_QUERIES["doc_novelty_temporal"] = q_doc_novelty_temporal
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration (reliability-diagram bins)
+# ---------------------------------------------------------------------------
+
+
+def q_classifier_calibration_bins(spark, sf_dir):
+    """CLASSIFIER CALIBRATION (reliability diagram): the trained
+    quality classifier's scores bucketed into 10 probability bins,
+    each reporting document count, mean predicted probability and the
+    OBSERVED positive rate — the is-0.8-really-0.8 check that decides
+    whether a score threshold can be trusted as a keep-rate dial.
+    Everything is integer-exact: the probability is materialized as
+    floor(p·10⁶) ppm BEFORE any division (re-dividing the quantized
+    double by 10⁶ and re-multiplying can land one ulp under the
+    integer and floor off-by-one), bins are ppm // 10⁵ clamped to 9,
+    means are bigint floor-divisions — no double accumulates anywhere.
+
+    100 TB: one scan-stage column expression (weights as literals) +
+    one 10-key aggregate."""
+    w, _ = _qc_train(spark, sf_dir)
+    feats = _qc_features(spark, sf_dir)
+    m = F.lit(w[0]) * F.col("x0")
+    for j in (1, 2, 3):
+        m = m + F.lit(w[j]) * F.col(QC_FEATURES[j])
+    raw = F.lit(0.5) + F.lit(0.5) * (m / (F.lit(1.0) + F.abs(m)))
+    ppm = F.floor(raw * F.lit(1000000.0)).cast("long")
+    binc = F.least(ppm / F.lit(100000), F.lit(9)).cast("long")
+    return (
+        feats.select(binc.alias("bin"), ppm.alias("ppm"), "y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(ppm) div count(1)").alias("mean_p_ppm"),
+            F.sum("y").alias("n_pos"),
+            F.expr("sum(y) * 1000000 div count(1)").alias("pos_rate_ppm"),
+        )
+    )
+
+
+_QC_PPM_FINAL = (
+    f"CAST(floor((0.5 + 0.5 * ({_QC_M_FINAL} / (1.0 + abs({_QC_M_FINAL}))))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+LEARNOPS_ORACLES["classifier_calibration_bins"] = (
+    "WITH "
+    + _qc_train_ctes()
+    + f""",
+scored AS (
+  SELECT doc_id, y, {_QC_PPM_FINAL} AS ppm
+  FROM qf CROSS JOIN w{QC_ITERS} w
+)
+SELECT least(ppm // 100000, 9) AS bin,
+       count(*) AS n_docs,
+       CAST(SUM(ppm) AS BIGINT) // count(*) AS mean_p_ppm,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(y) AS BIGINT) * 1000000 // count(*) AS pos_rate_ppm
+FROM scored
+GROUP BY 1
+"""
+)
+LEARNOPS_QUERIES["classifier_calibration_bins"] = q_classifier_calibration_bins
