@@ -235,6 +235,8 @@ HEADLINE = [
     "contrastive_negatives",
     "observed_scan_metrics",
     "classifier_calibration_bins",
+    "jsonl_ingest_roundtrip",
+    "csv_ingest_quoted",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -8964,3 +8964,116 @@ FROM lineitem WHERE l_quantity > 0
 
 EXT_QUERIES["observed_scan_metrics"] = q_observed_scan_metrics
 EXT_ORACLES["observed_scan_metrics"] = ORACLE_OBSERVED_SCAN_METRICS
+
+
+def q_jsonl_ingest_roundtrip(spark, sf_dir):
+    """JSONL INGESTION with corrupt-record accounting: the corpus is
+    round-tripped through line-delimited JSON (the lingua franca of
+    web-scale text datasets), ONE malformed line is planted, and the
+    PERMISSIVE read with an explicit ``_corrupt_record`` column must
+    (a) recover every good row bit-for-bit (exact char sum proves it)
+    and (b) COUNT the bad line instead of dropping or crashing — the
+    ingest contract a 100 TB crawl feed needs (schema drift and
+    truncated lines are a when, not an if).
+
+    100 TB notes: explicit schema (no inference scan — inference reads
+    the whole corpus TWICE at scale); JSONL splits by line so the read
+    parallelizes; corrupt rows are quarantined by predicate, the same
+    split-don't-halt shape as the streaming DQ gate."""
+    import tempfile
+
+    src = os.path.join(tempfile.mkdtemp(prefix="jsonl_ingest_"), "docs")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    d.write.mode("overwrite").json(src)
+    with open(os.path.join(src, "part-corrupt.json"), "w") as fh:
+        fh.write('{"doc_id": 999999999, "text": "truncated...\n')
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, _corrupt_record string"
+    ).json(src)
+    good = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.sum(good.cast("long")).alias("n_good"),
+        F.sum((~good).cast("long")).alias("n_corrupt"),
+        F.sum(F.when(good, F.length("text")).otherwise(0)).alias(
+            "total_chars"
+        ),
+        F.count_distinct(F.when(good, F.col("lang"))).alias("n_langs"),
+    )
+
+
+ORACLE_JSONL_INGEST_ROUNDTRIP = """
+SELECT count(*) AS n_good,
+       1 AS n_corrupt,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+"""
+
+EXT_QUERIES["jsonl_ingest_roundtrip"] = q_jsonl_ingest_roundtrip
+EXT_ORACLES["jsonl_ingest_roundtrip"] = ORACLE_JSONL_INGEST_ROUNDTRIP
+
+
+def q_csv_ingest_quoted(spark, sf_dir):
+    """CSV INGESTION under RFC-4180 adversarial content: a field is
+    constructed to contain the delimiter, the quote char, AND an
+    embedded newline; written with quote-doubling escaping
+    (``escape='"'`` — Spark's default is backslash-escape, which
+    mainstream CSV readers reject) and read back with
+    ``multiLine=true``; an exact content-hash sum over the recovered
+    field proves byte-fidelity. This is the gate that catches the
+    three classic CSV corruptions: naive split-on-comma, backslash vs
+    doubled-quote escaping, and line-based splitting of multi-line
+    records.
+
+    100 TB notes: multiLine CSV is NOT line-splittable (a record can
+    cross any byte boundary) — each file becomes one task, so the
+    writer controls parallelism via file count (the repartition
+    here); prefer JSONL/parquet upstream when possible — this gate
+    exists because crawl feeds don't always cooperate."""
+    import tempfile
+
+    src = os.path.join(tempfile.mkdtemp(prefix="csv_ingest_"), "docs")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tricky = F.concat(
+        F.lit('a,"b'),
+        F.lit("\n"),
+        F.substring(F.col("text"), 1, 40),
+        F.lit('",'),
+        F.col("doc_id").cast("string"),
+    )
+    d.select("doc_id", tricky.alias("payload")).repartition(8).write.mode(
+        "overwrite"
+    ).option("header", "true").option("quoteAll", "true").option(
+        "escape", '"'
+    ).csv(src)
+    back = (
+        spark.read.schema("doc_id long, payload string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(src)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_h(F.concat(F.lit("csv:"), F.col("payload")))).alias(
+            "payload_hash_sum"
+        ),
+        F.sum(F.length("payload")).alias("total_chars"),
+    )
+
+
+_CSV_TRICKY_SQL = (
+    "'a,\"b' || chr(10) || substr(text, 1, 40) || '\",' "
+    "|| CAST(doc_id AS VARCHAR)"
+)
+_CSV_HASH_SQL = H_SQL.format(x="'csv:' || " + _CSV_TRICKY_SQL)
+
+ORACLE_CSV_INGEST_QUOTED = f"""
+SELECT count(*) AS n_rows,
+       CAST(SUM({_CSV_HASH_SQL}) AS BIGINT) AS payload_hash_sum,
+       CAST(SUM(length({_CSV_TRICKY_SQL})) AS BIGINT) AS total_chars
+FROM documents
+"""
+
+EXT_QUERIES["csv_ingest_quoted"] = q_csv_ingest_quoted
+EXT_ORACLES["csv_ingest_quoted"] = ORACLE_CSV_INGEST_QUOTED
