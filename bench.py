@@ -237,6 +237,7 @@ HEADLINE = [
     "classifier_calibration_bins",
     "jsonl_ingest_roundtrip",
     "csv_ingest_quoted",
+    "warc_like_records",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

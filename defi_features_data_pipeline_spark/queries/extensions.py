@@ -9077,3 +9077,93 @@ FROM documents
 
 EXT_QUERIES["csv_ingest_quoted"] = q_csv_ingest_quoted
 EXT_ORACLES["csv_ingest_quoted"] = ORACLE_CSV_INGEST_QUOTED
+
+
+WARC_BLOB_DOCS = 16  # records packed per blob (the "one .warc file" unit)
+
+
+def q_warc_like_records(spark, sf_dir):
+    """CRAWL-ARCHIVE RECORD FRAMING (WARC-shaped): documents are
+    packed ~{n} to a blob as length-delimited records — version line,
+    headers (record id, Content-Length), blank line, payload,
+    double-newline separator — and a SECOND pass recovers every
+    record by walking the framing: parse headers, slice exactly
+    Content-Length bytes, verify the separator, repeat. This is the
+    CommonCrawl-style ingest shape: you cannot split a WARC by lines
+    (payloads contain newlines); the only safe walk is
+    length-delimited, and one framing error desynchronizes the rest
+    of the blob — which is exactly what the per-record content hash
+    gate would catch.
+
+    100 TB notes: blob assembly is an ordered-struct collect per blob
+    key (bounded at {n} records); the decode is a map-only
+    Arrow-batched pass; real WARCs swap the assembly stage for a
+    binary-file read, walk unchanged."""
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    record = F.concat(
+        F.lit("WARC/1.0\nWARC-Record-ID: "),
+        F.col("doc_id").cast("string"),
+        F.lit("\nContent-Length: "),
+        F.length("text").cast("string"),
+        F.lit("\n\n"),
+        F.col("text"),
+        F.lit("\n\n"),
+    )
+    blobs = (
+        d.select(
+            (F.col("doc_id") / WARC_BLOB_DOCS).cast("long").alias("blob_id"),
+            F.struct(F.col("doc_id").alias("d"), record.alias("r")).alias("s"),
+        )
+        .groupBy("blob_id")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("s")), lambda s: s["r"]),
+                "",
+            ).alias("blob")
+        )
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, lens, hashes = [], [], []
+            for blob in pdf["blob"]:
+                pos = 0
+                while pos < len(blob):
+                    hdr_end = blob.index("\n\n", pos)
+                    headers = blob[pos:hdr_end].split("\n")
+                    if headers[0] != "WARC/1.0":
+                        raise ValueError("bad version line")
+                    fields = dict(
+                        h.split(": ", 1) for h in headers[1:] if ": " in h
+                    )
+                    clen = int(fields["Content-Length"])
+                    payload = blob[hdr_end + 2 : hdr_end + 2 + clen]
+                    if blob[hdr_end + 2 + clen : hdr_end + 4 + clen] != "\n\n":
+                        raise ValueError("framing desync")
+                    ids.append(int(fields["WARC-Record-ID"]))
+                    lens.append(len(payload))
+                    hashes.append(
+                        int(
+                            hashlib.md5(f"w:{payload}".encode()).hexdigest()[:8],
+                            16,
+                        )
+                    )
+                    pos = hdr_end + 4 + clen
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload_len": lens, "payload_hash": hashes}
+            )
+
+    return blobs.mapInPandas(
+        parse, schema="doc_id long, payload_len long, payload_hash long"
+    )
+
+
+ORACLE_WARC_LIKE_RECORDS = f"""
+SELECT doc_id,
+       length(text) AS payload_len,
+       {H_SQL.format(x="'w:' || text")} AS payload_hash
+FROM documents
+"""
+
+EXT_QUERIES["warc_like_records"] = q_warc_like_records
+EXT_ORACLES["warc_like_records"] = ORACLE_WARC_LIKE_RECORDS
