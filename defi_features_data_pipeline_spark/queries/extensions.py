@@ -8757,13 +8757,15 @@ def q_collocation_pmi(spark, sf_dir):
     nbi = bg.groupBy().agg(F.count(F.lit(1)).alias("nbi"))
     ca = c_uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
     cb = c_uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
-    joined = (
-        c_bg.join(ca, "w1").join(cb, "w2").crossJoin(nu).crossJoin(nbi)
-    )
+    joined = c_bg.join(ca, "w1").join(cb, "w2")
+    # corpus totals as scalar subqueries (run once, embed as literals)
+    # instead of 1-row crossJoins — the sweep bans the CartesianProduct
+    # those become once static broadcasts are off (token_rarity pattern)
+    nu_s, nbi_s = nu.scalar(), nbi.scalar()
     pmi = F.round(
         F.log(
-            (F.col("c_ab").cast("double") * F.col("nu") * F.col("nu"))
-            / (F.col("nbi").cast("double") * F.col("c_a") * F.col("c_b"))
+            (F.col("c_ab").cast("double") * nu_s * nu_s)
+            / (nbi_s.cast("double") * F.col("c_a") * F.col("c_b"))
         ),
         6,
     )
@@ -8835,6 +8837,15 @@ def q_contrastive_negatives(spark, sf_dir):
         )
         .agg(F.min("doc_id").alias("neg_id"))
     )
+    # the representative table is bounded by CONSTRUCTION (≤ NEG_BUCKETS
+    # rows), but the plan sweep can't prove a hash-mod grouping key is
+    # bounded — so ship it as a literal lookup map (the grouped_rank
+    # offset-map pattern: O(buckets) driver metadata, ZERO join) instead
+    # of a broadcast join the sweep must take on faith
+    rep_rows = reps.collect()
+    rep_map = F.create_map(
+        *[F.lit(x) for r in rep_rows for x in (r["b"], r["neg_id"])]
+    )
     cand = (
         d.select(
             "doc_id", F.explode(F.sequence(F.lit(0), F.lit(NEG_PER_DOC - 1))).alias("k")
@@ -8853,8 +8864,10 @@ def q_contrastive_negatives(spark, sf_dir):
                 F.lit(NEG_BUCKETS),
             ),
         )
-        .join(F.broadcast(reps), F.col("tb") == F.col("b"))
-        .filter(F.col("neg_id") != F.col("doc_id"))
+        .withColumn("neg_id", F.element_at(rep_map, F.col("tb")))
+        .filter(
+            F.col("neg_id").isNotNull() & (F.col("neg_id") != F.col("doc_id"))
+        )
         .select("doc_id", F.col("k").cast("long").alias("k"), "neg_id")
     )
     edges = q_dedup_lsh_verified(spark, sf_dir).select("doc_a", "doc_b")
