@@ -238,6 +238,7 @@ HEADLINE = [
     "jsonl_ingest_roundtrip",
     "csv_ingest_quoted",
     "warc_like_records",
+    "quantile_normalize_scores",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
@@ -327,6 +328,8 @@ SCALE_PROBE = {
     "multimodal_decode_avi": 1.0,
     # edge list is LSH-verify output (linear); labels are scan-stage
     "split_leakage_report": 1.0,
+    # two range sorts (grouped + global rank) + one equi join — linear
+    "quantile_normalize_scores": 1.0,
 }
 
 # 100x probe (r7 verdict item 8 → r8): the sf10 run that caught the

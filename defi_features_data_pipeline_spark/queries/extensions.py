@@ -9180,3 +9180,73 @@ FROM documents
 
 EXT_QUERIES["warc_like_records"] = q_warc_like_records
 EXT_ORACLES["warc_like_records"] = ORACLE_WARC_LIKE_RECORDS
+
+
+def q_quantile_normalize_scores(spark, sf_dir):
+    """CROSS-SOURCE QUANTILE NORMALIZATION (batch-effect correction):
+    each source's score distribution is mapped onto the POOLED
+    distribution — doc with in-source rank r of n_s gets the pooled
+    value at nearest-rank position ceil(r·N / n_s) — so "top decile"
+    means the same thing whatever feed a document came from (raw
+    scores are incomparable when sources have different length/style
+    baselines; thresholding them jointly without this silently
+    over-keeps the verbose source). Exact integer rank arithmetic;
+    score here is n_chars (any deterministic per-doc score slots in).
+
+    100 TB notes: in-source ranks via ``grouped_rank`` (|sources| is
+    low-cardinality — the PARTITION BY source collapse case), pooled
+    positions via ``global_rank`` (the no-1-task global sort); the
+    position→value mapping is an equi join with the corpus-derived
+    side pinned ``shuffle_hash``."""
+    from ..operators.ranking import global_rank, grouped_rank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ranked, totals = grouped_rank(
+        d, ["source"], ["n_chars", "doc_id"], rank_col="__r"
+    )
+    n_total = sum(totals.values())
+    sep = "\x1f"
+    items = [F.lit(x) for gk, n in totals.items() for x in (sep.join(gk), n)]
+    n_s = F.element_at(F.create_map(*items), F.col("source")).cast("long")
+    # exact bigint ceil-division — no double in the rank arithmetic
+    # (r·N can exceed 2^53 long before it exceeds bigint; past bigint,
+    # swap the operands to decimal(38,0) — `div` accepts both)
+    framed = ranked.withColumn("__ns", n_s).withColumn(
+        "__tgt", F.expr(f"(__r * {n_total}L + __ns - 1) div __ns")
+    )
+    pooled = global_rank(
+        d.select(F.col("n_chars").alias("pool_score"), F.col("doc_id").alias("__pd")),
+        ["pool_score", "__pd"],
+        rank_col="__g",
+    ).select("__g", "pool_score").hint("shuffle_hash")
+    return (
+        framed.join(pooled, framed["__tgt"] == pooled["__g"])
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").alias("score"),
+            F.col("pool_score").alias("norm_score"),
+        )
+    )
+
+
+ORACLE_QUANTILE_NORMALIZE_SCORES = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rs,
+         count(*) OVER (PARTITION BY source) AS ns,
+         count(*) OVER () AS n
+  FROM documents
+),
+pooled AS (
+  SELECT n_chars AS pool_score,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS g
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.n_chars AS score, p.pool_score AS norm_score
+FROM r JOIN pooled p ON p.g = (r.rs * r.n + r.ns - 1) // r.ns
+"""
+
+EXT_QUERIES["quantile_normalize_scores"] = q_quantile_normalize_scores
+EXT_ORACLES["quantile_normalize_scores"] = ORACLE_QUANTILE_NORMALIZE_SCORES
