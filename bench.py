@@ -239,6 +239,7 @@ HEADLINE = [
     "csv_ingest_quoted",
     "warc_like_records",
     "quantile_normalize_scores",
+    "embedding_knn_outliers",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

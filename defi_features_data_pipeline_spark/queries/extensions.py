@@ -9250,3 +9250,48 @@ FROM r JOIN pooled p ON p.g = (r.rs * r.n + r.ns - 1) // r.ns
 
 EXT_QUERIES["quantile_normalize_scores"] = q_quantile_normalize_scores
 EXT_ORACLES["quantile_normalize_scores"] = ORACLE_QUANTILE_NORMALIZE_SCORES
+
+
+KNN_OUTLIER_TOP = 20
+
+
+def q_embedding_knn_outliers(spark, sf_dir):
+    """EMBEDDING OUTLIER REPORT via k-NN sparsity: a vector whose top-3
+    neighbors are all far away sits in a sparse region — the classic
+    kth-NN density proxy (LOF's core signal) for flagging
+    out-of-distribution or mis-embedded items before they poison
+    contrastive batches or ANN recall stats. Consumes the
+    ``knn_graph_ivf`` edges, aggregates mean neighbor similarity per
+    vector (exact-decimal sum of the 6-dp-rounded edge sims), and
+    reports the {k} sparsest vectors under a (mean, id) total order.
+
+    100 TB notes: everything rides the already-linear kNN graph build
+    (two exchanges); the report is a map-side-combinable aggregate +
+    TakeOrdered — no new scan of the vectors."""
+    g = q_knn_graph_ivf(spark, sf_dir)
+    agg = g.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.round(
+            F.sum(F.col("cos_sim").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_knn_sim"),
+    )
+    return agg.orderBy(F.col("mean_knn_sim").asc(), F.col("query_id").asc()).limit(
+        KNN_OUTLIER_TOP
+    )
+
+
+ORACLE_EMBEDDING_KNN_OUTLIERS = f"""
+WITH knn AS ({ORACLE_KNN_GRAPH_IVF})
+SELECT query_id, count(*) AS n_neighbors,
+       round(CAST(CAST(SUM(CAST(cos_sim AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE) / count(*), 6) AS mean_knn_sim
+FROM knn
+GROUP BY query_id
+ORDER BY mean_knn_sim ASC, query_id ASC
+LIMIT {KNN_OUTLIER_TOP}
+"""
+
+EXT_QUERIES["embedding_knn_outliers"] = q_embedding_knn_outliers
+EXT_ORACLES["embedding_knn_outliers"] = ORACLE_EMBEDDING_KNN_OUTLIERS
