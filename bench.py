@@ -240,6 +240,7 @@ HEADLINE = [
     "warc_like_records",
     "quantile_normalize_scores",
     "embedding_knn_outliers",
+    "retrieval_ndcg",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

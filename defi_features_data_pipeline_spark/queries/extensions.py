@@ -9295,3 +9295,104 @@ LIMIT {KNN_OUTLIER_TOP}
 
 EXT_QUERIES["embedding_knn_outliers"] = q_embedding_knn_outliers
 EXT_ORACLES["embedding_knn_outliers"] = ORACLE_EMBEDDING_KNN_OUTLIERS
+
+
+NDCG_K = 10
+
+
+def q_retrieval_ndcg(spark, sf_dir):
+    """RETRIEVAL QUALITY EVAL — NDCG@{k} of the BM25 ranking: graded
+    relevance = number of distinct query terms the document actually
+    contains (0–3), gain = 2^rel − 1, discount = log2(rank+1), ideal
+    ranking = the same candidate set sorted by relevance. The eval
+    half of the retrieval stack (``bm25_search`` / ``hybrid_search_rrf``
+    produce rankings; this grades one), and the pattern for evaluating
+    any ranker against any label column.
+
+    Determinism: gains are integers; each DCG term is rounded at
+    10 dp (the per-instance-ln discipline — log2 is the only libm
+    call) then decimal-summed; the final DCG/IDCG ratio of two
+    identical doubles is rounded at 6 dp. All windows run on the
+    LIMIT-{n} candidate frame — bounded, one partition is the plan."""
+    from pyspark.sql import Window
+
+    ranked = q_bm25_search(spark, sf_dir)  # 20 rows, (bm25 desc, doc_id)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    ranked = ranked.withColumn("rank", F.row_number().over(w))
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    qt = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "t string")
+    rel = (
+        d.withColumn("__toks", F.expr(TOKENS_SPARK))
+        .select("doc_id", F.explode("__toks").alias("t"))
+        .join(F.broadcast(qt), "t")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("t").alias("rel"))
+    )
+    scored = (
+        ranked.join(rel, "doc_id", "left")
+        .withColumn("rel", F.coalesce("rel", F.lit(0)))
+        .withColumn("gain", F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
+    )
+    iw = Window.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    scored = scored.withColumn("irank", F.row_number().over(iw))
+    term = F.round(F.col("gain") / F.log2(F.col("rank") + 1), 10)
+    iterm = F.round(F.col("gain") / F.log2(F.col("irank") + 1), 10)
+    agg = scored.agg(
+        F.sum(
+            F.when(F.col("rank") <= NDCG_K, term).otherwise(0.0).cast(
+                "decimal(38,10)"
+            )
+        )
+        .cast("double")
+        .alias("dcg"),
+        F.sum(
+            F.when(F.col("irank") <= NDCG_K, iterm).otherwise(0.0).cast(
+                "decimal(38,10)"
+            )
+        )
+        .cast("double")
+        .alias("idcg"),
+    )
+    return agg.select(
+        F.round("dcg", 6).alias("dcg_10"),
+        F.round("idcg", 6).alias("idcg_10"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_10"),
+    )
+
+
+ORACLE_RETRIEVAL_NDCG = f"""
+WITH ranked AS (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM ({ORACLE_BM25_SEARCH})
+),
+qt AS (SELECT unnest({list(BM25_QUERY_TERMS)}) AS t),
+rel AS (
+  SELECT doc_id, count(DISTINCT t) AS rel
+  FROM (SELECT doc_id, unnest({TOKENS_DUCK}) AS t FROM documents)
+  JOIN qt USING (t) GROUP BY 1
+),
+scored AS (
+  SELECT r.doc_id, r.rank, COALESCE(rel.rel, 0) AS rel,
+         power(2.0, COALESCE(rel.rel, 0)) - 1.0 AS gain,
+         row_number() OVER (ORDER BY COALESCE(rel.rel, 0) DESC,
+                            r.doc_id ASC) AS irank
+  FROM ranked r LEFT JOIN rel ON rel.doc_id = r.doc_id
+),
+agg AS (
+  SELECT
+    CAST(CAST(SUM(CAST(CASE WHEN rank <= {NDCG_K}
+         THEN round(gain / log2(rank + 1), 10) ELSE 0.0 END
+         AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS dcg,
+    CAST(CAST(SUM(CAST(CASE WHEN irank <= {NDCG_K}
+         THEN round(gain / log2(irank + 1), 10) ELSE 0.0 END
+         AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS idcg
+  FROM scored
+)
+SELECT round(dcg, 6) AS dcg_10, round(idcg, 6) AS idcg_10,
+       round(dcg / idcg, 6) AS ndcg_10
+FROM agg
+"""
+
+EXT_QUERIES["retrieval_ndcg"] = q_retrieval_ndcg
+EXT_ORACLES["retrieval_ndcg"] = ORACLE_RETRIEVAL_NDCG
