@@ -241,6 +241,7 @@ HEADLINE = [
     "quantile_normalize_scores",
     "embedding_knn_outliers",
     "retrieval_ndcg",
+    "label_propagation",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -9396,3 +9396,94 @@ FROM agg
 
 EXT_QUERIES["retrieval_ndcg"] = q_retrieval_ndcg
 EXT_ORACLES["retrieval_ndcg"] = ORACLE_RETRIEVAL_NDCG
+
+
+LPA_ROUNDS = 4
+
+
+def q_label_propagation(spark, sf_dir):
+    """LABEL PROPAGATION communities over the verified near-dup graph
+    ({r} synchronous rounds, deterministic tie-break): each node
+    adopts the most frequent label among its neighbors, smallest label
+    on ties — the cheap community detector that groups dup
+    NEIGHBORHOODS (denser than connected components' reachability
+    classes: CC merges everything touching, LPA keeps weakly-bridged
+    clumps apart). Fixed round count + total tie order makes the
+    trajectory bit-reproducible, so the oracle unrolls the same {r}
+    rounds — the pagerank discipline applied to an argmax iteration.
+
+    Plan: edges materialize once (eager localCheckpoint — candidate
+    generation must not replay per round); each round is one equi-join
+    + (node, label) count + per-node argmax window (high-cardinality
+    partition key → parallel). At 100 TB each round would
+    parquet-round-trip like connected_components."""
+    from pyspark.sql import Window
+
+    pairs = _lsh_edges(spark, sf_dir)
+    ed = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        ed.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("lab"))
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.col("cnt").desc(), F.col("lab").asc()
+    )
+    for _ in range(LPA_ROUNDS):
+        c = (
+            ed.join(labels, ed["src"] == labels["node"])
+            .select("dst", "lab")
+            .groupBy("dst", "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            c.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "lab")
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("community")
+    )
+
+
+def _lpa_oracle() -> str:
+    steps = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        steps.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, p.lab AS lab, count(*) AS cnt
+  FROM edges e JOIN {prev} p ON p.node = e.src
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, lab ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    return f"""
+WITH {{lsh}},
+{_VERIFIED_CTES.format(thr=JACCARD_THRESHOLD)},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+          UNION ALL SELECT doc_b, doc_a FROM verified),
+l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+{','.join(steps)}
+SELECT node AS doc_id, lab AS community FROM {prev}
+"""
+
+
+EXT_QUERIES["label_propagation"] = q_label_propagation
+EXT_ORACLES["label_propagation"] = _lpa_oracle().format(lsh=_lsh_ctes())
