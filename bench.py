@@ -242,6 +242,7 @@ HEADLINE = [
     "embedding_knn_outliers",
     "retrieval_ndcg",
     "label_propagation",
+    "streaming_novelty_incremental",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -1642,3 +1642,125 @@ GROUP BY 1
 """
 )
 LEARNOPS_QUERIES["classifier_calibration_bins"] = q_classifier_calibration_bins
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental novelty (stateful; exact vs the batch oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_novelty_incremental(spark, sf_dir):
+    """STREAMING NOVELTY — the incremental form of
+    ``doc_novelty_temporal``: documents arrive as doc_id-ordered
+    micro-batches; each batch scores its docs against the SEEN-WINDOW
+    store (every window hash first observed in an earlier batch), with
+    in-batch firsts resolved by min doc_id; new hashes append to the
+    store as a per-batch partition (overwrite = idempotent replay, the
+    quarantine discipline). Because the stream is ordered, the final
+    per-doc novelty must equal the batch operator EXACTLY — the gate
+    runs against the very same min-doc-id oracle, proving the
+    incremental state transition is lossless.
+
+    100 TB notes: per-batch work is batch-windows × (one anti-join
+    against the store + an in-batch min rollup); the store is
+    append-only hashes (the dedup-ledger shape); results append once
+    per doc (each doc lives in exactly one batch)."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="stream_nov_src_")
+    seen_store = tempfile.mkdtemp(prefix="stream_nov_seen_")
+    out_store = tempfile.mkdtemp(prefix="stream_nov_out_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # ordered ranges: partition i holds the i-th doc_id range and part
+    # files are named by partition id, so lexicographic file order (the
+    # file source's trigger order) == doc_id order
+    d.repartitionByRange(4, F.col("doc_id")).write.mode("overwrite").parquet(src)
+    # the file source triggers in (mtime, path) order and parallel part
+    # writes finish in arbitrary order — restamp mtimes to follow path
+    # order (partition id == doc_id range order) so batches arrive in
+    # doc_id order, the precondition of the incremental min-doc logic
+    import glob as _glob
+    import time as _time
+
+    base = int(_time.time()) + 10
+    for i, p in enumerate(sorted(_glob.glob(os.path.join(src, "part-*")))):
+        os.utime(p, (base + i, base + i))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def score_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        wh = (
+            batch_df.withColumn("__toks", F.expr(TOKENS_SPARK))
+            .select(
+                "doc_id", F.explode(F.expr(_SPAN_WINDOWS_SPARK)).alias("w")
+            )
+            .select("doc_id", _h(F.col("w")).alias("wh"))
+            .localCheckpoint(eager=True)
+        )
+        seen_dirs = [
+            p for p in os.listdir(seen_store) if p.startswith("dq_batch=")
+        ]
+        if seen_dirs:
+            seen = spark.read.option("basePath", seen_store).parquet(
+                os.path.join(seen_store, "dq_batch=*")
+            ).select("wh")
+            unseen = wh.join(seen, "wh", "left_anti")
+        else:
+            unseen = wh
+        firsts = unseen.groupBy("wh").agg(F.min("doc_id").alias("first_doc"))
+        novel = (
+            wh.join(firsts, "wh", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_windows"),
+                F.sum(
+                    F.when(
+                        F.col("first_doc") == F.col("doc_id"), 1
+                    ).otherwise(0)
+                ).alias("n_novel"),
+            )
+        )
+        novel.write.mode("overwrite").parquet(
+            os.path.join(out_store, f"dq_batch={batch_id}")
+        )
+        firsts.select("wh").write.mode("overwrite").parquet(
+            os.path.join(seen_store, f"dq_batch={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.option("basePath", out_store).parquet(
+        os.path.join(out_store, "dq_batch=*")
+    ).select("doc_id", "n_windows", "n_novel")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(res, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.coalesce(
+                F.expr("n_novel * 1000000 div n_windows"), F.lit(0)
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+# lossless incremental state transition: the BATCH oracle, verbatim
+LEARNOPS_ORACLES["streaming_novelty_incremental"] = LEARNOPS_ORACLES[
+    "doc_novelty_temporal"
+]
+LEARNOPS_QUERIES["streaming_novelty_incremental"] = (
+    q_streaming_novelty_incremental
+)
