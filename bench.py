@@ -243,6 +243,7 @@ HEADLINE = [
     "retrieval_ndcg",
     "label_propagation",
     "streaming_novelty_incremental",
+    "bm25_dense_rerank",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -9487,3 +9487,67 @@ SELECT node AS doc_id, lab AS community FROM {prev}
 
 EXT_QUERIES["label_propagation"] = q_label_propagation
 EXT_ORACLES["label_propagation"] = _lpa_oracle().format(lsh=_lsh_ctes())
+
+
+RERANK_QUERY_VEC_ID = 0
+
+
+def q_bm25_dense_rerank(spark, sf_dir):
+    """TWO-STAGE RETRIEVAL: lexical candidate generation → dense
+    rerank — the shipping serving topology (BM25 narrows the corpus to
+    20 candidates; the embedding model re-orders just those). Distinct
+    from ``hybrid_search_rrf`` (which FUSES two full rankings): here
+    the dense leg never sees the corpus, only the candidate list —
+    the cost model that makes cross-encoder-class scorers affordable.
+    The query vector is O(d) driver metadata embedded as literals
+    (zero join, zero broadcast for the query side); candidate vectors
+    join by id for the 20 rows only.
+
+    100 TB notes: stage-2 cost is O(candidates·d) regardless of corpus
+    size; the candidate join is an equi join keyed on the LIMIT-20
+    frame."""
+    cands = q_bm25_search(spark, sf_dir)
+    qrow = (
+        _vectors(spark, sf_dir, "vec_id", "qv", "qn")
+        .filter(F.col("vec_id") == RERANK_QUERY_VEC_ID)
+        .collect()[0]
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qrow["qv"]])
+    qn = float(qrow["qn"])
+    v = _vectors(spark, sf_dir, "vec_id", "cv", "cn").drop("label")
+    scored = (
+        cands.join(v, cands["doc_id"] == v["vec_id"])
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(_dot(F.col("cv"), qlit) / (F.col("cn") * F.lit(qn)), 6).alias(
+                "cos_q"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cos_q").desc(), F.col("doc_id").asc())
+    return scored.withColumn("rerank", F.row_number().over(w))
+
+
+ORACLE_BM25_DENSE_RERANK = f"""
+WITH cands AS ({ORACLE_BM25_SEARCH}),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {RERANK_QUERY_VEC_ID}),
+scored AS (
+  SELECT c.doc_id, c.bm25,
+         round(list_cosine_similarity(
+           CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])
+         ), 6) AS cos_q
+  FROM cands c
+  JOIN embeddings e ON e.vec_id = c.doc_id
+  CROSS JOIN q
+)
+SELECT doc_id, bm25, cos_q,
+       CAST(row_number() OVER (ORDER BY cos_q DESC, doc_id ASC) AS INTEGER)
+         AS rerank
+FROM scored
+"""
+
+EXT_QUERIES["bm25_dense_rerank"] = q_bm25_dense_rerank
+EXT_ORACLES["bm25_dense_rerank"] = ORACLE_BM25_DENSE_RERANK
