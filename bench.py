@@ -244,6 +244,7 @@ HEADLINE = [
     "label_propagation",
     "streaming_novelty_incremental",
     "bm25_dense_rerank",
+    "personalized_pagerank",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

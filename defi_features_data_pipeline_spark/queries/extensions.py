@@ -9551,3 +9551,106 @@ FROM scored
 
 EXT_QUERIES["bm25_dense_rerank"] = q_bm25_dense_rerank
 EXT_ORACLES["bm25_dense_rerank"] = ORACLE_BM25_DENSE_RERANK
+
+
+def q_personalized_pagerank(spark, sf_dir):
+    """PERSONALIZED PAGERANK from the benchmark seed set
+    (doc_id % {mod} == 0 — the same seeds as ``graph_bfs_distance``):
+    teleport mass returns to the SEEDS instead of uniformly, so the
+    score is seed-proximity-weighted influence — the graded form of
+    the BFS contamination radius (BFS answers "within k hops?"; PPR
+    answers "how strongly coupled?", damping hop count smoothly).
+    Same exact-decimal discipline as ``graph_pagerank``: 5 unrolled
+    iterations, per-iteration neighbor sums through decimal(38,15),
+    oracle replays the identical trajectory.
+
+    100 TB: identical plan shape to graph_pagerank — edges+degrees
+    materialize once, one equi-join + keyed aggregate per round; the
+    seed indicator is scan-stage arithmetic."""
+    pairs = _lsh_edges(spark, sf_dir)
+    ed = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        ed.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    is_seed = (F.col("node") % BFS_SEED_MOD == 0).cast("double")
+    n_seeds = deg.filter(F.col("node") % BFS_SEED_MOD == 0).count()  # O(1) metadata
+    if n_seeds == 0:
+        return deg.select(
+            F.col("node").alias("doc_id"), F.lit(0.0).alias("ppr")
+        ).limit(0)
+    tele = is_seed * F.lit((1.0 - PAGERANK_DAMPING) / float(n_seeds))
+    edl = ed.join(deg.withColumnRenamed("node", "src"), "src")
+    r = deg.select("node", tele.alias("r"))  # r0 = teleport vector
+    for _ in range(PAGERANK_ITERS):
+        contrib = edl.join(r, edl["src"] == r["node"]).select(
+            "dst", (F.col("r") / F.col("deg")).alias("c")
+        )
+        summed = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (
+                F.lit(PAGERANK_DAMPING)
+                * F.sum(F.col("c").cast("decimal(38,15)")).cast("double")
+            ).alias("rs")
+        )
+        # teleport applies to every node's NEW score (seeds only)
+        r = (
+            deg.select("node", tele.alias("t"))
+            .join(summed, "node", "left")
+            .select(
+                "node",
+                (F.col("t") + F.coalesce(F.col("rs"), F.lit(0.0))).alias("r"),
+            )
+        )
+    return r.select(F.col("node").alias("doc_id"), F.round("r", 8).alias("ppr"))
+
+
+def _ppr_oracle() -> str:
+    d = PAGERANK_DAMPING
+    prev = "r0"
+    iters = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters.append(
+            f"""s{i} AS (
+  SELECT e.dst AS node,
+         {d} * CAST(CAST(SUM(CAST({prev}.r / deg.deg AS DECIMAL(38,15)))
+                    AS VARCHAR) AS DOUBLE) AS rs
+  FROM edges e
+  JOIN {prev} ON {prev}.node = e.src
+  JOIN deg ON deg.node = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT deg.node,
+         (CASE WHEN deg.node % {BFS_SEED_MOD} = 0
+               THEN {1.0 - d} / ns.n ELSE 0.0 END)
+         + COALESCE(s{i}.rs, 0.0) AS r
+  FROM deg CROSS JOIN ns LEFT JOIN s{i} ON s{i}.node = deg.node
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH {{lsh}},
+{_VERIFIED_CTES.format(thr=JACCARD_THRESHOLD)},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+          UNION ALL SELECT doc_b, doc_a FROM verified),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg
+       WHERE node % {BFS_SEED_MOD} = 0),
+r0 AS (SELECT node,
+              CASE WHEN node % {BFS_SEED_MOD} = 0
+                   THEN {1.0 - d} / ns.n ELSE 0.0 END AS r
+       FROM deg CROSS JOIN ns),
+{','.join(iters)}
+SELECT node AS doc_id, round(r, 8) AS ppr FROM {prev}
+"""
+
+
+EXT_QUERIES["personalized_pagerank"] = q_personalized_pagerank
+EXT_ORACLES["personalized_pagerank"] = _ppr_oracle().format(lsh=_lsh_ctes())
