@@ -245,6 +245,7 @@ HEADLINE = [
     "streaming_novelty_incremental",
     "bm25_dense_rerank",
     "personalized_pagerank",
+    "corpus_datacard",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

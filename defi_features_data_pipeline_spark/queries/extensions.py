@@ -9654,3 +9654,92 @@ SELECT node AS doc_id, round(r, 8) AS ppr FROM {prev}
 
 EXT_QUERIES["personalized_pagerank"] = q_personalized_pagerank
 EXT_ORACLES["personalized_pagerank"] = _ppr_oracle().format(lsh=_lsh_ctes())
+
+
+def q_corpus_datacard(spark, sf_dir):
+    """CORPUS DATACARD: the one-row metadata sheet a dataset release
+    ships with — volume (docs / tokens / chars), diversity (language
+    and source counts, top-language token share), and contamination
+    (exact-duplicate doc count and ratio). All integer/floor
+    arithmetic; every number is re-derivable from the corpus, which is
+    the point: the datacard is a QUERY, not a hand-maintained README
+    table that drifts.
+
+    100 TB notes: one tokenize pass feeds the token totals and
+    per-lang rollup (bounded-domain key); the dup count is the exact
+    content-hash groupBy; everything reduces to a single row."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    toked = d.withColumn("__nt", F.size(F.expr(TOKENS_SPARK)).cast("long"))
+    base = toked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    lang_top = (
+        toked.groupBy("lang")
+        .agg(F.sum("__nt").alias("lt"))
+        .agg(F.max("lt").alias("top_lang_tokens"))
+    )
+    dups = (
+        d.select(_h(F.concat(F.lit("dc:"), F.col("text"))).alias("th"))
+        .groupBy("th")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("dup_docs"))
+    )
+    # single-row side frames enter as SCALAR SUBQUERIES, not 1x1 joins
+    # (those become CartesianProduct once static broadcasts are off —
+    # the sweep flagged exactly that on the first draft of this gate)
+    return (
+        base.withColumn("__top_lt", lang_top.scalar())
+        .withColumn("dup_docs", dups.scalar())
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_langs",
+            "n_sources",
+            F.expr("n_tokens div n_docs").alias("mean_doc_tokens"),
+            F.expr("__top_lt * 1000000 div n_tokens").alias(
+                "top_lang_share_ppm"
+            ),
+            "dup_docs",
+            F.expr("dup_docs * 1000000 div n_docs").alias("dup_ratio_ppm"),
+        )
+    )
+
+
+ORACLE_CORPUS_DATACARD = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars,
+         CAST(len({TOKENS_DUCK}) AS BIGINT) AS nt,
+         {H_SQL.format(x="'dc:' || text")} AS th
+  FROM documents
+),
+base AS (
+  SELECT count(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         count(DISTINCT lang) AS n_langs,
+         count(DISTINCT source) AS n_sources
+  FROM t
+),
+lt AS (
+  SELECT CAST(MAX(s) AS BIGINT) AS top_lang_tokens
+  FROM (SELECT SUM(nt) AS s FROM t GROUP BY lang)
+),
+dup AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS dup_docs
+  FROM (SELECT count(*) AS c FROM t GROUP BY th HAVING count(*) > 1)
+)
+SELECT n_docs, n_tokens, n_chars, n_langs, n_sources,
+       n_tokens // n_docs AS mean_doc_tokens,
+       top_lang_tokens * 1000000 // n_tokens AS top_lang_share_ppm,
+       dup_docs,
+       dup_docs * 1000000 // n_docs AS dup_ratio_ppm
+FROM base CROSS JOIN lt CROSS JOIN dup
+"""
+
+EXT_QUERIES["corpus_datacard"] = q_corpus_datacard
+EXT_ORACLES["corpus_datacard"] = ORACLE_CORPUS_DATACARD
