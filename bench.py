@@ -246,6 +246,7 @@ HEADLINE = [
     "bm25_dense_rerank",
     "personalized_pagerank",
     "corpus_datacard",
+    "graph_modularity",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

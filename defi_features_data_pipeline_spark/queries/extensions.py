@@ -9743,3 +9743,87 @@ FROM base CROSS JOIN lt CROSS JOIN dup
 
 EXT_QUERIES["corpus_datacard"] = q_corpus_datacard
 EXT_ORACLES["corpus_datacard"] = ORACLE_CORPUS_DATACARD
+
+
+def q_graph_modularity(spark, sf_dir):
+    """MODULARITY of the label-propagation communities — the eval
+    metric for the graph family (as NDCG evals the ranking and
+    calibration evals the classifier): Q = Σ_c [ e_c/m − (d_c/2m)² ]
+    over the near-dup graph. Computed as an EXACT INTEGER RATIONAL:
+    with S = Σ degrees = 2m, Q = (S·Σ intra_c − Σ d_c²) / S², and the
+    gate emits (q_num, q_den) as bigints — no float division, no
+    rounding rule to reconcile, and the sign convention of integer
+    division never comes up. A positive Q confirms LPA found real
+    structure (Q ≈ 0 is what random labels score).
+
+    100 TB notes: one join of the edge list against the label table
+    (both linear), two bounded-key aggregates; labels reuse the
+    already-computed LPA trajectory."""
+    labels = q_label_propagation(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = _lsh_edges(spark, sf_dir)
+    ed = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    la = labels.select(F.col("doc_id").alias("src"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("doc_id").alias("dst"), F.col("community").alias("cb"))
+    lab_edges = ed.join(la, "src").join(lb, "dst")
+    intra = lab_edges.filter(F.col("ca") == F.col("cb")).agg(
+        F.count(F.lit(1)).alias("intra")
+    )
+    dsum = (
+        lab_edges.groupBy("ca")
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .agg(
+            F.sum(F.col("dc") * F.col("dc")).alias("d2"),
+            F.sum("dc").alias("s"),
+            F.count(F.lit(1)).alias("n_communities"),
+        )
+    )
+    return dsum.withColumn("intra", intra.scalar()).select(
+        "n_communities",
+        F.expr("s div 2").alias("m_edges"),
+        (F.col("s") * F.col("intra") - F.col("d2")).alias("q_num"),
+        (F.col("s") * F.col("s")).alias("q_den"),
+    )
+
+
+ORACLE_GRAPH_MODULARITY = f"""
+WITH {{lsh}},
+{_VERIFIED_CTES.format(thr=JACCARD_THRESHOLD)},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+          UNION ALL SELECT doc_b, doc_a FROM verified),
+l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+{{lpa_steps}},
+lab_edges AS (
+  SELECT a.lab AS ca, b.lab AS cb
+  FROM edges e
+  JOIN l{LPA_ROUNDS} a ON a.node = e.src
+  JOIN l{LPA_ROUNDS} b ON b.node = e.dst
+),
+intra AS (SELECT count(*) AS intra FROM lab_edges WHERE ca = cb),
+dsum AS (
+  SELECT CAST(SUM(dc * dc) AS BIGINT) AS d2,
+         CAST(SUM(dc) AS BIGINT) AS s,
+         count(*) AS n_communities
+  FROM (SELECT ca, count(*) AS dc FROM lab_edges GROUP BY ca)
+)
+SELECT n_communities, s // 2 AS m_edges,
+       s * intra.intra - d2 AS q_num,
+       s * s AS q_den
+FROM dsum CROSS JOIN intra
+"""
+
+
+def _modularity_oracle() -> str:
+    lpa = _lpa_oracle()
+    # reuse the LPA oracle's unrolled step CTEs (between l0 and the
+    # final SELECT), spliced into the modularity frame
+    body = lpa.split("l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),")[1]
+    steps = body.rsplit("SELECT node AS doc_id", 1)[0].rstrip().rstrip("\n")
+    return ORACLE_GRAPH_MODULARITY.format(lsh=_lsh_ctes(), lpa_steps=steps)
+
+
+EXT_QUERIES["graph_modularity"] = q_graph_modularity
+EXT_ORACLES["graph_modularity"] = _modularity_oracle()
