@@ -247,6 +247,7 @@ HEADLINE = [
     "personalized_pagerank",
     "corpus_datacard",
     "graph_modularity",
+    "pack_boundary_offsets",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

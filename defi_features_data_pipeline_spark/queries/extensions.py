@@ -9827,3 +9827,75 @@ def _modularity_oracle() -> str:
 
 EXT_QUERIES["graph_modularity"] = q_graph_modularity
 EXT_ORACLES["graph_modularity"] = _modularity_oracle()
+
+
+def q_pack_boundary_offsets(spark, sf_dir):
+    """PACKED-SEQUENCE BOUNDARY MANIFEST: for every training pack, the
+    ordered in-pack start offset of each document — the metadata a
+    trainer needs to mask CROSS-DOCUMENT attention inside packed
+    sequences (without it, packing silently lets doc N attend to doc
+    N−1; the standard fix is block-diagonal masks built from exactly
+    these offsets). Extends ``pack_training_sequences``: same
+    distributed prefix-sum offsets, plus per-pack ordered arrays of
+    (boundary offset, doc id).
+
+    100 TB notes: identical plan to the packing gate plus one
+    bounded-size ordered-struct collect per pack (a pack holds at most
+    capacity/min_doc_tokens docs)."""
+    from ..operators.ranking import global_prefix_sum
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.size(F.expr(TOKENS_SPARK)).alias("n_tokens"))
+    pre = global_prefix_sum(toks, ["doc_id"], "n_tokens", out_col="__cum")
+    binned = pre.withColumn(
+        "bin_id",
+        F.floor((F.col("__cum") - F.col("n_tokens")) / PACK_CAPACITY).cast("long"),
+    ).withColumn(
+        "in_off",
+        (F.col("__cum") - F.col("n_tokens")) - F.col("bin_id") * PACK_CAPACITY,
+    )
+    packed = binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("in_off").cast("long").alias("o"),
+                    F.col("doc_id").alias("d"),
+                )
+            )
+        ).alias("__s"),
+    )
+    return packed.select(
+        "bin_id",
+        "n_docs",
+        F.transform(F.col("__s"), lambda s: s["o"]).alias("boundaries"),
+        F.transform(F.col("__s"), lambda s: s["d"]).alias("doc_ids"),
+    )
+
+
+ORACLE_PACK_BOUNDARY_OFFSETS = f"""
+WITH toked AS (
+  SELECT doc_id, len({TOKENS_DUCK}) AS n_tokens FROM documents
+),
+pre AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toked
+),
+binned AS (
+  SELECT doc_id,
+         CAST(floor((cum - n_tokens) / {PACK_CAPACITY}) AS BIGINT) AS bin_id,
+         CAST((cum - n_tokens)
+              - floor((cum - n_tokens) / {PACK_CAPACITY}) * {PACK_CAPACITY}
+              AS BIGINT) AS in_off
+  FROM pre
+)
+SELECT bin_id, count(*) AS n_docs,
+       list(in_off ORDER BY in_off, doc_id) AS boundaries,
+       list(doc_id ORDER BY in_off, doc_id) AS doc_ids
+FROM binned GROUP BY bin_id
+"""
+
+EXT_QUERIES["pack_boundary_offsets"] = q_pack_boundary_offsets
+EXT_ORACLES["pack_boundary_offsets"] = ORACLE_PACK_BOUNDARY_OFFSETS
