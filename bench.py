@@ -248,6 +248,7 @@ HEADLINE = [
     "corpus_datacard",
     "graph_modularity",
     "pack_boundary_offsets",
+    "epoch_reshuffle_manifest",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -1764,3 +1764,79 @@ LEARNOPS_ORACLES["streaming_novelty_incremental"] = LEARNOPS_ORACLES[
 LEARNOPS_QUERIES["streaming_novelty_incremental"] = (
     q_streaming_novelty_incremental
 )
+
+
+# ---------------------------------------------------------------------------
+# Multi-epoch reshuffle manifest (seeded per-epoch orders)
+# ---------------------------------------------------------------------------
+
+RESHUFFLE_EPOCHS = 2
+
+
+def q_epoch_reshuffle_manifest(spark, sf_dir):
+    """MULTI-EPOCH RESHUFFLE MANIFEST: multi-epoch training must not
+    replay epoch 0's order (order-correlated gradients re-correlate),
+    so each epoch e draws an independent hash order
+    h("order:e:" + doc) within the SAME shard assignment (shards stay
+    stable so shard files never rewrite; only the read order per epoch
+    changes). Emits (epoch, doc, shard, pos) for {e} epochs —
+    byte-reproducible like ``training_shard_manifest``, whose
+    single-epoch shape this extends. Epoch orders are provably
+    uncorrelated (rank-correlation test in tests/test_wave3.py).
+
+    100 TB: per epoch, one grouped_rank range sort; shard hash is
+    scan-stage."""
+    from ..operators.ranking import grouped_rank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    out = None
+    for e in range(RESHUFFLE_EPOCHS):
+        frame = d.select(
+            "doc_id",
+            F.pmod(
+                _h(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                F.lit(SHARD_COUNT),
+            ).alias("shard"),
+            _h(
+                F.concat(
+                    F.lit(f"order:{e}:"), F.col("doc_id").cast("string")
+                )
+            ).alias("__h"),
+        )
+        ranked, _ = grouped_rank(
+            frame, ["shard"], ["__h", "doc_id"], rank_col="pos"
+        )
+        epoch_df = ranked.select(
+            F.lit(e).cast("long").alias("epoch"), "doc_id", "shard", "pos"
+        )
+        out = epoch_df if out is None else out.unionByName(epoch_df)
+    return out
+
+
+def _epoch_reshuffle_oracle() -> str:
+    parts = []
+    for e in range(RESHUFFLE_EPOCHS):
+        parts.append(
+            f"""SELECT {e} AS epoch, doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY h{e}, doc_id) AS pos
+FROM s"""
+        )
+    hexprs = []
+    for e in range(RESHUFFLE_EPOCHS):
+        x = f"'order:{e}:' || CAST(doc_id AS VARCHAR)"
+        hexprs.append(f"{H_SQL.format(x=x)} AS h{e}")
+    hcols = ",\n         ".join(hexprs)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {H_SQL.format(x="'shard:' || CAST(doc_id AS VARCHAR)")}
+           % {SHARD_COUNT} AS shard,
+         {hcols}
+  FROM documents
+)
+{' UNION ALL '.join(parts)}
+"""
+
+
+LEARNOPS_QUERIES["epoch_reshuffle_manifest"] = q_epoch_reshuffle_manifest
+LEARNOPS_ORACLES["epoch_reshuffle_manifest"] = _epoch_reshuffle_oracle()

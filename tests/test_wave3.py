@@ -137,3 +137,31 @@ def test_retrieval_ndcg_python_reference(spark):
     assert row["idcg_10"] == pytest.approx(idcg, abs=1e-6)
     assert row["ndcg_10"] == pytest.approx(dcg / idcg, abs=1e-6)
     assert 0.0 < row["ndcg_10"] <= 1.0
+
+
+def test_epoch_reshuffle_decorrelated(spark):
+    """Epoch orders must be statistically independent: the Spearman
+    rank correlation between epoch-0 and epoch-1 in-shard positions
+    should be near zero (|rho| << 1), and shard assignment must be
+    IDENTICAL across epochs (files never rewrite)."""
+    from defi_features_data_pipeline_spark.queries.learnops import (
+        q_epoch_reshuffle_manifest,
+    )
+
+    rows = q_epoch_reshuffle_manifest(spark, SF_DIR).collect()
+    by_epoch = defaultdict(dict)
+    shard_of = defaultdict(dict)
+    for r in rows:
+        by_epoch[r["epoch"]][r["doc_id"]] = r["pos"]
+        shard_of[r["epoch"]][r["doc_id"]] = r["shard"]
+    assert shard_of[0] == shard_of[1], "shard assignment must be epoch-stable"
+    docs = sorted(by_epoch[0])
+    p0 = [by_epoch[0][d] for d in docs]
+    p1 = [by_epoch[1][d] for d in docs]
+    n = len(docs)
+    m0, m1 = sum(p0) / n, sum(p1) / n
+    cov = sum((a - m0) * (b - m1) for a, b in zip(p0, p1))
+    v0 = sum((a - m0) ** 2 for a in p0)
+    v1 = sum((b - m1) ** 2 for b in p1)
+    rho = cov / math.sqrt(v0 * v1)
+    assert abs(rho) < 0.2, f"epoch orders correlated: rho={rho}"
