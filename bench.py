@@ -249,6 +249,7 @@ HEADLINE = [
     "graph_modularity",
     "pack_boundary_offsets",
     "epoch_reshuffle_manifest",
+    "next_event_training_pairs",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -9899,3 +9899,63 @@ FROM binned GROUP BY bin_id
 
 EXT_QUERIES["pack_boundary_offsets"] = q_pack_boundary_offsets
 EXT_ORACLES["pack_boundary_offsets"] = ORACLE_PACK_BOUNDARY_OFFSETS
+
+
+NEXT_EVENT_CTX = 3
+
+
+def q_next_event_training_pairs(spark, sf_dir):
+    """NEXT-EVENT TRAINING PAIRS: turn the event log into supervised
+    (context → label) examples — for every event with ≥{n} predecessors
+    in its user's (ts, event_id)-ordered history, the context is the
+    previous {n} event types and the label is the current one. This is
+    the dataset-builder for behavioral sequence models (the event-log
+    analogue of next-token prediction), and the shape generalizes to
+    any lag-feature extraction.
+
+    100 TB notes: {n} lag() calls in ONE window pass per user
+    (high-cardinality partition key → parallel; Spark fuses same-spec
+    window functions into a single Window node); output is
+    filter-bounded to rows with a full context."""
+    from pyspark.sql import Window
+
+    from .core import _events
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("long").alias("t"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    ctx = ev
+    for i in range(1, NEXT_EVENT_CTX + 1):
+        ctx = ctx.withColumn(f"ctx{i}", F.lag("event_type", i).over(w))
+    return ctx.filter(
+        F.col(f"ctx{NEXT_EVENT_CTX}").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        *[F.col(f"ctx{i}") for i in range(NEXT_EVENT_CTX, 0, -1)],
+        F.col("event_type").alias("label"),
+    )
+
+
+ORACLE_NEXT_EVENT_TRAINING_PAIRS = f"""
+WITH ev AS (
+  SELECT user_id, {_epoch_sql()} AS t, event_id, event_type FROM events
+),
+ctx AS (
+  SELECT user_id, event_id, event_type,
+         lag(event_type, 1) OVER w AS ctx1,
+         lag(event_type, 2) OVER w AS ctx2,
+         lag(event_type, 3) OVER w AS ctx3
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+)
+SELECT user_id, event_id, ctx3, ctx2, ctx1, event_type AS label
+FROM ctx WHERE ctx3 IS NOT NULL
+"""
+
+EXT_QUERIES["next_event_training_pairs"] = q_next_event_training_pairs
+EXT_ORACLES["next_event_training_pairs"] = ORACLE_NEXT_EVENT_TRAINING_PAIRS
