@@ -250,6 +250,8 @@ HEADLINE = [
     "pack_boundary_offsets",
     "epoch_reshuffle_manifest",
     "next_event_training_pairs",
+    "langid_confusion_matrix",
+    "embedding_matryoshka_agreement",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -9959,3 +9959,160 @@ FROM ctx WHERE ctx3 IS NOT NULL
 
 EXT_QUERIES["next_event_training_pairs"] = q_next_event_training_pairs
 EXT_ORACLES["next_event_training_pairs"] = ORACLE_NEXT_EVENT_TRAINING_PAIRS
+
+
+def q_langid_confusion_matrix(spark, sf_dir):
+    """LANG-ID CONFUSION MATRIX — the eval for the language-ID
+    heuristic (each classifier in the engine now carries its eval:
+    calibration for the quality model, NDCG for retrieval, modularity
+    for communities, confusion for lang-id): per (true, predicted)
+    cell counts plus per-true-language recall in exact ppm. The
+    confusion matrix is what decides whether a lang-gated corpus
+    split is trustworthy per language, not just on average.
+
+    100 TB notes: one scan (the lang-id pass) + a |langs|²-bounded
+    rollup; recall joins on the bounded-domain lang key."""
+    pred = q_lang_id(spark, sf_dir)
+    cells = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = pred.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_total"))
+    return (
+        cells.join(totals, "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.expr("n * 1000000 div lang_total").alias("cell_ppm"),
+        )
+    )
+
+
+ORACLE_LANGID_CONFUSION_MATRIX = f"""
+WITH pred AS ({ORACLE_LANG_ID}),
+cells AS (
+  SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2
+),
+totals AS (SELECT lang, count(*) AS lang_total FROM pred GROUP BY 1)
+SELECT lang, lang_pred, n, n * 1000000 // lang_total AS cell_ppm
+FROM cells JOIN totals USING (lang)
+"""
+
+EXT_QUERIES["langid_confusion_matrix"] = q_langid_confusion_matrix
+EXT_ORACLES["langid_confusion_matrix"] = ORACLE_LANGID_CONFUSION_MATRIX
+
+
+MATRYOSHKA_PREFIX = 32  # half of the 64-dim embedding
+
+
+def q_embedding_matryoshka_agreement(spark, sf_dir):
+    """MATRYOSHKA TRUNCATION SAFETY: can the first {p} of {d}
+    embedding dimensions stand in for the full vector? For every
+    vector, the IVF-blocked top-3 neighbors are computed under BOTH
+    the full-d cosine and the prefix-{p} cosine (one shared candidate
+    pass — the pairs and the heavy array move ONCE; only a second
+    window differs), and the output is the corpus histogram of
+    per-vector overlap@3 (0–3 shared neighbors). High mass at 3 means
+    the index/serving path can run at half the memory bandwidth —
+    the decision this measurement exists to make.
+
+    100 TB notes: same two exchanges as the kNN-graph build; the
+    prefix sim is computed in the same scored projection (no second
+    pair materialization)."""
+    from pyspark.sql import Window
+
+    asg = _ivf_assignments(spark, sf_dir)
+    q = (
+        _vectors(spark, sf_dir, "query_id", "qv", "qn")
+        .drop("label")
+        .join(asg, F.col("query_id") == asg["vec_id"])
+        .select("query_id", "qv", "qn", F.col("cid").alias("qlabel"))
+    )
+    cand = (
+        _vectors(spark, sf_dir, "cand_id", "cv", "cn")
+        .drop("label")
+        .join(_ivf_assignments(spark, sf_dir), F.col("cand_id") == F.col("vec_id"))
+        .select("cand_id", "cv", "cn", F.col("cid").alias("clabel"))
+    )
+    # half-prefix + its norm hoisted BEFORE the pair join (the
+    # _vectors discipline: per-vector folds must not rerun per pair)
+    q = q.withColumn("qh", F.slice(F.col("qv"), 1, MATRYOSHKA_PREFIX))
+    q = q.withColumn("qhn", _norm(F.col("qh")))
+    cand = cand.withColumn("ch", F.slice(F.col("cv"), 1, MATRYOSHKA_PREFIX))
+    cand = cand.withColumn("chn", _norm(F.col("ch")))
+    scored = (
+        q.join(cand, F.col("qlabel") == F.col("clabel"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_full"),
+            F.round(
+                _dot(F.col("qh"), F.col("ch")) / (F.col("qhn") * F.col("chn")),
+                6,
+            ).alias("cos_half"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("cand_id").asc()
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.col("cos_half").desc(), F.col("cand_id").asc()
+    )
+    topped = scored.select(
+        "query_id",
+        (F.row_number().over(wf) <= 3).alias("in_full"),
+        (F.row_number().over(wh) <= 3).alias("in_half"),
+    )
+    overlap = topped.groupBy("query_id").agg(
+        F.sum((F.col("in_full") & F.col("in_half")).cast("long")).alias(
+            "overlap3"
+        )
+    )
+    return overlap.groupBy("overlap3").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+ORACLE_EMBEDDING_MATRYOSHKA_AGREEMENT = f"""
+WITH a AS (SELECT * FROM read_parquet('{IVF_ORACLE_DIR}/assignments/*.parquet')),
+q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, qa.cid AS qcid
+      FROM embeddings e JOIN a qa ON qa.vec_id = e.vec_id),
+scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6)
+           AS cos_full,
+         round(list_cosine_similarity(
+             CAST(q.qv[1:{MATRYOSHKA_PREFIX}] AS DOUBLE[]),
+             CAST(e.embedding[1:{MATRYOSHKA_PREFIX}] AS DOUBLE[])), 6)
+           AS cos_half
+  FROM q JOIN a ca ON ca.cid = q.qcid
+  JOIN embeddings e ON e.vec_id = ca.vec_id
+  WHERE e.vec_id <> q.query_id
+),
+topped AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_full DESC, cand_id ASC) <= 3
+           AS in_full,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_half DESC, cand_id ASC) <= 3
+           AS in_half
+  FROM scored
+),
+overlap AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN in_full AND in_half THEN 1 ELSE 0 END)
+              AS BIGINT) AS overlap3
+  FROM topped GROUP BY 1
+)
+SELECT overlap3, count(*) AS n_vectors FROM overlap GROUP BY 1
+"""
+
+EXT_QUERIES["embedding_matryoshka_agreement"] = q_embedding_matryoshka_agreement
+EXT_ORACLES["embedding_matryoshka_agreement"] = (
+    ORACLE_EMBEDDING_MATRYOSHKA_AGREEMENT
+)
