@@ -19,8 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .core import D2D_SQL, DEC, _events, _t, dsum_sql
-from .extensions import H_SQL, _h
+from .core import D2D_SQL, DEC, _events, _t, dsum_sql, epoch_sql
+from .extensions import H_SQL, _REPO_ROOT as _REPO_ROOT_WH, _h
 
 WAREHOUSE_QUERIES: dict = {}
 WAREHOUSE_ORACLES: dict = {}
@@ -1209,3 +1209,330 @@ SELECT count(*) AS n_matching_keys,
 FROM matched
 """
 WAREHOUSE_QUERIES["join_cardinality_audit"] = q_join_cardinality_audit
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pairs — apriori-pruned co-occurrence with support /
+# confidence / lift (the association-rule shape every retail warehouse
+# and every "products frequently bought together" feature runs)
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 2  # orders; pair AND item floor (apriori monotone)
+
+
+def q_market_basket_pairs(spark, sf_dir):
+    """MARKET-BASKET PAIR MINING: unordered part pairs that co-occur in
+    at least ``BASKET_MIN_SUPPORT`` orders, with exact-integer support,
+    per-direction confidence, and lift (all floor-ppm — no float
+    division anywhere, so the cells are bit-identical cross-engine).
+
+    Apriori pruning is the scale story: an infrequent ITEM can never be
+    in a frequent PAIR (support is anti-monotone), so the basket
+    self-join runs only over items that individually clear the floor —
+    at real support floors (0.1%+) this collapses the pair space by
+    orders of magnitude before any pair is materialized.
+
+    100 TB notes: baskets are (order, part) DISTINCT pairs — the
+    self-join key is l_orderkey, so pair generation is
+    Σ basket_size² per order (TPC-H baskets are ≤13 items), linear in
+    orders, not |parts|². The frequent-item table is corpus-derived →
+    both its semi-join and the two stat joins are pinned shuffle_hash
+    (never estimate-broadcast — the sf10 lesson); the total-order count
+    rides as an uncorrelated scalar subquery (no 1-row join)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n_orders = li.select(F.countDistinct("o").alias("n"))
+    item_n = li.groupBy("p").agg(F.count(F.lit(1)).alias("n_item"))
+    freq = item_n.filter(F.col("n_item") >= BASKET_MIN_SUPPORT)
+    items_f = li.join(freq.hint("shuffle_hash"), "p", "left_semi")
+    a = items_f.select(F.col("o"), F.col("p").alias("p1"))
+    b = items_f.select(F.col("o"), F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .filter(F.col("pair_orders") >= BASKET_MIN_SUPPORT)
+    )
+    stats = (
+        pairs.join(
+            freq.hint("shuffle_hash").select(
+                F.col("p").alias("p1"), F.col("n_item").alias("n1")
+            ),
+            "p1",
+        )
+        .join(
+            freq.hint("shuffle_hash").select(
+                F.col("p").alias("p2"), F.col("n_item").alias("n2")
+            ),
+            "p2",
+        )
+        .withColumn("__N", n_orders.scalar())
+    )
+    return stats.select(
+        "p1",
+        "p2",
+        "pair_orders",
+        "n1",
+        "n2",
+        F.expr("CAST(pair_orders * 1000000 DIV n1 AS BIGINT)").alias("conf12_ppm"),
+        F.expr("CAST(pair_orders * 1000000 DIV n2 AS BIGINT)").alias("conf21_ppm"),
+        F.expr(
+            "CAST(pair_orders * __N * 1000000 DIV (n1 * n2) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+
+
+WAREHOUSE_ORACLES["market_basket_pairs"] = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+freq AS (
+  SELECT p, count(*) AS n_item FROM items GROUP BY 1
+  HAVING count(*) >= 2
+),
+items_f AS (
+  SELECT o, p FROM items WHERE p IN (SELECT p FROM freq)
+),
+pairs AS (
+  SELECT a.p AS p1, b.p AS p2, count(*) AS pair_orders
+  FROM items_f a JOIN items_f b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+n AS (SELECT count(DISTINCT o) AS total_orders FROM items)
+SELECT p1, p2, pair_orders, f1.n_item AS n1, f2.n_item AS n2,
+       CAST(pair_orders * 1000000 // f1.n_item AS BIGINT) AS conf12_ppm,
+       CAST(pair_orders * 1000000 // f2.n_item AS BIGINT) AS conf21_ppm,
+       CAST(pair_orders * (SELECT total_orders FROM n) * 1000000
+            // (f1.n_item * f2.n_item) AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN freq f1 ON pairs.p1 = f1.p
+JOIN freq f2 ON pairs.p2 = f2.p
+"""
+WAREHOUSE_QUERIES["market_basket_pairs"] = q_market_basket_pairs
+
+
+# ---------------------------------------------------------------------------
+# Grouped linear trend — per-key closed-form OLS (the "is this user's
+# activity growing" feature; one aggregate pass, no ML library)
+# ---------------------------------------------------------------------------
+
+TREND_EPOCH_BASE = 1_600_000_000  # fixed x-origin: keeps x² sums small
+
+
+def q_grouped_linear_trend(spark, sf_dir):
+    """GROUPED LINEAR TREND: per-user ordinary-least-squares slope and
+    intercept of event ``value`` against time, from the closed form
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    — i.e. regression as a plain aggregate: ONE pass builds the five
+    sufficient statistics per key, so the operator is a groupBy, not an
+    ML-library fit. Cross-engine determinism: Σxy / Σy / Σx² accumulate
+    in DECIMAL (exact); the final slope arithmetic runs on the hopped
+    doubles with identical expression structure in both engines, and
+    IEEE mult/sub/div are correctly rounded — so the doubles are
+    bit-identical. x is shifted to a FIXED epoch base (not per-group
+    min — that would need a second pass) to keep Σx² inside
+    decimal range at any corpus size.
+
+    100 TB notes: map-side partial aggregation on user_id (5 numeric
+    partials/key); no join, no window, no driver work. Degenerate keys
+    (n < 2 or a single distinct timestamp) are filtered by den > 0."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        (F.col("ts").cast("long") - F.lit(TREND_EPOCH_BASE)).alias("x"),
+        "value",
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("value").cast("decimal(38,10)")).alias("sy_d"),
+        F.sum(F.expr("CAST(x * x AS DECIMAL(38,0))")).alias("sxx_d"),
+        F.sum(
+            F.expr("CAST(x AS DECIMAL(18,0)) * CAST(value AS DECIMAL(19,10))")
+        ).alias("sxy_d"),
+    )
+    doubles = agg.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy_d").cast("double").alias("syd"),
+        F.col("sxx_d").cast("double").alias("sxxd"),
+        F.col("sxy_d").cast("double").alias("sxyd"),
+    )
+    return (
+        doubles.withColumn("den", F.expr("nd * sxxd - sxd * sxd"))
+        .filter(F.col("den") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            F.expr("((nd * sxyd - sxd * syd) / den) * 86400.0").alias(
+                "slope_per_day"
+            ),
+            F.expr(
+                "(syd - ((nd * sxyd - sxd * syd) / den) * sxd) / nd"
+            ).alias("intercept_at_base"),
+        )
+    )
+
+
+WAREHOUSE_ORACLES["grouped_linear_trend"] = f"""
+WITH ev AS (
+  SELECT user_id, {epoch_sql()} - 1600000000 AS x, value FROM events
+),
+agg AS (
+  SELECT user_id,
+         count(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         SUM(CAST(value AS DECIMAL(38,10))) AS sy_d,
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx_d,
+         SUM(CAST(x AS DECIMAL(18,0)) * CAST(value AS DECIMAL(19,10)))
+           AS sxy_d
+  FROM ev GROUP BY 1
+),
+doubles AS (
+  SELECT user_id, n AS n_events,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd,
+         CAST(CAST(sy_d AS VARCHAR) AS DOUBLE) AS syd,
+         CAST(CAST(sxx_d AS VARCHAR) AS DOUBLE) AS sxxd,
+         CAST(CAST(sxy_d AS VARCHAR) AS DOUBLE) AS sxyd
+  FROM agg
+)
+SELECT user_id, n_events,
+       ((nd * sxyd - sxd * syd) / den) * 86400.0 AS slope_per_day,
+       (syd - ((nd * sxyd - sxd * syd) / den) * sxd) / nd
+         AS intercept_at_base
+FROM (SELECT *, nd * sxxd - sxd * sxd AS den FROM doubles)
+WHERE den > 0
+"""
+WAREHOUSE_QUERIES["grouped_linear_trend"] = q_grouped_linear_trend
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity suppression — the privacy gate a dataset release runs
+# before quasi-identifiers leave the warehouse
+# ---------------------------------------------------------------------------
+
+K_ANONYMITY = 5
+
+
+def q_k_anonymity_suppress(spark, sf_dir):
+    """K-ANONYMITY SUPPRESSION: every row whose quasi-identifier
+    combination (market segment × nation) is shared by fewer than
+    ``K_ANONYMITY`` customers gets its QI columns suppressed to '*'
+    (cell suppression), so no released row is identifiable within a
+    group smaller than k. Output is row-per-customer: key, the
+    possibly-suppressed QI columns, and the group size that decided it
+    (k-1 anonymity attacks audit on exactly this column).
+
+    100 TB notes: one groupBy over the QI columns (the combo table is
+    bounded by the QI domain product, here ≤ |segments|·|nations|),
+    then a join back on the same keys — the aggregate reuses the
+    shuffle partitioning of the join (one Exchange); no window, no
+    driver work. The combo table is bounded-domain so it WOULD be
+    broadcastable, but row-per-customer output needs the join either
+    way; shuffle keeps the plan uniform at any k."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    combos = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    keep = F.col("group_size") >= K_ANONYMITY
+    return c.join(combos, ["c_mktsegment", "c_nationkey"]).select(
+        "c_custkey",
+        F.when(keep, F.col("c_mktsegment")).otherwise(F.lit("*")).alias(
+            "segment_released"
+        ),
+        F.when(keep, F.col("c_nationkey").cast("string")).otherwise(
+            F.lit("*")
+        ).alias("nation_released"),
+        "group_size",
+        (~keep).alias("suppressed"),
+    )
+
+
+WAREHOUSE_ORACLES["k_anonymity_suppress"] = """
+WITH combos AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS group_size
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_custkey,
+       CASE WHEN group_size >= 5 THEN c.c_mktsegment ELSE '*' END
+         AS segment_released,
+       CASE WHEN group_size >= 5 THEN CAST(c.c_nationkey AS VARCHAR)
+            ELSE '*' END AS nation_released,
+       group_size,
+       group_size < 5 AS suppressed
+FROM customer c
+JOIN combos USING (c_mktsegment, c_nationkey)
+"""
+WAREHOUSE_QUERIES["k_anonymity_suppress"] = q_k_anonymity_suppress
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution read — two ingestion epochs with different schemas,
+# one mergeSchema scan (the add-a-column migration every long-lived
+# lake table goes through)
+# ---------------------------------------------------------------------------
+
+
+def q_schema_evolution_read(spark, sf_dir):
+    """SCHEMA-EVOLUTION READ: epoch 1 of an ingested table was written
+    before the ``quality_ppm`` column existed; epoch 2 carries it. One
+    ``mergeSchema`` scan over the partitioned root returns the union
+    schema with NULL backfill for pre-evolution files — the
+    add-nullable-column migration path, proven against an oracle that
+    recomputes both epochs from the raw table (so a dropped row, a
+    wrongly-backfilled default, or a partition-column type drift all
+    break the hash).
+
+    100 TB notes: schema merge is a FOOTER-level operation (per-file
+    schemas union on the driver, data pages untouched); epoch is a
+    directory partition column, so epoch-pruned reads stay pruned.
+    The epoch fixture is rewritten per call — two tiny overwrite
+    writes — to keep the gate hermetic."""
+    import os as _os
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _os.path.join(
+        _REPO_ROOT_WH,
+        "artifacts",
+        "schema_epochs",
+        _os.path.basename(_os.path.normpath(sf_dir)),
+    )
+    e1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "source")
+    e2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("CAST(n_chars * 1000000 DIV (n_chars + 100) AS BIGINT)").alias(
+            "quality_ppm"
+        ),
+    )
+    e1.write.mode("overwrite").parquet(_os.path.join(root, "epoch=1"))
+    e2.write.mode("overwrite").parquet(_os.path.join(root, "epoch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.select(
+        "doc_id", "lang", "source", "quality_ppm", F.col("epoch").cast("int").alias("epoch")
+    )
+
+
+WAREHOUSE_ORACLES["schema_evolution_read"] = """
+SELECT doc_id, lang, source, CAST(NULL AS BIGINT) AS quality_ppm,
+       1 AS epoch
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, source,
+       CAST(n_chars * 1000000 // (n_chars + 100) AS BIGINT) AS quality_ppm,
+       2 AS epoch
+FROM documents WHERE doc_id % 2 = 1
+"""
+WAREHOUSE_QUERIES["schema_evolution_read"] = q_schema_evolution_read
