@@ -10116,3 +10116,399 @@ EXT_QUERIES["embedding_matryoshka_agreement"] = q_embedding_matryoshka_agreement
 EXT_ORACLES["embedding_matryoshka_agreement"] = (
     ORACLE_EMBEDDING_MATRYOSHKA_AGREEMENT
 )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition — graph pruning for the near-dup graph (drop
+# weakly-connected fringe before expensive community analysis)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def q_graph_kcore(spark, sf_dir):
+    """K-CORE PEEL over the verified near-dup graph: {r} synchronous
+    rounds of "drop every node with degree < {k} in the surviving
+    subgraph" — the standard pre-filter that strips pair-only fringe
+    (degree-1 chains) off a graph before community detection pays for
+    it. A node survives round i only if ≥ {k} of its neighbors survived
+    round i-1, so the fixed-round trajectory is deterministic and the
+    oracle unrolls the SAME rounds (the pagerank/LPA discipline).
+
+    Plan: edges materialize once (eager localCheckpoint — candidate
+    generation must not replay per round); each round is two left-semi
+    joins (edge endpoints against the surviving set) + a count — no
+    window at all. At 100 TB each round parquet-round-trips like
+    connected_components; rounds are O(log-ish) in practice because
+    peeling cascades.
+
+    Ref: degeneracy/k-core as in Matula-Beck; fixed-round synchronous
+    variant for cross-engine determinism."""
+    pairs = _lsh_edges(spark, sf_dir)
+    ed = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    active = ed.select(F.col("src").alias("node")).distinct()
+    for _ in range(KCORE_ROUNDS):
+        live = (
+            ed.join(
+                active.select(F.col("node").alias("src")), "src", "left_semi"
+            )
+            .join(
+                active.select(F.col("node").alias("dst")), "dst", "left_semi"
+            )
+        )
+        active = (
+            live.groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select(F.col("dst").alias("node"), "deg")
+        )
+    return active.select(
+        F.col("node").alias("doc_id"), F.col("deg").alias("core_degree")
+    )
+
+
+def _kcore_oracle() -> str:
+    steps = []
+    prev = "a0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        steps.append(
+            f"""a{i} AS (
+  SELECT e.dst AS node, count(*) AS deg
+  FROM edges e
+  JOIN {prev} s ON s.node = e.src
+  JOIN {prev} t ON t.node = e.dst
+  GROUP BY 1
+  HAVING count(*) >= {KCORE_K}
+)"""
+        )
+        prev = f"a{i}"
+    return f"""
+WITH {{lsh}},
+{_VERIFIED_CTES.format(thr=JACCARD_THRESHOLD)},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+          UNION ALL SELECT doc_b, doc_a FROM verified),
+a0 AS (SELECT DISTINCT src AS node FROM edges),
+{','.join(steps)}
+SELECT node AS doc_id, deg AS core_degree FROM {prev}
+"""
+
+
+EXT_QUERIES["graph_kcore"] = q_graph_kcore
+EXT_ORACLES["graph_kcore"] = _kcore_oracle().format(lsh=_lsh_ctes())
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality rules — the shipping FILTER shape
+# (per-rule flags + keep decision), distinct from text_quality's score
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 1000
+GOPHER_STOPWORDS = ("a", "the", "of", "and", "to", "in")
+
+
+def q_gopher_rules_filter(spark, sf_dir):
+    """GOPHER-STYLE RULE FILTER: the composite quality gate shipped as
+    per-rule boolean flags plus the conjunctive keep decision — the
+    operational form (you audit WHICH rule fired, not just a score;
+    text_quality is the score twin). Rules, all exact integer
+    arithmetic (no float thresholds, so the flags are bit-identical
+    cross-engine):
+
+      r_len    : token count in [{mn}, {mx}]
+      r_wordlen: mean token length in [3, 10]  (10·Σlen vs 30n/100n)
+      r_toprep : most frequent token ≤ 20% of tokens  (5·max ≤ n)
+      r_diverse: distinct tokens ≥ 30% of tokens      (10·d ≥ 3n)
+      r_stop   : contains ≥ 1 stopword
+
+    (Rahm-style DQ rules after Gopher's repetition/length family:
+    length, mean-word-length, top-token repetition, lexical diversity,
+    stopword presence.)
+
+    100 TB notes: explode → (doc, token) count → per-doc rollup: two
+    map-side-combinable aggregations, no join, no window; the flags
+    fold in the final projection. Token rows never carry text — only
+    (doc_id, token)."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("tok")
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.length("tok") * F.col("c")).alias("sum_len"),
+        F.max("c").alias("top_count"),
+        F.max(
+            F.expr(f"CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END")
+        ).alias("has_stop"),
+    )
+    flags = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        (
+            (F.col("n_tokens") >= GOPHER_MIN_TOKENS)
+            & (F.col("n_tokens") <= GOPHER_MAX_TOKENS)
+        ).alias("r_len"),
+        (
+            (F.col("sum_len") * 10 >= F.col("n_tokens") * 30)
+            & (F.col("sum_len") * 10 <= F.col("n_tokens") * 100)
+        ).alias("r_wordlen"),
+        (F.col("top_count") * 5 <= F.col("n_tokens")).alias("r_toprep"),
+        (F.col("n_distinct") * 10 >= F.col("n_tokens") * 3).alias("r_diverse"),
+        (F.col("has_stop") == 1).alias("r_stop"),
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("r_len")
+        & F.col("r_wordlen")
+        & F.col("r_toprep")
+        & F.col("r_diverse")
+        & F.col("r_stop"),
+    )
+
+
+ORACLE_GOPHER_RULES_FILTER = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK.replace('text', 'text')} AS __toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(__toks) AS tok FROM t
+),
+per_tok AS (
+  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct,
+         CAST(SUM(length(tok) * c) AS BIGINT) AS sum_len,
+         max(c) AS top_count,
+         max(CASE WHEN tok IN ({", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)})
+                  THEN 1 ELSE 0 END) AS has_stop
+  FROM per_tok GROUP BY 1
+),
+flags AS (
+  SELECT doc_id, n_tokens,
+         n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS}
+           AS r_len,
+         sum_len * 10 >= n_tokens * 30 AND sum_len * 10 <= n_tokens * 100
+           AS r_wordlen,
+         top_count * 5 <= n_tokens AS r_toprep,
+         n_distinct * 10 >= n_tokens * 3 AS r_diverse,
+         has_stop = 1 AS r_stop
+  FROM per_doc
+)
+SELECT *, r_len AND r_wordlen AND r_toprep AND r_diverse AND r_stop AS keep
+FROM flags
+"""
+
+EXT_QUERIES["gopher_rules_filter"] = q_gopher_rules_filter
+EXT_ORACLES["gopher_rules_filter"] = ORACLE_GOPHER_RULES_FILTER
+
+
+# ---------------------------------------------------------------------------
+# Intra-document block dedup — C4-style "remove repeated spans WITHIN a
+# page" cleanup (corpus-level dedup's in-document complement)
+# ---------------------------------------------------------------------------
+
+INTRA_BLOCK_W = 2  # tokens per block (2: the synthetic corpus repeats bigrams)
+
+
+def q_intra_doc_block_dedup(spark, sf_dir):
+    """INTRA-DOC BLOCK DEDUP: split each document into consecutive
+    {w}-token blocks, drop every block whose text already appeared
+    EARLIER in the same document (keep-first), and re-assemble the
+    cleaned text — the within-page repetition cleanup C4 applies at the
+    line level (block width is the only knob; {w} matches the
+    synthetic corpus's repetition scale). Corpus-level dedup
+    (dedup_passage_exact etc.) removes copies ACROSS documents; this
+    removes a document's self-repetition — both run in a real cleanup
+    pipeline.
+
+    100 TB notes: blocks explode to (doc, idx, text) rows; first
+    occurrence is a min-window partitioned by (doc, block_text) — high
+    cardinality, parallel; reassembly is one per-doc sort_array over
+    kept blocks (bounded by doc length). No join; text leaves the doc
+    row only as block-sized strings."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    w = INTRA_BLOCK_W
+    blocks = (
+        d.withColumn("__toks", F.expr(TOKENS_SPARK))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST((size(__toks) + {w - 1}) DIV {w} "
+                    f"AS INT) - 1), j -> concat_ws(' ', slice(__toks, j * {w} + 1, {w})))"
+                )
+            ).alias("j", "btxt"),
+        )
+    )
+    from pyspark.sql import Window
+
+    first = F.min("j").over(Window.partitionBy("doc_id", "btxt"))
+    marked = blocks.withColumn("first_j", first)
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(
+            F.when(F.col("j") != F.col("first_j"), 1).otherwise(0)
+        ).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("j") == F.col("first_j"),
+                            F.struct(F.col("j"), F.col("btxt")),
+                        )
+                    )
+                ),
+                lambda s: s["btxt"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
+ORACLE_INTRA_DOC_BLOCK_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS __toks FROM documents
+),
+b AS (
+  SELECT doc_id,
+         unnest([{{'j': j, 'btxt': array_to_string(
+                     __toks[j * {INTRA_BLOCK_W} + 1 : j * {INTRA_BLOCK_W} + {INTRA_BLOCK_W}], ' ')}}
+                 FOR j IN range((len(__toks) + {INTRA_BLOCK_W - 1}) // {INTRA_BLOCK_W})],
+                recursive := true)
+  FROM t
+),
+m AS (
+  SELECT doc_id, j, btxt,
+         min(j) OVER (PARTITION BY doc_id, btxt) AS first_j
+  FROM b
+)
+SELECT doc_id,
+       count(*) AS n_blocks,
+       CAST(SUM(CASE WHEN j <> first_j THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       string_agg(btxt, ' ' ORDER BY j) FILTER (WHERE j = first_j)
+         AS cleaned_text
+FROM m GROUP BY 1
+"""
+
+EXT_QUERIES["intra_doc_block_dedup"] = q_intra_doc_block_dedup
+EXT_ORACLES["intra_doc_block_dedup"] = ORACLE_INTRA_DOC_BLOCK_DEDUP
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption masks — T5-style denoising-objective data prep
+# (deterministic mask draw, map-only, zero shuffle)
+# ---------------------------------------------------------------------------
+
+SPAN_BLOCK_W = 4   # tokens per maskable block
+SPAN_MASK_MOD = 4  # 1/4 of blocks masked
+
+
+def q_span_corruption_masks(spark, sf_dir):
+    """SPAN-CORRUPTION MASKS: the T5 denoising-objective dataset
+    builder — each document's token stream is cut into {w}-token
+    blocks, a deterministic hash draw masks 1/{m} of them, and the
+    operator emits the corrupted input (masked blocks replaced by the
+    '<X>' sentinel) plus the target sequence (the masked blocks,
+    sentinel-delimited). Fixed-block variant: spans are block-aligned
+    and consecutive masked blocks keep their own sentinel (production
+    span samplers collapse runs; block alignment keeps the draw
+    reproducible from (doc_id, block_idx) alone — re-running on a
+    grown corpus never re-masks old docs differently).
+
+    100 TB notes: ENTIRELY map-side — mask draw, both reassemblies,
+    and the counts are array expressions inside one projection; zero
+    shuffle, zero UDF, whole-stage codegen end to end. The mask is
+    md5-derived from (doc_id, block_idx) — the portable-hash
+    discipline every sampling gate here uses."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    w, m = SPAN_BLOCK_W, SPAN_MASK_MOD
+    blk_hash = (
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+        "CAST(s.j AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return (
+        d.withColumn("__toks", F.expr(TOKENS_SPARK))
+        .withColumn(
+            "__blocks",
+            F.expr(
+                f"transform(sequence(0, CAST((size(__toks) + {w - 1}) DIV {w} AS INT) - 1), "
+                f"j -> struct(j AS j, concat_ws(' ', slice(__toks, j * {w} + 1, {w})) AS btxt))"
+            ),
+        )
+        .withColumn(
+            "__marked",
+            F.expr(
+                f"transform(__blocks, s -> struct(s.j AS j, s.btxt AS btxt, "
+                f"{blk_hash} % {m} = 0 AS masked))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr("size(__marked)").alias("n_blocks"),
+            F.expr("size(filter(__marked, s -> s.masked))").alias("n_masked"),
+            F.expr(
+                "array_join(transform(__marked, s -> "
+                "IF(s.masked, '<X>', s.btxt)), ' ')"
+            ).alias("corrupted_text"),
+            F.expr(
+                "array_join(transform(filter(__marked, s -> s.masked), "
+                "s -> s.btxt), ' <X> ')"
+            ).alias("targets_text"),
+            F.expr(
+                "CAST(size(filter(__marked, s -> s.masked)) * 1000000 "
+                "DIV size(__marked) AS BIGINT)"
+            ).alias("masked_ppm"),
+        )
+    )
+
+
+ORACLE_SPAN_CORRUPTION_MASKS = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_DUCK} AS __toks FROM documents
+),
+b AS (
+  SELECT doc_id,
+         [{{'j': j,
+            'btxt': array_to_string(
+              __toks[j * {SPAN_BLOCK_W} + 1 : j * {SPAN_BLOCK_W} + {SPAN_BLOCK_W}], ' '),
+            'masked': CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                           CAST(j AS VARCHAR)), 1, 8) AS BIGINT)
+                      % {SPAN_MASK_MOD} = 0}}
+          FOR j IN range((len(__toks) + {SPAN_BLOCK_W - 1}) // {SPAN_BLOCK_W})]
+           AS marked
+  FROM t
+)
+SELECT doc_id,
+       len(marked) AS n_blocks,
+       len(list_filter(marked, s -> s.masked)) AS n_masked,
+       array_to_string([CASE WHEN s.masked THEN '<X>' ELSE s.btxt END
+                        FOR s IN marked], ' ') AS corrupted_text,
+       COALESCE(array_to_string([s.btxt FOR s IN marked IF s.masked],
+                               ' <X> '), '') AS targets_text,
+       CAST(len(list_filter(marked, s -> s.masked)) * 1000000
+            // len(marked) AS BIGINT) AS masked_ppm
+FROM b
+"""
+
+EXT_QUERIES["span_corruption_masks"] = q_span_corruption_masks
+EXT_ORACLES["span_corruption_masks"] = ORACLE_SPAN_CORRUPTION_MASKS
