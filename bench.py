@@ -252,6 +252,15 @@ HEADLINE = [
     "next_event_training_pairs",
     "langid_confusion_matrix",
     "embedding_matryoshka_agreement",
+    # round-8 wave-4 additions
+    "market_basket_pairs",
+    "grouped_linear_trend",
+    "k_anonymity_suppress",
+    "schema_evolution_read",
+    "graph_kcore",
+    "gopher_rules_filter",
+    "intra_doc_block_dedup",
+    "span_corruption_masks",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
