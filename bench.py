@@ -352,6 +352,16 @@ SCALE_PROBE = {
     "split_leakage_report": 1.0,
     # two range sorts (grouped + global rank) + one equi join — linear
     "quantile_normalize_scores": 1.0,
+    # r8 wave-4: basket self-join is Σ basket_size² per order (basket
+    # width is a data-model constant -> linear in orders); OLS trend is
+    # one map-side-combinable agg; k-core is fixed rounds over the
+    # linear LSH edge list; the text three are explode/map-only
+    "market_basket_pairs": 1.0,
+    "grouped_linear_trend": 1.0,
+    "graph_kcore": 1.0,
+    "gopher_rules_filter": 1.0,
+    "intra_doc_block_dedup": 1.0,
+    "span_corruption_masks": 1.0,
 }
 
 # 100x probe (r7 verdict item 8 → r8): the sf10 run that caught the

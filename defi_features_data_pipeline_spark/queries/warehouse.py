@@ -1243,6 +1243,13 @@ def q_market_basket_pairs(spark, sf_dir):
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
+        # the basket relation feeds FIVE consumers (total count, item
+        # support, both pair-join sides via the semi join) — without
+        # materialization each consumer re-scans the fact table and
+        # re-runs the distinct shuffle (7 scans in the naive plan).
+        # One eager localCheckpoint = one scan + one distinct, then
+        # every consumer reads the materialized 2-bigint relation.
+        .localCheckpoint(eager=True)
     )
     n_orders = li.select(F.countDistinct("o").alias("n"))
     item_n = li.groupBy("p").agg(F.count(F.lit(1)).alias("n_item"))
