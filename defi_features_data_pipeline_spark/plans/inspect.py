@@ -136,6 +136,17 @@ def _unbounded_corpus_tables(node, corpus: tuple[str, ...]) -> set[str]:
             )
         except Exception:  # noqa: BLE001 — opaque cache ⇒ assume bounded
             return set()
+    if name == "ReusedExchangeExec":
+        # a reused exchange is a LEAF in the tree walk but its data is
+        # the referenced exchange's output — without recursing into
+        # node.child() any corpus subtree whose exchange happens to be
+        # deduplicated by ReuseExchange silently escapes the sweep
+        # (found live: count_min_sketch's broadcast grid bottomed out
+        # here and the checker saw an empty subtree)
+        try:
+            return _unbounded_corpus_tables(node.child(), corpus)
+        except Exception:  # noqa: BLE001 — opaque reuse ⇒ conservative
+            return _scan_corpus_tables(node, corpus)
     out: set[str] = set()
     for c in _children(node):
         out |= _unbounded_corpus_tables(c, corpus)

@@ -4813,15 +4813,20 @@ def q_event_transition_matrix(spark, sf_dir):
         F.col("event_type").alias("dst"),
     )
     counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_trans"))
-    totals = counts.groupBy("src").agg(F.sum("n_trans").alias("n_src"))
-    return (
-        counts.join(F.broadcast(totals), "src")
-        .select(
-            "src",
-            "dst",
-            "n_trans",
-            F.round(F.col("n_trans") / F.col("n_src"), 6).alias("p_trans"),
-        )
+    # source-state totals as a window over the POST-AGGREGATE frame
+    # (≤ (|types|+1)² rows at any corpus size) — no join at all. The
+    # previous explicit broadcast of the totals rollup was technically
+    # an unbounded-key aggregate (src is DERIVED from event_type via
+    # lag+coalesce, so plan text cannot prove the domain) and was the
+    # one live shape the r8 ReusedExchange sweep fix flagged.
+    w_src = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n_trans",
+        F.round(
+            F.col("n_trans") / F.sum("n_trans").over(w_src), 6
+        ).alias("p_trans"),
     )
 
 
@@ -10512,3 +10517,211 @@ FROM b
 
 EXT_QUERIES["span_corruption_masks"] = q_span_corruption_masks
 EXT_ORACLES["span_corruption_masks"] = ORACLE_SPAN_CORRUPTION_MASKS
+
+
+# ---------------------------------------------------------------------------
+# χ² token selection — per-language discriminative vocabulary (the
+# classic feature-selection pass before training a lang/domain
+# classifier on bag-of-words)
+# ---------------------------------------------------------------------------
+
+CHI2_TOP_K = 10
+
+
+def q_chi2_token_selection(spark, sf_dir):
+    """χ² TOKEN SELECTION: for every (language, token) 2×2 document
+    contingency table, score association with
+
+        χ² = N · (n11·n00 − n10·n01)² / (r1·r2·c1·c2)
+
+    and keep each language's top-{k} tokens — the classic
+    feature-selection pass (Manning/Schütze IR ch. 13 shape) before a
+    bag-of-words classifier. Determinism: every count ≤ N is an exact
+    double; phi = n11·n00 − n10·n01 is computed in BIGINT (≤ N²,
+    exact), then the score is built on doubles with a FIXED
+    parenthesization — each intermediate is one correctly-rounded IEEE
+    op, so both engines produce the bit-identical double (the
+    grouped_linear_trend discipline; an exact-integer χ²·1e6 would
+    need int128 division, which the engines floor differently).
+
+    100 TB notes: doc-level presence (distinct doc-token) explodes
+    once; token document-frequency is a corpus-derived join side →
+    pinned shuffle_hash; language doc counts are a bounded-domain
+    aggregate (explicit broadcast class); N rides as a scalar
+    subquery. Per-language top-k uses ``grouped_rank`` — languages are
+    low-cardinality, a PARTITION BY lang window would collapse each
+    language's whole vocabulary onto one task."""
+    from ..operators.ranking import grouped_rank
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    doc_tok = (
+        d.withColumn("__toks", F.expr(TOKENS_SPARK))
+        .select("doc_id", "lang", F.explode(F.expr("array_distinct(__toks)")).alias("tok"))
+    )
+    lt = doc_tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n11"))
+    tok_df = doc_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    lang_docs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("r1"))
+    n_total = d.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        lt.join(tok_df.hint("shuffle_hash"), "tok")
+        .join(F.broadcast(lang_docs), "lang")
+        .withColumn("__N", n_total.scalar())
+        .withColumn("n10", F.col("c1") - F.col("n11"))
+        .withColumn("n01", F.col("r1") - F.col("n11"))
+        .withColumn(
+            "n00", F.col("__N") - F.col("r1") - F.col("c1") + F.col("n11")
+        )
+        .withColumn(
+            "phi", F.expr("n11 * n00 - n10 * n01")  # bigint, exact
+        )
+        .withColumn(
+            "chi2",
+            F.expr(
+                "((CAST(phi AS DOUBLE) * CAST(phi AS DOUBLE)) * CAST(__N AS DOUBLE)) / "
+                "((CAST(r1 AS DOUBLE) * CAST(__N - r1 AS DOUBLE)) * "
+                "(CAST(c1 AS DOUBLE) * CAST(__N - c1 AS DOUBLE)))"
+            ),
+        )
+    )
+    ranked, _ = grouped_rank(
+        scored.select(
+            "lang", "tok", "n11", "phi", "chi2",
+            # grouped_rank sorts ascending on column names: descending
+            # chi2 via exact IEEE negation (sign flip, no rounding)
+            (-F.col("chi2")).alias("__neg_chi2"),
+        ),
+        ["lang"],
+        ["__neg_chi2", "tok"],
+        rank_col="rk",
+    )
+    return ranked.filter(F.col("rk") <= CHI2_TOP_K).select(
+        "lang", "tok", "n11", "phi", "chi2", F.col("rk").alias("rank_in_lang")
+    )
+
+
+ORACLE_CHI2_TOKEN_SELECTION = f"""
+WITH t AS (
+  SELECT doc_id, lang, {TOKENS_DUCK} AS __toks FROM documents
+),
+doc_tok AS (
+  SELECT DISTINCT doc_id, lang, unnest(list_distinct(__toks)) AS tok FROM t
+),
+lt AS (SELECT lang, tok, count(*) AS n11 FROM doc_tok GROUP BY 1, 2),
+tok_df AS (SELECT tok, count(*) AS c1 FROM doc_tok GROUP BY 1),
+lang_docs AS (SELECT lang, count(*) AS r1 FROM documents GROUP BY 1),
+n AS (SELECT count(*) AS total FROM documents),
+scored AS (
+  SELECT lang, tok, n11,
+         n11 * (total - r1 - c1 + n11) - (c1 - n11) * (r1 - n11) AS phi,
+         ((CAST(n11 * (total - r1 - c1 + n11) - (c1 - n11) * (r1 - n11)
+                AS DOUBLE) *
+           CAST(n11 * (total - r1 - c1 + n11) - (c1 - n11) * (r1 - n11)
+                AS DOUBLE)) * CAST(total AS DOUBLE)) /
+         ((CAST(r1 AS DOUBLE) * CAST(total - r1 AS DOUBLE)) *
+          (CAST(c1 AS DOUBLE) * CAST(total - c1 AS DOUBLE))) AS chi2
+  FROM lt JOIN tok_df USING (tok)
+          JOIN lang_docs USING (lang)
+          CROSS JOIN n
+)
+SELECT lang, tok, n11, phi, chi2, rank_in_lang
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY chi2 DESC, tok ASC)
+              AS rank_in_lang
+  FROM scored
+)
+WHERE rank_in_lang <= {CHI2_TOP_K}
+"""
+
+EXT_QUERIES["chi2_token_selection"] = q_chi2_token_selection
+EXT_ORACLES["chi2_token_selection"] = ORACLE_CHI2_TOKEN_SELECTION
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — the frequency-estimation member of the mergeable
+# sketch family (HLL = distinct, Misra-Gries = top-k, GK = quantiles,
+# CM = point frequency with one-sided error)
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 64
+
+
+def q_count_min_sketch(spark, sf_dir):
+    """COUNT-MIN SKETCH frequency estimates for per-user event counts:
+    build a {d}×{w} counter grid (depth = independent hash rows, width
+    = buckets), estimate each key's count as the MIN over its {d}
+    counters, and report estimate vs truth — the one-sided-error
+    contract (estimate ≥ truth, overflow only from bucket collisions)
+    is the gate: the oracle recomputes the identical grid, so a wrong
+    hash, a lost increment, or a wrong min all break the hash, and a
+    dedicated test pins estimate ≥ truth row-by-row.
+
+    The sketch property that matters at 100 TB: counters are SUMS, so
+    partial grids merge associatively across partitions/streams — the
+    fixed-size mergeable-state shape of the whole sketch family
+    (operators/sketches.py). Cost: per-key rollup (map-side
+    combinable), then {d} hash rows per DISTINCT key into a {d}·{w}
+    grid; the grid is O(1) state and enters the estimate join pinned
+    shuffle_hash (d·w rows by construction, but a hash-mod key's
+    boundedness is not provable from plan text — the
+    contrastive_negatives verdict — so it stays off the broadcast
+    path).
+
+    Ref sketch family: Cormode-Muthukrishnan CM sketch."""
+    from .core import _events
+
+    ev = _events(spark, sf_dir)
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    rows = per_key.select(
+        "user_id",
+        "true_count",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {CM_DEPTH - 1}), i -> "
+                f"struct(i AS i, CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', "
+                f"CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % {CM_WIDTH} AS b))"
+            )
+        ).alias("h"),
+    ).select("user_id", "true_count", F.col("h.i").alias("i"), F.col("h.b").alias("b"))
+    grid = rows.groupBy("i", "b").agg(F.sum("true_count").alias("counter"))
+    est = (
+        # the grid is 256 rows by construction (d x w literal
+        # constants), but boundedness via a hash-mod key is not provable
+        # from plan text — same verdict as contrastive_negatives'
+        # bucket table — so it joins via shuffle_hash, never broadcast
+        rows.join(grid.hint("shuffle_hash"), ["i", "b"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("counter").alias("cm_estimate"))
+    )
+    return est.select(
+        "user_id",
+        "true_count",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("true_count")).alias("overestimate"),
+    )
+
+
+ORACLE_COUNT_MIN_SKETCH = f"""
+WITH per_key AS (
+  SELECT user_id, count(*) AS true_count FROM events GROUP BY 1
+),
+rows_h AS (
+  SELECT user_id, true_count, i,
+         CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+              CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % {CM_WIDTH} AS b
+  FROM per_key, range({CM_DEPTH}) r(i)
+),
+grid AS (
+  SELECT i, b, CAST(SUM(true_count) AS BIGINT) AS counter
+  FROM rows_h GROUP BY 1, 2
+)
+SELECT user_id, true_count,
+       min(counter) AS cm_estimate,
+       min(counter) - true_count AS overestimate
+FROM rows_h JOIN grid USING (i, b)
+GROUP BY user_id, true_count
+"""
+
+EXT_QUERIES["count_min_sketch"] = q_count_min_sketch
+EXT_ORACLES["count_min_sketch"] = ORACLE_COUNT_MIN_SKETCH

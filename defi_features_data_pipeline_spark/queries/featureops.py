@@ -817,3 +817,70 @@ SELECT CAST(bin AS INTEGER) AS bin,
 FROM per_bin CROSS JOIN tot
 """
 FEATOPS_QUERIES["drift_psi"] = q_drift_psi
+
+
+# ---------------------------------------------------------------------------
+# Rare-category collapse — the cardinality-control encoder step before
+# one-hot / target encoding (unseen-at-serving safety valve)
+# ---------------------------------------------------------------------------
+
+RARE_MIN_PPM = 10_000  # categories under 1% of rows collapse to OTHER
+
+
+def q_rare_category_collapse(spark, sf_dir):
+    """RARE-CATEGORY COLLAPSE: replace every categorical value whose
+    corpus share is under RARE_MIN_PPM (1%) with the 'OTHER' bucket — the
+    cardinality-control step that precedes one-hot/target encoding
+    (rare levels carry no trainable signal, blow up the feature space,
+    and the OTHER bucket doubles as the unseen-at-serving path). The
+    category here is the event props' k field (JSON-extracted; ~100
+    levels whose shares straddle the 1% line, so both branches are
+    exercised at every SF); output is row-level: event_id, raw
+    category, released category, and the category's exact ppm share so
+    the collapse threshold is auditable per row.
+
+    Exactness: share_ppm = cnt·1e6 DIV N (floor; both engines integer)
+    — no float crosses the keep/collapse boundary.
+
+    100 TB notes: one bounded-ish aggregate (channel domain) + a join
+    back keyed on the category; the category stat table is
+    corpus-derived → pinned shuffle_hash (never estimate-broadcast);
+    N rides as a scalar subquery. The JSON extraction is JVM
+    ``get_json_object`` — no UDF."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("category"),
+    )
+    n_total = ev.select(F.count(F.lit(1)).alias("n"))
+    stats = ev.groupBy("category").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        ev.join(stats.hint("shuffle_hash"), "category")
+        .withColumn("__N", n_total.scalar())
+        .withColumn(
+            "share_ppm", F.expr("CAST(cnt * 1000000 DIV __N AS BIGINT)")
+        )
+        .select(
+            "event_id",
+            "category",
+            F.when(
+                F.col("share_ppm") >= RARE_MIN_PPM, F.col("category")
+            ).otherwise(F.lit("OTHER")).alias("category_released"),
+            "share_ppm",
+        )
+    )
+
+
+FEATOPS_ORACLES["rare_category_collapse"] = f"""
+WITH ev AS (
+  SELECT event_id, json_extract_string(props, '$.k') AS category
+  FROM events
+),
+stats AS (SELECT category, count(*) AS cnt FROM ev GROUP BY 1),
+n AS (SELECT count(*) AS total FROM ev)
+SELECT event_id, category,
+       CASE WHEN cnt * 1000000 // total >= {RARE_MIN_PPM} THEN category
+            ELSE 'OTHER' END AS category_released,
+       CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm
+FROM ev JOIN stats USING (category) CROSS JOIN n
+"""
+FEATOPS_QUERIES["rare_category_collapse"] = q_rare_category_collapse
