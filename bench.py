@@ -261,6 +261,9 @@ HEADLINE = [
     "gopher_rules_filter",
     "intra_doc_block_dedup",
     "span_corruption_masks",
+    "chi2_token_selection",
+    "count_min_sketch",
+    "rare_category_collapse",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
@@ -362,6 +365,10 @@ SCALE_PROBE = {
     "gopher_rules_filter": 1.0,
     "intra_doc_block_dedup": 1.0,
     "span_corruption_masks": 1.0,
+    # doc-token explode + two corpus-rollup joins (shuffle_hash) — linear
+    "chi2_token_selection": 1.0,
+    # per-key rollup + 4 hash rows per DISTINCT key into an O(1) grid
+    "count_min_sketch": 1.0,
 }
 
 # 100x probe (r7 verdict item 8 → r8): the sf10 run that caught the

@@ -284,3 +284,108 @@ def test_span_corruption_reconstructs(spark):
                 i += 1
         orig = [t for t in texts[r["doc_id"]].lower().split() if t]
         assert out == orig
+
+
+# ---------------------------------------------------------------------------
+# chi2_token_selection — python contingency reference
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_python_reference(spark):
+    """Recompute every (lang, token) χ² in pure python from raw doc-
+    level counts; the gate's per-language top-k (with the chi2-desc,
+    token-asc tie order) must match exactly."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        CHI2_TOP_K,
+        q_chi2_token_selection,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    N = len(docs)
+    lang_docs = defaultdict(int)
+    lt = defaultdict(int)
+    tok_df = defaultdict(int)
+    for _, lang, text in docs:
+        lang_docs[lang] += 1
+        for tok in set(t for t in text.lower().split() if t):
+            lt[(lang, tok)] += 1
+            tok_df[tok] += 1
+    scored = defaultdict(list)
+    for (lang, tok), n11 in lt.items():
+        r1, c1 = lang_docs[lang], tok_df[tok]
+        n10, n01 = c1 - n11, r1 - n11
+        n00 = N - r1 - c1 + n11
+        phi = n11 * n00 - n10 * n01
+        chi2 = ((float(phi) * float(phi)) * float(N)) / (
+            (float(r1) * float(N - r1)) * (float(c1) * float(N - c1))
+        )
+        scored[lang].append((-chi2, tok, phi))
+    want = {}
+    for lang, rows in scored.items():
+        rows.sort()
+        for rk, (neg, tok, phi) in enumerate(rows[:CHI2_TOP_K], 1):
+            want[(lang, rk)] = (tok, -neg, phi)
+    got = {
+        (r["lang"], r["rank_in_lang"]): (r["tok"], r["chi2"], r["phi"])
+        for r in q_chi2_token_selection(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for k, (tok, chi2, phi) in got.items():
+        assert want[k][0] == tok
+        assert want[k][2] == phi
+        assert math.isclose(want[k][1], chi2, rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# count_min_sketch — one-sided error contract
+# ---------------------------------------------------------------------------
+
+
+def test_count_min_one_sided_error(spark):
+    """CM's defining contract: estimate >= truth for EVERY key (min of
+    counters that each include the key's full count), with at least one
+    real collision at sf0.01 (150 keys into 64-wide rows)."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        q_count_min_sketch,
+    )
+
+    rows = q_count_min_sketch(spark, SF_DIR_01).collect()
+    truth = dict(
+        duckdb.sql(
+            f"""SELECT user_id, count(*) FROM
+                read_parquet('{SF_DIR_01}/events.parquet') GROUP BY 1"""
+        ).fetchall()
+    )
+    assert len(rows) == len(truth)
+    assert all(r["true_count"] == truth[r["user_id"]] for r in rows)
+    assert all(r["overestimate"] >= 0 for r in rows)
+    assert any(r["overestimate"] > 0 for r in rows), (
+        "no collision at 150 keys x 4x64 grid — sketch wiring suspect"
+    )
+
+
+# ---------------------------------------------------------------------------
+# rare_category_collapse
+# ---------------------------------------------------------------------------
+
+
+def test_rare_category_collapse_branches(spark):
+    """Released value is the category iff its exact share clears the
+    floor, OTHER otherwise; the ~100-level k domain straddles the 1%
+    line so both branches must appear."""
+    from defi_features_data_pipeline_spark.queries.featureops import (
+        RARE_MIN_PPM,
+        q_rare_category_collapse,
+    )
+
+    rows = q_rare_category_collapse(spark, SF_DIR_01).collect()
+    kept = [r for r in rows if r["category_released"] != "OTHER"]
+    collapsed = [r for r in rows if r["category_released"] == "OTHER"]
+    assert kept and collapsed
+    for r in rows:
+        if r["share_ppm"] >= RARE_MIN_PPM:
+            assert r["category_released"] == r["category"]
+        else:
+            assert r["category_released"] == "OTHER"
