@@ -389,3 +389,34 @@ def test_rare_category_collapse_branches(spark):
             assert r["category_released"] == r["category"]
         else:
             assert r["category_released"] == "OTHER"
+
+
+# ---------------------------------------------------------------------------
+# lsh_cc_labels artifact — freshness discipline
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_cc_labels_rebuilds_on_stale_meta(spark):
+    """A meta fingerprint that disagrees with the corpus forces a
+    REBUILD (never serves stale labels); after the rebuild the meta is
+    fresh again and keep_best still matches its oracle semantics."""
+    import defi_features_data_pipeline_spark.queries.extensions as X
+
+    # warm path first (also builds if missing)
+    before = {
+        (r["node"], r["label"]) for r in X._lsh_cc_labels(spark, SF_DIR).collect()
+    }
+    adir = os.path.join(X.LSH_CC_ROOT, "sf0.001")
+    mpath = os.path.join(adir, "meta")
+    # poison the meta: wrong row count
+    spark.createDataFrame(
+        [(999999, 1)], "n bigint, s bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(mpath)
+    X._LSH_CC_CACHE.pop(os.path.normpath(SF_DIR), None)
+    after = {
+        (r["node"], r["label"]) for r in X._lsh_cc_labels(spark, SF_DIR).collect()
+    }
+    assert after == before  # rebuilt from the same corpus -> same labels
+    m = spark.read.parquet(mpath).first()
+    n, s_sum = X._docs_fingerprint(spark, SF_DIR)
+    assert (m["n"], m["s"]) == (n, s_sum)  # meta restored fresh
