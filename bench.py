@@ -264,6 +264,8 @@ HEADLINE = [
     "chi2_token_selection",
     "count_min_sketch",
     "rare_category_collapse",
+    "streaming_count_min",
+    "per_key_cap_sample",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

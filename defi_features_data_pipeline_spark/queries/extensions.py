@@ -10771,3 +10771,168 @@ GROUP BY user_id, true_count
 
 EXT_QUERIES["count_min_sketch"] = q_count_min_sketch
 EXT_ORACLES["count_min_sketch"] = ORACLE_COUNT_MIN_SKETCH
+
+
+# ---------------------------------------------------------------------------
+# Streaming Count-Min — the sketch family's mergeability made real:
+# one PARTIAL grid per micro-batch, summed at serve time
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_count_min(spark, sf_dir):
+    """STREAMING COUNT-MIN: each micro-batch builds its own partial
+    {d}×{w} counter grid from ONLY that batch's events (per-batch
+    overwrite directory — idempotent replay, the quarantine-sink
+    discipline); at serve time the partial grids SUM cell-wise into
+    the corpus grid and estimates are read off the merged counters.
+    Because CM counters are linear, the merged estimate is PROVEN
+    equal to the batch operator: the oracle is ``count_min_sketch``'s
+    verbatim — segmentation must be invisible to readers, the same
+    contract the LSM index segments pin.
+
+    100 TB notes: per-batch work is proportional to batch bytes; the
+    merge reads {d}·{w}·n_batches fixed-size rows — this cell-wise
+    SUM-merge is exactly how per-executor partial sketches combine on
+    a real cluster, so the gate exercises the 1000-executor merge path
+    on local[32]."""
+    import tempfile
+
+    from .core import _events
+
+    src = tempfile.mkdtemp(prefix="stream_cm_src_")
+    store = tempfile.mkdtemp(prefix="stream_cm_grids_")
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    ev.repartition(4, F.col("event_id")).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def build_grid(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        rows = batch_df.select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {CM_DEPTH - 1}), i -> "
+                    f"struct(i AS i, CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', "
+                    f"CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % {CM_WIDTH} AS b))"
+                )
+            ).alias("h"),
+        ).select(F.col("h.i").alias("i"), F.col("h.b").alias("b"))
+        grid = rows.groupBy("i", "b").agg(
+            F.count(F.lit(1)).alias("counter")
+        )
+        grid.write.mode("overwrite").parquet(
+            os.path.join(store, f"grid={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(build_grid)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.option("basePath", store)
+        .parquet(os.path.join(store, "grid=*"))
+        .groupBy("i", "b")
+        .agg(F.sum("counter").alias("counter"))
+    )
+    per_key = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    probes = per_key.select(
+        "user_id",
+        "true_count",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {CM_DEPTH - 1}), i -> "
+                f"struct(i AS i, CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', "
+                f"CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % {CM_WIDTH} AS b))"
+            )
+        ).alias("h"),
+    ).select("user_id", "true_count", F.col("h.i").alias("i"), F.col("h.b").alias("b"))
+    est = (
+        probes.join(merged.hint("shuffle_hash"), ["i", "b"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("counter").alias("cm_estimate"))
+    )
+    return est.select(
+        "user_id",
+        "true_count",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("true_count")).alias("overestimate"),
+    )
+
+
+# segmentation must be reader-invisible: the batch sketch's truth
+ORACLE_STREAMING_COUNT_MIN = ORACLE_COUNT_MIN_SKETCH
+
+EXT_QUERIES["streaming_count_min"] = q_streaming_count_min
+EXT_ORACLES["streaming_count_min"] = ORACLE_STREAMING_COUNT_MIN
+
+
+# ---------------------------------------------------------------------------
+# Per-key cap sampling — "at most N docs per source" (the domain
+# over-representation cap every crawl-mix pipeline applies)
+# ---------------------------------------------------------------------------
+
+CAP_PER_SOURCE = 20
+
+
+def q_per_key_cap_sample(spark, sf_dir):
+    """PER-KEY CAP SAMPLE: keep at most {n} documents per source,
+    chosen by a deterministic hash order (re-running on a grown corpus
+    keeps a stable preference order rather than re-rolling the whole
+    sample) — the anti-over-representation cap that complements
+    fraction-based ``stratified_sample`` (a fraction still lets a
+    giant crawl domain dominate; a CAP bounds every domain's
+    contribution absolutely, the domain_mixture/UniMax admission
+    shape).
+
+    100 TB notes: per-source positions come from ``grouped_rank`` —
+    sources are low-cardinality, so a PARTITION BY source window would
+    put each domain's full corpus on one task; the rank path is
+    range-partitioned and the cap filter drops everything past {n}
+    per key. No join anywhere."""
+    from ..operators.ranking import grouped_rank
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        _h(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))).alias(
+            "__h"
+        ),
+    )
+    ranked, _ = grouped_rank(
+        d, ["source"], ["__h", "doc_id"], rank_col="sample_rank"
+    )
+    return ranked.filter(F.col("sample_rank") <= CAP_PER_SOURCE).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+ORACLE_PER_KEY_CAP_SAMPLE = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         {H_SQL.format(x="'cap:' || CAST(doc_id AS VARCHAR)")} AS hh
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY hh, doc_id)
+           AS sample_rank
+  FROM h
+)
+SELECT doc_id, source, sample_rank FROM r
+WHERE sample_rank <= {CAP_PER_SOURCE}
+"""
+
+EXT_QUERIES["per_key_cap_sample"] = q_per_key_cap_sample
+EXT_ORACLES["per_key_cap_sample"] = ORACLE_PER_KEY_CAP_SAMPLE

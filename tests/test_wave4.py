@@ -420,3 +420,72 @@ def test_lsh_cc_labels_rebuilds_on_stale_meta(spark):
     m = spark.read.parquet(mpath).first()
     n, s_sum = X._docs_fingerprint(spark, SF_DIR)
     assert (m["n"], m["s"]) == (n, s_sum)  # meta restored fresh
+
+
+# ---------------------------------------------------------------------------
+# streaming_count_min — stream/batch sketch equivalence
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_cm_equals_batch_cm(spark):
+    """Cell-wise summed per-batch partial grids must give the EXACT
+    same estimates as the monolithic batch sketch (CM counters are
+    linear, so mergeability is equality, not approximation)."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        q_count_min_sketch,
+        q_streaming_count_min,
+    )
+
+    batch = {
+        r["user_id"]: (r["true_count"], r["cm_estimate"])
+        for r in q_count_min_sketch(spark, SF_DIR).collect()
+    }
+    stream = {
+        r["user_id"]: (r["true_count"], r["cm_estimate"])
+        for r in q_streaming_count_min(spark, SF_DIR).collect()
+    }
+    assert stream == batch
+
+
+# ---------------------------------------------------------------------------
+# per_key_cap_sample
+# ---------------------------------------------------------------------------
+
+
+def test_per_key_cap_and_stability(spark):
+    """No source exceeds the cap; every source with >= cap docs hits it
+    exactly; and the kept set is STABLE under corpus growth: the docs
+    kept at sf0.001 that still rank within the cap at sf0.01 keep the
+    same relative preference order (deterministic hash order, no
+    re-roll)."""
+    from collections import Counter
+
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        CAP_PER_SOURCE,
+        q_per_key_cap_sample,
+    )
+
+    rows = q_per_key_cap_sample(spark, SF_DIR).collect()
+    per_src = Counter(r["source"] for r in rows)
+    totals = dict(
+        duckdb.sql(
+            f"""SELECT source, count(*) FROM
+                read_parquet('{SF_DIR}/documents.parquet') GROUP BY 1"""
+        ).fetchall()
+    )
+    for src, total in totals.items():
+        assert per_src[src] == min(total, CAP_PER_SOURCE)
+    # stability: sf0.001 docs also present at sf0.01 (doc_id prefix)
+    small = {(r["source"], r["doc_id"]): r["sample_rank"] for r in rows}
+    big = {
+        (r["source"], r["doc_id"]): r["sample_rank"]
+        for r in q_per_key_cap_sample(spark, SF_DIR_01).collect()
+    }
+    common = set(small) & set(big)
+    assert common
+    for src in {s for s, _ in common}:
+        sm = sorted(
+            (small[k], k) for k in common if k[0] == src
+        )
+        bg = sorted((big[k], k) for k in common if k[0] == src)
+        assert [k for _, k in sm] == [k for _, k in bg]
