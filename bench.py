@@ -391,6 +391,10 @@ SCALE_PROBE_100X = {
     # set through the pinned shuffle_hash semi-join (measured 22.6 s at
     # 100x ≈ 9x wall; whole family 10-25 s, all sublinear)
     "dedup_substring_spans": 1.0,
+    # r8 wave-4/5 representatives: the basket self-join (60M-row
+    # distinct + order-keyed pair join) and the doc-token χ² rollups
+    "market_basket_pairs": 1.0,
+    "chi2_token_selection": 1.0,
 }
 SCALE_PROBE_100X_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "testdata_scale", "sf10"

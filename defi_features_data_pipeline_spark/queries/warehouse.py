@@ -1247,10 +1247,18 @@ def q_market_basket_pairs(spark, sf_dir):
         # support, both pair-join sides via the semi join) — without
         # materialization each consumer re-scans the fact table and
         # re-runs the distinct shuffle (7 scans in the naive plan).
-        # One eager localCheckpoint = one scan + one distinct, then
-        # every consumer reads the materialized 2-bigint relation.
-        .localCheckpoint(eager=True)
+        # DISK_ONLY, not localCheckpoint: checkpoint blocks are
+        # memory-first, and at the 100x probe their caching competed
+        # with the distinct's own hash aggregate inside the same stage
+        # (32 concurrent tasks, unified memory) until tasks died with
+        # AGGREGATE_OUT_OF_MEMORY. Disk-backed persistence removes the
+        # storage-vs-execution contention entirely; the relation is 2
+        # bigints/row, so the re-read is sequential-scan cheap.
     )
+    from pyspark.storagelevel import StorageLevel
+
+    li = li.persist(StorageLevel.DISK_ONLY)
+    li.count()  # materialize before fan-out
     n_orders = li.select(F.countDistinct("o").alias("n"))
     item_n = li.groupBy("p").agg(F.count(F.lit(1)).alias("n_item"))
     freq = item_n.filter(F.col("n_item") >= BASKET_MIN_SUPPORT)
