@@ -266,6 +266,8 @@ HEADLINE = [
     "rare_category_collapse",
     "streaming_count_min",
     "per_key_cap_sample",
+    "tokenizer_fertility",
+    "funnel_time_percentiles",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

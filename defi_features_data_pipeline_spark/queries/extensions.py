@@ -10936,3 +10936,211 @@ WHERE sample_rank <= {CAP_PER_SOURCE}
 
 EXT_QUERIES["per_key_cap_sample"] = q_per_key_cap_sample
 EXT_ORACLES["per_key_cap_sample"] = ORACLE_PER_KEY_CAP_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language — the per-language budget table a
+# multilingual mixing planner (UniMax etc.) actually consumes
+# ---------------------------------------------------------------------------
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """TOKENIZER FERTILITY by language: pieces-per-word and
+    chars-per-piece for the learned BPE, rolled up per language — the
+    table that decides per-language token budgets (a language with
+    fertility 2× costs twice the compute per word; UniMax-style
+    planners consume exactly this). Reuses ``bpe_tokenize_apply``'s
+    merge fold verbatim (same merge list, same two-pass
+    separator-replace — any divergence between this rollup and the
+    per-doc gate would break BOTH oracles), then aggregates to the
+    bounded language domain with exact floor-ppm ratios.
+
+    100 TB notes: map-only fold (whole-stage codegen, zero Python) →
+    one bounded-domain aggregate on lang; no join anywhere. Output is
+    |languages| rows at any corpus size."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    words = d.select(
+        "lang", F.explode(F.expr(TOKENS_SPARK)).alias("w")
+    )
+    sep = BPE_SEP
+    sym = F.concat(
+        F.lit(sep),
+        F.array_join(F.expr("transform(split(w, ''), c -> c)"), sep),
+        F.lit(sep),
+    )
+    for a, b in BPE_APPLY_MERGES:
+        for _ in range(2):  # a != b: two passes reach the greedy fixpoint
+            sym = F.replace(
+                sym, F.lit(f"{sep}{a}{sep}{b}{sep}"), F.lit(f"{sep}{a}{b}{sep}")
+            )
+    n_sym = F.size(F.split(F.expr(f"trim(BOTH '{sep}' FROM __sym)"), sep))
+    return (
+        words.select(
+            "lang", F.length("w").alias("n_chars"), sym.alias("__sym")
+        )
+        .select("lang", "n_chars", n_sym.alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n").alias("n_pieces"),
+            F.expr(
+                "CAST(SUM(n) * 1000000 DIV COUNT(1) AS BIGINT)"
+            ).alias("pieces_per_word_ppm"),
+            F.expr(
+                "CAST(SUM(n_chars) * 1000000 DIV SUM(n) AS BIGINT)"
+            ).alias("chars_per_piece_ppm"),
+        )
+    )
+
+
+def _fertility_oracle() -> str:
+    sep = BPE_SEP
+    expr = (
+        f"'{sep}' || array_to_string("
+        f"string_split_regex(w, ''), '{sep}') || '{sep}'"
+    )
+    for a, b in BPE_APPLY_MERGES:
+        for _ in range(2):
+            expr = (
+                f"replace({expr}, '{sep}{a}{sep}{b}{sep}', '{sep}{a}{b}{sep}')"
+            )
+    return f"""
+WITH words AS (
+  SELECT lang, unnest({TOKENS_DUCK}) AS w FROM documents
+),
+toks AS (
+  SELECT lang, length(w) AS n_chars,
+         length(string_split(trim({expr}, '{sep}'), '{sep}')) AS n
+  FROM words
+)
+SELECT lang,
+       count(*) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(n) AS BIGINT) AS n_pieces,
+       CAST(SUM(n) * 1000000 // count(*) AS BIGINT) AS pieces_per_word_ppm,
+       CAST(SUM(n_chars) * 1000000 // SUM(n) AS BIGINT)
+         AS chars_per_piece_ppm
+FROM toks GROUP BY 1
+"""
+
+
+EXT_QUERIES["tokenizer_fertility"] = q_tokenizer_fertility
+EXT_ORACLES["tokenizer_fertility"] = _fertility_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Funnel step-latency percentiles — the "how long do conversions take"
+# distribution on top of the funnel's who-converted counts
+# ---------------------------------------------------------------------------
+
+def q_funnel_time_percentiles(spark, sf_dir):
+    """FUNNEL STEP-LATENCY PERCENTILES: exact nearest-rank p50/p90 of
+    the view→click and click→purchase conversion latencies (seconds),
+    one row per step — the time-to-convert distribution product teams
+    read next to the funnel's depth counts. Nearest-rank k = ceil(p·n)
+    on exact integer latencies: no interpolation, no floats, so the
+    percentiles are bit-identical cross-engine.
+
+    100 TB notes: reuses the funnel's user-keyed min-aggregate chain,
+    then ranks latencies per step via ``grouped_rank`` (two steps =
+    low-cardinality partition key; a PARTITION BY step window would
+    put ALL converting users on two tasks); the selection compares
+    integer rank·denominator against n, and the final rollup is one
+    bounded aggregate. The step-count table joins back on the step key
+    (shuffle — 2 keys, trivially small either way)."""
+    from ..operators.ranking import grouped_rank
+    from .core import FUNNEL_STEP_WINDOW_S, _events
+
+    e = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("long").alias("t"), "event_type"
+    )
+    W = FUNNEL_STEP_WINDOW_S
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("t") >= F.col("t1")) & (F.col("t") <= F.col("t1") + W))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("t") >= F.col("t2")) & (F.col("t") <= F.col("t2") + W))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    lat12 = s2.join(s1, "user_id").select(
+        F.lit("view_to_click").alias("step"),
+        (F.col("t2") - F.col("t1")).alias("lat_s"),
+        "user_id",
+    )
+    lat23 = s3.join(s2, "user_id").select(
+        F.lit("click_to_purchase").alias("step"),
+        (F.col("t3") - F.col("t2")).alias("lat_s"),
+        "user_id",
+    )
+    lat = lat12.unionByName(lat23)
+    ranked, _ = grouped_rank(lat, ["step"], ["lat_s", "user_id"], rank_col="rk")
+    counts = lat.groupBy("step").agg(F.count(F.lit(1)).alias("n"))
+    j = ranked.join(counts, "step")
+    # nearest-rank k = ceil(p·n/100): rk == k ⇔ rk·100 >= p·n AND
+    # (rk-1)·100 < p·n — all-integer comparisons
+    return j.groupBy("step").agg(
+        F.max("n").alias("n_conversions"),
+        F.max(
+            F.when(
+                (F.col("rk") * 100 >= F.col("n") * 50)
+                & ((F.col("rk") - 1) * 100 < F.col("n") * 50),
+                F.col("lat_s"),
+            )
+        ).alias("p50_s"),
+        F.max(
+            F.when(
+                (F.col("rk") * 100 >= F.col("n") * 90)
+                & ((F.col("rk") - 1) * 100 < F.col("n") * 90),
+                F.col("lat_s"),
+            )
+        ).alias("p90_s"),
+    )
+
+
+ORACLE_FUNNEL_TIME_PERCENTILES = f"""
+WITH e AS (SELECT user_id, {_epoch_sql()} AS t, event_type FROM events),
+s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND t >= t1 AND t <= t1 + 86400
+       GROUP BY 1),
+s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND t >= t2 AND t <= t2 + 86400
+       GROUP BY 1),
+lat AS (
+  SELECT 'view_to_click' AS step, t2 - t1 AS lat_s, user_id
+  FROM s2 JOIN s1 USING (user_id)
+  UNION ALL
+  SELECT 'click_to_purchase', t3 - t2, user_id
+  FROM s3 JOIN s2 USING (user_id)
+),
+ranked AS (
+  SELECT step, lat_s,
+         row_number() OVER (PARTITION BY step ORDER BY lat_s, user_id)
+           AS rk,
+         count(*) OVER (PARTITION BY step) AS n
+  FROM lat
+)
+SELECT step,
+       max(n) AS n_conversions,
+       max(CASE WHEN rk * 100 >= n * 50 AND (rk - 1) * 100 < n * 50
+                THEN lat_s END) AS p50_s,
+       max(CASE WHEN rk * 100 >= n * 90 AND (rk - 1) * 100 < n * 90
+                THEN lat_s END) AS p90_s
+FROM ranked GROUP BY 1
+"""
+
+EXT_QUERIES["funnel_time_percentiles"] = q_funnel_time_percentiles
+EXT_ORACLES["funnel_time_percentiles"] = ORACLE_FUNNEL_TIME_PERCENTILES

@@ -489,3 +489,84 @@ def test_per_key_cap_and_stability(spark):
         )
         bg = sorted((big[k], k) for k in common if k[0] == src)
         assert [k for _, k in sm] == [k for _, k in bg]
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility — consistency with the per-doc BPE gate
+# ---------------------------------------------------------------------------
+
+
+def test_fertility_consistent_with_per_doc_bpe(spark):
+    """The per-language rollup must equal regrouping the per-doc BPE
+    gate's outputs by language (same merge fold ⇒ same totals), and
+    fertility is ≥ 1 piece per word."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        q_bpe_tokenize_apply,
+        q_tokenizer_fertility,
+    )
+
+    langs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, lang FROM read_parquet('{SF_DIR}/documents.parquet')"
+        ).fetchall()
+    )
+    per_doc = q_bpe_tokenize_apply(spark, SF_DIR).collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in per_doc:
+        a = agg[langs[r["doc_id"]]]
+        a[0] += r["n_chars"]
+        a[1] += r["n_bpe_tokens"]
+    got = {r["lang"]: r for r in q_tokenizer_fertility(spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for lang, (n_chars, n_pieces) in agg.items():
+        assert got[lang]["n_chars"] == n_chars
+        assert got[lang]["n_pieces"] == n_pieces
+        assert got[lang]["pieces_per_word_ppm"] >= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# funnel_time_percentiles — python nearest-rank reference
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_percentiles_python_reference(spark):
+    """Recompute the funnel chain and nearest-rank percentiles in pure
+    python; the gate's p50/p90 must be members of the latency multiset
+    at exactly rank ceil(p·n/100)."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        q_funnel_time_percentiles,
+    )
+
+    ev = duckdb.sql(
+        f"""SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT), event_type
+            FROM read_parquet('{SF_DIR_01}/events.parquet')"""
+    ).fetchall()
+    by_type = defaultdict(lambda: defaultdict(list))
+    for uid, t, et in ev:
+        by_type[et][uid].append(t)
+    W = 86400
+    t1 = {u: min(ts) for u, ts in by_type["view"].items()}
+    t2 = {}
+    for u, start in t1.items():
+        c = [t for t in by_type["click"].get(u, []) if start <= t <= start + W]
+        if c:
+            t2[u] = min(c)
+    t3 = {}
+    for u, start in t2.items():
+        c = [t for t in by_type["purchase"].get(u, []) if start <= t <= start + W]
+        if c:
+            t3[u] = min(c)
+    lats = {
+        "view_to_click": sorted(t2[u] - t1[u] for u in t2),
+        "click_to_purchase": sorted(t3[u] - t2[u] for u in t3),
+    }
+    got = {r["step"]: r for r in q_funnel_time_percentiles(spark, SF_DIR_01).collect()}
+    assert set(got) == {k for k, v in lats.items() if v}
+    for step, xs in lats.items():
+        if not xs:
+            continue
+        n = len(xs)
+        assert got[step]["n_conversions"] == n
+        for p, col in ((50, "p50_s"), (90, "p90_s")):
+            k = -(-p * n // 100)  # ceil
+            assert got[step][col] == xs[k - 1]
