@@ -268,6 +268,8 @@ HEADLINE = [
     "per_key_cap_sample",
     "tokenizer_fertility",
     "funnel_time_percentiles",
+    "changepoint_cusum",
+    "stratified_kfold",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -11144,3 +11144,154 @@ FROM ranked GROUP BY 1
 
 EXT_QUERIES["funnel_time_percentiles"] = q_funnel_time_percentiles
 EXT_ORACLES["funnel_time_percentiles"] = ORACLE_FUNNEL_TIME_PERCENTILES
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection — "when did this metric's level shift"
+# over the daily event volumes (integer-exact, no float statistics)
+# ---------------------------------------------------------------------------
+
+
+def q_changepoint_cusum(spark, sf_dir):
+    """CUSUM CHANGEPOINT per event type: the day d maximizing
+    |Σ_{i≤d}(c_i − μ)| over the daily volume series — the classic
+    level-shift locator (a flat series wanders near 0; a mean shift
+    makes the cumulative deviation peak AT the shift). Exactness: with
+    D days and total T, CUSUM_d·D = D·prefix_d − d_idx·T is pure
+    integer — the statistic is scaled by D instead of dividing by it,
+    so no float enters and ties break on the earliest day,
+    bit-identical cross-engine.
+
+    100 TB notes: the scan collapses to a (type, day) daily rollup
+    FIRST (map-side combinable; days·|types| rows at any corpus size);
+    the prefix/argmax windows run on that post-aggregate frame — the
+    event_transition_matrix precedent: windows over bounded frames
+    beat joins. Day is integer epoch-day (t DIV 86400): no calendar,
+    no timezone surface."""
+    from pyspark.sql import Window
+
+    from .core import _events
+
+    daily = (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.expr("CAST(CAST(ts AS LONG) DIV 86400 AS BIGINT)").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wt = Window.partitionBy("event_type")
+    wp = Window.partitionBy("event_type").orderBy("day")
+    scored = (
+        daily.withColumn("total", F.sum("c").over(wt))
+        .withColumn("n_days", F.count(F.lit(1)).over(wt))
+        .withColumn("prefix", F.sum("c").over(wp))
+        .withColumn("d_idx", F.row_number().over(wp))
+        .withColumn(
+            "s_scaled",
+            F.col("n_days") * F.col("prefix") - F.col("d_idx") * F.col("total"),
+        )
+    )
+    wpick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_scaled")).desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(wpick))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            "s_scaled",
+            "n_days",
+            "total",
+        )
+    )
+
+
+ORACLE_CHANGEPOINT_CUSUM = f"""
+WITH daily AS (
+  SELECT event_type, {_epoch_sql()} // 86400 AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, day,
+         SUM(c) OVER (PARTITION BY event_type) AS total,
+         count(*) OVER (PARTITION BY event_type) AS n_days,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY day) AS prefix,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS d_idx
+  FROM daily
+),
+s AS (
+  SELECT event_type, day,
+         CAST(n_days * prefix - d_idx * total AS BIGINT) AS s_scaled,
+         n_days, CAST(total AS BIGINT) AS total
+  FROM scored
+)
+SELECT event_type, day AS change_day, s_scaled, n_days, total
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(s_scaled) DESC, day ASC) AS rk
+  FROM s
+)
+WHERE rk = 1
+"""
+
+EXT_QUERIES["changepoint_cusum"] = q_changepoint_cusum
+EXT_ORACLES["changepoint_cusum"] = ORACLE_CHANGEPOINT_CUSUM
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment — EXACTLY balanced CV folds per stratum
+# (hash-mod splits are only balanced in expectation)
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+
+def q_stratified_kfold(spark, sf_dir):
+    """STRATIFIED K-FOLD: fold = (per-stratum hash-order rank − 1)
+    mod {k} — every (language, fold) cell differs from its stratum's
+    mean by AT MOST ONE row, the exact-balance guarantee hash-mod
+    bucketing (``deterministic_split``) cannot give (mod splits are
+    balanced only in expectation; a small stratum can land 0 rows in a
+    fold). The hash order makes assignment deterministic and
+    re-run-safe; round-robin over the rank makes it exactly balanced.
+
+    100 TB notes: per-stratum ranks via ``grouped_rank`` (languages are
+    low-cardinality — the PARTITION BY lang window collapse again);
+    everything else is map-side arithmetic. Output is row-level
+    (doc_id, lang, fold) — the manifest a CV trainer consumes."""
+    from ..operators.ranking import grouped_rank
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        _h(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))).alias(
+            "__h"
+        ),
+    )
+    ranked, _ = grouped_rank(d, ["lang"], ["__h", "doc_id"], rank_col="__rk")
+    return ranked.select(
+        "doc_id",
+        "lang",
+        ((F.col("__rk") - 1) % KFOLD_K).cast("int").alias("fold"),
+    )
+
+
+ORACLE_STRATIFIED_KFOLD = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {H_SQL.format(x="'fold:' || CAST(doc_id AS VARCHAR)")} AS hh
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, lang, CAST((rk - 1) % {KFOLD_K} AS INTEGER) AS fold FROM r
+"""
+
+EXT_QUERIES["stratified_kfold"] = q_stratified_kfold
+EXT_ORACLES["stratified_kfold"] = ORACLE_STRATIFIED_KFOLD

@@ -570,3 +570,85 @@ def test_funnel_percentiles_python_reference(spark):
         for p, col in ((50, "p50_s"), (90, "p90_s")):
             k = -(-p * n // 100)  # ceil
             assert got[step][col] == xs[k - 1]
+
+
+# ---------------------------------------------------------------------------
+# changepoint_cusum — python reference with a planted shift
+# ---------------------------------------------------------------------------
+
+
+def test_changepoint_cusum_python_reference(spark):
+    """Recompute the scaled CUSUM argmax per event type in pure python
+    from the raw daily counts; the gate must pick the identical day and
+    statistic, and on a synthetic planted-shift series the scaled-CUSUM
+    formula must locate the shift exactly (formula sanity, independent
+    of the corpus)."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        q_changepoint_cusum,
+    )
+
+    rows = duckdb.sql(
+        f"""SELECT event_type, CAST(epoch_us(ts) // 1000000 AS BIGINT) // 86400,
+                   count(*)
+            FROM read_parquet('{SF_DIR_01}/events.parquet') GROUP BY 1, 2"""
+    ).fetchall()
+    series = defaultdict(dict)
+    for et, day, c in rows:
+        series[et][day] = c
+    want = {}
+    for et, days in series.items():
+        ds = sorted(days)
+        total = sum(days.values())
+        nd = len(ds)
+        best = None
+        prefix = 0
+        for idx, day in enumerate(ds, 1):
+            prefix += days[day]
+            s = nd * prefix - idx * total
+            key = (-abs(s), day)
+            if best is None or key < best[0]:
+                best = (key, day, s)
+        want[et] = (best[1], best[2], nd, total)
+    got = {
+        r["event_type"]: (r["change_day"], r["s_scaled"], r["n_days"], r["total"])
+        for r in q_changepoint_cusum(spark, SF_DIR_01).collect()
+    }
+    assert got == want
+    # formula sanity on a planted level shift: 20 days at 10 then 20
+    # days at 50 — scaled CUSUM must peak exactly at the last low day
+    c = [10] * 20 + [50] * 20
+    total, nd = sum(c), len(c)
+    stats = []
+    p = 0
+    for i, x in enumerate(c, 1):
+        p += x
+        stats.append(abs(nd * p - i * total))
+    assert stats.index(max(stats)) + 1 == 20
+
+
+# ---------------------------------------------------------------------------
+# stratified_kfold — exact balance
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_kfold_exact_balance(spark):
+    """Every (lang, fold) cell size differs by at most 1 within its
+    stratum — the exact-balance property hash-mod splits lack — and
+    assignment is deterministic across calls."""
+    from collections import Counter
+
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        KFOLD_K,
+        q_stratified_kfold,
+    )
+
+    rows = q_stratified_kfold(spark, SF_DIR_01).collect()
+    cells = Counter((r["lang"], r["fold"]) for r in rows)
+    langs = {lang for lang, _ in cells}
+    for lang in langs:
+        sizes = [cells.get((lang, f), 0) for f in range(KFOLD_K)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+    again = q_stratified_kfold(spark, SF_DIR_01).collect()
+    assert {(r["doc_id"], r["fold"]) for r in rows} == {
+        (r["doc_id"], r["fold"]) for r in again
+    }
