@@ -270,6 +270,7 @@ HEADLINE = [
     "funnel_time_percentiles",
     "changepoint_cusum",
     "stratified_kfold",
+    "multimodal_decode_png",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

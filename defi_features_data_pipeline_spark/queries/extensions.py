@@ -11295,3 +11295,188 @@ SELECT doc_id, lang, CAST((rk - 1) % {KFOLD_K} AS INTEGER) AS fold FROM r
 
 EXT_QUERIES["stratified_kfold"] = q_stratified_kfold
 EXT_ORACLES["stratified_kfold"] = ORACLE_STRATIFIED_KFOLD
+
+
+# ---------------------------------------------------------------------------
+# PNG decode — a REAL compressed image format with zero codec
+# libraries: DEFLATE is python-stdlib zlib, the rest is chunk walking
+# and scanline unfiltering (closes part of KNOWN_LIMITS §3's
+# "compressed formats" gap)
+# ---------------------------------------------------------------------------
+
+
+def _png_width_height(doc_id: int) -> tuple[int, int]:
+    return 6 + doc_id % 11, 4 + doc_id % 8
+
+
+def _png_pixel(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    return (
+        (doc_id * 5 + x * 19 + y * 37) % 256,
+        (doc_id * 13 + x * 7 + y * 11) % 256,
+        (doc_id * 23 + x * 3 + y * 29) % 256,
+    )
+
+
+def _png_bytes(doc_id: int) -> bytes:
+    """Real PNG: signature, IHDR (8-bit RGB, no interlace), the pixel
+    stream DEFLATE-compressed into TWO IDAT chunks (readers must
+    concatenate), per-row filter bytes — type 0 (None) on even rows,
+    type 1 (Sub) on odd rows so a decoder that skips unfiltering
+    produces wrong pixels — and real CRC-32s on every chunk."""
+    import zlib
+
+    w, h = _png_width_height(doc_id)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes(_png_pixel(doc_id, x, y))
+        if y % 2 == 0:
+            raw += b"\x00" + bytes(row)
+        else:  # Sub filter: byte minus the byte one PIXEL (3 bytes) left
+            filt = bytearray(row)
+            for i in range(len(row) - 1, 2, -1):
+                filt[i] = (row[i] - row[i - 3]) % 256
+            raw += b"\x01" + bytes(filt)
+    comp = zlib.compress(bytes(raw), 6)
+    half = len(comp) // 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp[:half])
+        + chunk(b"IDAT", comp[half:])
+        + chunk(b"IEND", b"")
+    )
+
+
+def q_multimodal_decode_png(spark, sf_dir):
+    """COMPRESSED-IMAGE DECODE over a binary column: encodes a real
+    PNG per document (DEFLATE-compressed scanlines split across two
+    IDAT chunks, alternating None/Sub row filters, real CRC-32s), then
+    an independent mapInPandas stage decodes the ACTUAL bytes —
+    signature check, chunk walk with CRC verification, multi-IDAT
+    concatenation, zlib inflate, per-row UNFILTERING (Sub adds the
+    byte one pixel left) — and emits the same integer statistics as
+    the BMP gate. The oracle recomputes them analytically from the
+    pixel formula, so a skipped unfilter, a dropped second IDAT, or a
+    mis-walked chunk all break the hash. DEFLATE comes from
+    python-stdlib zlib: this is a genuinely compressed format decoded
+    with ZERO codec libraries (KNOWN_LIMITS §3's remaining gap is now
+    only the formats whose codecs aren't in the stdlib: JPEG/MP3/H.264).
+
+    100 TB notes: two map-only Arrow-batched passes, no shuffle; a
+    real corpus swaps the encode stage for a parquet binary read."""
+    import zlib
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_png_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, widths, heights, npix, luma = [], [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(buf)
+                if buf[:8] != b"\x89PNG\r\n\x1a\n":
+                    raise ValueError(f"doc {doc_id}: not a PNG payload")
+                pos, idat, w = 8, b"", None
+                while pos < len(buf):
+                    (ln,) = struct.unpack_from(">I", buf, pos)
+                    typ = buf[pos + 4 : pos + 8]
+                    data = buf[pos + 8 : pos + 8 + ln]
+                    (crc,) = struct.unpack_from(">I", buf, pos + 8 + ln)
+                    if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                        raise ValueError(f"doc {doc_id}: CRC mismatch in {typ!r}")
+                    if typ == b"IHDR":
+                        w, h, depth, ctype, _, _, ilace = struct.unpack(
+                            ">IIBBBBB", data
+                        )
+                        if (depth, ctype, ilace) != (8, 2, 0):
+                            raise ValueError(
+                                f"doc {doc_id}: unsupported PNG variant"
+                            )
+                    elif typ == b"IDAT":
+                        idat += data
+                    elif typ == b"IEND":
+                        break
+                    pos += 12 + ln
+                raw = zlib.decompress(idat)
+                stride = 1 + w * 3
+                rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+                pix = np.empty((h, w * 3), dtype=np.uint8)
+                for y in range(h):
+                    filt, row = rows[y, 0], rows[y, 1:].copy()
+                    if filt == 1:  # Sub: add the byte one pixel left
+                        for i in range(3, len(row)):
+                            row[i] = (int(row[i]) + int(row[i - 3])) % 256
+                    elif filt != 0:
+                        raise ValueError(f"doc {doc_id}: filter {filt}")
+                    pix[y] = row
+                rgb = pix.reshape(h, w, 3).astype(np.int64)
+                out_ids.append(doc_id)
+                widths.append(w)
+                heights.append(h)
+                npix.append(w * h)
+                luma.append(
+                    int(
+                        (
+                            299 * rgb[..., 0]
+                            + 587 * rgb[..., 1]
+                            + 114 * rgb[..., 2]
+                        ).sum()
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "width": widths,
+                    "height": heights,
+                    "n_pixels": npix,
+                    "luma_milli": luma,
+                }
+            )
+
+    payloads = d.mapInPandas(encode, schema="doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        schema="doc_id long, width long, height long, n_pixels long, "
+        "luma_milli long",
+    )
+
+
+ORACLE_MULTIMODAL_DECODE_PNG = """
+WITH d AS (
+  SELECT doc_id, 6 + doc_id % 11 AS w, 4 + doc_id % 8 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d
+)
+SELECT doc_id, w AS width, h AS height, COUNT(*) AS n_pixels,
+       CAST(SUM(
+         299 * ((doc_id * 5 + (i % w) * 19 + (i // w) * 37) % 256)
+       + 587 * ((doc_id * 13 + (i % w) * 7 + (i // w) * 11) % 256)
+       + 114 * ((doc_id * 23 + (i % w) * 3 + (i // w) * 29) % 256)
+       ) AS BIGINT) AS luma_milli
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+EXT_QUERIES["multimodal_decode_png"] = q_multimodal_decode_png
+EXT_ORACLES["multimodal_decode_png"] = ORACLE_MULTIMODAL_DECODE_PNG

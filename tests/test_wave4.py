@@ -652,3 +652,64 @@ def test_stratified_kfold_exact_balance(spark):
     assert {(r["doc_id"], r["fold"]) for r in rows} == {
         (r["doc_id"], r["fold"]) for r in again
     }
+
+
+# ---------------------------------------------------------------------------
+# multimodal_decode_png — independent python decode + tamper detection
+# ---------------------------------------------------------------------------
+
+
+def test_png_payload_roundtrip_and_tamper_detection():
+    """An independent pure-python PNG reader (zlib + unfilter) must
+    recover exactly the generator formula's pixels — including across
+    the two-IDAT split and the Sub-filtered odd rows — and a flipped
+    payload byte must be detectable via the stored chunk CRC."""
+    import struct
+    import zlib
+
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _png_bytes,
+        _png_pixel,
+        _png_width_height,
+    )
+
+    for doc_id in (0, 7, 123, 4567):
+        buf = _png_bytes(doc_id)
+        assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+        pos, idat, dims = 8, b"", None
+        n_idat = 0
+        while pos < len(buf):
+            (ln,) = struct.unpack_from(">I", buf, pos)
+            typ = buf[pos + 4:pos + 8]
+            data = buf[pos + 8:pos + 8 + ln]
+            (crc,) = struct.unpack_from(">I", buf, pos + 8 + ln)
+            assert zlib.crc32(typ + data) & 0xFFFFFFFF == crc
+            if typ == b"IHDR":
+                dims = struct.unpack(">II", data[:8])
+            elif typ == b"IDAT":
+                idat += data
+                n_idat += 1
+            pos += 12 + ln
+        assert n_idat == 2  # multi-IDAT reassembly is exercised
+        w, h = dims
+        assert (w, h) == _png_width_height(doc_id)
+        raw = zlib.decompress(idat)
+        stride = 1 + w * 3
+        for y in range(h):
+            row = bytearray(raw[y * stride + 1:(y + 1) * stride])
+            filt = raw[y * stride]
+            assert filt == (0 if y % 2 == 0 else 1)
+            if filt == 1:
+                for i in range(3, len(row)):
+                    row[i] = (row[i] + row[i - 3]) % 256
+            for x in range(w):
+                assert tuple(row[x * 3:x * 3 + 3]) == _png_pixel(doc_id, x, y)
+        # tamper: flip one IDAT payload byte -> its CRC must mismatch
+        tam = bytearray(buf)
+        ihdr_end = 8 + 12 + 13
+        (ln1,) = struct.unpack_from(">I", tam, ihdr_end)
+        tam[ihdr_end + 8] ^= 0xFF
+        typ = bytes(tam[ihdr_end + 4:ihdr_end + 8])
+        data = bytes(tam[ihdr_end + 8:ihdr_end + 8 + ln1])
+        (crc,) = struct.unpack_from(">I", tam, ihdr_end + 8 + ln1)
+        assert zlib.crc32(typ + data) & 0xFFFFFFFF != crc
