@@ -271,6 +271,7 @@ HEADLINE = [
     "changepoint_cusum",
     "stratified_kfold",
     "multimodal_decode_png",
+    "jsonl_gzip_ingest",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -11480,3 +11480,94 @@ GROUP BY doc_id, w, h
 
 EXT_QUERIES["multimodal_decode_png"] = q_multimodal_decode_png
 EXT_ORACLES["multimodal_decode_png"] = ORACLE_MULTIMODAL_DECODE_PNG
+
+
+# ---------------------------------------------------------------------------
+# gzip JSONL ingestion — the compressed crawl-feed path (and the
+# non-splittable-codec parallelism lesson that goes with it)
+# ---------------------------------------------------------------------------
+
+GZIP_JSONL_SHARDS = 4
+
+
+def q_jsonl_gzip_ingest(spark, sf_dir):
+    """GZIP-COMPRESSED JSONL ingestion: the corpus is sharded into {n}
+    ``.json.gz`` files (python-stdlib gzip — the exact wire format
+    web-scale text feeds arrive in) and read back through Spark's
+    codec-by-extension path with an explicit schema; exact char-sum and
+    per-shard counts prove byte fidelity through compression.
+
+    100 TB notes — the lesson IS the format: gzip is NOT SPLITTABLE,
+    so one .gz file = one task regardless of size; parallelism comes
+    from FILE COUNT (this fixture shards deliberately; a real feed
+    arrives as many ~100 MB-1 GB members, or as bgzf/zstd-seekable
+    when producers cooperate). Explicit schema as always — inference
+    would decompress the whole corpus twice. Shard assignment is the
+    portable hash mod {n}, so the per-shard rollup is
+    engine-recomputable. The driver-side fixture WRITE (toPandas +
+    stdlib gzip) exists only because Spark is the system under test on
+    the READ side — in production the .gz members arrive from the
+    crawler; only the read path below is the operator."""
+    import gzip
+    import tempfile
+
+    root = os.path.join(tempfile.mkdtemp(prefix="jsonl_gz_"), "docs")
+    os.makedirs(root, exist_ok=True)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            F.pmod(_h(F.col("doc_id").cast("string")), F.lit(GZIP_JSONL_SHARDS))
+            .cast("int")
+            .alias("shard"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    for s in range(GZIP_JSONL_SHARDS):
+        part = d[d["shard"] == s]
+        with gzip.open(
+            os.path.join(root, f"shard-{s}.json.gz"), "wt", encoding="utf-8"
+        ) as fh:
+            for _, row in part.iterrows():
+                fh.write(
+                    '{"doc_id": %d, "text": %s, "lang": %s, "shard": %d}\n'
+                    % (
+                        row["doc_id"],
+                        _json_str(row["text"]),
+                        _json_str(row["lang"]),
+                        row["shard"],
+                    )
+                )
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, shard int"
+    ).json(root)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def _json_str(s: str) -> str:
+    import json as _json
+
+    return _json.dumps(s, ensure_ascii=True)
+
+
+ORACLE_JSONL_GZIP_INGEST = f"""
+SELECT CAST({H_SQL.format(x="CAST(doc_id AS VARCHAR)")} % {GZIP_JSONL_SHARDS}
+            AS INTEGER) AS shard,
+       count(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+EXT_QUERIES["jsonl_gzip_ingest"] = q_jsonl_gzip_ingest
+EXT_ORACLES["jsonl_gzip_ingest"] = ORACLE_JSONL_GZIP_INGEST
