@@ -272,6 +272,13 @@ HEADLINE = [
     "stratified_kfold",
     "multimodal_decode_png",
     "jsonl_gzip_ingest",
+    # round-8 wave-7 additions (classifier eval + sketch/DQ tail)
+    "classifier_auc_roc",
+    "precision_recall_curve",
+    "annotator_agreement_kappa",
+    "preference_pairs",
+    "bloom_membership",
+    "benford_digit_audit",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -11571,3 +11571,216 @@ GROUP BY 1
 
 EXT_QUERIES["jsonl_gzip_ingest"] = q_jsonl_gzip_ingest
 EXT_ORACLES["jsonl_gzip_ingest"] = ORACLE_JSONL_GZIP_INGEST
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership sketch — the SET-MEMBERSHIP member of the
+# mergeable sketch family (HLL = distinct, Misra-Gries = top-k,
+# Count-Min = frequency, Bloom = membership with one-sided error)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 65536          # bits
+BLOOM_K = 3              # hash functions
+BLOOM_HV_PRICE = 480000  # build-set predicate: "high-value buyer"
+
+
+def q_bloom_membership(spark, sf_dir):
+    """BLOOM-FILTER MEMBERSHIP sketch: build an m={m}-bit / k={k}-hash
+    Bloom filter over the HIGH-VALUE-BUYER key set (distinct customers
+    with an order ≥ {t}) and probe EVERY customer against it, reporting
+    claimed-vs-true membership — the one-sided-error contract (claimed
+    ⊇ truth: false positives only, NEVER false negatives) is the gate,
+    and a dedicated test pins it row-by-row.
+
+    This is the sketch behind the `bloom_prune_join` scan-prune gate,
+    promoted to a first-class queryable operator: the bit set is a
+    DISTINCT over hash positions, so it is idempotent-mergeable across
+    partitions/streams/days (OR of bitmaps == union of position sets)
+    — the fixed-size mergeable-state shape of the whole family
+    (operators/sketches.py).
+
+    100 TB: the build is one distinct-aggregate over the key predicate
+    (map-side combinable, output ≤ m rows, m a literal constant); the
+    probe explodes k={k} positions per candidate and equi-joins the
+    position set pinned `shuffle_hash` — positions are hash-mod
+    derived, so their ≤ m cardinality is not provable from plan text
+    and must never reach a broadcast via a size estimate (the
+    count_min_sketch / contrastive_negatives verdict). Truth rides the
+    same pass as a marked left join on the build keys.
+
+    Ref: Bloom (1970); same portable md5-prefix hash as the LSH/CM
+    family (H_SQL)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    keys = (
+        o.filter(F.col("o_totalprice") >= BLOOM_HV_PRICE)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    pos_expr = (
+        f"transform(sequence(0, {BLOOM_K - 1}), i -> "
+        f"CAST(conv(substring(md5(concat('bloom', CAST(i AS STRING), ':', "
+        f"CAST(key AS STRING))), 1, 8), 16, 10) AS BIGINT) % {BLOOM_M})"
+    )
+    bits = (
+        keys.select(F.explode(F.expr(pos_expr)).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe = c.select(F.col("c_custkey").alias("key")).select(
+        "key", F.posexplode(F.expr(pos_expr)).alias("i", "pos")
+    )
+    matched = (
+        probe.join(bits.hint("shuffle_hash"), "pos", "left")
+        .groupBy("key")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+    )
+    truth = keys.withColumn("is_member", F.lit(True))
+    return (
+        matched.join(truth.hint("shuffle_hash"), "key", "left")
+        .select(
+            F.col("key").alias("c_custkey"),
+            (F.col("n_hits") == BLOOM_K).alias("claimed_present"),
+            F.coalesce(F.col("is_member"), F.lit(False)).alias("truly_present"),
+            (
+                (F.col("n_hits") == BLOOM_K)
+                & ~F.coalesce(F.col("is_member"), F.lit(False))
+            ).alias("false_positive"),
+        )
+    )
+
+
+q_bloom_membership.__doc__ = q_bloom_membership.__doc__.format(
+    m=BLOOM_M, k=BLOOM_K, t=BLOOM_HV_PRICE
+)
+
+_BLOOM_POS_DUCK = (
+    f"CAST('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || ':' || "
+    f"CAST(key AS VARCHAR)), 1, 8) AS BIGINT) % {BLOOM_M}"
+)
+
+ORACLE_BLOOM_MEMBERSHIP = f"""
+WITH keys AS (
+  SELECT DISTINCT o_custkey AS key FROM orders
+  WHERE o_totalprice >= {BLOOM_HV_PRICE}
+),
+bits AS (
+  SELECT DISTINCT {_BLOOM_POS_DUCK} AS pos
+  FROM keys, range({BLOOM_K}) r(i)
+),
+probe AS (
+  SELECT c_custkey AS key, i, {_BLOOM_POS_DUCK.replace("key", "c_custkey")} AS pos
+  FROM customer, range({BLOOM_K}) r(i)
+),
+matched AS (
+  SELECT key, count(b.pos) AS n_hits
+  FROM probe p LEFT JOIN bits b USING (pos)
+  GROUP BY key
+)
+SELECT m.key AS c_custkey,
+       m.n_hits = {BLOOM_K} AS claimed_present,
+       k.key IS NOT NULL AS truly_present,
+       (m.n_hits = {BLOOM_K}) AND k.key IS NULL AS false_positive
+FROM matched m LEFT JOIN keys k ON m.key = k.key
+"""
+
+EXT_QUERIES["bloom_membership"] = q_bloom_membership
+EXT_ORACLES["bloom_membership"] = ORACLE_BLOOM_MEMBERSHIP
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the classic numeric-DQ / anomaly screen
+# ---------------------------------------------------------------------------
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9, precomputed as literals so
+# NEITHER engine evaluates a transcendental at query time (libm log10
+# is not bit-pinned cross-engine; these constants are).
+BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def q_benford_digit_audit(spark, sf_dir):
+    """BENFORD FIRST-DIGIT AUDIT over order totals: observed
+    leading-digit distribution (exact floor-ppm shares) vs the Benford
+    expectation — the classic screen for fabricated/synthetic/clipped
+    numeric columns in a DQ pipeline (synthetic uniform-ish TPC-H
+    prices FAIL Benford loudly, which is exactly what the audit is for:
+    the deviation column IS the signal, not an error).
+
+    Determinism: the leading digit comes from the DECIMAL STRING of
+    floor(value) — floor of the same double is identical cross-engine
+    and bigint-to-string formatting is exact, where a log10-based digit
+    extraction would ride libm. Expected shares are precomputed
+    literals (see BENFORD_PPM); observed shares are integer floor-ppm.
+
+    100 TB: one map-side-combinable 9-group aggregate over the scan;
+    the 9-row literal expectation dim drives the final join, with the
+    corpus-derived counts side pinned shuffle_hash (grouped on a
+    DERIVED column, so its ≤9-row bound is not plan-provable — the
+    event_transition_matrix verdict); total-order count rides a scalar
+    subquery."""
+    o = _t(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = counts.agg(F.sum("n_orders")).scalar()
+    expected = spark.createDataFrame(
+        sorted(BENFORD_PPM.items()), "digit int, benford_ppm bigint"
+    )
+    return (
+        # expected is the 9-row literal dim and drives the join; counts
+        # is a corpus-derived aggregate grouped on a DERIVED column
+        # (digit), so its ≤9-row bound is not provable from plan text —
+        # shuffle_hash, never an estimate-fed broadcast (sweep rule)
+        expected.join(counts.hint("shuffle_hash"), "digit", "left")
+        .withColumn("__total", total)
+        .withColumn("n_orders", F.coalesce(F.col("n_orders"), F.lit(0)))
+        .withColumn(
+            "observed_ppm",
+            F.expr("CAST(n_orders AS BIGINT) * 1000000 div __total"),
+        )
+        .select(
+            "digit",
+            "n_orders",
+            "observed_ppm",
+            "benford_ppm",
+            (F.col("observed_ppm") - F.col("benford_ppm")).alias(
+                "deviation_ppm"
+            ),
+        )
+    )
+
+
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {p})" for d, p in sorted(BENFORD_PPM.items())
+)
+
+ORACLE_BENFORD_DIGIT_AUDIT = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INTEGER) AS digit
+  FROM orders
+),
+counts AS (SELECT digit, count(*) AS n_orders FROM digits GROUP BY 1),
+tot AS (SELECT SUM(n_orders) AS n FROM counts),
+expected(digit, benford_ppm) AS (VALUES {_BENFORD_VALUES})
+SELECT e.digit,
+       COALESCE(c.n_orders, 0) AS n_orders,
+       CAST(COALESCE(c.n_orders, 0) * 1000000 // tot.n AS BIGINT)
+         AS observed_ppm,
+       CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(COALESCE(c.n_orders, 0) * 1000000 // tot.n AS BIGINT)
+         - CAST(e.benford_ppm AS BIGINT) AS deviation_ppm
+FROM expected e LEFT JOIN counts c ON e.digit = c.digit
+CROSS JOIN tot
+"""
+
+EXT_QUERIES["benford_digit_audit"] = q_benford_digit_audit
+EXT_ORACLES["benford_digit_audit"] = ORACLE_BENFORD_DIGIT_AUDIT

@@ -1840,3 +1840,377 @@ WITH s AS (
 
 LEARNOPS_QUERIES["epoch_reshuffle_manifest"] = q_epoch_reshuffle_manifest
 LEARNOPS_ORACLES["epoch_reshuffle_manifest"] = _epoch_reshuffle_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation family: exact AUC, PR curve, agreement kappa
+# ---------------------------------------------------------------------------
+
+
+def _qc_ppm_col(w: list[float]) -> F.Column:
+    """floor(p·10⁶) as BIGINT from Python weights — the integer-exact
+    score used by every eval gate (same expression tree as _qc_p_col,
+    but materialized as ppm BEFORE any further arithmetic: re-dividing
+    the quantized double by 10⁶ and re-multiplying can land one ulp
+    under the integer — the calibration-bins lesson)."""
+    m = F.lit(w[0]) * F.col("x0")
+    for j in (1, 2, 3):
+        m = m + F.lit(w[j]) * F.col(QC_FEATURES[j])
+    raw = F.lit(0.5) + F.lit(0.5) * (m / (F.lit(1.0) + F.abs(m)))
+    return F.floor(raw * F.lit(1000000.0)).cast("long")
+
+
+def q_classifier_auc_roc(spark, sf_dir):
+    """EXACT ROC AUC of the quality classifier via the Mann-Whitney U
+    statistic with full tie handling — the threshold-free ranking-power
+    eval beside the calibration gate (is the score a good ORDERING,
+    where calibration asks if it is a good PROBABILITY).
+
+    U = Σ over distinct scores s of  P_s·(CN_below(s) + N_s/2); to stay
+    in integers the gate materializes 2U = Σ P_s·(2·CN_incl(s) − N_s)
+    (CN_incl = inclusive cumulative negatives in score order), so the
+    ONLY float op is the final division — one correctly-rounded IEEE
+    divide with a pinned expression tree, bit-identical cross-engine.
+
+    100 TB: scores reduce to one row per DISTINCT ppm score (≤ 10⁶ by
+    construction, map-side combinable); the cumulative runs through
+    global_prefix_sum (distributed two-pass scan, no single-partition
+    window); the finale is a scalar aggregate. Nothing row-proportional
+    reaches the driver.
+
+    Ref: Mann-Whitney (1947); AUC = U / (n⁺·n⁻)."""
+    from ..operators.ranking import global_prefix_sum
+
+    w, _ = _qc_train(spark, sf_dir)
+    feats = _qc_features(spark, sf_dir)
+    per_score = (
+        feats.select(_qc_ppm_col(w).alias("ppm"), "y")
+        .groupBy("ppm")
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+        )
+    )
+    cum = global_prefix_sum(per_score, ["ppm"], "neg", out_col="cum_neg")
+    out = cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos") * (F.lit(2) * F.col("cum_neg") - F.col("neg"))
+        )
+        .cast("long")
+        .alias("u_times2"),
+    )
+    return out.select(
+        "n_pos",
+        "n_neg",
+        "u_times2",
+        (
+            F.col("u_times2").cast("double")
+            / (
+                F.lit(2.0)
+                * (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+            )
+        ).alias("auc"),
+    )
+
+
+LEARNOPS_ORACLES["classifier_auc_roc"] = (
+    "WITH "
+    + _qc_train_ctes()
+    + f""",
+scored AS (
+  SELECT {_QC_PPM_FINAL} AS ppm, y FROM qf CROSS JOIN w{QC_ITERS} w
+),
+per_score AS (
+  SELECT ppm, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(1 - y) AS BIGINT) AS neg
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT ppm, pos, neg,
+         CAST(SUM(neg) OVER (ORDER BY ppm
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_neg
+  FROM per_score
+),
+agg AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(neg) AS BIGINT) AS n_neg,
+         CAST(SUM(pos * (2 * cum_neg - neg)) AS BIGINT) AS u_times2
+  FROM cum
+)
+SELECT n_pos, n_neg, u_times2,
+       CAST(u_times2 AS DOUBLE) /
+         (2.0 * (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) AS auc
+FROM agg
+"""
+)
+LEARNOPS_QUERIES["classifier_auc_roc"] = q_classifier_auc_roc
+
+
+# Threshold grid for the PR curve: ppm thresholds, literal in both
+# engines (the classifier's rational-sigmoid scores live near 0.5, so
+# the grid brackets it; degenerate cells are part of the output).
+PR_THRESHOLDS_PPM = list(range(400000, 620000, 20000))
+
+
+def q_precision_recall_curve(spark, sf_dir):
+    """PRECISION/RECALL CURVE of the quality classifier over a literal
+    ppm-threshold grid — the keep-rate-vs-purity trade-off sheet a
+    curation pipeline reads before picking its filter threshold (the
+    operating-point complement to AUC's threshold-free ranking eval).
+
+    All counting is integer-exact on the floor-ppm score; precision
+    and recall are bigint floor-ppm divisions (never round(double)),
+    with an empty-prediction cell pinned to -1 rather than NULL so the
+    hash covers the degenerate thresholds too.
+
+    100 TB: the grid is a {k}-element literal array exploded per row —
+    map-side combinable into {k} aggregate groups; no join, no window,
+    nothing data-dependent in the grid."""
+    w, _ = _qc_train(spark, sf_dir)
+    feats = _qc_features(spark, sf_dir)
+    grid = ", ".join(str(t) for t in PR_THRESHOLDS_PPM)
+    rows = feats.select(_qc_ppm_col(w).alias("ppm"), "y").select(
+        "ppm", "y", F.explode(F.expr(f"array({grid})")).alias("threshold_ppm")
+    )
+    agg = rows.groupBy("threshold_ppm").agg(
+        F.sum(F.expr("CASE WHEN ppm >= threshold_ppm THEN y ELSE 0 END"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.expr("CASE WHEN ppm >= threshold_ppm THEN 1 - y ELSE 0 END"))
+        .cast("long")
+        .alias("fp"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    return agg.select(
+        "threshold_ppm",
+        "tp",
+        "fp",
+        (F.col("n_pos") - F.col("tp")).alias("fn"),
+        F.expr(
+            "CASE WHEN tp + fp = 0 THEN -1 "
+            "ELSE tp * 1000000 div (tp + fp) END"
+        ).alias("precision_ppm"),
+        F.expr("tp * 1000000 div n_pos").alias("recall_ppm"),
+    )
+
+
+q_precision_recall_curve.__doc__ = q_precision_recall_curve.__doc__.format(
+    k=len(PR_THRESHOLDS_PPM)
+)
+
+_PR_VALUES = ", ".join(f"({t})" for t in PR_THRESHOLDS_PPM)
+
+LEARNOPS_ORACLES["precision_recall_curve"] = (
+    "WITH "
+    + _qc_train_ctes()
+    + f""",
+scored AS (
+  SELECT {_QC_PPM_FINAL} AS ppm, y FROM qf CROSS JOIN w{QC_ITERS} w
+),
+grid(threshold_ppm) AS (VALUES {_PR_VALUES}),
+agg AS (
+  SELECT threshold_ppm,
+         CAST(SUM(CASE WHEN ppm >= threshold_ppm THEN y ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN ppm >= threshold_ppm THEN 1 - y ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM scored CROSS JOIN grid
+  GROUP BY 1
+)
+SELECT threshold_ppm, tp, fp, n_pos - tp AS fn,
+       CASE WHEN tp + fp = 0 THEN -1
+            ELSE tp * 1000000 // (tp + fp) END AS precision_ppm,
+       tp * 1000000 // n_pos AS recall_ppm
+FROM agg
+"""
+)
+LEARNOPS_QUERIES["precision_recall_curve"] = q_precision_recall_curve
+
+
+def q_annotator_agreement_kappa(spark, sf_dir):
+    """COHEN'S KAPPA between the classifier's keep decision (p ≥ 0.5)
+    and the length-proxy label — chance-corrected agreement between
+    two labelers, the standard answer to "raw agreement looks high
+    because both annotators say KEEP to almost everything". The same
+    operator shape audits any two quality filters side by side.
+
+    Exact-rational form: with confusion cells n11/n10/n01/n00 and
+    N = their sum,  kappa = (N·agree − pe_num) / (N² − pe_num) where
+    agree = n11 + n00 and pe_num = (n11+n10)(n11+n01) +
+    (n01+n00)(n10+n00) — numerator and denominator are BIGINT-exact
+    (the graph_modularity integer-rational discipline); the one double
+    division is pinned to an identical expression tree cross-engine.
+
+    100 TB: a single map-side-combinable scalar aggregate over the
+    scored scan — O(1) state, no join, no window."""
+    w, _ = _qc_train(spark, sf_dir)
+    feats = _qc_features(spark, sf_dir)
+    cells = feats.select(
+        (_qc_ppm_col(w) >= F.lit(500000)).cast("int").alias("a"),
+        F.col("y").alias("b"),
+    ).agg(
+        F.sum(F.expr("a * b")).cast("long").alias("n11"),
+        F.sum(F.expr("a * (1 - b)")).cast("long").alias("n10"),
+        F.sum(F.expr("(1 - a) * b")).cast("long").alias("n01"),
+        F.sum(F.expr("(1 - a) * (1 - b)")).cast("long").alias("n00"),
+    )
+    return (
+        cells.withColumn("n", F.expr("n11 + n10 + n01 + n00"))
+        .withColumn(
+            "pe_num",
+            F.expr("(n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)"),
+        )
+        .select(
+            "n",
+            "n11",
+            "n10",
+            "n01",
+            "n00",
+            F.expr("n * (n11 + n00) - pe_num").alias("kappa_num"),
+            F.expr("n * n - pe_num").alias("kappa_den"),
+            F.expr(
+                "CAST(n * (n11 + n00) - pe_num AS DOUBLE) / "
+                "CAST(n * n - pe_num AS DOUBLE)"
+            ).alias("kappa"),
+        )
+    )
+
+
+LEARNOPS_ORACLES["annotator_agreement_kappa"] = (
+    "WITH "
+    + _qc_train_ctes()
+    + f""",
+scored AS (
+  SELECT CASE WHEN {_QC_PPM_FINAL} >= 500000 THEN 1 ELSE 0 END AS a, y AS b
+  FROM qf CROSS JOIN w{QC_ITERS} w
+),
+cells AS (
+  SELECT CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM scored
+),
+ext AS (
+  SELECT *, n11 + n10 + n01 + n00 AS n,
+         (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS pe_num
+  FROM cells
+)
+SELECT n, n11, n10, n01, n00,
+       n * (n11 + n00) - pe_num AS kappa_num,
+       n * n - pe_num AS kappa_den,
+       CAST(n * (n11 + n00) - pe_num AS DOUBLE) /
+         CAST(n * n - pe_num AS DOUBLE) AS kappa
+FROM ext
+"""
+)
+LEARNOPS_QUERIES["annotator_agreement_kappa"] = q_annotator_agreement_kappa
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair construction (DPO/RLHF training-data prep)
+# ---------------------------------------------------------------------------
+
+
+def q_preference_pairs(spark, sf_dir):
+    """PREFERENCE-PAIR CONSTRUCTION (DPO/RLHF data prep): within each
+    language, rank documents by the trained quality score and pair the
+    i-th best with the i-th worst (top-bottom mirror pairing) —
+    maximal-margin (chosen, rejected) pairs with a deterministic,
+    re-run-stable assignment; zero-margin mirrors are dropped (a
+    preference pair needs a strictly better chosen side).
+
+    Determinism: ranking runs on the INTEGER ppm score (ties broken by
+    doc_id); margins are bigint ppm differences — no float enters any
+    comparison.
+
+    100 TB: the score joins lang through one corpus↔corpus equi-join
+    (pinned shuffle_hash); per-language ranking uses grouped_rank (lang
+    is low-cardinality — a PARTITION BY lang window would collapse each
+    language onto one task); the group sizes grouped_rank already
+    collected ride back as a literal map (zero extra job), and the
+    mirror pairing is ONE equi-join on (lang, mirror_rank) — also
+    corpus-derived, also shuffle_hash."""
+    from ..operators.ranking import grouped_rank
+
+    w, _ = _qc_train(spark, sf_dir)
+    feats = _qc_features(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = feats.select("doc_id", _qc_ppm_col(w).alias("ppm")).join(
+        d.hint("shuffle_hash"), "doc_id"
+    )
+    ranked, totals = grouped_rank(
+        scored.withColumn("neg_ppm", -F.col("ppm")),
+        ["lang"],
+        ["neg_ppm", "doc_id"],
+        rank_col="rk",
+    )
+    items = [F.lit(x) for (lang,), n in totals.items() for x in (lang, n)]
+    n_lang = (
+        F.element_at(F.create_map(*items), F.col("lang")).cast("long")
+        if items
+        else F.lit(0).cast("long")
+    )
+    a = ranked.select(
+        "lang",
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("ppm").alias("chosen_ppm"),
+        F.col("rk").alias("pair_rank"),
+        n_lang.alias("n_in_lang"),
+        (n_lang + F.lit(1) - F.col("rk")).alias("__mirror"),
+    ).filter(F.col("pair_rank") * 2 <= F.col("n_in_lang"))
+    b = ranked.select(
+        F.col("lang").alias("__blang"),
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("ppm").alias("rejected_ppm"),
+        F.col("rk").alias("__brk"),
+    )
+    return (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("lang") == F.col("__blang"))
+            & (F.col("__brk") == F.col("__mirror")),
+        )
+        .filter(F.col("chosen_ppm") > F.col("rejected_ppm"))
+        .select(
+            "lang",
+            "pair_rank",
+            "n_in_lang",
+            "chosen_doc_id",
+            "rejected_doc_id",
+            "chosen_ppm",
+            "rejected_ppm",
+            (F.col("chosen_ppm") - F.col("rejected_ppm")).alias("margin_ppm"),
+        )
+    )
+
+
+LEARNOPS_ORACLES["preference_pairs"] = (
+    "WITH "
+    + _qc_train_ctes()
+    + f""",
+scored AS (
+  SELECT qf.doc_id, d.lang, {_QC_PPM_FINAL} AS ppm
+  FROM qf CROSS JOIN w{QC_ITERS} w
+  JOIN documents d ON d.doc_id = qf.doc_id
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang ORDER BY ppm DESC, doc_id)
+           AS rk,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM scored
+)
+SELECT a.lang, a.rk AS pair_rank, a.n_lang AS n_in_lang,
+       a.doc_id AS chosen_doc_id, b.doc_id AS rejected_doc_id,
+       a.ppm AS chosen_ppm, b.ppm AS rejected_ppm,
+       a.ppm - b.ppm AS margin_ppm
+FROM r a JOIN r b ON a.lang = b.lang AND b.rk = a.n_lang + 1 - a.rk
+WHERE a.rk * 2 <= a.n_lang AND a.ppm > b.ppm
+"""
+)
+LEARNOPS_QUERIES["preference_pairs"] = q_preference_pairs
