@@ -279,6 +279,12 @@ HEADLINE = [
     "preference_pairs",
     "bloom_membership",
     "benford_digit_audit",
+    # round-8 wave-8 additions (density clustering, generative lang-id,
+    # Brier eval, resharding audit)
+    "dbscan_clusters_blocked",
+    "naive_bayes_langid",
+    "brier_score",
+    "shard_rebalance_audit",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

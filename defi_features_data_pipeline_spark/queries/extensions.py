@@ -11784,3 +11784,189 @@ CROSS JOIN tot
 
 EXT_QUERIES["benford_digit_audit"] = q_benford_digit_audit
 EXT_ORACLES["benford_digit_audit"] = ORACLE_BENFORD_DIGIT_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN over the IVF-blocked epsilon graph — the DENSITY member of the
+# clustering family (CC = transitive near-dup, LPA = modular communities,
+# k-core = fringe strip, k-means = IVF lists, DBSCAN = density + noise)
+# ---------------------------------------------------------------------------
+
+DBSCAN_EPS = 0.25   # cosine epsilon-neighborhood threshold (6 dp rounded)
+DBSCAN_MINPTS = 4   # neighbors (excluding self) required for a core point
+
+
+def q_dbscan_clusters_blocked(spark, sf_dir):
+    """DBSCAN over embeddings with IVF-BLOCKED neighborhood generation:
+    epsilon-neighbor pairs come from the materialized coarse-list
+    assignment (exact cosine only WITHIN a block — the
+    dedup_embedding_blocked candidate contract, so the epsilon graph is
+    the BLOCKED one and recall follows the IVF block structure; raise
+    via the soft/multiprobe assignment if the consumer needs more),
+    then the classic three-way split: CORE points (≥ {minpts} in-block
+    epsilon neighbors), BORDER points (non-core with a core neighbor —
+    assigned the MIN core-cluster label for determinism where textbook
+    DBSCAN says "arbitrary"), NOISE (everything else, cluster -1).
+    Clusters are connected components over the CORE-CORE subgraph
+    (pointer-jumping CC, O(log diameter) rounds).
+
+    Why this member matters: CC merges through every chance edge
+    (one spurious pair glues two clusters), LPA needs a round budget;
+    DBSCAN's core/border split keeps low-degree bridge points from
+    chaining clusters together and names outliers explicitly — the
+    "dense semantic groups + noise floor" view a curation pipeline
+    wants from an embedding space.
+
+    100 TB: candidate pairs are narrow (two ids) and linear via the
+    block-width policy (_ivf_k); degree count is map-side combinable;
+    the CC iteration runs on the core-core subgraph only (≤ the pair
+    count); every corpus-derived frame enters its join pinned
+    shuffle_hash or as a left-semi reduction — nothing reaches a
+    broadcast by size estimate. The blocked pair relation feeds THREE
+    consumers (degree, core edges, border attach) so it materializes
+    once (eager localCheckpoint — the market_basket lesson)."""
+    from ..operators.graph import connected_components
+
+    asg = _ivf_assignments(spark, sf_dir)
+    cand = (
+        asg.select(F.col("vec_id").alias("ia"), F.col("cid").alias("block"))
+        .join(
+            asg.select(F.col("vec_id").alias("ib"), F.col("cid").alias("bb")),
+            (F.col("block") == F.col("bb")) & (F.col("ia") < F.col("ib")),
+        )
+        .select("ia", "ib")
+    )
+    va = _vectors(spark, sf_dir, "ia", "va", "na_").drop("label")
+    vb = _vectors(spark, sf_dir, "ib", "vb", "nb_").drop("label")
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na_") * F.col("nb_")), 6
+    )
+    pairs = (
+        cand.join(va.hint("shuffle_hash"), "ia")
+        .join(vb.hint("shuffle_hash"), "ib")
+        .select("ia", "ib", cos.alias("s"))
+        .filter(F.col("s") >= DBSCAN_EPS)
+        .select("ia", "ib")
+        .localCheckpoint(eager=True)
+    )
+    sym = pairs.union(pairs.select(F.col("ib"), F.col("ia")))
+    deg = sym.groupBy("ia").agg(F.count(F.lit(1)).alias("eps_degree"))
+    core = deg.filter(F.col("eps_degree") >= DBSCAN_MINPTS).select(
+        F.col("ia").alias("node")
+    )
+    core_edges = sym.join(
+        core.hint("shuffle_hash"),
+        sym["ia"] == core["node"],
+        "left_semi",
+    ).join(
+        core.hint("shuffle_hash").withColumnRenamed("node", "__bn"),
+        F.col("ib") == F.col("__bn"),
+        "left_semi",
+    )
+    # CC only labels nodes that APPEAR in edges; a core point whose
+    # epsilon neighbors are all non-core is an edge-less singleton
+    # cluster (its own component, label = own id) — left-join +
+    # coalesce restores it (caught by the sf0.01 oracle: 2/500 cores)
+    cc = connected_components(core_edges, "ia", "ib")
+    labels = core.join(cc.hint("shuffle_hash"), "node", "left").select(
+        "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
+    )
+    border = (
+        sym.join(
+            core.hint("shuffle_hash"), sym["ia"] == core["node"], "left_anti"
+        )
+        .join(
+            labels.hint("shuffle_hash").withColumnRenamed("node", "__ln"),
+            F.col("ib") == F.col("__ln"),
+        )
+        .groupBy("ia")
+        .agg(F.min("label").alias("b_label"))
+    )
+    em = _t(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        em.join(
+            labels.hint("shuffle_hash").withColumnRenamed("node", "__cn"),
+            F.col("vec_id") == F.col("__cn"),
+            "left",
+        )
+        .join(
+            border.hint("shuffle_hash").withColumnRenamed("ia", "__bi"),
+            F.col("vec_id") == F.col("__bi"),
+            "left",
+        )
+        .join(
+            deg.hint("shuffle_hash").withColumnRenamed("ia", "__di"),
+            F.col("vec_id") == F.col("__di"),
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.when(F.col("label").isNotNull(), F.lit("core"))
+            .when(F.col("b_label").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(F.col("label"), F.col("b_label"), F.lit(-1))
+            .cast("long")
+            .alias("cluster_id"),
+            F.coalesce(F.col("eps_degree"), F.lit(0))
+            .cast("long")
+            .alias("eps_degree"),
+        )
+    )
+
+
+q_dbscan_clusters_blocked.__doc__ = q_dbscan_clusters_blocked.__doc__.format(
+    minpts=DBSCAN_MINPTS
+)
+
+ORACLE_DBSCAN_CLUSTERS_BLOCKED = f"""
+WITH asg AS (SELECT * FROM read_parquet('{IVF_ORACLE_DIR}/assignments/*.parquet')),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM e a
+  JOIN asg aa ON aa.vec_id = a.vec_id
+  JOIN asg ba ON ba.cid = aa.cid
+  JOIN e b ON b.vec_id = ba.vec_id AND b.vec_id <> a.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {DBSCAN_EPS}
+),
+deg AS MATERIALIZED (SELECT ia, count(*) AS deg FROM p GROUP BY 1),
+core AS MATERIALIZED (SELECT ia AS node FROM deg WHERE deg >= {DBSCAN_MINPTS}),
+ce AS MATERIALIZED (
+  SELECT p.ia AS a, p.ib AS b FROM p
+  JOIN core c1 ON c1.node = p.ia
+  JOIN core c2 ON c2.node = p.ib
+),
+tc AS (
+  WITH RECURSIVE walk(src, dst) AS (
+    SELECT a, b FROM ce
+    UNION
+    SELECT walk.src, ce.b FROM walk JOIN ce ON walk.dst = ce.a
+  )
+  SELECT src, dst FROM walk
+),
+labels AS MATERIALIZED (
+  SELECT c.node, least(c.node, min(tc.dst)) AS label
+  FROM core c LEFT JOIN tc ON tc.src = c.node
+  GROUP BY c.node
+),
+border AS (
+  SELECT p.ia AS node, min(l.label) AS label
+  FROM p JOIN labels l ON l.node = p.ib
+  WHERE p.ia NOT IN (SELECT node FROM core)
+  GROUP BY 1
+)
+SELECT em.vec_id,
+       CASE WHEN cl.label IS NOT NULL THEN 'core'
+            WHEN bo.label IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(cl.label, bo.label, -1) AS cluster_id,
+       COALESCE(d.deg, 0) AS eps_degree
+FROM embeddings em
+LEFT JOIN labels cl ON cl.node = em.vec_id
+LEFT JOIN border bo ON bo.node = em.vec_id
+LEFT JOIN deg d ON d.ia = em.vec_id
+"""
+
+EXT_QUERIES["dbscan_clusters_blocked"] = q_dbscan_clusters_blocked
+EXT_ORACLES["dbscan_clusters_blocked"] = ORACLE_DBSCAN_CLUSTERS_BLOCKED

@@ -2214,3 +2214,368 @@ WHERE a.rk * 2 <= a.n_lang AND a.ppm > b.ppm
 """
 )
 LEARNOPS_QUERIES["preference_pairs"] = q_preference_pairs
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes language ID — the GENERATIVE classifier member
+# of the learned-model family (logistic regression = discriminative,
+# unigram LM = scoring; NB = train-by-counting classification)
+# ---------------------------------------------------------------------------
+
+
+def q_naive_bayes_langid(spark, sf_dir):
+    """MULTINOMIAL NAIVE BAYES language identification: per-language
+    add-one-smoothed unigram likelihoods + log prior, argmax over the
+    languages — the train-by-counting classifier (fastText-style
+    lang-id's statistical core) next to the n-gram heuristic `lang_id`
+    gate; training IS one counting pass, so fit and apply fuse into a
+    single job.
+
+    Determinism: token/doc counts are exact integers; each log runs on
+    a correctly-rounded ratio of exact ints and is rounded to 10 dp
+    per MODEL CELL before any accumulation (the doc_lm_score
+    discipline), per-doc sums run in DECIMAL(38,10) so summation order
+    cannot move a score; argmax ties break lang-ascending.
+
+    100 TB: the model is |vocab|·|langs| rows — corpus-derived, so it
+    meets the scoring join pinned `shuffle_hash` (the learnops header
+    rule), while the per-LANGUAGE frames (doc counts, token totals)
+    are bounded-domain aggregates and ride broadcasts; the language
+    list itself collects to the driver (|langs| scalars — the
+    grouped_rank bounded-metadata pattern) to build the vocab×lang
+    grid as an explode, NOT a cross join. Scoring explodes token
+    occurrences once and fans out |langs|× into a map-side-combinable
+    rollup; the argmax window partitions by doc_id (high-cardinality —
+    already parallel)."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    nz = (
+        d.withColumn("__toks", F.expr(TOKENS_SPARK))
+        .filter(F.size("__toks") > 0)
+        .select("doc_id", "lang", "__toks")
+    )
+    inst = nz.select(
+        "doc_id", "lang", F.explode("__toks").alias("tok")
+    ).localCheckpoint(eager=True)
+    vocab = inst.select("tok").distinct()
+    v_count = vocab.agg(F.count(F.lit(1))).scalar()
+    cnt = inst.groupBy(F.col("lang").alias("c_lang"), "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nl = inst.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tok"))
+    lc = nz.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_total = nz.agg(F.count(F.lit(1))).scalar()
+    langs = sorted(r["lang"] for r in lc.select("lang").collect())
+    grid = vocab.select(
+        "tok",
+        F.explode(F.array(*[F.lit(x) for x in langs])).alias("lang_cand"),
+    )
+    model = (
+        grid.join(
+            F.broadcast(nl.withColumnRenamed("lang", "__nl_lang")),
+            F.col("lang_cand") == F.col("__nl_lang"),
+        )
+        .withColumn("__v", v_count)
+        .join(
+            cnt.hint("shuffle_hash"),
+            (F.col("lang_cand") == F.col("c_lang"))
+            & (grid["tok"] == cnt["tok"]),
+            "left",
+        )
+        .select(
+            grid["tok"],
+            "lang_cand",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (F.col("n_tok") + F.col("__v")).cast("double")
+                ),
+                10,
+            ).alias("logp"),
+        )
+    )
+    prior = lc.select(
+        F.col("lang").alias("p_lang"),
+        F.round(
+            F.log(
+                F.col("n_docs").cast("double")
+                / n_total.cast("double")
+            ),
+            10,
+        ).alias("prior"),
+    )
+    scores = (
+        inst.join(model.hint("shuffle_hash"), "tok")
+        .groupBy("doc_id", F.col("lang").alias("lang_true"), "lang_cand")
+        .agg(F.sum(F.col("logp").cast("decimal(38,10)")).alias("s"))
+        .join(F.broadcast(prior), F.col("lang_cand") == F.col("p_lang"))
+        .withColumn("score", F.col("s") + F.col("prior").cast("decimal(38,10)"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang_cand").asc()
+    )
+    return (
+        scores.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            "lang_true",
+            F.col("lang_cand").alias("lang_pred"),
+            (F.col("lang_true") == F.col("lang_cand")).alias("is_correct"),
+        )
+    )
+
+
+LEARNOPS_ORACLES["naive_bayes_langid"] = f"""
+WITH t AS (SELECT doc_id, lang, {TOKENS_DUCK} AS toks FROM documents),
+nz AS MATERIALIZED (SELECT * FROM t WHERE len(toks) > 0),
+inst AS MATERIALIZED (SELECT doc_id, lang, unnest(toks) AS tok FROM nz),
+vocab AS (SELECT DISTINCT tok FROM inst),
+vtot AS (SELECT count(*) AS v FROM vocab),
+cnt AS (SELECT lang AS c_lang, tok, count(*) AS c FROM inst GROUP BY 1, 2),
+nl AS (SELECT lang, count(*) AS n_tok FROM inst GROUP BY 1),
+lc AS (SELECT lang, count(*) AS n_docs FROM nz GROUP BY 1),
+ntot AS (SELECT count(*) AS n FROM nz),
+model AS MATERIALIZED (
+  SELECT v.tok, l.lang AS lang_cand,
+         round(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) /
+                  CAST(nl.n_tok + vtot.v AS DOUBLE)), 10) AS logp
+  FROM vocab v
+  CROSS JOIN lc l
+  JOIN nl ON nl.lang = l.lang
+  CROSS JOIN vtot
+  LEFT JOIN cnt c ON c.c_lang = l.lang AND c.tok = v.tok
+),
+prior AS (
+  SELECT lang AS p_lang,
+         round(ln(CAST(n_docs AS DOUBLE) / CAST(ntot.n AS DOUBLE)), 10)
+           AS prior
+  FROM lc CROSS JOIN ntot
+),
+scores AS (
+  SELECT i.doc_id, i.lang AS lang_true, m.lang_cand,
+         SUM(CAST(m.logp AS DECIMAL(38,10)))
+           + CAST(any_value(p.prior) AS DECIMAL(38,10)) AS score
+  FROM inst i
+  JOIN model m ON m.tok = i.tok
+  JOIN prior p ON p.p_lang = m.lang_cand
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, lang_true, lang_cand AS lang_pred,
+       lang_true = lang_cand AS is_correct
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, lang_cand ASC) AS rn
+  FROM scores
+)
+WHERE rn = 1
+"""
+LEARNOPS_QUERIES["naive_bayes_langid"] = q_naive_bayes_langid
+
+
+# ---------------------------------------------------------------------------
+# Brier score (+ skill vs the base-rate forecaster)
+# ---------------------------------------------------------------------------
+
+
+def q_brier_score(spark, sf_dir):
+    """BRIER SCORE of the quality classifier — mean squared error of
+    the predicted probability against the 0/1 label — plus the BRIER
+    SKILL SCORE against the base-rate forecaster (always predict ȳ):
+    skill = 1 − brier/uncertainty, the "is the model better than
+    predicting the prevalence" number that completes the eval family
+    (AUC = ranking, calibration = probability honesty, kappa =
+    agreement, Brier = combined magnitude).
+
+    Exactness: per-row error runs on the INTEGER ppm score
+    (ppm − 10⁶·y), squared and summed in DECIMAL(38,0) — bit-exact at
+    any corpus size (a bigint sum of 10¹²-scaled squares overflows
+    near 10⁷ rows; decimal does not); the three doubles at the end
+    (brier, uncertainty, skill) are single correctly-rounded divisions
+    over pinned expression trees.
+
+    100 TB: one scalar map-side-combinable aggregate — O(1) state."""
+    w, _ = _qc_train(spark, sf_dir)
+    feats = _qc_features(spark, sf_dir)
+    err = _qc_ppm_col(w) - F.lit(1000000) * F.col("y")
+    agg = feats.select(err.alias("e"), "y").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum((F.col("e") * F.col("e")).cast("decimal(28,0)")).alias(
+            "brier_num"
+        ),
+    )
+    brier = F.col("brier_num").cast("double") / (
+        F.col("n").cast("double") * F.lit(1.0e12)
+    )
+    unc = (
+        F.col("n_pos").cast("double")
+        * (F.col("n") - F.col("n_pos")).cast("double")
+    ) / (F.col("n").cast("double") * F.col("n").cast("double"))
+    return (
+        agg.withColumn("brier", brier)
+        .withColumn("uncertainty", unc)
+        .select(
+            "n",
+            "n_pos",
+            "brier_num",
+            "brier",
+            "uncertainty",
+            (F.lit(1.0) - F.col("brier") / F.col("uncertainty")).alias(
+                "brier_skill"
+            ),
+        )
+    )
+
+
+LEARNOPS_ORACLES["brier_score"] = (
+    "WITH "
+    + _qc_train_ctes()
+    + f""",
+scored AS (
+  SELECT {_QC_PPM_FINAL} - 1000000 * y AS e, y
+  FROM qf CROSS JOIN w{QC_ITERS} w
+),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(CAST(e * e AS DECIMAL(28,0))) AS DECIMAL(38,0))
+           AS brier_num
+  FROM scored
+),
+ext AS (
+  SELECT *,
+         {D2D_SQL.format(x="brier_num")} /
+           (CAST(n AS DOUBLE) * 1.0e12) AS brier,
+         (CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)) /
+           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS uncertainty
+  FROM agg
+)
+SELECT n, n_pos, brier_num, brier, uncertainty,
+       1.0 - brier / uncertainty AS brier_skill
+FROM ext
+"""
+)
+LEARNOPS_QUERIES["brier_score"] = q_brier_score
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hashing shard rebalance audit (mod-N vs hash ring)
+# ---------------------------------------------------------------------------
+
+SHARDS_OLD = 16
+SHARDS_NEW = 20
+
+
+def _ring_positions(n: int) -> list[tuple[int, int]]:
+    """(position, shard) ring points for n shards — md5-prefix
+    positions, computed with hashlib at PLAN TIME and embedded as
+    literals in both engines (the same 32-bit hash family as H_SQL)."""
+    import hashlib
+
+    return sorted(
+        (
+            int(hashlib.md5(f"ringshard:{i}".encode()).hexdigest()[:8], 16),
+            i,
+        )
+        for i in range(n)
+    )
+
+
+def q_shard_rebalance_audit(spark, sf_dir):
+    """SHARD-REBALANCE AUDIT: when the shard count grows 16 → 20, what
+    fraction of documents MOVE under (a) hash-mod-N assignment vs (b) a
+    consistent-hash ring — the resharding-cost sheet that justifies
+    ring-based placement for any 100 TB layout that must grow in place
+    (mod-N relocates ~1−1/lcm≈95% of the corpus; the ring relocates
+    ~|new|/N ≈ 20%, only the arcs claimed by the new shards).
+
+    Ring owner: the shard whose ring position is the first ≥ the doc's
+    hash point, wrapping to the globally smallest position — evaluated
+    as a filter-over-literal-array expression (positions are hashlib
+    literals baked at plan time into BOTH engines; a production ring
+    would add virtual nodes per shard for arc evenness — same
+    expression, more literals).
+
+    100 TB: fully map-side (per-doc hash + two literal-array lookups),
+    one 2-group aggregate; zero joins, zero windows, zero shuffles
+    beyond the final 2-row rollup."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = _h(F.concat(F.lit("ring:"), F.col("doc_id").cast("string")))
+
+    def ring_expr(n: int) -> str:
+        pts = _ring_positions(n)
+        arr = ", ".join(f"struct({p}L AS pos, {s} AS shard)" for p, s in pts)
+        # get() (not [0]) — ANSI Spark throws on indexing an empty
+        # array, and the wrap case IS the empty-filter case
+        return (
+            f"COALESCE(get(filter(array({arr}), x -> x.pos >= __h), 0).shard, "
+            f"{pts[0][1]})"
+        )
+
+    tagged = (
+        d.withColumn("__h", h)
+        .withColumn("mod_old", F.expr(f"__h % {SHARDS_OLD}"))
+        .withColumn("mod_new", F.expr(f"__h % {SHARDS_NEW}"))
+        .withColumn("ring_old", F.expr(ring_expr(SHARDS_OLD)))
+        .withColumn("ring_new", F.expr(ring_expr(SHARDS_NEW)))
+    )
+    rows = tagged.select(
+        F.explode(
+            F.expr(
+                "array(struct('mod' AS strategy, "
+                "CAST(mod_old <> mod_new AS INT) AS moved), "
+                "struct('ring' AS strategy, "
+                "CAST(ring_old <> ring_new AS INT) AS moved))"
+            )
+        ).alias("s")
+    ).select("s.strategy", "s.moved")
+    return rows.groupBy("strategy").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("moved").cast("long").alias("n_moved"),
+        F.expr("CAST(SUM(moved) AS BIGINT) * 1000000 div count(1)").alias(
+            "moved_ppm"
+        ),
+    )
+
+
+def _ring_expr_duck(n: int) -> str:
+    pts = _ring_positions(n)
+    arr = ", ".join(f"{{'pos': {p}, 'shard': {s}}}" for p, s in pts)
+    return (
+        f"COALESCE(list_filter([{arr}], x -> x.pos >= __h)[1].shard, "
+        f"{pts[0][1]})"
+    )
+
+
+LEARNOPS_ORACLES["shard_rebalance_audit"] = f"""
+WITH h AS (
+  SELECT {H_SQL.format(x="'ring:' || CAST(doc_id AS VARCHAR)")} AS __h
+  FROM documents
+),
+tagged AS (
+  SELECT __h % {SHARDS_OLD} AS mod_old, __h % {SHARDS_NEW} AS mod_new,
+         {_ring_expr_duck(SHARDS_OLD)} AS ring_old,
+         {_ring_expr_duck(SHARDS_NEW)} AS ring_new
+  FROM h
+),
+rows_s AS (
+  SELECT u.s['strategy'] AS strategy, u.s['moved'] AS moved
+  FROM (
+    SELECT [{{'strategy': 'mod',
+              'moved': CAST(mod_old <> mod_new AS INT)}},
+            {{'strategy': 'ring',
+              'moved': CAST(ring_old <> ring_new AS INT)}}] AS pair
+    FROM tagged
+  ), unnest(pair) AS u(s)
+)
+SELECT strategy, count(*) AS n_docs,
+       CAST(SUM(moved) AS BIGINT) AS n_moved,
+       CAST(SUM(moved) AS BIGINT) * 1000000 // count(*) AS moved_ppm
+FROM rows_s
+GROUP BY 1
+"""
+LEARNOPS_QUERIES["shard_rebalance_audit"] = q_shard_rebalance_audit

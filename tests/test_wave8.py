@@ -1,0 +1,253 @@
+"""Independent references for the round-8 wave-8 operators (DBSCAN over
+the blocked epsilon graph, naive-Bayes lang-id, Brier score,
+consistent-hash rebalance audit). The oracle gates prove cross-engine
+determinism; these re-derive each result with a pure-Python
+implementation of the ALGORITHM (BFS DBSCAN, dict-counting NB, hashlib
+ring walk) — the PCA lesson: a hash match proves both engines agree,
+not that the agreed answer is the right algorithm."""
+
+import hashlib
+import math
+from collections import defaultdict
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# dbscan_clusters_blocked
+# ---------------------------------------------------------------------------
+
+
+def _blocked_eps_pairs():
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        DBSCAN_EPS,
+        ivf_artifact_dir,
+    )
+
+    asg = ivf_artifact_dir(SF_DIR) + "/assignments/*.parquet"
+    return duckdb.sql(
+        f"""WITH a AS (SELECT * FROM read_parquet('{asg}')),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+              FROM read_parquet('{SF_DIR}/embeddings.parquet'))
+        SELECT x.vec_id, y.vec_id FROM e x
+        JOIN a ax ON ax.vec_id = x.vec_id
+        JOIN a ay ON ay.cid = ax.cid
+        JOIN e y ON y.vec_id = ay.vec_id AND y.vec_id <> x.vec_id
+        WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {DBSCAN_EPS}"""
+    ).fetchall()
+
+
+def test_dbscan_matches_python_bfs_reference(spark):
+    """Role assignment and cluster labels equal a textbook DBSCAN run
+    (BFS over core points, border = min adjacent core label, noise
+    otherwise) on the same blocked epsilon graph."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        DBSCAN_MINPTS,
+        q_dbscan_clusters_blocked,
+    )
+
+    adj = defaultdict(set)
+    for a, b in _blocked_eps_pairs():
+        adj[a].add(b)
+    core = {n for n, nb in adj.items() if len(nb) >= DBSCAN_MINPTS}
+    # components over core-core edges (BFS), label = min node id
+    label = {}
+    for start in sorted(core):
+        if start in label:
+            continue
+        comp, queue = {start}, [start]
+        while queue:
+            n = queue.pop()
+            for m in adj[n]:
+                if m in core and m not in comp:
+                    comp.add(m)
+                    queue.append(m)
+        lab = min(comp)
+        for n in comp:
+            label[n] = lab
+    rows = q_dbscan_clusters_blocked(spark, SF_DIR).collect()
+    n_emb = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert len(rows) == n_emb
+    for r in rows:
+        v = r["vec_id"]
+        assert r["eps_degree"] == len(adj.get(v, ()))
+        if v in core:
+            assert (r["role"], r["cluster_id"]) == ("core", label[v])
+        else:
+            core_nb = {label[m] for m in adj.get(v, ()) if m in core}
+            if core_nb:
+                assert (r["role"], r["cluster_id"]) == ("border", min(core_nb))
+            else:
+                assert (r["role"], r["cluster_id"]) == ("noise", -1)
+
+
+def test_dbscan_has_all_three_roles(spark):
+    """The chosen (eps, minpts) must exercise every branch on the
+    corpus — a parameterization where everything is noise (or
+    everything core) would make the gate vacuous."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        q_dbscan_clusters_blocked,
+    )
+
+    roles = {
+        r["role"] for r in q_dbscan_clusters_blocked(spark, SF_DIR).collect()
+    }
+    assert roles == {"core", "border", "noise"}
+
+
+# ---------------------------------------------------------------------------
+# naive_bayes_langid
+# ---------------------------------------------------------------------------
+
+
+def test_naive_bayes_matches_dict_counting_reference(spark):
+    """Predictions equal a pure-Python multinomial NB (add-one
+    smoothing, log-prior, lang-ascending tie-break), and the model
+    beats the majority-class baseline."""
+    from defi_features_data_pipeline_spark.queries.learnops import (
+        q_naive_bayes_langid,
+    )
+
+    docs = duckdb.sql(
+        f"""SELECT doc_id, lang,
+            list_filter(string_split_regex(lower(text), '\\s+'),
+                        t -> t <> '') AS toks
+            FROM read_parquet('{SF_DIR}/documents.parquet')
+            WHERE len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) > 0"""
+    ).fetchall()
+    cnt = defaultdict(lambda: defaultdict(int))
+    n_tok, n_docs = defaultdict(int), defaultdict(int)
+    vocab = set()
+    for _, lang, toks in docs:
+        n_docs[lang] += 1
+        for t in toks:
+            cnt[lang][t] += 1
+            n_tok[lang] += 1
+            vocab.add(t)
+    v, n = len(vocab), len(docs)
+    preds = {}
+    for doc_id, _, toks in docs:
+        best = None
+        for lang in sorted(n_docs):
+            s = round(math.log(n_docs[lang] / n), 10)
+            for t in toks:
+                s += round(
+                    math.log((cnt[lang].get(t, 0) + 1) / (n_tok[lang] + v)),
+                    10,
+                )
+            s = round(s, 10)  # mirror the decimal(38,10) accumulation
+            if best is None or s > best[0] + 1e-9:
+                best = (s, lang)
+        preds[doc_id] = best[1]
+    rows = q_naive_bayes_langid(spark, SF_DIR).collect()
+    assert len(rows) == len(docs)
+    agree = sum(1 for r in rows if preds[r["doc_id"]] == r["lang_pred"])
+    # float-vs-decimal accumulation may flip a genuine near-tie; the
+    # reference must agree on essentially every doc
+    assert agree >= len(rows) - 1, f"{len(rows) - agree} reference diffs"
+    acc = sum(r["is_correct"] for r in rows) / len(rows)
+    majority = max(n_docs.values()) / n
+    assert acc > majority, "NB must beat the majority-class baseline"
+
+
+# ---------------------------------------------------------------------------
+# brier_score
+# ---------------------------------------------------------------------------
+
+
+def test_brier_matches_per_row_recount(spark):
+    """brier_num equals the Python Σ(ppm − 10⁶y)², the double fields
+    re-derive from it, and the skill score is consistent with the
+    base-rate uncertainty."""
+    from defi_features_data_pipeline_spark.queries.learnops import (
+        _qc_features,
+        _qc_ppm_col,
+        _qc_train,
+        q_brier_score,
+    )
+
+    w, _ = _qc_train(spark, SF_DIR)
+    scored = (
+        _qc_features(spark, SF_DIR)
+        .select(_qc_ppm_col(w).alias("ppm"), "y")
+        .collect()
+    )
+    num = sum((r["ppm"] - 1_000_000 * r["y"]) ** 2 for r in scored)
+    got = q_brier_score(spark, SF_DIR).collect()[0]
+    assert int(got["brier_num"]) == num
+    assert got["n"] == len(scored)
+    assert abs(got["brier"] - num / (len(scored) * 1e12)) < 1e-15
+    ybar = got["n_pos"] / got["n"]
+    assert abs(got["uncertainty"] - ybar * (1 - ybar)) < 1e-15
+    assert 0.0 <= got["brier"] <= 1.0
+    assert abs(got["brier_skill"] - (1 - got["brier"] / got["uncertainty"])) < 1e-12
+    assert got["brier_skill"] > 0, "trained model must beat the base rate"
+
+
+# ---------------------------------------------------------------------------
+# shard_rebalance_audit
+# ---------------------------------------------------------------------------
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_shard_rebalance_matches_hashlib_reference(spark):
+    """Exact recount of both strategies with hashlib, and the audit's
+    whole point: the ring moves a small fraction (< new/old share +
+    slack) while mod-N moves nearly everything."""
+    from defi_features_data_pipeline_spark.queries.learnops import (
+        SHARDS_NEW,
+        SHARDS_OLD,
+        _ring_positions,
+        q_shard_rebalance_audit,
+    )
+
+    doc_ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{SF_DIR}/documents.parquet')"
+        ).fetchall()
+    ]
+    rings = {n: _ring_positions(n) for n in (SHARDS_OLD, SHARDS_NEW)}
+
+    def ring_owner(h, n):
+        for pos, shard in rings[n]:
+            if pos >= h:
+                return shard
+        return rings[n][0][1]
+
+    mod_moved = ring_moved = 0
+    for d in doc_ids:
+        h = _h32(f"ring:{d}")
+        mod_moved += (h % SHARDS_OLD) != (h % SHARDS_NEW)
+        ring_moved += ring_owner(h, SHARDS_OLD) != ring_owner(h, SHARDS_NEW)
+    rows = {r["strategy"]: r for r in q_shard_rebalance_audit(spark, SF_DIR).collect()}
+    assert rows["mod"]["n_moved"] == mod_moved
+    assert rows["ring"]["n_moved"] == ring_moved
+    for r in rows.values():
+        assert r["n_docs"] == len(doc_ids)
+        assert r["moved_ppm"] == r["n_moved"] * 1_000_000 // r["n_docs"]
+    # the audit's conclusion must hold on the corpus
+    assert rows["ring"]["moved_ppm"] < rows["mod"]["moved_ppm"]
+
+
+def test_ring_positions_are_plan_time_literals(spark):
+    """Ring points derive from md5 of the shard index alone — stable
+    across corpora and processes (a data-dependent ring would make the
+    'only the claimed arcs move' guarantee meaningless)."""
+    from defi_features_data_pipeline_spark.queries.learnops import (
+        _ring_positions,
+    )
+
+    pts = _ring_positions(16)
+    assert pts == sorted(pts)
+    assert len({p for p, _ in pts}) == 16
+    assert {s for _, s in pts} == set(range(16))
+    assert pts == _ring_positions(16)
