@@ -288,6 +288,7 @@ HEADLINE = [
     "mmr_diverse_rerank",
     "column_entropy_profile",
     "conformal_threshold",
+    "quantile_sketch_histogram",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -12246,3 +12246,175 @@ ORACLE_COLUMN_ENTROPY_PROFILE = "\nUNION ALL\n".join(
 
 EXT_QUERIES["column_entropy_profile"] = q_column_entropy_profile
 EXT_ORACLES["column_entropy_profile"] = ORACLE_COLUMN_ENTROPY_PROFILE
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch — the QUANTILE member of the
+# sketch family (HLL = distinct, MG = top-k, CM = frequency,
+# Bloom = membership, fixed-bin CDF = quantiles)
+# ---------------------------------------------------------------------------
+
+QSKETCH_BINS = 256
+QSKETCH_QS = (50, 90, 99)
+
+
+def q_quantile_sketch_histogram(spark, sf_dir):
+    """QUANTILE SKETCH: estimate p50/p90/p99 of order totals from a
+    {b}-bin equi-width histogram — a fixed-size, cell-wise-SUM
+    mergeable state (partitions/streams/days combine by addition, the
+    Count-Min property applied to quantiles) — and AUDIT it against the
+    exact nearest-rank quantile in the same result: the sketch's
+    contract is exact ∈ [bin_lo, bin_hi], pinned as a column the gate
+    hashes and a test asserts row-by-row.
+
+    All-integer: values are exact cents (floor of price·100 on the
+    2 dp-generated doubles), bin edges derive from min/max by bigint
+    floor-division, ranks are ⌈q·n/100⌉ by ceil-division, and both
+    CDF walks (per-bin for the sketch, per-distinct-value for the
+    exact answer) run through distributed machinery.
+
+    100 TB: the sketch side is one map-side-combinable {b}-key
+    aggregate + an O({b}) bounded cumulative (the skyline pattern:
+    single-partition work bounded by the literal bin count, never the
+    data); the exact side reduces to per-DISTINCT-value counts and a
+    global_prefix_sum two-pass scan. min/max/n ride scalar
+    subqueries."""
+    o = _t(spark, sf_dir, "orders")
+    vals = o.select(
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("v")
+    )
+    lo = vals.agg(F.min("v")).scalar()
+    hi = vals.agg(F.max("v")).scalar()
+    n = vals.agg(F.count(F.lit(1))).scalar()
+    binned = vals.withColumn("__lo", lo).withColumn("__hi", hi).withColumn(
+        "bin",
+        F.expr(f"(v - __lo) * {QSKETCH_BINS} div (__hi - __lo + 1)"),
+    )
+    sketch = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    # O(BINS) cumulative: the bin domain is the literal 0..{b}-1, so a
+    # global window over ≤{b} rows is bounded by construction (the
+    # skyline precedent), never by the corpus
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    sk_cum = sketch.withColumn("cum", F.sum("c").over(wb))
+    from ..operators.ranking import global_prefix_sum
+
+    per_v = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    ex_cum = global_prefix_sum(per_v, ["v"], "c", out_col="cum").localCheckpoint(
+        eager=True
+    )
+    sk_cum = sk_cum.localCheckpoint(eager=True)
+    # one row per quantile, each rank selection a SCALAR subquery over
+    # the cumulative frames — a `cum >= k` theta-JOIN would plan as a
+    # nested loop (sweep-banned); the subquery form keeps the plan
+    # join-free (both cum frames checkpoint once for the 2·|QS| probes)
+    legs = []
+    for q in QSKETCH_QS:
+        k_expr = F.expr(f"({q} * __n + 99) div 100")
+        exact_q = (
+            ex_cum.withColumn("__n", n)
+            .filter(F.col("cum") >= k_expr)
+            .agg(F.min("v"))
+            .scalar()
+        )
+        est_q = (
+            sk_cum.withColumn("__n", n)
+            .filter(F.col("cum") >= k_expr)
+            .agg(F.min("bin"))
+            .scalar()
+        )
+        legs.append(
+            spark.range(1).select(
+                F.lit(q).cast("int").alias("q_pct"),
+                F.lit(0).alias("__dummy"),
+            )
+            .withColumn("__n", n)
+            .withColumn("k", F.expr(f"({q} * __n + 99) div 100"))
+            .withColumn("exact_cents", exact_q)
+            .withColumn("est_bin", est_q)
+            .drop("__dummy", "__n")
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return (
+        out.withColumn("__lo", lo)
+        .withColumn("__hi", hi)
+        .withColumn(
+            "bin_lo_cents",
+            F.expr(f"__lo + est_bin * (__hi - __lo + 1) div {QSKETCH_BINS}"),
+        )
+        .withColumn(
+            "bin_hi_cents",
+            F.expr(
+                f"__lo + ((est_bin + 1) * (__hi - __lo + 1)) div {QSKETCH_BINS}"
+                " - 1"
+            ),
+        )
+        .select(
+            "q_pct",
+            "k",
+            "exact_cents",
+            "est_bin",
+            "bin_lo_cents",
+            "bin_hi_cents",
+            (
+                (F.col("exact_cents") >= F.col("bin_lo_cents"))
+                & (F.col("exact_cents") <= F.col("bin_hi_cents"))
+            ).alias("within_bound"),
+        )
+    )
+
+
+q_quantile_sketch_histogram.__doc__ = q_quantile_sketch_histogram.__doc__.format(
+    b=QSKETCH_BINS
+)
+
+_QSK_QS_VALUES = ", ".join(f"({q})" for q in QSKETCH_QS)
+
+ORACLE_QUANTILE_SKETCH_HISTOGRAM = f"""
+WITH vals AS MATERIALIZED (
+  SELECT CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v FROM orders
+),
+stats AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM vals),
+sk AS (
+  SELECT (v - lo) * {QSKETCH_BINS} // (hi - lo + 1) AS bin, count(*) AS c
+  FROM vals CROSS JOIN stats GROUP BY 1
+),
+sk_cum AS (
+  SELECT bin, SUM(c) OVER (ORDER BY bin
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sk
+),
+ex_cum AS (
+  SELECT v, SUM(c) OVER (ORDER BY v
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (SELECT v, count(*) AS c FROM vals GROUP BY 1)
+),
+ranks AS (
+  SELECT q_pct, (q_pct * n + 99) // 100 AS k
+  FROM (VALUES {_QSK_QS_VALUES}) AS g(q_pct) CROSS JOIN stats
+),
+exact AS (
+  SELECT q_pct, k, min(v) AS exact_cents
+  FROM ranks JOIN ex_cum ON cum >= k GROUP BY 1, 2
+),
+est AS (
+  SELECT q_pct, min(bin) AS est_bin
+  FROM ranks JOIN sk_cum ON cum >= k GROUP BY 1
+)
+SELECT e.q_pct, CAST(e.k AS BIGINT) AS k,
+       e.exact_cents, s.est_bin,
+       lo + s.est_bin * (hi - lo + 1) // {QSKETCH_BINS} AS bin_lo_cents,
+       lo + ((s.est_bin + 1) * (hi - lo + 1)) // {QSKETCH_BINS} - 1
+         AS bin_hi_cents,
+       e.exact_cents
+         BETWEEN lo + s.est_bin * (hi - lo + 1) // {QSKETCH_BINS}
+             AND lo + ((s.est_bin + 1) * (hi - lo + 1)) // {QSKETCH_BINS} - 1
+         AS within_bound
+FROM exact e JOIN est s USING (q_pct) CROSS JOIN stats
+"""
+
+EXT_QUERIES["quantile_sketch_histogram"] = q_quantile_sketch_histogram
+EXT_ORACLES["quantile_sketch_histogram"] = ORACLE_QUANTILE_SKETCH_HISTOGRAM

@@ -372,3 +372,66 @@ def test_conformal_coverage_guarantee_and_rank(spark):
     # finite-sample property on the calibration half
     assert sum(1 for s in cal if s <= got["threshold_s"]) >= k
     assert got["coverage_ppm"] > 500_000
+
+
+# ---------------------------------------------------------------------------
+# quantile_sketch_histogram (wave 10)
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_sketch_bounds_and_exact_ranks(spark):
+    """The exact quantile is the true nearest-rank value (Python
+    recount on cents), the sketch bin really contains it (the
+    mergeable-sketch contract, asserted row-by-row), and the bin
+    bound is tight: width ≤ ⌈range/bins⌉."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        QSKETCH_BINS,
+        q_quantile_sketch_histogram,
+    )
+
+    prices = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT o_totalprice FROM read_parquet('{SF_DIR}/orders.parquet')"
+        ).fetchall()
+    ]
+    cents = sorted(int(math.floor(p * 100.0)) for p in prices)
+    n = len(cents)
+    rows = {r["q_pct"]: r for r in q_quantile_sketch_histogram(spark, SF_DIR).collect()}
+    assert sorted(rows) == [50, 90, 99]
+    lo, hi = cents[0], cents[-1]
+    for q, r in rows.items():
+        k = -(-(q * n) // 100)
+        assert r["k"] == k
+        assert r["exact_cents"] == cents[k - 1]
+        assert r["within_bound"] is True
+        assert r["bin_lo_cents"] <= r["exact_cents"] <= r["bin_hi_cents"]
+        width = r["bin_hi_cents"] - r["bin_lo_cents"] + 1
+        assert width <= -(-(hi - lo + 1) // QSKETCH_BINS)
+
+
+def test_quantile_sketch_is_mergeable(spark):
+    """Cell-wise addition of two half-corpus sketches equals the whole
+    sketch — the property that lets partitions/streams/days combine
+    (recomputed in Python on the same binning formula)."""
+    from collections import Counter
+
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        QSKETCH_BINS,
+    )
+
+    prices = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT o_totalprice FROM read_parquet('{SF_DIR}/orders.parquet')"
+        ).fetchall()
+    ]
+    cents = [int(math.floor(p * 100.0)) for p in prices]
+    lo, hi = min(cents), max(cents)
+
+    def sketch(vals):
+        return Counter((v - lo) * QSKETCH_BINS // (hi - lo + 1) for v in vals)
+
+    whole = sketch(cents)
+    merged = sketch(cents[::2]) + sketch(cents[1::2])
+    assert whole == merged
