@@ -289,6 +289,7 @@ HEADLINE = [
     "column_entropy_profile",
     "conformal_threshold",
     "quantile_sketch_histogram",
+    "isotonic_calibration_bins",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

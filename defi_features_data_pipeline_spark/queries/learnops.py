@@ -2699,3 +2699,169 @@ FROM ev CROSS JOIN nc CROSS JOIN k
 """
 )
 LEARNOPS_QUERIES["conformal_threshold"] = q_conformal_threshold
+
+
+# ---------------------------------------------------------------------------
+# Isotonic recalibration (PAVA via the minimax closed form)
+# ---------------------------------------------------------------------------
+
+ISO_BINS = 10
+
+
+def q_isotonic_calibration_bins(spark, sf_dir):
+    """ISOTONIC RECALIBRATION of the quality classifier's reliability
+    bins: fit the monotone step function minimizing squared error to
+    the per-bin positive rates (pool-adjacent-violators), giving the
+    score→calibrated-probability map a consumer applies after
+    `classifier_calibration_bins` DIAGNOSES miscalibration — diagnose
+    then REPAIR, the missing half of the calibration story.
+
+    PAVA is sequential, but over B = {b} bins it has the exact minimax
+    closed form  iso(i) = max_{{j≤i}} min_{{k≥j}} avg(y[j..k]), so the
+    whole fit is (j,k)-interval averages from prefix sums — every join
+    lands on a LITERAL (j,k)/(i,j) grid (≤ B(B+1)/2 rows, equi keys,
+    no nested loop, no iteration); intervals spanning empty bins pool
+    the same present points, so sparse bins need no special casing.
+
+    Determinism: prefix sums are exact ints; each interval average is
+    ONE correctly-rounded double division of exact ints; min/max
+    selections on identical doubles are identical — no rounding enters
+    anywhere.
+
+    100 TB: the bin rollup is the only corpus-touching stage
+    (map-side combinable, ≤ B keys); everything after runs on ≤ B-row
+    frames — the prefix window is bounded by the literal bin domain
+    (the skyline pattern), and the corpus-derived bin frame enters its
+    final join pinned shuffle_hash (derived grouping key — the
+    event_transition verdict)."""
+    from pyspark.sql import Window
+
+    w, _ = _qc_train(spark, sf_dir)
+    feats = _qc_features(spark, sf_dir)
+    ppm = _qc_ppm_col(w)
+    binc = F.least(ppm / F.lit(100000), F.lit(9)).cast("long")
+    bins = (
+        feats.select(binc.alias("bin"), "y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+    )
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    prefix = bins.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        F.sum("n_docs").over(wb).alias("cn"),
+        F.sum("n_pos").over(wb).alias("cp"),
+    ).localCheckpoint(eager=True)
+    grid_jk = spark.createDataFrame(
+        [(j, k) for j in range(ISO_BINS) for k in range(j, ISO_BINS)],
+        "j int, k int",
+    )
+    at_k = prefix.select(
+        F.col("bin").alias("__k"), F.col("cn").alias("cn_k"),
+        F.col("cp").alias("cp_k"),
+    )
+    before_j = prefix.select(
+        F.col("bin").alias("__jm1"), F.col("cn").alias("cn_j"),
+        F.col("cp").alias("cp_j"),
+    )
+    intervals = (
+        grid_jk.join(at_k.hint("shuffle_hash"), F.col("k") == F.col("__k"))
+        .join(
+            before_j.hint("shuffle_hash"),
+            F.col("j") - 1 == F.col("__jm1"),
+            "left",
+        )
+        .select(
+            "j",
+            "k",
+            (F.col("cn_k") - F.coalesce(F.col("cn_j"), F.lit(0))).alias("nn"),
+            (F.col("cp_k") - F.coalesce(F.col("cp_j"), F.lit(0))).alias("pp"),
+        )
+        .filter(F.col("nn") > 0)
+        .withColumn(
+            "avg_jk", F.col("pp").cast("double") / F.col("nn").cast("double")
+        )
+    )
+    minm = intervals.groupBy("j").agg(F.min("avg_jk").alias("minm"))
+    grid_ij = spark.createDataFrame(
+        [(i, j) for i in range(ISO_BINS) for j in range(i + 1)],
+        "i int, j int",
+    )
+    iso = (
+        grid_ij.join(minm.hint("shuffle_hash"), "j")
+        .groupBy("i")
+        .agg(F.max("minm").alias("iso_rate"))
+    )
+    return (
+        bins.join(
+            iso.hint("shuffle_hash"),
+            F.col("bin") == F.col("i").cast("long"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.expr("n_pos * 1000000 div n_docs").alias("raw_rate_ppm"),
+            "iso_rate",
+        )
+    )
+
+
+q_isotonic_calibration_bins.__doc__ = (
+    q_isotonic_calibration_bins.__doc__.format(b=ISO_BINS)
+)
+
+LEARNOPS_ORACLES["isotonic_calibration_bins"] = (
+    "WITH "
+    + _qc_train_ctes()
+    + f""",
+bins AS MATERIALIZED (
+  SELECT least({_QC_PPM_FINAL} // 100000, 9) AS bin,
+         count(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM qf CROSS JOIN w{QC_ITERS} w
+  GROUP BY 1
+),
+prefix AS MATERIALIZED (
+  SELECT bin, n_docs, n_pos,
+         SUM(n_docs) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         SUM(n_pos) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+  FROM bins
+),
+grid_jk AS (
+  SELECT j.j, k.k FROM range({ISO_BINS}) j(j)
+  JOIN range({ISO_BINS}) k(k) ON k.k >= j.j
+),
+intervals AS MATERIALIZED (
+  SELECT g.j, g.k,
+         ak.cn - COALESCE(bj.cn, 0) AS nn,
+         ak.cp - COALESCE(bj.cp, 0) AS pp
+  FROM grid_jk g
+  JOIN prefix ak ON ak.bin = g.k
+  LEFT JOIN prefix bj ON bj.bin = g.j - 1
+),
+avgs AS (
+  SELECT j, k, CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE) AS avg_jk
+  FROM intervals WHERE nn > 0
+),
+minm AS MATERIALIZED (SELECT j, min(avg_jk) AS minm FROM avgs GROUP BY 1),
+grid_ij AS (
+  SELECT i.i, j.j FROM range({ISO_BINS}) i(i)
+  JOIN range({ISO_BINS}) j(j) ON j.j <= i.i
+),
+iso AS (
+  SELECT i, max(minm) AS iso_rate
+  FROM grid_ij JOIN minm USING (j) GROUP BY 1
+)
+SELECT b.bin, b.n_docs, b.n_pos,
+       b.n_pos * 1000000 // b.n_docs AS raw_rate_ppm,
+       iso.iso_rate
+FROM bins b JOIN iso ON iso.i = b.bin
+"""
+)
+LEARNOPS_QUERIES["isotonic_calibration_bins"] = q_isotonic_calibration_bins

@@ -435,3 +435,51 @@ def test_quantile_sketch_is_mergeable(spark):
     whole = sketch(cents)
     merged = sketch(cents[::2]) + sketch(cents[1::2])
     assert whole == merged
+
+
+# ---------------------------------------------------------------------------
+# isotonic_calibration_bins (wave 11)
+# ---------------------------------------------------------------------------
+
+
+def test_isotonic_matches_sequential_pava(spark):
+    """The minimax closed form equals a textbook sequential
+    pool-adjacent-violators run on the same (n, pos) bins, the fit is
+    monotone non-decreasing, and pooled means conserve mass (the
+    weighted mean of iso equals the global positive rate)."""
+    from defi_features_data_pipeline_spark.queries.learnops import (
+        q_isotonic_calibration_bins,
+    )
+
+    rows = sorted(
+        q_isotonic_calibration_bins(spark, SF_DIR).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert rows, "no calibration bins"
+    # sequential PAVA reference
+    blocks = []  # (sum_pos, sum_n)
+    for r in rows:
+        blocks.append((r["n_pos"], r["n_docs"]))
+        while len(blocks) >= 2 and (
+            blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):
+            p2, n2 = blocks.pop()
+            p1, n1 = blocks.pop()
+            blocks.append((p1 + p2, n1 + n2))
+    # expand block means back over the bins
+    means, i = [], 0
+    for p, n in blocks:
+        covered = 0
+        while covered < n:
+            covered += rows[i]["n_docs"]
+            means.append(p / n)
+            i += 1
+        assert covered == n, "block boundary misaligned with bins"
+    for r, m in zip(rows, means):
+        assert abs(r["iso_rate"] - m) < 1e-12
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso), "isotonic fit must be monotone"
+    total_pos = sum(r["n_pos"] for r in rows)
+    total_n = sum(r["n_docs"] for r in rows)
+    wmean = sum(r["iso_rate"] * r["n_docs"] for r in rows) / total_n
+    assert abs(wmean - total_pos / total_n) < 1e-9, "PAVA conserves mass"
