@@ -395,6 +395,18 @@ SCALE_PROBE = {
     "chi2_token_selection": 1.0,
     # per-key rollup + 4 hash rows per DISTINCT key into an O(1) grid
     "count_min_sketch": 1.0,
+    # r8 waves 7-11: classifier-eval reductions (per-distinct-score +
+    # prefix sum), the NB token explode with its vocab-sized model
+    # join, the IVF-blocked DBSCAN (linear pairs + fixed CC rounds),
+    # the Bloom probe (k hash rows/key into an O(1) bit set), the
+    # mirror-pair rank join, and the histogram-CDF quantile sketch —
+    # all single-decade-linear by construction
+    "classifier_auc_roc": 1.0,
+    "naive_bayes_langid": 1.0,
+    "dbscan_clusters_blocked": 1.0,
+    "bloom_membership": 1.0,
+    "preference_pairs": 1.0,
+    "quantile_sketch_histogram": 1.0,
 }
 
 # 100x probe (r7 verdict item 8 → r8): the sf10 run that caught the
