@@ -11841,14 +11841,23 @@ def q_dbscan_clusters_blocked(spark, sf_dir):
     cos = F.round(
         _dot(F.col("va"), F.col("vb")) / (F.col("na_") * F.col("nb_")), 6
     )
+    from pyspark.storagelevel import StorageLevel
+
     pairs = (
         cand.join(va.hint("shuffle_hash"), "ia")
         .join(vb.hint("shuffle_hash"), "ib")
         .select("ia", "ib", cos.alias("s"))
         .filter(F.col("s") >= DBSCAN_EPS)
         .select("ia", "ib")
-        .localCheckpoint(eager=True)
+        # DISK_ONLY, not localCheckpoint: the pair relation is
+        # corpus-scaled, and checkpoint blocks are memory-first —
+        # at the 100x probe they compete with the producing stage's
+        # own hash aggregates in unified memory (PLANS.md addendum 7:
+        # market_basket died exactly this way). 2 bigints/row, so the
+        # three consumer re-reads are sequential-scan cheap.
+        .persist(StorageLevel.DISK_ONLY)
     )
+    pairs.count()  # materialize before fan-out
     sym = pairs.union(pairs.select(F.col("ib"), F.col("ia")))
     deg = sym.groupBy("ia").agg(F.count(F.lit(1)).alias("eps_degree"))
     core = deg.filter(F.col("eps_degree") >= DBSCAN_MINPTS).select(
@@ -12301,9 +12310,10 @@ def q_quantile_sketch_histogram(spark, sf_dir):
     from ..operators.ranking import global_prefix_sum
 
     per_v = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-    ex_cum = global_prefix_sum(per_v, ["v"], "c", out_col="cum").localCheckpoint(
-        eager=True
-    )
+    # global_prefix_sum pins its own checkpoint internally — no extra
+    # materialization needed for ex_cum; sk_cum is ≤ QSKETCH_BINS rows
+    # (small frame — localCheckpoint is the right tool, addendum 7)
+    ex_cum = global_prefix_sum(per_v, ["v"], "c", out_col="cum")
     sk_cum = sk_cum.localCheckpoint(eager=True)
     # one row per quantile, each rank selection a SCALAR subquery over
     # the cumulative frames — a `cum >= k` theta-JOIN would plan as a

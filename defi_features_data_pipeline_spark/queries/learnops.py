@@ -2253,9 +2253,16 @@ def q_naive_bayes_langid(spark, sf_dir):
         .filter(F.size("__toks") > 0)
         .select("doc_id", "lang", "__toks")
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # DISK_ONLY, not localCheckpoint: the occurrence relation is
+    # corpus-scaled with FOUR consumers (vocab, counts, totals,
+    # scoring) — memory-first checkpoint blocks contend with the
+    # consumers' own hash aggregates at scale (PLANS.md addendum 7)
     inst = nz.select(
         "doc_id", "lang", F.explode("__toks").alias("tok")
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.DISK_ONLY)
+    inst.count()  # materialize before fan-out
     vocab = inst.select("tok").distinct()
     v_count = vocab.agg(F.count(F.lit(1))).scalar()
     cnt = inst.groupBy(F.col("lang").alias("c_lang"), "tok").agg(
