@@ -12082,7 +12082,6 @@ q_mmr_diverse_rerank.__doc__ = q_mmr_diverse_rerank.__doc__.format(
 
 
 def _mmr_oracle() -> str:
-    bm25_cte = ORACLE_BM25_SEARCH.strip().removeprefix("WITH ")
     parts = [
         f"cands AS MATERIALIZED (SELECT doc_id, bm25 FROM ({ORACLE_BM25_SEARCH}))",
         "rel AS MATERIALIZED (SELECT doc_id, "
@@ -12116,7 +12115,6 @@ ssym AS MATERIALIZED (
         "ORDER BY 0.5 * rel - 0.5 * 0.0 DESC, doc_id ASC LIMIT 1)",
         "selall1 AS MATERIALIZED (SELECT doc_id FROM sel1)",
     ]
-    _ = bm25_cte  # (bm25 oracle is self-contained; embedded via subquery)
     for i in range(2, MMR_K + 1):
         p = i - 1
         parts.append(
