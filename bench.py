@@ -524,6 +524,11 @@ KNOWN_SLOW = {
     # recursive CTE: wall = recursion depth × per-level stage-schedule
     # cost (a constant), not data volume — see queries/warehouse.py
     "recursive_order_chain",
+    # DBSCAN = the dedup_clusters CC engine + degree/border passes:
+    # pointer-jumping rounds carry a fixed per-round stage-schedule
+    # cost (the same profile as the three CC members above); its sf1
+    # probe row pins that DATA growth stays linear
+    "dbscan_clusters_blocked",
 }
 
 
