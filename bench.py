@@ -290,6 +290,7 @@ HEADLINE = [
     "conformal_threshold",
     "quantile_sketch_histogram",
     "isotonic_calibration_bins",
+    "streaming_conformal_filter",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

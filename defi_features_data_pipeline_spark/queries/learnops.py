@@ -2872,3 +2872,93 @@ FROM bins b JOIN iso ON iso.i = b.bin
 """
 )
 LEARNOPS_QUERIES["isotonic_calibration_bins"] = q_isotonic_calibration_bins
+
+
+# ---------------------------------------------------------------------------
+# Streaming conformal filter — calibrate offline, guarantee online
+# ---------------------------------------------------------------------------
+
+
+def _conformal_cal_threshold(spark, sf_dir) -> int:
+    """The split-conformal threshold as a DRIVER INTEGER — the frozen
+    model artifact the streaming filter ships into every micro-batch
+    (exactly the computation inside q_conformal_threshold, collected:
+    per-score counts + prefix sum + ⌈0.9(n+1)⌉-rank selection)."""
+    from ..operators.ranking import global_prefix_sum
+
+    w, _ = _qc_train(spark, sf_dir)
+    feats = _qc_features(spark, sf_dir)
+    h2 = _h(F.concat(F.lit("conf:"), F.col("doc_id").cast("string"))) % 2
+    # ONE-CLASS calibration: nonconformity of the KNOWN-GOOD examples
+    # only (s = 10**6 - ppm over calibration positives). The serving
+    # guarantee a curation filter wants is "lose <= alpha of the good
+    # documents"; calibrating on the mixed set puts the threshold so
+    # high the filter keeps everything (measured: 500/500 at sf0.001 vs
+    # 241/500 one-class).
+    cal = feats.filter(h2 == 0).filter(F.col("y") == 1).select(
+        (F.lit(1000000) - _qc_ppm_col(w)).alias("s")
+    )
+    n = cal.count()
+    k = ((n + 1) * (CONFORMAL_ALPHA_DEN - CONFORMAL_ALPHA_NUM)
+         + CONFORMAL_ALPHA_DEN - 1) // CONFORMAL_ALPHA_DEN
+    per_s = cal.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    cum = global_prefix_sum(per_s, ["s"], "c", out_col="cum")
+    return cum.filter(F.col("cum") >= k).agg(F.min("s")).collect()[0][0]
+
+
+def q_streaming_conformal_filter(spark, sf_dir):
+    """§2.9 STREAMING CONFORMAL FILTER: calibrate the split-conformal
+    threshold OFFLINE (q_conformal_threshold's machinery, collected to
+    one driver integer), then keep exactly the streamed documents
+    whose keep-hypothesis survives at level α — s₁ = 10⁶ − ppm ≤
+    threshold, i.e. the conformal prediction set contains "high
+    quality". The distribution-free ≥ 1−α guarantee rides a STATELESS
+    column filter: no state store, no watermark, no shuffle — the
+    highest-throughput streaming class, same as
+    streaming_quality_filter but with a calibrated threshold instead
+    of the raw 0.5 cut.
+
+    Over bounded input the kept set equals the batch filter at the
+    same threshold, which is what the oracle checks."""
+    from .extensions import _run_stream
+
+    thr = _conformal_cal_threshold(spark, sf_dir)
+    w, _ = _qc_train(spark, sf_dir)
+    feats = _qc_feature_frame(_stream_documents(spark, sf_dir))
+    ppm = _qc_ppm_col(w)
+    kept = feats.select("doc_id", ppm.alias("p_ppm")).filter(
+        F.lit(1000000) - F.col("p_ppm") <= F.lit(int(thr))
+    )
+    name = _run_stream(kept, "append")
+    return spark.table(name)
+
+
+LEARNOPS_QUERIES["streaming_conformal_filter"] = q_streaming_conformal_filter
+LEARNOPS_ORACLES["streaming_conformal_filter"] = (
+    "WITH "
+    + _qc_train_ctes()
+    + f""",
+scored AS MATERIALIZED (
+  SELECT doc_id, {_QC_PPM_FINAL} AS ppm,
+         {H_SQL.format(x="'conf:' || CAST(doc_id AS VARCHAR)")} % 2 = 0
+           AS is_cal, y,
+         CASE WHEN y = 1 THEN 1000000 - {_QC_PPM_FINAL}
+              ELSE {_QC_PPM_FINAL} END AS s
+  FROM qf CROSS JOIN w{QC_ITERS} w
+),
+cal AS (SELECT 1000000 - ppm AS s FROM scored WHERE is_cal AND y = 1),
+nc AS (SELECT count(*) AS n FROM cal),
+k AS (SELECT ((n + 1) * ({CONFORMAL_ALPHA_DEN} - {CONFORMAL_ALPHA_NUM})
+              + {CONFORMAL_ALPHA_DEN} - 1) // {CONFORMAL_ALPHA_DEN} AS k
+      FROM nc),
+cum AS (
+  SELECT s, SUM(count(*)) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM cal GROUP BY s
+),
+thr AS (SELECT min(s) AS thr FROM cum CROSS JOIN k WHERE cum >= k.k)
+SELECT doc_id, ppm AS p_ppm
+FROM scored CROSS JOIN thr
+WHERE 1000000 - ppm <= thr.thr
+"""
+)

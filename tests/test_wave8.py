@@ -483,3 +483,44 @@ def test_isotonic_matches_sequential_pava(spark):
     total_n = sum(r["n_docs"] for r in rows)
     wmean = sum(r["iso_rate"] * r["n_docs"] for r in rows) / total_n
     assert abs(wmean - total_pos / total_n) < 1e-9, "PAVA conserves mass"
+
+
+# ---------------------------------------------------------------------------
+# streaming_conformal_filter (wave 12)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_conformal_keeps_enough_positives(spark):
+    """The serving guarantee: ≥ 1−α of the calibration-positive class
+    survives the filter (finite-sample, by construction of the k-th
+    order statistic), the filter actually rejects documents (not
+    vacuous), and stream == batch at the same threshold."""
+    from defi_features_data_pipeline_spark.queries.learnops import (
+        _conformal_cal_threshold,
+        _qc_features,
+        _qc_ppm_col,
+        _qc_train,
+        q_streaming_conformal_filter,
+    )
+
+    thr = _conformal_cal_threshold(spark, SF_DIR)
+    w, _ = _qc_train(spark, SF_DIR)
+    rows = (
+        _qc_features(spark, SF_DIR)
+        .select("doc_id", _qc_ppm_col(w).alias("ppm"), "y")
+        .collect()
+    )
+    kept = {r["doc_id"] for r in q_streaming_conformal_filter(spark, SF_DIR).collect()}
+    batch_kept = {r["doc_id"] for r in rows if 1_000_000 - r["ppm"] <= thr}
+    assert kept == batch_kept, "stream and batch filters must agree"
+    assert 0 < len(kept) < len(rows), "filter must actually discriminate"
+    import hashlib as _hl
+
+    def _cal(d):
+        return int(_hl.md5(f"conf:{d}".encode()).hexdigest()[:8], 16) % 2 == 0
+
+    cal_pos = [r for r in rows if _cal(r["doc_id"]) and r["y"] == 1]
+    survived = sum(1 for r in cal_pos if r["doc_id"] in kept)
+    assert survived * 10 >= len(cal_pos) * 9 - 10, (
+        "must keep >= ~90% of the known-good calibration class"
+    )
