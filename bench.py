@@ -432,6 +432,13 @@ SCALE_PROBE_100X = {
     # distinct + order-keyed pair join) and the doc-token χ² rollups
     "market_basket_pairs": 1.0,
     "chi2_token_selection": 1.0,
+    # r8 wave 7-11 representatives: the IVF-blocked DBSCAN (pairs are
+    # linear via the block-width policy; CC rounds fixed; the pair
+    # relation persists DISK_ONLY per addendum 7) and the NB token
+    # explode with its |langs|x fan-out through the shuffle_hash model
+    # join — the two new shapes with real 100x exposure
+    "dbscan_clusters_blocked": 1.0,
+    "naive_bayes_langid": 1.0,
 }
 SCALE_PROBE_100X_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "testdata_scale", "sf10"
