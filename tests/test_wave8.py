@@ -524,3 +524,73 @@ def test_streaming_conformal_keeps_enough_positives(spark):
     assert survived * 10 >= len(cal_pos) * 9 - 10, (
         "must keep >= ~90% of the known-good calibration class"
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-gate properties (close-out)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_fp_rate_tracks_the_formula(spark):
+    """The observed false-positive count stays within a loose factor of
+    the analytic expectation (1−e^{−kn/m})^k · |non-members| — a wildly
+    higher rate would mean the k hashes are correlated (e.g. a copy-
+    paste bug hashing the same salt k times)."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        BLOOM_K,
+        BLOOM_M,
+        q_bloom_membership,
+    )
+
+    rows = q_bloom_membership(spark, SF_DIR).collect()
+    n_members = sum(r["truly_present"] for r in rows)
+    n_non = len(rows) - n_members
+    fp = sum(r["false_positive"] for r in rows)
+    fill = 1.0 - math.exp(-BLOOM_K * n_members / BLOOM_M)
+    expected_fp = (fill**BLOOM_K) * n_non
+    # loose: 4x the expectation + a small absolute allowance
+    assert fp <= 4 * expected_fp + 3, (fp, expected_fp, n_members, n_non)
+
+
+def test_mmr_actually_diversifies_vs_pure_relevance(spark):
+    """The MMR selection's worst (max) intra-set similarity is no
+    worse than the pure-relevance top-k's — the property the operator
+    exists to provide (equality allowed: if no near-dups rank high,
+    MMR degenerates to relevance order, which is correct)."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        MMR_K,
+        q_bm25_search,
+        q_mmr_diverse_rerank,
+    )
+
+    cands = sorted(
+        ((r["doc_id"], r["bm25"]) for r in q_bm25_search(spark, SF_DIR).collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    top_rel = [d for d, _ in cands[:MMR_K]]
+    mmr_sel = [
+        r["doc_id"] for r in q_mmr_diverse_rerank(spark, SF_DIR).collect()
+    ]
+
+    emb = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"""SELECT vec_id, CAST(embedding AS DOUBLE[])
+                FROM read_parquet('{SF_DIR}/embeddings.parquet')"""
+        ).fetchall()
+    }
+
+    def max_pair_sim(ids):
+        best = -2.0
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                va, vb = emb.get(a), emb.get(b)
+                if va is None or vb is None:
+                    continue
+                dot = sum(x * y for x, y in zip(va, vb))
+                na = math.sqrt(sum(x * x for x in va))
+                nb = math.sqrt(sum(x * x for x in vb))
+                best = max(best, dot / (na * nb))
+        return best
+
+    assert max_pair_sim(mmr_sel) <= max_pair_sim(top_rel) + 1e-9
