@@ -214,16 +214,25 @@ def point_in_interval_agg(
         .join(per_bucket, "__b")
         .select(*contrib_cols)
     )
-    edge_pairs = (
-        exploded.filter(~is_full)
-        .join(p, "__b")
-        .filter(
-            (F.col(start) <= F.col(point_time))
-            & (F.col(point_time) <= F.col(end))
-        )
+    # Edge join safety + width: project BOTH sides down before joining.
+    # Points keep only (__b, point_time, sum_cols) — the join must not
+    # shuffle point columns it never uses — and the interval columns go
+    # behind reserved __iv_* aliases so a column name shared between
+    # points and intervals (other than __b) cannot make the residual
+    # BETWEEN references ambiguous.
+    p_edge = p.select("__b", point_time, *sum_cols)
+    iv_edge = exploded.filter(~is_full).select(
+        F.col("__b"),
+        F.col(interval_id).alias("__iv_id"),
+        F.col(start).alias("__iv_start"),
+        F.col(end).alias("__iv_end"),
+    )
+    edge_pairs = iv_edge.join(p_edge, "__b").filter(
+        (F.col("__iv_start") <= F.col(point_time))
+        & (F.col(point_time) <= F.col("__iv_end"))
     )
     edge = edge_pairs.select(
-        interval_id,
+        F.col("__iv_id").alias(interval_id),
         F.lit(1).cast("long").alias("__cnt"),
         *[F.col(c).cast(dec).alias(f"__s_{c}") for c in sum_cols],
     )

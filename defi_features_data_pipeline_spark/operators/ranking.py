@@ -142,6 +142,9 @@ def grouped_rank(
     Group columns must be non-null (map keys join on a string
     concatenation). Returns (ranked_df, {group_tuple: total_rows}) —
     the totals are free (same collect) and grouped_ntile needs them.
+    Group tuples hold Spark's cast('string') rendering of each group
+    value (NOT Python str()) so they compose with cast('string')
+    lookup keys for any group column type.
 
     Same checkpoint-pinning rationale as global_rank: the sampled
     range boundaries must not re-draw between the size collect and the
@@ -155,15 +158,24 @@ def grouped_rank(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    # The size collect aggregates on the PRE-CAST string rendering of
+    # the group columns so the driver-side map keys are Spark's OWN
+    # renderings — Python str(value) diverges from cast('string') for
+    # booleans ('True' vs 'true'), floats ('1e-07' vs '1.0E-7'),
+    # timestamps and decimals, which would make the element_at lookup
+    # return NULL and silently NULL every rank in that group.
     rows = (
-        ranged.groupBy("__pid", *group_by)
+        ranged.groupBy(
+            "__pid",
+            *[F.col(c).cast("string").alias(c) for c in group_by],
+        )
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
     totals: dict[tuple, int] = {}
     offsets: dict[tuple, int] = {}
     for r in sorted(rows, key=lambda r: r["__pid"]):
-        gk = tuple(str(r[c]) for c in group_by)
+        gk = tuple(r[c] for c in group_by)
         offsets[(r["__pid"], *gk)] = totals.get(gk, 0)
         totals[gk] = totals.get(gk, 0) + r["n"]
     sep = "\x1f"

@@ -125,6 +125,16 @@ def _unbounded_corpus_tables(node, corpus: tuple[str, ...]) -> set[str]:
     if "Join" in name:
         try:
             if node.joinType().toString() == "LeftSemi":
+                # A semi join only BOUNDS its output when the filtering
+                # (right) side is itself bounded — a corpus-scaled frame
+                # semi-joined against a corpus-derived key set (e.g. a
+                # frequent-item table) is still corpus-scaled, and an
+                # estimate-fed broadcast above that shape must not pass.
+                kids = _children(node)
+                if len(kids) == 2:
+                    if _unbounded_corpus_tables(kids[1], corpus):
+                        return _unbounded_corpus_tables(kids[0], corpus)
+                    return set()
                 return set()
         except Exception:  # noqa: BLE001 — joins without joinType
             pass

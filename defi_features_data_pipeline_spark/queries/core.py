@@ -45,7 +45,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # functions (year(), date-string casts) are session-timezone
     # dependent while DuckDB is UTC-naive — pin UTC here (runtime conf).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from ..sources.splits import multisplit_path
+
+    return spark.read.parquet(
+        multisplit_path(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    )
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1295,8 +1295,15 @@ def q_market_basket_pairs(spark, sf_dir):
         "n2",
         F.expr("CAST(pair_orders * 1000000 DIV n1 AS BIGINT)").alias("conf12_ppm"),
         F.expr("CAST(pair_orders * 1000000 DIV n2 AS BIGINT)").alias("conf21_ppm"),
+        # The lift numerator (pair_orders · N · 1e6) exceeds BIGINT long
+        # before the corpus is interesting (N·pair_orders ≳ 9e12) — ANSI
+        # Spark throws, non-ANSI silently wraps, DuckDB promotes; the
+        # DECIMAL(38,0) operands keep the product exact in both engines
+        # (DuckDB side uses HUGEINT — its DECIMAL `//` hops via DOUBLE).
+        # The QUOTIENT fits BIGINT by construction (≤ N · 1e6 / n1).
         F.expr(
-            "CAST(pair_orders * __N * 1000000 DIV (n1 * n2) AS BIGINT)"
+            "CAST(CAST(pair_orders AS DECIMAL(38,0)) * __N * 1000000"
+            " DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
         ).alias("lift_ppm"),
     )
 
@@ -1322,8 +1329,8 @@ n AS (SELECT count(DISTINCT o) AS total_orders FROM items)
 SELECT p1, p2, pair_orders, f1.n_item AS n1, f2.n_item AS n2,
        CAST(pair_orders * 1000000 // f1.n_item AS BIGINT) AS conf12_ppm,
        CAST(pair_orders * 1000000 // f2.n_item AS BIGINT) AS conf21_ppm,
-       CAST(pair_orders * (SELECT total_orders FROM n) * 1000000
-            // (f1.n_item * f2.n_item) AS BIGINT) AS lift_ppm
+       CAST(CAST(pair_orders AS HUGEINT) * (SELECT total_orders FROM n) * 1000000
+            // (CAST(f1.n_item AS HUGEINT) * f2.n_item) AS BIGINT) AS lift_ppm
 FROM pairs
 JOIN freq f1 ON pairs.p1 = f1.p
 JOIN freq f2 ON pairs.p2 = f2.p

@@ -1,0 +1,167 @@
+"""The canary-normalized regression gate in bench.py (r8 verdict item
+1: a 9.8× per-query regression shipped inside an "empty regressions
+block" because raw wall times drowned in the ±25% whole-VM noise
+band). Pure-Python tests — no Spark session — over the gate's three
+pieces: the canary ratio, the normalized flag rule, and the compact
+driver line's 2000-char stdout cap."""
+
+import json
+
+import bench
+
+
+# ---------------------------------------------------------------------------
+# _normalized_regressions — the vs-self rule
+# ---------------------------------------------------------------------------
+
+
+def test_injected_slowdown_is_flagged():
+    """A genuine 2× slowdown on a steady machine (canary ratio 1.0)
+    must be flagged — this is the r8 entity_match_pairs shape (0.33 →
+    3.23 s) that the old 3×-raw rule let through only because the
+    sub-second floor exempted it; the absolute-delta floor (0.5 s)
+    keeps it in scope."""
+    prior = {"q_fast": 0.33, "q_other": 1.0}
+    now = {"q_fast": 3.23, "q_other": 1.05}
+    flagged = bench._normalized_regressions(now, prior, canary_ratio=1.0)
+    assert set(flagged) == {"q_fast"}
+    assert flagged["q_fast"]["normalized_ratio"] > 9
+
+
+def test_uniform_machine_slowdown_not_flagged():
+    """When the whole VM runs 2× slower (canary ratio 2.0), raw times
+    double everywhere — the normalized gate must stay EMPTY (this is
+    the r8 close-of-round artifact: +16% across 148 queries, warm
+    slower than cold, all noise)."""
+    prior = {"a": 1.0, "b": 4.0, "c": 0.8}
+    now = {k: v * 2.0 for k, v in prior.items()}
+    assert bench._normalized_regressions(now, prior, canary_ratio=2.0) == {}
+
+
+def test_machine_speedup_does_not_hide_regression():
+    """A 2× FASTER machine halves every raw time — a query that held
+    its raw time actually regressed 2× in plan terms and must flag."""
+    prior = {"a": 2.0, "b": 2.0}
+    now = {"a": 1.0, "b": 2.0}  # b should have dropped to ~1.0 too
+    flagged = bench._normalized_regressions(now, prior, canary_ratio=0.5)
+    assert set(flagged) == {"b"}
+
+
+def test_subsecond_jitter_not_flagged():
+    """1.5× of a 0.1 s query is scheduler jitter: the absolute-delta
+    floor (0.5 s) keeps it out."""
+    assert (
+        bench._normalized_regressions({"q": 0.25}, {"q": 0.1}, 1.0) == {}
+    )
+
+
+def test_known_slow_not_exempt_from_vs_self():
+    """KNOWN_SLOW members are exempt from the vs-suite-median rule but
+    NEVER from the vs-self rule."""
+    name = sorted(bench.KNOWN_SLOW)[0]
+    flagged = bench._normalized_regressions({name: 9.0}, {name: 3.0}, 1.0)
+    assert name in flagged
+
+
+# ---------------------------------------------------------------------------
+# _canary_ratio
+# ---------------------------------------------------------------------------
+
+
+def test_canary_ratio_mean_of_brackets_vs_prior():
+    prior = {"pricing_summary": 1.0, "asof_price": 1.0}
+    first = {"pricing_summary": 1.5, "asof_price": 1.5}
+    last = {"pricing_summary": 2.5, "asof_price": 2.5}
+    blk = bench._canary_ratio(prior, first, last)
+    assert blk["ratio_vs_prior"] == 2.0  # mean(1.5, 2.5) * 2 / 2
+    assert blk["drift_within_run"] == round(5.0 / 3.0, 3)
+
+
+def test_canary_ratio_defaults_to_one_without_prior():
+    blk = bench._canary_ratio({}, {"pricing_summary": 1.0}, {})
+    assert blk["ratio_vs_prior"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# _compact_line — the driver keeps only the last 2000 stdout chars
+# ---------------------------------------------------------------------------
+
+
+def _fake_out(n_queries=300, n_regs=40):
+    queries = {f"query_with_a_long_name_{i:03d}": i * 0.01 for i in range(n_queries)}
+    regs = {
+        f"query_with_a_long_name_{i:03d}": {
+            "sec": 2.0,
+            "normalized_sec": 1.9,
+            "prior_sec": 1.0,
+            "normalized_ratio": 1.9,
+        }
+        for i in range(n_regs)
+    }
+    return {
+        "metric": "headline_queries_total_sec",
+        "value": 123.456,
+        "unit": "sec",
+        "sf": 0.1,
+        "runs": 3,
+        "queries": queries,
+        "canary": {
+            "ratio_vs_prior": 1.05,
+            "first": {"pricing_summary": 0.3, "asof_price": 0.5},
+            "last": {"pricing_summary": 0.31, "asof_price": 0.52},
+            "drift_within_run": 1.02,
+        },
+        "normalized_regressions": regs,
+        "scale_probe": {
+            "queries": {f"p{i}": {"vs_expected": 0.1 * i} for i in range(40)}
+        },
+        "scale_probe_100x": {"queries": {"q": {"vs_expected": 0.21}}},
+        "pipeline_e2e_batch_sec": 12.3,
+        "pipeline_e2e_batch_sec_warm": 11.9,
+        "pipeline_e2e_streaming_sec": 15.0,
+        "pipeline_e2e_streaming_sec_warm": 14.1,
+        "errors": {},
+        "full_artifact": "BENCH_full_r09.json",
+    }
+
+
+def test_compact_line_fits_driver_cap_and_parses():
+    line = bench._compact_line(_fake_out())
+    assert len(line) <= 1900
+    doc = json.loads(line)
+    assert doc["value"] == 123.456
+    assert doc["n_queries"] == 300
+    assert doc["canary"]["ratio_vs_prior"] == 1.05
+    assert doc["n_regressions"] == 40
+    assert doc["full"] == "BENCH_full_r09.json"
+    assert doc["scale_probe_100x_worst_vs_expected"] == 0.21
+    # the top-10 slowest are the ones worth eyeballing in the tail
+    assert len(doc["queries"]) <= 10
+    slowest = max(_fake_out()["queries"].items(), key=lambda kv: kv[1])[0]
+    assert slowest in doc["queries"]
+
+
+def test_compact_line_degrades_until_it_fits():
+    out = _fake_out(n_queries=300, n_regs=300)
+    line = bench._compact_line(out, max_len=900)
+    assert len(line) <= 900
+    assert json.loads(line)["n_regressions"] == 300
+
+
+# ---------------------------------------------------------------------------
+# prior-round baseline discovery
+# ---------------------------------------------------------------------------
+
+
+def test_prior_round_prefers_full_map_on_round_tie(tmp_path):
+    """The driver's BENCH_r file now carries only a compact top-10 map;
+    the complete baseline lives in BENCH_full of the same round and
+    must win key collisions without dropping compact-only keys."""
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"parsed": {"queries": {"a": 9.0, "only_compact": 1.0}}})
+    )
+    (tmp_path / "BENCH_full_r07.json").write_text(
+        json.dumps({"queries": {"a": 2.0, "b": 3.0}})
+    )
+    prior = bench._prior_round_timings(str(tmp_path))
+    assert prior == {"a": 2.0, "b": 3.0, "only_compact": 1.0}

@@ -284,6 +284,48 @@ def test_point_in_interval_join_guard_on_wide_interval(spark):
         out.collect()
 
 
+def test_point_in_interval_agg_overlapping_schema(spark):
+    """point_in_interval_agg must (a) match the naive pair-join
+    aggregate and (b) survive points and intervals SHARING column
+    names — the edge-bucket join used to ship every point column into
+    the join and left F.col(start)/F.col(point_time) ambiguous when a
+    name (here ``tag`` and ``t``) exists on both sides; the operator
+    now projects points to (__b, time, sums) and renames interval
+    columns behind __iv_* before joining."""
+    from defi_features_data_pipeline_spark.operators.interval import (
+        point_in_interval_agg,
+    )
+
+    points = spark.createDataFrame(
+        [(i, i * 37 % 1000, float(i % 7), "p") for i in range(300)],
+        "pid long, t long, v double, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (j, j * 91 % 900, j * 91 % 900 + (j % 5) * 60, 0, "i")
+            for j in range(80)
+        ],
+        # `t` and `tag` collide with point column names on purpose
+        "iid long, lo long, hi long, t long, tag string",
+    )
+    got = {
+        r["iid"]: (r["n_points"], float(r["sum_v"]))
+        for r in point_in_interval_agg(
+            points, intervals, "t", "lo", "hi", "iid",
+            fine_width=100, sum_cols=("v",),
+        ).collect()
+    }
+    naive = (
+        points.select("t", "v")
+        .crossJoin(intervals.select("iid", "lo", "hi"))
+        .filter((F.col("lo") <= F.col("t")) & (F.col("t") <= F.col("hi")))
+        .groupBy("iid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    want = {r["iid"]: (r["n"], float(r["s"])) for r in naive.collect()}
+    assert got == want
+
+
 def test_global_rank_and_ntile_match_window_semantics(spark):
     """global_rank/global_ntile must reproduce the single-partition
     window's exact output (rank and SQL NTILE bucket sizes) while
@@ -312,6 +354,44 @@ def test_global_rank_and_ntile_match_window_semantics(spark):
             for r in global_ntile(df, k, ["score", "id"]).collect()
         }
         assert got_nt == {r["id"]: r["nt"] for r in want}, (n, k)
+
+
+def test_grouped_rank_non_string_group_columns(spark):
+    """grouped_rank over BOOLEAN and tiny-DOUBLE group columns must
+    match the plain window — the driver-side offset map used to key on
+    Python str(value) ('True', '1e-07') while the Spark-side lookup
+    casts to string ('true', '1.0E-7'), so every rank in a non-string
+    group came back NULL instead of failing loudly. The map keys now
+    come from Spark's own rendering (the count query aggregates on the
+    pre-cast string columns)."""
+    from pyspark.sql import Window
+
+    from defi_features_data_pipeline_spark.operators.ranking import (
+        grouped_ntile,
+        grouped_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 2 == 0, [1e-07, 1.0, 2.5][i % 3], i) for i in range(60)],
+        "flag boolean, weight double, id long",
+    ).repartition(8)
+    ranked, totals = grouped_rank(df, ["flag", "weight"], ["id"], rank_col="rk")
+    got = {r["id"]: r["rk"] for r in ranked.collect()}
+    assert None not in got.values(), "silent NULL ranks (key rendering)"
+    w = Window.partitionBy("flag", "weight").orderBy("id")
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
+    assert sum(totals.values()) == 60 and len(totals) == 6
+    # grouped_ntile composes the same rendered keys for its size map
+    nt = grouped_ntile(df, 3, ["flag", "weight"], ["id"]).collect()
+    want_nt = {
+        r["id"]: r["nt"]
+        for r in df.select("id", F.ntile(3).over(w).alias("nt")).collect()
+    }
+    assert {r["id"]: r["bucket"] for r in nt} == want_nt
 
 
 def _chain_edges(spark, n):

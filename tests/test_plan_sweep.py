@@ -163,6 +163,49 @@ def test_session_policy_disables_estimate_broadcasts(spark):
     )
 
 
+def test_sweep_flags_semijoin_laundered_broadcast(spark, sf_dir):
+    """Detector power for the LeftSemi blind spot: a semi join only
+    BOUNDS its output when the filtering (right) side is itself
+    bounded. A corpus frame semi-joined against a corpus-DERIVED key
+    set (a frequent-item table) is still corpus-scaled — broadcasting
+    it above the semi must be flagged; the same shape against a
+    LIMIT-bounded key set keeps the pre-existing bounded-reduction
+    contract and stays clean."""
+    from pyspark.sql import functions as F
+
+    from defi_features_data_pipeline_spark.queries.extensions import _t
+
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        freq = (
+            li.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2)
+        )
+        semi = li.join(freq, "l_partkey", "left_semi").select(
+            F.col("l_orderkey").alias("ok")
+        )
+        probe = _t(spark, sf_dir, "orders").select("o_orderkey")
+        laundered = probe.join(
+            F.broadcast(semi), F.col("o_orderkey") == F.col("ok")
+        )
+        assert corpus_broadcast_violations(laundered), (
+            "corpus-scaled semi-join output under BroadcastExchange "
+            "not flagged — the LeftSemi blind spot is back"
+        )
+        semi_bounded = li.join(
+            freq.limit(10), "l_partkey", "left_semi"
+        ).select(F.col("l_orderkey").alias("ok"))
+        clean = probe.join(
+            F.broadcast(semi_bounded), F.col("o_orderkey") == F.col("ok")
+        )
+        assert not corpus_broadcast_violations(clean)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 def test_sweep_flags_reverted_token_rarity_shape(spark, sf_dir):
     """Detector power: rebuilding the PRE-FIX token_rarity_score shape
     (git e1c99c2^ — corpus-scaled vocabulary aggregate with no join

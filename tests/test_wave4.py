@@ -396,23 +396,51 @@ def test_rare_category_collapse_branches(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_lsh_cc_labels_rebuilds_on_stale_meta(spark):
+def test_lsh_cc_labels_rebuilds_on_stale_meta(spark, tmp_path, monkeypatch):
     """A meta fingerprint that disagrees with the corpus forces a
     REBUILD (never serves stale labels); after the rebuild the meta is
-    fresh again and keep_best still matches its oracle semantics."""
+    fresh again and keep_best still matches its oracle semantics.
+
+    The poison-and-rebuild runs against a TEMP COPY of the artifact
+    root (monkeypatched LSH_CC_ROOT): rebuilding in place rewrote the
+    committed cache parquet parts with fresh run-UUID filenames on
+    every test run, perpetually dirtying the repo and staling the
+    committed cache — the load-first intent requires the committed
+    artifact to survive the suite byte-for-byte."""
+    import shutil
+
     import defi_features_data_pipeline_spark.queries.extensions as X
 
-    # warm path first (also builds if missing)
+    def _listing(root):
+        return sorted(
+            (os.path.join(dp, f), os.path.getmtime(os.path.join(dp, f)))
+            for dp, _, fs in os.walk(root)
+            for f in fs
+        )
+
+    key = os.path.normpath(SF_DIR)
+    # warm path first against the COMMITTED root (also builds if
+    # missing); this is a pure read when the committed cache is fresh
+    mpath_committed = os.path.join(X.LSH_CC_ROOT, "sf0.001", "meta")
+    was_fresh = os.path.isdir(mpath_committed)
+    committed_before = _listing(X.LSH_CC_ROOT)
     before = {
         (r["node"], r["label"]) for r in X._lsh_cc_labels(spark, SF_DIR).collect()
     }
-    adir = os.path.join(X.LSH_CC_ROOT, "sf0.001")
+    if was_fresh:  # first run in a bare env legitimately builds
+        assert _listing(X.LSH_CC_ROOT) == committed_before, (
+            "warm load rewrote the committed cache — load-first broken"
+        )
+    tmp_root = str(tmp_path / "lsh_cc_labels")
+    shutil.copytree(X.LSH_CC_ROOT, tmp_root)
+    monkeypatch.setattr(X, "LSH_CC_ROOT", tmp_root)
+    X._LSH_CC_CACHE.pop(key, None)
+    adir = os.path.join(tmp_root, "sf0.001")
     mpath = os.path.join(adir, "meta")
     # poison the meta: wrong row count
     spark.createDataFrame(
         [(999999, 1)], "n bigint, s bigint"
     ).coalesce(1).write.mode("overwrite").parquet(mpath)
-    X._LSH_CC_CACHE.pop(os.path.normpath(SF_DIR), None)
     after = {
         (r["node"], r["label"]) for r in X._lsh_cc_labels(spark, SF_DIR).collect()
     }
@@ -420,6 +448,8 @@ def test_lsh_cc_labels_rebuilds_on_stale_meta(spark):
     m = spark.read.parquet(mpath).first()
     n, s_sum = X._docs_fingerprint(spark, SF_DIR)
     assert (m["n"], m["s"]) == (n, s_sum)  # meta restored fresh
+    # leave no stale pointer into the (soon-deleted) tmp root behind
+    X._LSH_CC_CACHE.pop(key, None)
 
 
 # ---------------------------------------------------------------------------
