@@ -4432,18 +4432,25 @@ def q_entity_match_pairs(spark, sf_dir):
 
     100 TB notes: the self-join is an equi-join on the block key (no
     cartesian; the plan sweep enforces it), so cost is Σ block² not n² —
-    bounded by the blocking design, the standard ER trade-off. The
-    probe side is re-spread across the cluster first (the block
-    comparison work, not the scan, dominates — a 1-split input would
-    otherwise serialize every pairwise comparison onto one task), and
-    the Levenshtein is the THRESHOLD-BOUNDED variant — the band-limited
-    DP row (O(k·len), returns −1 past the bound) is ~2× the unbounded
-    full-matrix form at k=1. Runs JVM-side inside the join stage
-    (codegen, no UDF). Skewed blocks would salt like salted_skew_join."""
+    bounded by the blocking design, the standard ER trade-off. One side
+    is repartitioned ON THE JOIN KEYS with an explicit partition count:
+    the join work is QUADRATIC per block while the shuffled bytes are
+    tiny, so AQE's byte-fed coalescing otherwise folds the whole
+    comparison stage onto ONE task (r8 regression, 9.8×: measured 3.1 s
+    coalesced vs 0.9 s pinned at sf0.1 — the user-specified shuffle is
+    exempt from coalescing and replaces the join's own exchange, so the
+    pin costs nothing). The Levenshtein is the THRESHOLD-BOUNDED 3-arg
+    variant — A/B-measured ~2× the unbounded form at k=1 (median 3.41 s
+    vs 6.57 s single-task at sf0.1; PLANS.md r9), confirming the r8
+    docstring claim the verdict asked to re-measure. Runs JVM-side
+    inside the join stage (codegen, no UDF). Skewed blocks would salt
+    like salted_skew_join."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
-    a = _spread(spark, c).alias("a")
+    a = c.repartition(
+        spark.sparkContext.defaultParallelism, "c_nationkey", "c_mktsegment"
+    ).alias("a")
     b = c.alias("b")
     return (
         a.join(
@@ -11804,8 +11811,77 @@ EXT_ORACLES["benford_digit_audit"] = ORACLE_BENFORD_DIGIT_AUDIT
 DBSCAN_EPS = 0.25   # cosine epsilon-neighborhood threshold (6 dp rounded)
 DBSCAN_MINPTS = 4   # neighbors (excluding self) required for a core point
 
+DBSCAN_LABELS_ROOT = os.path.join(_REPO_ROOT, "artifacts", "dbscan_labels")
+_DBSCAN_LABELS_CACHE: dict[str, str] = {}
+
+
+def _emb_fingerprint(spark, sf_dir: str):
+    """(row count, vec_id checksum) — column-pruned corpus identity for
+    embedding-derived label artifacts (the _docs_fingerprint discipline
+    over the embeddings table)."""
+    r = (
+        _t(spark, sf_dir, "embeddings")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("s"))
+        .first()
+    )
+    return int(r["n"] or 0), int(r["s"] or 0)
+
+
+def _dbscan_labels(spark, sf_dir: str) -> DataFrame:
+    """LOAD-first DBSCAN label table (r8 verdict item 5: the epsilon
+    graph + CC re-ran on every call — 7.5 s at sf0.1 — while the LSH CC
+    labels loaded warm). Same artifact discipline as _lsh_cc_labels:
+    corpus-fingerprint freshness (embeddings, not documents), the
+    PARAMETERS (eps, minpts) pinned into the meta row so a tuning
+    change can never serve the previous tuning's labels,
+    labels-then-meta write order (a crash between the two forces a
+    rebuild, never serves a stale graph). The gate stays hash-checked
+    against the live DuckDB oracle, so a stale-serve bug surfaces as a
+    gate mismatch, not silence."""
+    from ..sources.fsutil import has_committed_data, swap_dirs
+
+    key = os.path.normpath(sf_dir)
+    if key in _DBSCAN_LABELS_CACHE:
+        return spark.read.parquet(_DBSCAN_LABELS_CACHE[key])
+    adir = os.path.join(
+        DBSCAN_LABELS_ROOT, os.path.basename(os.path.normpath(sf_dir))
+    )
+    lpath = os.path.join(adir, "labels")
+    mpath = os.path.join(adir, "meta")
+    n, s = _emb_fingerprint(spark, sf_dir)
+    cur = (n, s, int(round(DBSCAN_EPS * 1_000_000)), DBSCAN_MINPTS)
+    fresh = False
+    if has_committed_data(spark, lpath) and has_committed_data(spark, mpath):
+        try:
+            m = spark.read.parquet(mpath).first()
+            fresh = (
+                int(m["n"]), int(m["s"]), int(m["eps_ppm"]), int(m["minpts"])
+            ) == cur
+        except Exception:  # noqa: BLE001 — unreadable meta ⇒ rebuild
+            fresh = False
+    if not fresh:
+        labels = _dbscan_compute(spark, sf_dir)
+        tmp = lpath + ".__tmp__"
+        labels.coalesce(1).write.mode("overwrite").parquet(tmp)
+        swap_dirs(spark, tmp, lpath)
+        mdf = spark.createDataFrame(
+            [cur], "n bigint, s bigint, eps_ppm bigint, minpts bigint"
+        )
+        tmpm = mpath + ".__tmp__"
+        mdf.coalesce(1).write.mode("overwrite").parquet(tmpm)
+        swap_dirs(spark, tmpm, mpath)
+    _DBSCAN_LABELS_CACHE[key] = lpath
+    return spark.read.parquet(lpath)
+
 
 def q_dbscan_clusters_blocked(spark, sf_dir):
+    """DBSCAN gate — serves the fingerprint-fresh label artifact
+    (see _dbscan_labels; the computation is _dbscan_compute, whose
+    docstring carries the algorithm and 100 TB notes)."""
+    return _dbscan_labels(spark, sf_dir)
+
+
+def _dbscan_compute(spark, sf_dir):
     """DBSCAN over embeddings with IVF-BLOCKED neighborhood generation:
     epsilon-neighbor pairs come from the materialized coarse-list
     assignment (exact cosine only WITHIN a block — the
@@ -11933,7 +12009,7 @@ def q_dbscan_clusters_blocked(spark, sf_dir):
     )
 
 
-q_dbscan_clusters_blocked.__doc__ = q_dbscan_clusters_blocked.__doc__.format(
+_dbscan_compute.__doc__ = _dbscan_compute.__doc__.format(
     minpts=DBSCAN_MINPTS
 )
 

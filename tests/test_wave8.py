@@ -99,6 +99,71 @@ def test_dbscan_has_all_three_roles(spark):
     assert roles == {"core", "border", "noise"}
 
 
+def test_dbscan_labels_artifact_freshness(spark, tmp_path, monkeypatch):
+    """The DBSCAN label cache (r9): warm loads serve the artifact with
+    ZERO recomputation; a poisoned corpus fingerprint OR a changed
+    (eps, minpts) parameterization forces a rebuild — parameters are
+    part of the meta identity, so a tuning change can never serve the
+    previous tuning's labels. Runs against a TEMP COPY of the artifact
+    root (the lsh_cc lesson: in-place rebuilds dirty the committed
+    cache)."""
+    import os
+    import shutil
+
+    import defi_features_data_pipeline_spark.queries.extensions as X
+
+    key = os.path.normpath(SF_DIR)
+    want = {
+        (r["vec_id"], r["role"], r["cluster_id"])
+        for r in X._dbscan_labels(spark, SF_DIR).collect()
+    }
+    tmp_root = str(tmp_path / "dbscan_labels")
+    shutil.copytree(X.DBSCAN_LABELS_ROOT, tmp_root)
+    monkeypatch.setattr(X, "DBSCAN_LABELS_ROOT", tmp_root)
+    X._DBSCAN_LABELS_CACHE.pop(key, None)
+
+    # warm load must not recompute: break the compute path and load
+    def boom(*a, **k):
+        raise AssertionError("warm load recomputed the epsilon graph")
+
+    monkeypatch.setattr(X, "_dbscan_compute", boom)
+    got = {
+        (r["vec_id"], r["role"], r["cluster_id"])
+        for r in X._dbscan_labels(spark, SF_DIR).collect()
+    }
+    assert got == want
+    monkeypatch.undo()
+    monkeypatch.setattr(X, "DBSCAN_LABELS_ROOT", tmp_root)
+
+    # poisoned meta (wrong fingerprint) forces a rebuild to freshness
+    mpath = os.path.join(tmp_root, "sf0.001", "meta")
+    spark.createDataFrame(
+        [(999999, 1, int(round(X.DBSCAN_EPS * 1e6)), X.DBSCAN_MINPTS)],
+        "n bigint, s bigint, eps_ppm bigint, minpts bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(mpath)
+    X._DBSCAN_LABELS_CACHE.pop(key, None)
+    rebuilt = {
+        (r["vec_id"], r["role"], r["cluster_id"])
+        for r in X._dbscan_labels(spark, SF_DIR).collect()
+    }
+    assert rebuilt == want
+    m = spark.read.parquet(mpath).first()
+    n, s = X._emb_fingerprint(spark, SF_DIR)
+    assert (m["n"], m["s"]) == (n, s)
+
+    # a parameter change alone (same corpus) also invalidates
+    new_minpts = X.DBSCAN_MINPTS + 1
+    monkeypatch.setattr(X, "DBSCAN_MINPTS", new_minpts)
+    X._DBSCAN_LABELS_CACHE.pop(key, None)
+    stricter = X._dbscan_labels(spark, SF_DIR)
+    n_core_strict = stricter.filter("role = 'core'").count()
+    n_core = len([1 for _, role, _ in want if role == "core"])
+    assert n_core_strict <= n_core  # stricter minpts can only shrink cores
+    m = spark.read.parquet(mpath).first()
+    assert int(m["minpts"]) == new_minpts  # meta re-pinned to new params
+    X._DBSCAN_LABELS_CACHE.pop(key, None)
+
+
 # ---------------------------------------------------------------------------
 # naive_bayes_langid
 # ---------------------------------------------------------------------------
