@@ -291,6 +291,8 @@ HEADLINE = [
     "quantile_sketch_histogram",
     "isotonic_calibration_bins",
     "streaming_conformal_filter",
+    # round-9 additions
+    "dedup_longest_span",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
@@ -370,6 +372,10 @@ SCALE_PROBE = {
     # rollup bounded-domain
     "quality_classifier_train": 1.0,
     "dedup_substring_spans": 1.0,
+    # r9 exact longest-span: the anchor join is Σ df² over 8-token
+    # windows, and the probe's bijective vocab rename keeps window df
+    # flat per replica — matches scale xD, islands window linear
+    "dedup_longest_span": 1.0,
     "unigram_perplexity_buckets": 1.0,
     "dsir_importance_weights": 1.0,
     # r8 retrieval/CDC/batching/multimodal tail: explode+rank+window
@@ -439,6 +445,12 @@ SCALE_PROBE_100X = {
     # join — the two new shapes with real 100x exposure
     "dbscan_clusters_blocked": 1.0,
     "naive_bayes_langid": 1.0,
+    # r9: the streaming twins (the two most expensive streaming gates;
+    # per-batch work is batch-proportional by design, and the per-batch
+    # STATE SIZE is recorded next to the wall ratio — asserted-by-
+    # measurement instead of by argument at 100x)
+    "streaming_novelty_incremental": 1.0,
+    "streaming_index_segments": 1.0,
 }
 SCALE_PROBE_100X_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "testdata_scale", "sf10"
@@ -922,6 +934,15 @@ def main() -> None:
                 "expected_growth": expected,
                 "vs_expected": round(ratio / max(expected, 1.0), 2),
             }
+            try:
+                from defi_features_data_pipeline_spark.queries.extensions import (
+                    STREAM_STATE_METRICS,
+                )
+
+                if STREAM_STATE_METRICS.get(name):
+                    rows[name]["state_per_batch"] = STREAM_STATE_METRICS[name]
+            except Exception:  # noqa: BLE001 — metric is optional
+                pass
             _drop_stream_sinks(spark)
         probe_100x = {
             "probe_dir": SCALE_PROBE_100X_DIR,

@@ -43,6 +43,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
+# Per-batch STATE-SIZE metrics from the stateful streaming gates,
+# refreshed at each query run: {query_name: [{"batch": id, ...}, ...]}.
+# At 100 TB the failure mode of incremental operators is unbounded
+# state, not slow batches — the sf10 probe records these rows next to
+# wall time so state growth is measured, never argued.
+STREAM_STATE_METRICS: dict[str, list] = {}
+
+
 # Circuit breaker for the intentionally-quadratic recall baselines
 # (``dedup_ngram_jaccard``, ``dedup_embedding_cosine``): they exist to
 # measure the recall of their scale twins at SMALL sf, but a user who
@@ -8758,12 +8766,21 @@ def q_streaming_index_segments(spark, sf_dir):
         .parquet(src)
     )
 
+    STREAM_STATE_METRICS["streaming_index_segments"] = []
+
     def build_segment(batch_df, batch_id):
         if batch_df.isEmpty():
             return
         seg = _index_blocks_from(batch_df)
-        seg.write.mode("overwrite").parquet(
-            os.path.join(store, f"segment={batch_id}")
+        seg_dir = os.path.join(store, f"segment={batch_id}")
+        seg.write.mode("overwrite").parquet(seg_dir)
+        # footer-metadata count of the segment just written — the
+        # per-batch state growth the sf10 probe records
+        STREAM_STATE_METRICS["streaming_index_segments"].append(
+            {
+                "batch": int(batch_id),
+                "segment_rows": int(spark.read.parquet(seg_dir).count()),
+            }
         )
 
     q = (

@@ -412,6 +412,172 @@ LEARNOPS_QUERIES["dedup_substring_spans"] = q_dedup_substring_spans
 
 
 # ---------------------------------------------------------------------------
+# EXACT longest duplicated cross-doc span (k-mer anchor + diagonal runs)
+# ---------------------------------------------------------------------------
+
+
+def longest_dup_span_frame(spark, d: DataFrame) -> DataFrame:
+    """EXACT longest duplicated token span per document pair — the
+    suffix-array answer ("what is the longest passage these two docs
+    share?") computed distributed-friendly, retiring the fixed-width
+    stand-in (`dedup_substring_spans` reports window COUNTS; this
+    reports the maximal EXTENT, exactly).
+
+    Anchor + diagonal-run decomposition: a shared token span of length
+    L ≥ k contains exactly L−k+1 aligned k-token windows, and two
+    positions (pa, pb) of the same window in docs (a, b) lie on the
+    diagonal pa−pb — so a maximal shared span IS a maximal run of
+    consecutive pa on one (a, b, diag). The pipeline: positioned
+    k-windows (posexplode), self equi-join on the WINDOW STRING
+    (collision-free equality — the exactness claim needs no hash
+    caveat), gaps-and-islands per (a, b, diag) (island id = pa −
+    row_number, the classic rewrite), max island per pair, and a
+    rejoin to doc_a's tokens re-extracts the span text — the output
+    carries the evidence. Exact for spans ≥ k = {k} tokens by
+    construction; pairs sharing nothing ≥ k are absent (they belong to
+    the passage/minhash granularity below).
+
+    100 TB notes: windows are linear in corpus tokens; the anchor join
+    is the Σ df² shape shared with dedup_passage_exact — both sides
+    corpus-derived, pinned shuffle_hash, never estimate-broadcast; at
+    real scale the anchor key would be the window HASH with an
+    extend-verify re-read (noted, not needed at these SFs where the
+    strings are ~40 bytes); the islands window partitions by
+    (doc_a, doc_b, diag) — high-cardinality, already parallel, no
+    grouped_rank needed; ties across diagonals resolve by integer
+    (min start) rules, deterministic in both engines."""
+    k = SPAN_WINDOW_TOKENS
+    toks = d.withColumn("__toks", F.expr(TOKENS_SPARK))
+    w = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(_SPAN_WINDOWS_SPARK)).alias("__p0", "w"),
+    ).select(
+        "doc_id", (F.col("__p0") + 1).cast("long").alias("pos"), "w"
+    )
+    w = w.localCheckpoint(eager=False)  # one tokenize pass, two sides
+    wa = w.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "w"
+    )
+    wb = w.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "w"
+    )
+    m = wa.join(wb.hint("shuffle_hash"), "w").filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    from pyspark.sql import Window as _W
+
+    isl = m.withColumn(
+        "grp",
+        F.col("pa")
+        - F.row_number().over(
+            _W.partitionBy(
+                "doc_a", "doc_b", F.col("pa") - F.col("pb")
+            ).orderBy("pa")
+        ),
+    )
+    runs = isl.groupBy(
+        "doc_a", "doc_b", (F.col("pa") - F.col("pb")).alias("diag"), "grp"
+    ).agg(
+        F.count(F.lit(1)).alias("run"),
+        F.min("pa").alias("sa"),
+        F.min("pb").alias("sb"),
+    )
+    best = runs.groupBy("doc_a", "doc_b").agg(
+        F.max("run").alias("max_run")
+    )
+    top = (
+        runs.join(best.hint("shuffle_hash"), ["doc_a", "doc_b"])
+        .filter(F.col("run") == F.col("max_run"))
+        .groupBy("doc_a", "doc_b", "max_run")
+        .agg(
+            F.count(F.lit(1)).alias("n_max_spans"),
+            F.min("sa").alias("start_a"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("max_run") + F.lit(k - 1)).alias("span_len_tokens"),
+            "n_max_spans",
+            "start_a",
+        )
+    )
+    ta = toks.select(
+        F.col("doc_id").alias("doc_a"), F.col("__toks").alias("__ta")
+    )
+    return top.join(ta.hint("shuffle_hash"), "doc_a").select(
+        "doc_a",
+        "doc_b",
+        "span_len_tokens",
+        "n_max_spans",
+        "start_a",
+        F.concat_ws(
+            " ",
+            F.slice(F.col("__ta"), F.col("start_a"), F.col("span_len_tokens")),
+        ).alias("span_text"),
+    )
+
+
+longest_dup_span_frame.__doc__ = longest_dup_span_frame.__doc__.format(
+    k=SPAN_WINDOW_TOKENS
+)
+
+
+def q_dedup_longest_span(spark, sf_dir):
+    """Gate for ``longest_dup_span_frame`` over the documents table
+    (docstring and 100 TB notes there)."""
+    return longest_dup_span_frame(
+        spark, _spread(spark, _t(spark, sf_dir, "documents"))
+    )
+
+
+LEARNOPS_ORACLES["dedup_longest_span"] = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, {TOKENS_DUCK} AS __toks FROM documents
+),
+w AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(range(1, len(__toks) - {SPAN_WINDOW_TOKENS - 2})) AS pos,
+         unnest([array_to_string(__toks[i:i+{SPAN_WINDOW_TOKENS - 1}], ' ')
+                 FOR i IN range(1, len(__toks) - {SPAN_WINDOW_TOKENS - 2})]) AS w
+  FROM toks WHERE len(__toks) >= {SPAN_WINDOW_TOKENS}
+),
+m AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa) AS grp
+  FROM m
+),
+runs AS MATERIALIZED (
+  SELECT doc_a, doc_b, diag, grp,
+         count(*) AS run, min(pa) AS sa, min(pb) AS sb
+  FROM isl GROUP BY 1, 2, 3, 4
+),
+best AS MATERIALIZED (
+  SELECT doc_a, doc_b, max(run) AS max_run FROM runs GROUP BY 1, 2
+),
+top AS MATERIALIZED (
+  SELECT r.doc_a, r.doc_b,
+         r.run + {SPAN_WINDOW_TOKENS - 1} AS span_len_tokens,
+         count(*) AS n_max_spans,
+         min(r.sa) AS start_a
+  FROM runs r JOIN best b
+    ON r.doc_a = b.doc_a AND r.doc_b = b.doc_b AND r.run = b.max_run
+  GROUP BY 1, 2, 3
+)
+SELECT t.doc_a, t.doc_b, t.span_len_tokens, t.n_max_spans, t.start_a,
+       array_to_string(
+         k.__toks[t.start_a:t.start_a + t.span_len_tokens - 1], ' '
+       ) AS span_text
+FROM top t JOIN toks k ON k.doc_id = t.doc_a
+"""
+LEARNOPS_QUERIES["dedup_longest_span"] = q_dedup_longest_span
+
+
+# ---------------------------------------------------------------------------
 # Unigram-LM perplexity bucketing (CCNet head / middle / tail)
 # ---------------------------------------------------------------------------
 
@@ -1692,6 +1858,10 @@ def q_streaming_novelty_incremental(spark, sf_dir):
         .parquet(src)
     )
 
+    from .extensions import STREAM_STATE_METRICS
+
+    STREAM_STATE_METRICS["streaming_novelty_incremental"] = []
+
     def score_batch(batch_df, batch_id):
         if batch_df.isEmpty():
             return
@@ -1729,8 +1899,18 @@ def q_streaming_novelty_incremental(spark, sf_dir):
         novel.write.mode("overwrite").parquet(
             os.path.join(out_store, f"dq_batch={batch_id}")
         )
-        firsts.select("wh").write.mode("overwrite").parquet(
-            os.path.join(seen_store, f"dq_batch={batch_id}")
+        seen_dir = os.path.join(seen_store, f"dq_batch={batch_id}")
+        firsts.select("wh").write.mode("overwrite").parquet(seen_dir)
+        # footer-metadata count of the state rows this batch appended —
+        # the per-batch state growth the sf10 probe records (the store
+        # is append-only, so cumulative state = running sum of these)
+        STREAM_STATE_METRICS["streaming_novelty_incremental"].append(
+            {
+                "batch": int(batch_id),
+                "state_rows_appended": int(
+                    spark.read.parquet(seen_dir).count()
+                ),
+            }
         )
 
     q = (
