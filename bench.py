@@ -990,6 +990,14 @@ def main() -> None:
     normalized = _normalized_regressions(
         timings, prior, float(canary["ratio_vs_prior"])
     )
+    # canary-normalized e2e rows (r8 verdict item 3: the close-of-round
+    # e2e numbers moved +16% with warm slower than cold — a machine-
+    # noise signature the raw keys cannot distinguish from regression)
+    pipe_norm = {
+        k: round(v / max(float(canary["ratio_vs_prior"]), 1e-6), 3)
+        for k, v in pipe.items()
+        if isinstance(v, (int, float))
+    }
 
     out = {
         "metric": "headline_queries_total_sec",
@@ -1005,6 +1013,7 @@ def main() -> None:
         "regressions": _regressions(timings, prior),
         "scale_probe": scale_probe,
         "scale_probe_100x": probe_100x,
+        "pipeline_e2e_normalized": pipe_norm,
         **pipe,
     }
     if errors:
