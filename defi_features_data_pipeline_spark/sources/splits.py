@@ -47,6 +47,15 @@ SPLITS_ROOT = os.environ.get(
 )
 MIRROR_MIN_BYTES = 256 * 1024
 NO_MIRROR_TABLES = ("events.parquet",)
+# Tables whose per-row work is CPU-heavy (shingling, hashing, vector
+# math over text/embedding payloads): mirrored at CORE-COUNT splits so
+# the pre-exchange compute stage arrives parallel. Everything else is
+# byte-proportional relational data and mirrors at ~1 MB/split — the
+# real-lake shape (a 3 MB dimension arrives in 1-2 files, not 32; a
+# measured 32-way mirror of it costs +0.3-0.9 s/query in pure task
+# scheduling on local[32], PLANS.md r9 addendum 2).
+CPU_HEAVY_TABLES = ("documents.parquet", "embeddings.parquet")
+TARGET_SPLIT_BYTES = 1 << 20
 
 # source path -> served path, per process (freshness is re-checked
 # only once per session; the driver regenerates testdata between
@@ -86,9 +95,17 @@ def multisplit_path(spark, src: str) -> str:
         _MIRROR_CACHE[src] = src
         return src
 
+    cores = max(int(spark.sparkContext.defaultParallelism), 2)
+    if os.path.basename(src) in CPU_HEAVY_TABLES:
+        n = cores
+    else:
+        n = max(2, min(cores, int(st.st_size // TARGET_SPLIT_BYTES)))
+
     mdir = _mirror_dir(src)
     meta_path = mdir + ".src.json"
-    want = {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
+    # split count is part of the identity: a policy change (or a
+    # different core count) must rebuild, never serve the old layout
+    want = {"size": st.st_size, "mtime_ns": st.st_mtime_ns, "splits": n}
     if os.path.isdir(mdir) and os.path.isfile(meta_path):
         try:
             with open(meta_path) as f:
@@ -99,7 +116,6 @@ def multisplit_path(spark, src: str) -> str:
             _MIRROR_CACHE[src] = mdir
             return mdir
 
-    n = max(int(spark.sparkContext.defaultParallelism), 2)
     tmp = mdir + ".__tmp__"
     shutil.rmtree(tmp, ignore_errors=True)
     try:

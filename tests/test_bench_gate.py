@@ -64,6 +64,43 @@ def test_known_slow_not_exempt_from_vs_self():
 
 
 # ---------------------------------------------------------------------------
+# _machine_ratio — the robust suite-median estimator the gate uses
+# ---------------------------------------------------------------------------
+
+
+def test_machine_ratio_is_median_and_outlier_proof():
+    """One query regressing 10× (the thing the gate must FLAG) must
+    not drag the machine estimate — median of ratios."""
+    prior = {f"q{i}": 1.0 for i in range(20)}
+    now = {f"q{i}": 0.9 for i in range(20)}
+    now["q0"] = 10.0  # the real regression
+    assert bench._machine_ratio(now, prior) == 0.9
+
+
+def test_machine_ratio_ignores_subfloor_priors_and_small_overlap():
+    prior = {"a": 0.05, "b": 0.01}  # all under the 0.2 s floor
+    assert bench._machine_ratio({"a": 1.0, "b": 1.0}, prior) is None
+    assert bench._machine_ratio({}, {}) is None
+
+
+def test_noisy_prior_canary_pair_does_not_mass_flag():
+    """The r9 live lesson: the prior round recorded the canary pair
+    inside a VM slow window (pricing_summary 1.95 s), so the PAIR ratio
+    said 'machine 2× faster' while the suite's true ratio was ~0.9 —
+    normalizing by the pair would flag dozens of held-raw-time queries.
+    The suite-median estimator must keep the gate quiet on that shape
+    and still flag the one genuine regression."""
+    prior = {f"q{i}": 1.0 for i in range(30)}
+    prior.update({"pricing_summary": 1.95, "asof_price": 0.56})
+    now = {f"q{i}": 0.95 for i in range(30)}
+    now.update({"pricing_summary": 0.64, "asof_price": 0.38})
+    now["q7"] = 3.0  # genuine 3x regression
+    mr = bench._machine_ratio(now, prior)
+    flagged = bench._normalized_regressions(now, prior, mr)
+    assert set(flagged) == {"q7"}
+
+
+# ---------------------------------------------------------------------------
 # _canary_ratio
 # ---------------------------------------------------------------------------
 
