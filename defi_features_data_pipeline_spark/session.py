@@ -59,6 +59,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Shuffle/spill scratch OUTSIDE /tmp: a tmp reaper deleted the
+        # blockmgr dir 40 min into an r9 bench run ("temp_local_...: No
+        # such file or directory" → SparkContext shutdown, half the
+        # sf10 probe lost). Long-running local sessions need scratch
+        # space nothing else garbage-collects; on a real cluster this
+        # is SPARK_LOCAL_DIRS on the executor disks.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                os.path.join(os.path.expanduser("~"), ".spark_graft_tmp"),
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
