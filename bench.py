@@ -293,6 +293,8 @@ HEADLINE = [
     "streaming_conformal_filter",
     # round-9 additions
     "dedup_longest_span",
+    "winnow_fingerprints",
+    "dedup_winnowed_pairs",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
@@ -376,6 +378,9 @@ SCALE_PROBE = {
     # windows, and the probe's bijective vocab rename keeps window df
     # flat per replica — matches scale xD, islands window linear
     "dedup_longest_span": 1.0,
+    # r9 winnowing: linear explode + O(w)-frame per-doc window min;
+    # the pair join runs on the ~2/(w+1)-density anchor set
+    "dedup_winnowed_pairs": 1.0,
     "unigram_perplexity_buckets": 1.0,
     "dsir_importance_weights": 1.0,
     # r8 retrieval/CDC/batching/multimodal tail: explode+rank+window

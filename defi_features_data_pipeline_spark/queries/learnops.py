@@ -578,6 +578,214 @@ LEARNOPS_QUERIES["dedup_longest_span"] = q_dedup_longest_span
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) — the sparse-anchor scale path of the
+# substring-dedup family
+# ---------------------------------------------------------------------------
+
+WINNOW_WINDOW = 4        # w: consecutive k-gram hashes per winnowing window
+WINNOW_POS_BITS = 20     # positions per doc bounded by 2^20 (see docstring)
+WINNOW_MIN_SHARED = 2    # pair gate: shared fingerprint floor
+
+# rightmost-min encoding: min over the window of h·2^B + (2^B−1−pos)
+# selects the smallest hash, ties broken toward the LARGEST pos — the
+# standard winnowing tie rule — in ONE bigint min() both engines share.
+_WINNOW_COMBINED = (
+    f"wh * {1 << WINNOW_POS_BITS} + ({(1 << WINNOW_POS_BITS) - 1} - pos)"
+)
+
+
+def _winnow_selected(spark, sf_dir) -> DataFrame:
+    """(doc_id, pos, fh): the winnowed fingerprint SET per document —
+    for every window of w={w} consecutive k-gram (k={k}) hashes, the
+    minimum hash (rightmost on ties), deduplicated. This is
+    Schleimer–Wilkerson–Aiken winnowing (MOSS, SIGMOD'03): the
+    guarantee is that any shared token span of length ≥ w+k−1 = {t}
+    contributes at least one IDENTICAL selected fingerprint to both
+    documents, at an expected density of 2/(w+1) of positions — i.e.
+    the sub-linear ANCHOR set the exact longest-span operator's
+    docstring promises at 100 TB (join the sparse fingerprints, then
+    extend-verify only the anchored pairs).
+
+    100 TB notes: one posexplode (linear), one per-doc window min with
+    a w−1-row frame — partition key doc_id is high-cardinality, so the
+    window is already parallel and the frame is O(w) per row; the
+    rightmost-min tie rule rides INSIDE the single bigint min via the
+    h·2^B + (2^B−1−pos) encoding (no argmax re-join). Positions are
+    bounded at 2^{bits} per document by the encoding — a million
+    k-grams per doc; longer docs should chunk first (chunk_documents),
+    which winnowing composes with."""
+    k = SPAN_WINDOW_TOKENS
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = d.withColumn("__toks", F.expr(TOKENS_SPARK))
+    wh = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(_SPAN_WINDOWS_SPARK)).alias("__p0", "w"),
+    ).select(
+        "doc_id",
+        (F.col("__p0") + 1).cast("long").alias("pos"),
+        _h(F.col("w")).alias("wh"),
+    )
+    from pyspark.sql import Window as _W
+
+    frame = (
+        _W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(_W.currentRow, WINNOW_WINDOW - 1)
+    )
+    sel = (
+        wh.withColumn("__cmb", F.min(F.expr(_WINNOW_COMBINED)).over(frame))
+        .withColumn("__nf", F.count(F.lit(1)).over(frame))
+        .filter(F.col("__nf") == WINNOW_WINDOW)  # full windows only
+        .select(
+            "doc_id",
+            (
+                F.lit((1 << WINNOW_POS_BITS) - 1)
+                - F.col("__cmb") % (1 << WINNOW_POS_BITS)
+            ).alias("pos"),
+            F.expr(f"__cmb div {1 << WINNOW_POS_BITS}").alias("fh"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+_winnow_selected.__doc__ = _winnow_selected.__doc__.format(
+    w=WINNOW_WINDOW,
+    k=SPAN_WINDOW_TOKENS,
+    t=WINNOW_WINDOW + SPAN_WINDOW_TOKENS - 1,
+    bits=WINNOW_POS_BITS,
+)
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Per-doc WINNOWED FINGERPRINT profile: how many k-gram positions,
+    how many selected fingerprints, their order-independent checksum,
+    and the selection density (exact floor-ppm — expected ≈ 2/(w+1)).
+    The per-(pos, hash) set itself is pinned by `sum_fh`/`n_fps`
+    (order-independent exact integers), keeping the gate compact while
+    any selection-rule drift (tie direction, frame bounds, dedup)
+    breaks the hash. Docs shorter than k+w−1 tokens rejoin with zeros
+    via the spine (the substring_spans contract)."""
+    sel = _winnow_selected(spark, sf_dir)
+    per = sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.sum("fh").alias("sum_fh"),
+    )
+    k = SPAN_WINDOW_TOKENS
+    d = _t(spark, sf_dir, "documents")
+    n_kg = (
+        d.withColumn("__toks", F.expr(TOKENS_SPARK))
+        .select(
+            "doc_id",
+            F.greatest(
+                F.size("__toks") - F.lit(k - 1), F.lit(0)
+            ).cast("long").alias("n_kgrams"),
+        )
+    )
+    return (
+        n_kg.join(per.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fps"),
+            F.coalesce("sum_fh", F.lit(0)).cast("long").alias("sum_fh"),
+            # CASE guards the divisor: ANSI div by a 0 n_kgrams throws
+            F.coalesce(
+                F.expr(
+                    "CASE WHEN n_kgrams > 0"
+                    " THEN n_fps * 1000000 div n_kgrams END"
+                ),
+                F.lit(0),
+            ).alias("density_ppm"),
+        )
+    )
+
+
+def q_dedup_winnowed_pairs(spark, sf_dir):
+    """WINNOWED CANDIDATE PAIRS: documents sharing ≥ {m} selected
+    fingerprint VALUES — the sparse-anchor candidate join of the
+    substring family. By the winnowing guarantee every pair sharing a
+    span ≥ w+k−1 tokens shares ≥ 1 fingerprint, so this join over the
+    ~2/(w+1)-density anchor set is the 100 TB precursor to
+    `dedup_longest_span`'s exact extend-verify (tested: every
+    longest-span pair with span_len ≥ w+k−1 appears here at floor 1).
+
+    100 TB notes: the join runs on DISTINCT (doc, fh) — density-thinned
+    anchors, Σ df² over a set ~2/(w+1) the size of the full k-gram
+    relation; both sides corpus-derived, pinned shuffle_hash."""
+    sel = _winnow_selected(spark, sf_dir).select("doc_id", "fh").distinct()
+    a = sel.select(F.col("doc_id").alias("doc_a"), "fh")
+    b = sel.select(F.col("doc_id").alias("doc_b"), "fh")
+    return (
+        a.join(b.hint("shuffle_hash"), "fh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
+    )
+
+
+q_dedup_winnowed_pairs.__doc__ = q_dedup_winnowed_pairs.__doc__.format(
+    m=WINNOW_MIN_SHARED
+)
+
+_WINNOW_SEL_DUCK = f"""
+toks AS MATERIALIZED (
+  SELECT doc_id, {TOKENS_DUCK} AS __toks FROM documents
+),
+wh AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(range(1, len(__toks) - {SPAN_WINDOW_TOKENS - 2})) AS pos,
+         unnest([{H_SQL.format(x=f"array_to_string(__toks[i:i+{SPAN_WINDOW_TOKENS - 1}], ' ')")}
+                 FOR i IN range(1, len(__toks) - {SPAN_WINDOW_TOKENS - 2})]) AS wh
+  FROM toks WHERE len(__toks) >= {SPAN_WINDOW_TOKENS}
+),
+framed AS (
+  SELECT doc_id,
+         min({_WINNOW_COMBINED}) OVER w AS __cmb,
+         count(*) OVER w AS __nf
+  FROM wh
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING)
+),
+sel AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         {(1 << WINNOW_POS_BITS) - 1} - __cmb % {1 << WINNOW_POS_BITS} AS pos,
+         __cmb // {1 << WINNOW_POS_BITS} AS fh
+  FROM framed WHERE __nf = {WINNOW_WINDOW}
+)
+"""
+
+LEARNOPS_ORACLES["winnow_fingerprints"] = f"""
+WITH {_WINNOW_SEL_DUCK},
+per AS (
+  SELECT doc_id, count(*) AS n_fps, sum(fh) AS sum_fh
+  FROM sel GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(greatest(len(__toks) - {SPAN_WINDOW_TOKENS - 1}, 0) AS BIGINT)
+         AS n_kgrams,
+       CAST(COALESCE(n_fps, 0) AS BIGINT) AS n_fps,
+       CAST(COALESCE(sum_fh, 0) AS BIGINT) AS sum_fh,
+       COALESCE(CASE WHEN greatest(len(__toks) - {SPAN_WINDOW_TOKENS - 1}, 0) > 0
+            THEN n_fps * 1000000 // greatest(len(__toks) - {SPAN_WINDOW_TOKENS - 1}, 0)
+            END, 0) AS density_ppm
+FROM toks t LEFT JOIN per USING (doc_id)
+"""
+LEARNOPS_QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
+
+LEARNOPS_ORACLES["dedup_winnowed_pairs"] = f"""
+WITH {_WINNOW_SEL_DUCK},
+dsel AS MATERIALIZED (SELECT DISTINCT doc_id, fh FROM sel)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fps
+FROM dsel a JOIN dsel b ON a.fh = b.fh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+LEARNOPS_QUERIES["dedup_winnowed_pairs"] = q_dedup_winnowed_pairs
+
+
+# ---------------------------------------------------------------------------
 # Unigram-LM perplexity bucketing (CCNet head / middle / tail)
 # ---------------------------------------------------------------------------
 

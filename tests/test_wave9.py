@@ -124,3 +124,112 @@ def test_longest_dup_span_gate_runs_and_is_exact_extent(spark):
             tb[i : i + len(span)] == span
             for i in range(len(tb) - len(span) + 1)
         ), (r["doc_a"], r["doc_b"])
+
+
+# ---------------------------------------------------------------------------
+# winnowing (MOSS) fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow(tokens, k, w):
+    """Pure-python Schleimer–Wilkerson–Aiken winnowing over the same
+    md5-prefix hash: the selected (pos, hash) set (1-based positions,
+    rightmost-min tie rule), deduplicated."""
+    import hashlib
+
+    grams = [
+        " ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)
+    ]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+    ]
+    sel = set()
+    for p0 in range(len(hs) - w + 1):
+        win = hs[p0 : p0 + w]
+        m = min(win)
+        # rightmost occurrence of the min
+        j = max(i for i, h in enumerate(win) if h == m)
+        sel.add((p0 + j + 1, m))
+    return sel
+
+
+def test_winnow_selection_matches_python_reference(spark):
+    """The operator's selected (pos, hash) set equals the textbook
+    winnowing algorithm run in pure python over the same tokens and
+    the same portable hash — frame bounds, tie direction, dedup and
+    the bigint rightmost-min encoding all verified."""
+    from defi_features_data_pipeline_spark.queries.learnops import (
+        SPAN_WINDOW_TOKENS as K,
+        WINNOW_WINDOW as W,
+        _winnow_selected,
+    )
+    from defi_features_data_pipeline_spark.queries.extensions import _t
+
+    got = {}
+    for r in _winnow_selected(spark, SF_DIR).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fh"]))
+    docs = {
+        r["doc_id"]: r["text"].lower().split()
+        for r in _t(spark, SF_DIR, "documents").collect()
+    }
+    n_nonempty = 0
+    for doc_id, toks in docs.items():
+        want = _py_winnow(toks, K, W)
+        assert got.get(doc_id, set()) == want, doc_id
+        n_nonempty += bool(want)
+    assert n_nonempty >= 400  # the corpus genuinely exercises it
+
+
+def test_winnowing_guarantee_covers_longest_span_pairs(spark):
+    """The MOSS guarantee, checked against the EXACT operator: every
+    pair whose longest shared span is ≥ w+k−1 tokens must share at
+    least one winnowed fingerprint VALUE (the floor-1 candidate set —
+    the gate's floor of 2 is a precision knob on top)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from defi_features_data_pipeline_spark.queries.learnops import (
+        SPAN_WINDOW_TOKENS as K,
+        WINNOW_WINDOW as W,
+        _winnow_selected,
+        q_dedup_longest_span,
+    )
+
+    spans = {
+        (r["doc_a"], r["doc_b"]): r["span_len_tokens"]
+        for r in q_dedup_longest_span(spark, SF_DIR).collect()
+    }
+    must_cover = {p for p, L in spans.items() if L >= W + K - 1}
+    assert must_cover, "no guarantee-threshold pairs at sf0.001 — vacuous"
+    sel = _winnow_selected(spark, SF_DIR).select("doc_id", "fh").distinct()
+    a = sel.select(F.col("doc_id").alias("doc_a"), "fh")
+    b = sel.select(F.col("doc_id").alias("doc_b"), "fh")
+    anchored = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, "fh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .collect()
+    }
+    missing = must_cover - anchored
+    assert not missing, f"winnowing guarantee violated: {sorted(missing)[:5]}"
+
+
+def test_winnow_density_near_theory(spark):
+    """Winnowing selects ~2/(w+1) of positions in expectation on
+    hash-random input; the per-doc density must sit in a sane band
+    around that (duplicated windows dedup below it, short docs above)."""
+    from defi_features_data_pipeline_spark.queries.learnops import (
+        WINNOW_WINDOW as W,
+        q_winnow_fingerprints,
+    )
+
+    rows = [
+        r
+        for r in q_winnow_fingerprints(spark, SF_DIR).collect()
+        if r["n_kgrams"] >= 20
+    ]
+    assert rows
+    mean = sum(r["density_ppm"] for r in rows) / len(rows)
+    theory = 2_000_000 / (W + 1)
+    assert 0.5 * theory < mean < 1.6 * theory, (mean, theory)
