@@ -295,6 +295,7 @@ HEADLINE = [
     "dedup_longest_span",
     "winnow_fingerprints",
     "dedup_winnowed_pairs",
+    "index_segment_compaction",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

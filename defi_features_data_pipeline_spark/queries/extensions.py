@@ -8227,13 +8227,19 @@ def q_inverted_index_blocks(spark, sf_dir):
 def _index_blocks_from(d: DataFrame) -> DataFrame:
     """Block-postings build over any (doc_id, text) frame — shared by
     the monolithic gate and the LSM-segment gate."""
+    tok = d.select(
+        F.explode(F.expr(TOKENS_SPARK)).alias("term"), "doc_id"
+    ).distinct()
+    return _blocks_from_postings(tok)
+
+
+def _blocks_from_postings(tok: DataFrame) -> DataFrame:
+    """Block build from a (term, doc_id) posting frame — the part a
+    COMPACTOR runs (it reads segment blocks, never source text)."""
     from pyspark.sql import Window
 
     from ..operators.ranking import grouped_rank
 
-    tok = d.select(
-        F.explode(F.expr(TOKENS_SPARK)).alias("term"), "doc_id"
-    ).distinct()
     ranked, _ = grouped_rank(tok, ["term"], ["doc_id"], rank_col="__rk")
     blk = ranked.withColumn(
         "block_id", F.floor((F.col("__rk") - 1) / POSTING_BLOCK)
@@ -8735,6 +8741,62 @@ ORACLE_INDEX_SEGMENT_MERGE = ORACLE_BOOLEAN_AND_FROM_INDEX
 
 EXT_QUERIES["index_segment_merge"] = q_index_segment_merge
 EXT_ORACLES["index_segment_merge"] = ORACLE_INDEX_SEGMENT_MERGE
+
+
+def _decode_block_postings(blocks: DataFrame) -> DataFrame:
+    """(term, doc_id) postings decoded FROM gap-encoded blocks — the
+    read half of a compactor. doc_i = base + Σ gaps[..i] (the first
+    gap is 0 by the encoder's lag-coalesce), computed per block with
+    one ``aggregate`` running-sum lambda — O(block) work, no explode
+    of intermediate prefix arrays."""
+    return blocks.select(
+        "term",
+        F.explode(
+            F.expr(
+                "aggregate(gaps,"
+                " struct(CAST(base_doc AS BIGINT) AS cur,"
+                "        CAST(array() AS ARRAY<BIGINT>) AS out),"
+                " (acc, g) -> struct(acc.cur + g AS cur,"
+                "                    array_append(acc.out, acc.cur + g) AS out),"
+                " acc -> acc.out)"
+            )
+        ).alias("doc_id"),
+    )
+
+
+def q_index_segment_compaction(spark, sf_dir):
+    """LSM SEGMENT COMPACTION — the background rewrite the segment
+    gates defer to: read the per-segment gap-encoded posting BLOCKS
+    (never the source text — a real compactor sees only segments),
+    decode them back to (term, doc_id) postings, rebuild canonical
+    128-entry blocks over the union, and serve the same conjunctive
+    AND query. The answer must equal the corpus-level truth (same
+    oracle as ``boolean_and_from_index``), and the compacted index is
+    BLOCK-IDENTICAL to the from-scratch monolithic build (pinned by
+    test — compaction output is canonical, so compact-then-compact is
+    a no-op and readers can never tell segment history).
+
+    100 TB notes: the compactor's input is Σ postings/128 block ROWS
+    (bounded by corpus postings, decoded per-block in O(block));
+    segments are disjoint so the union needs no dedup; the rebuild is
+    the same grouped_rank path as the fresh build — term is
+    low-cardinality here, the exact collapse case grouped_rank exists
+    for. Serving switches atomically from segments to the compacted
+    generation via the manifest-pointer pattern (sources/fsutil.py);
+    this gate proves the rewrite's CONTENT."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    base = d.filter(F.col("doc_id") % INDEX_DELTA_MOD != 0)
+    delta = d.filter(F.col("doc_id") % INDEX_DELTA_MOD == 0)
+    segs = _index_blocks_from(base).unionByName(_index_blocks_from(delta))
+    compacted = _blocks_from_postings(_decode_block_postings(segs))
+    return _and_query_over_blocks(compacted)
+
+
+# reader-invisible compaction: the same corpus-level answer
+ORACLE_INDEX_SEGMENT_COMPACTION = ORACLE_BOOLEAN_AND_FROM_INDEX
+
+EXT_QUERIES["index_segment_compaction"] = q_index_segment_compaction
+EXT_ORACLES["index_segment_compaction"] = ORACLE_INDEX_SEGMENT_COMPACTION
 
 
 def q_streaming_index_segments(spark, sf_dir):

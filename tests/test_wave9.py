@@ -233,3 +233,54 @@ def test_winnow_density_near_theory(spark):
     mean = sum(r["density_ppm"] for r in rows) / len(rows)
     theory = 2_000_000 / (W + 1)
     assert 0.5 * theory < mean < 1.6 * theory, (mean, theory)
+
+
+# ---------------------------------------------------------------------------
+# LSM segment compaction
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_is_block_identical_to_fresh_build(spark):
+    """Compaction output is CANONICAL: decoding the per-segment
+    gap-encoded blocks and rebuilding must produce byte-identical
+    blocks to a from-scratch monolithic build over the same corpus —
+    so compact-then-compact is a no-op and a reader can never tell
+    whether an index has segment history. Also pins the decode half:
+    base+running-gap reconstruction loses nothing."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        INDEX_DELTA_MOD,
+        _blocks_from_postings,
+        _decode_block_postings,
+        _index_blocks_from,
+        _t,
+    )
+
+    d = _t(spark, SF_DIR, "documents")
+    base = d.filter(F.col("doc_id") % INDEX_DELTA_MOD != 0)
+    delta = d.filter(F.col("doc_id") % INDEX_DELTA_MOD == 0)
+    segs = _index_blocks_from(base).unionByName(_index_blocks_from(delta))
+    compacted = _blocks_from_postings(_decode_block_postings(segs))
+    fresh = _index_blocks_from(d)
+
+    def key(df):
+        return {
+            (r["term"], r["block_id"], r["n_in_block"], r["base_doc"],
+             tuple(r["gaps"]))
+            for r in df.collect()
+        }
+
+    c, f = key(compacted), key(fresh)
+    assert c == f, (len(c - f), len(f - c))
+    # decode really reads blocks, not text: postings round-trip exactly
+    post = {
+        (r["term"], r["doc_id"])
+        for r in _decode_block_postings(fresh).collect()
+    }
+    want = {
+        (r["term"], r["doc_id"])
+        for r in d.selectExpr(
+            f"explode(filter(split(lower(text), '\\\\s+'), t -> t <> '')) AS term",
+            "doc_id",
+        ).distinct().collect()
+    }
+    assert post == want
