@@ -446,14 +446,8 @@ def longest_dup_span_frame(spark, d: DataFrame) -> DataFrame:
     (doc_a, doc_b, diag) — high-cardinality, already parallel, no
     grouped_rank needed; ties across diagonals resolve by integer
     (min start) rules, deterministic in both engines."""
-    k = SPAN_WINDOW_TOKENS
     toks = d.withColumn("__toks", F.expr(TOKENS_SPARK))
-    w = toks.select(
-        "doc_id",
-        F.posexplode(F.expr(_SPAN_WINDOWS_SPARK)).alias("__p0", "w"),
-    ).select(
-        "doc_id", (F.col("__p0") + 1).cast("long").alias("pos"), "w"
-    )
+    w = _positioned_windows(toks)
     w = w.localCheckpoint(eager=False)  # one tokenize pass, two sides
     wa = w.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "w"
@@ -464,6 +458,27 @@ def longest_dup_span_frame(spark, d: DataFrame) -> DataFrame:
     m = wa.join(wb.hint("shuffle_hash"), "w").filter(
         F.col("doc_a") < F.col("doc_b")
     )
+    return _extend_spans(m, toks)
+
+
+def _positioned_windows(toks: DataFrame) -> DataFrame:
+    """(doc_id, pos, w): every 1-based position of every
+    SPAN_WINDOW_TOKENS-token window STRING — the aligned-window
+    relation both longest-span variants join on."""
+    return toks.select(
+        "doc_id",
+        F.posexplode(F.expr(_SPAN_WINDOWS_SPARK)).alias("__p0", "w"),
+    ).select(
+        "doc_id", (F.col("__p0") + 1).cast("long").alias("pos"), "w"
+    )
+
+
+def _extend_spans(m: DataFrame, toks: DataFrame) -> DataFrame:
+    """Diagonal gaps-and-islands extend shared by the dense and
+    anchored longest-span operators. ``m`` is the matched
+    aligned-window relation (doc_a, doc_b, pa, pb) with doc_a < doc_b;
+    ``toks`` carries (doc_id, __toks) for the span-text rejoin."""
+    k = SPAN_WINDOW_TOKENS
     from pyspark.sql import Window as _W
 
     isl = m.withColumn(
@@ -614,12 +629,33 @@ def _winnow_selected(spark, sf_dir) -> DataFrame:
     bounded at 2^{bits} per document by the encoding — a million
     k-grams per doc; longer docs should chunk first (chunk_documents),
     which winnowing composes with."""
-    k = SPAN_WINDOW_TOKENS
     d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return _winnow_selected_frame(d, SPAN_WINDOW_TOKENS)
+
+
+def _gram_windows_spark(kk: int) -> str:
+    """Spark SQL expr for all kk-token window strings of __toks
+    (same shape as _SPAN_WINDOWS_SPARK, parameterized gram size)."""
+    return (
+        f"CASE WHEN size(__toks) >= {kk} THEN "
+        f"transform(sequence(1, size(__toks) - {kk - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {kk}))) "
+        "ELSE array() END"
+    )
+
+
+def _winnow_selected_frame(d: DataFrame, gram_tokens: int) -> DataFrame:
+    """Winnowed fingerprint set over ``gram_tokens``-gram hashes of a
+    documents frame — the parameterized core of `_winnow_selected`
+    (docstring and guarantee there). The anchored longest-span
+    operator calls this with gram_tokens = k − w + 1 so the
+    w+k'−1 guarantee threshold lands exactly at SPAN_WINDOW_TOKENS."""
     toks = d.withColumn("__toks", F.expr(TOKENS_SPARK))
     wh = toks.select(
         "doc_id",
-        F.posexplode(F.expr(_SPAN_WINDOWS_SPARK)).alias("__p0", "w"),
+        F.posexplode(F.expr(_gram_windows_spark(gram_tokens))).alias(
+            "__p0", "w"
+        ),
     ).select(
         "doc_id",
         (F.col("__p0") + 1).cast("long").alias("pos"),
@@ -783,6 +819,120 @@ GROUP BY 1, 2
 HAVING count(*) >= {WINNOW_MIN_SHARED}
 """
 LEARNOPS_QUERIES["dedup_winnowed_pairs"] = q_dedup_winnowed_pairs
+
+
+# ---------------------------------------------------------------------------
+# ANCHORED exact longest duplicated span — winnowed anchors compose
+# into the dense extend-verify (the 100 TB path its docstrings promise)
+# ---------------------------------------------------------------------------
+
+# Anchor gram size: k' = k − w + 1, so the winnowing guarantee
+# threshold w + k' − 1 lands EXACTLY at SPAN_WINDOW_TOKENS — every doc
+# pair sharing a token span ≥ k (i.e. every pair the dense operator
+# outputs) is guaranteed to share at least one selected anchor
+# fingerprint. This is what makes the anchored operator EXACT, not a
+# recall-bounded approximation: with k'-gram anchors, a span of
+# length k contains k − k' + 1 = w consecutive aligned k'-grams — one
+# full winnowing window inside the shared region in BOTH documents,
+# and winnowing selects the same (hash, rightmost-tie) minimum from
+# identical windows.
+ANCHOR_GRAM_TOKENS = SPAN_WINDOW_TOKENS - WINNOW_WINDOW + 1
+
+
+def _anchored_doc_ids(d: DataFrame) -> DataFrame:
+    """(doc_id): documents holding at least one winnowed
+    ANCHOR_GRAM_TOKENS-gram fingerprint that some OTHER document also
+    holds — the docs that can possibly appear in the longest-span
+    output. Computed WITHOUT materializing anchor pairs: distinct
+    (doc, fh) → fingerprints with doc-frequency ≥ 2 → semi-join back.
+    The Σ df² pair join over anchors never happens; the anchor stage
+    only decides which window rows may enter the extend join."""
+    sel = (
+        _winnow_selected_frame(d, ANCHOR_GRAM_TOKENS)
+        .select("doc_id", "fh")
+        .distinct()
+    )
+    sel = sel.localCheckpoint(eager=False)  # one winnow pass, two uses
+    dup_fh = (
+        sel.groupBy("fh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("fh")
+    )
+    return (
+        sel.join(dup_fh.hint("shuffle_hash"), "fh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def longest_dup_span_anchored_frame(spark, d: DataFrame) -> DataFrame:
+    """EXACT longest duplicated token span — identical output contract
+    to `longest_dup_span_frame` (same oracle), computed the way the
+    dense operator's own docstring says 100 TB requires: winnowed
+    sparse anchors first, the Σ df² window equi-join only over the
+    ANCHORED subset of documents.
+
+    Pipeline: (1) winnow k'-gram fingerprints (k' = k − w + 1 =
+    {kp}, density ≈ 2/(w+1)) and keep docs whose fingerprint set
+    intersects any other doc's — an EXACT superset of all docs in the
+    dense output, by the guarantee derived at ANCHOR_GRAM_TOKENS;
+    (2) left-semi the positioned k-window relation down to those
+    docs; (3) the SAME window-STRING equi-join + diagonal
+    gaps-and-islands extend as the dense operator (`_extend_spans`).
+    False-positive anchor docs (random shared k'-grams or 32-bit hash
+    collisions) only add window rows that the collision-free STRING
+    join then discards — they cost work, never correctness.
+
+    100 TB notes: the dense operator joins the FULL window relation —
+    Σ df² over every 8-gram in the corpus. Here the window relation is
+    first thinned to anchored docs: at a realistic duplicate rate
+    (~1% of docs in any near-dup relation) the join mass drops by
+    ~10⁴×, while winnowing itself is one linear posexplode + one O(w)
+    per-row window min per doc. The semi-join key doc_id is
+    high-cardinality; anchor df≥2 filtering is a map-side-combinable
+    count. The finer pair-level restriction (fetch rows per candidate
+    PAIR) is deliberately NOT taken: pair materialization at anchor
+    granularity is itself Σ df² over anchors, and the extend join
+    re-derives exactly the matched pairs anyway."""
+    toks = d.withColumn("__toks", F.expr(TOKENS_SPARK))
+    adocs = _anchored_doc_ids(d)
+    w = _positioned_windows(toks).join(
+        adocs.hint("shuffle_hash"), "doc_id", "left_semi"
+    )
+    w = w.localCheckpoint(eager=False)  # one tokenize+winnow, two sides
+    wa = w.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "w"
+    )
+    wb = w.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "w"
+    )
+    m = wa.join(wb.hint("shuffle_hash"), "w").filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    return _extend_spans(m, toks)
+
+
+longest_dup_span_anchored_frame.__doc__ = (
+    longest_dup_span_anchored_frame.__doc__.format(kp=ANCHOR_GRAM_TOKENS)
+)
+
+
+def q_dedup_longest_span_anchored(spark, sf_dir):
+    """Gate for `longest_dup_span_anchored_frame` — hash-matched
+    against the SAME DuckDB oracle as `dedup_longest_span`: the
+    anchored operator is exact, so the two gates share one oracle."""
+    return longest_dup_span_anchored_frame(
+        spark, _spread(spark, _t(spark, sf_dir, "documents"))
+    )
+
+
+LEARNOPS_ORACLES["dedup_longest_span_anchored"] = LEARNOPS_ORACLES[
+    "dedup_longest_span"
+]
+LEARNOPS_QUERIES["dedup_longest_span_anchored"] = (
+    q_dedup_longest_span_anchored
+)
 
 
 # ---------------------------------------------------------------------------

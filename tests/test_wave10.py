@@ -1,0 +1,132 @@
+"""Round-10 wave tests: the ANCHORED exact longest-duplicated-span
+operator — winnowed k'-gram anchors (k' = k − w + 1, so the MOSS
+guarantee threshold lands exactly at k) thinning the window relation
+before the same diagonal gaps-and-islands extend. The claims under
+test: (1) the anchored output is IDENTICAL to the dense operator's,
+(2) the guarantee holds at its boundary (a shared span of exactly k
+tokens is found), (3) the thinning is real — the anchored window
+relation is strictly smaller than the dense one on the test corpus."""
+
+import random
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _collect_span_rows(df):
+    return {
+        (
+            r["doc_a"],
+            r["doc_b"],
+            r["span_len_tokens"],
+            r["n_max_spans"],
+            r["start_a"],
+            r["span_text"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_anchored_equals_dense_output(spark):
+    """The anchored operator is EXACT — same rows, same values, as the
+    dense operator on the real test corpus (the two gates share one
+    DuckDB oracle; this pins them to each other directly too)."""
+    from defi_features_data_pipeline_spark.queries.learnops import (
+        q_dedup_longest_span,
+        q_dedup_longest_span_anchored,
+    )
+
+    dense = _collect_span_rows(q_dedup_longest_span(spark, SF_DIR))
+    anch = _collect_span_rows(q_dedup_longest_span_anchored(spark, SF_DIR))
+    assert dense == anch
+    assert dense, "no duplicated spans at sf0.001 — vacuous"
+
+
+def test_anchored_guarantee_boundary_span_exactly_k(spark):
+    """The whole point of k' = k − w + 1: a pair sharing EXACTLY k
+    tokens (the dense operator's minimum reportable span) must still
+    be anchored and reported; a pair sharing k−1 must be absent from
+    both operators. Distinct filler vocabularies per doc prevent any
+    accidental shared grams."""
+    from defi_features_data_pipeline_spark.queries.learnops import (
+        SPAN_WINDOW_TOKENS as K,
+        longest_dup_span_anchored_frame,
+        longest_dup_span_frame,
+    )
+
+    rng = random.Random(1310)
+    shared_k = [f"s{i}" for i in range(K)]
+    shared_k1 = [f"t{i}" for i in range(K - 1)]
+
+    def filler(tag, n):
+        return [f"{tag}{rng.randint(0, 10 ** 9)}" for _ in range(n)]
+
+    docs = [
+        (1, " ".join(filler("a", 20) + shared_k + filler("b", 20))),
+        (2, " ".join(filler("c", 20) + shared_k + filler("d", 20))),
+        (3, " ".join(filler("e", 20) + shared_k1 + filler("f", 20))),
+        (4, " ".join(filler("g", 20) + shared_k1 + filler("h", 20))),
+    ]
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    anch = {
+        (r["doc_a"], r["doc_b"]): (r["span_len_tokens"], r["span_text"])
+        for r in longest_dup_span_anchored_frame(spark, d).collect()
+    }
+    assert anch == {(1, 2): (K, " ".join(shared_k))}
+    dense = {
+        (r["doc_a"], r["doc_b"]): (r["span_len_tokens"], r["span_text"])
+        for r in longest_dup_span_frame(spark, d).collect()
+    }
+    assert dense == anch
+
+
+def test_anchored_window_relation_thinner(spark):
+    """The probe stat the anchoring exists for: the window relation
+    that reaches the Σ df² extend join, thinned to anchored docs, is
+    strictly smaller than the dense relation — and the anchored doc
+    set is a strict subset of all docs (some docs share nothing)."""
+    from defi_features_data_pipeline_spark.queries.learnops import (
+        TOKENS_SPARK,
+        _anchored_doc_ids,
+        _positioned_windows,
+        _t,
+    )
+
+    d = _t(spark, SF_DIR, "documents")
+    toks = d.withColumn("__toks", F.expr(TOKENS_SPARK))
+    dense_rows = _positioned_windows(toks).count()
+    adocs = _anchored_doc_ids(d)
+    n_docs = d.count()
+    n_anchored = adocs.count()
+    anchored_rows = (
+        _positioned_windows(toks)
+        .join(adocs, "doc_id", "left_semi")
+        .count()
+    )
+    assert 0 < n_anchored < n_docs, (n_anchored, n_docs)
+    assert 0 < anchored_rows < dense_rows, (anchored_rows, dense_rows)
+
+
+def test_anchored_docs_cover_dense_pairs(spark):
+    """Guarantee check at the operator's own gram size: every doc in
+    the dense output (ANY span ≥ k, not just ≥ w+k−1) must be in the
+    anchored doc set — this is the exactness invariant the k'-gram
+    choice buys over anchoring at k."""
+    from defi_features_data_pipeline_spark.queries.learnops import (
+        _anchored_doc_ids,
+        _t,
+        q_dedup_longest_span,
+    )
+
+    need = set()
+    for r in q_dedup_longest_span(spark, SF_DIR).collect():
+        need.add(r["doc_a"])
+        need.add(r["doc_b"])
+    assert need, "vacuous"
+    have = {
+        r["doc_id"]
+        for r in _anchored_doc_ids(_t(spark, SF_DIR, "documents")).collect()
+    }
+    missing = need - have
+    assert not missing, f"anchor guarantee violated: {sorted(missing)[:5]}"
