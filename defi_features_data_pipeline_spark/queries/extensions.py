@@ -450,9 +450,23 @@ IVF_ARTIFACT_ROOT = os.path.join(_REPO_ROOT, "artifacts", "ivf")
 _IVF_CACHE: dict[str, list] = {}
 
 
+def _artifact_subdir(sf_dir: str) -> str:
+    """Per-corpus artifact subdirectory: ``<basename>_<md5(absdir)[:8]>``
+    — the splits._mirror_dir convention (r9 ADVICE: basename-only keys
+    let any two ``…/sf0.1`` corpora overwrite/thrash each other's
+    committed artifacts). The tag hashes the ABSOLUTE normalized path,
+    so the same driver corpus maps to the same committed artifact on
+    every checkout, while a different directory that happens to share
+    a basename gets its own."""
+    import hashlib
+
+    d = os.path.abspath(os.path.normpath(sf_dir))
+    return f"{os.path.basename(d)}_{hashlib.md5(d.encode()).hexdigest()[:8]}"
+
+
 def ivf_artifact_dir(sf_dir: str) -> str:
-    """Artifact dir for one scale factor: artifacts/ivf/<sf-basename>."""
-    return os.path.join(IVF_ARTIFACT_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    """Artifact dir for one corpus: artifacts/ivf/<basename_tag>."""
+    return os.path.join(IVF_ARTIFACT_ROOT, _artifact_subdir(sf_dir))
 
 
 # Oracle strings are built against the driver's sf0.01 gate; the local
@@ -5111,9 +5125,7 @@ _LSH_EDGES_CACHE: dict[str, str] = {}  # sf key → validated edges path
 
 
 def lsh_edges_dir(sf_dir: str) -> str:
-    return os.path.join(
-        LSH_EDGES_ROOT, os.path.basename(os.path.normpath(sf_dir))
-    )
+    return os.path.join(LSH_EDGES_ROOT, _artifact_subdir(sf_dir))
 
 
 def _docs_fingerprint(spark, sf_dir: str):
@@ -5196,9 +5208,7 @@ def _lsh_cc_labels(spark, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
     from ..sources.fsutil import has_committed_data, swap_dirs
 
-    adir = os.path.join(
-        LSH_CC_ROOT, os.path.basename(os.path.normpath(sf_dir))
-    )
+    adir = os.path.join(LSH_CC_ROOT, _artifact_subdir(sf_dir))
     lpath = os.path.join(adir, "labels")
     mpath = os.path.join(adir, "meta")
     cur = _docs_fingerprint(spark, sf_dir)
@@ -6266,7 +6276,7 @@ _PQ_CACHE: dict[str, dict] = {}
 
 
 def pq_artifact_dir(sf_dir: str) -> str:
-    return os.path.join(PQ_ARTIFACT_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    return os.path.join(PQ_ARTIFACT_ROOT, _artifact_subdir(sf_dir))
 
 
 PQ_ORACLE_DIR = pq_artifact_dir("/root/testdata/sf0.01")
@@ -7037,9 +7047,7 @@ _ER_EDGES_CACHE: dict[str, str] = {}  # sf key → validated edges path
 
 
 def er_edges_dir(sf_dir: str) -> str:
-    return os.path.join(
-        ER_EDGES_ROOT, os.path.basename(os.path.normpath(sf_dir))
-    )
+    return os.path.join(ER_EDGES_ROOT, _artifact_subdir(sf_dir))
 
 
 def _customer_fingerprint(spark, sf_dir: str):
@@ -11895,15 +11903,27 @@ _DBSCAN_LABELS_CACHE: dict[str, str] = {}
 
 
 def _emb_fingerprint(spark, sf_dir: str):
-    """(row count, vec_id checksum) — column-pruned corpus identity for
-    embedding-derived label artifacts (the _docs_fingerprint discipline
-    over the embeddings table)."""
+    """(row count, vec_id checksum, CONTENT checksum) — corpus
+    identity for embedding-derived label artifacts. The content term
+    (r9 ADVICE, medium): (count, sum(vec_id)) alone cannot see a
+    regenerated corpus that reuses the same ids with different vector
+    VALUES, and the bench path runs no oracle check — stale committed
+    labels would serve silently. The order-independent sum of a
+    per-row hash over the canonical (vec_id, embedding) rendering is
+    the same identity discipline the mirror uses (content-coupled),
+    at one extra column scan of the (small) embeddings table."""
     r = (
         _t(spark, sf_dir, "embeddings")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vec_id").alias("s"),
+            F.sum(
+                _h(F.to_json(F.struct("vec_id", "embedding")))
+            ).alias("c"),
+        )
         .first()
     )
-    return int(r["n"] or 0), int(r["s"] or 0)
+    return int(r["n"] or 0), int(r["s"] or 0), int(r["c"] or 0)
 
 
 def _dbscan_labels(spark, sf_dir: str) -> DataFrame:
@@ -11922,19 +11942,18 @@ def _dbscan_labels(spark, sf_dir: str) -> DataFrame:
     key = os.path.normpath(sf_dir)
     if key in _DBSCAN_LABELS_CACHE:
         return spark.read.parquet(_DBSCAN_LABELS_CACHE[key])
-    adir = os.path.join(
-        DBSCAN_LABELS_ROOT, os.path.basename(os.path.normpath(sf_dir))
-    )
+    adir = os.path.join(DBSCAN_LABELS_ROOT, _artifact_subdir(sf_dir))
     lpath = os.path.join(adir, "labels")
     mpath = os.path.join(adir, "meta")
-    n, s = _emb_fingerprint(spark, sf_dir)
-    cur = (n, s, int(round(DBSCAN_EPS * 1_000_000)), DBSCAN_MINPTS)
+    n, s, c = _emb_fingerprint(spark, sf_dir)
+    cur = (n, s, c, int(round(DBSCAN_EPS * 1_000_000)), DBSCAN_MINPTS)
     fresh = False
     if has_committed_data(spark, lpath) and has_committed_data(spark, mpath):
         try:
             m = spark.read.parquet(mpath).first()
             fresh = (
-                int(m["n"]), int(m["s"]), int(m["eps_ppm"]), int(m["minpts"])
+                int(m["n"]), int(m["s"]), int(m["c"]),
+                int(m["eps_ppm"]), int(m["minpts"]),
             ) == cur
         except Exception:  # noqa: BLE001 — unreadable meta ⇒ rebuild
             fresh = False
@@ -11944,7 +11963,8 @@ def _dbscan_labels(spark, sf_dir: str) -> DataFrame:
         labels.coalesce(1).write.mode("overwrite").parquet(tmp)
         swap_dirs(spark, tmp, lpath)
         mdf = spark.createDataFrame(
-            [cur], "n bigint, s bigint, eps_ppm bigint, minpts bigint"
+            [cur],
+            "n bigint, s bigint, c bigint, eps_ppm bigint, minpts bigint",
         )
         tmpm = mpath + ".__tmp__"
         mdf.coalesce(1).write.mode("overwrite").parquet(tmpm)

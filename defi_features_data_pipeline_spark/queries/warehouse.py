@@ -1524,11 +1524,10 @@ def q_schema_evolution_read(spark, sf_dir):
     import os as _os
 
     docs = _t(spark, sf_dir, "documents")
+    from .extensions import _artifact_subdir
+
     root = _os.path.join(
-        _REPO_ROOT_WH,
-        "artifacts",
-        "schema_epochs",
-        _os.path.basename(_os.path.normpath(sf_dir)),
+        _REPO_ROOT_WH, "artifacts", "schema_epochs", _artifact_subdir(sf_dir)
     )
     e1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "source")
     e2 = docs.filter(F.col("doc_id") % 2 == 1).select(

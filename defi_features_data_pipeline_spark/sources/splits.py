@@ -16,8 +16,19 @@ preserving parquet→parquet, ``repartition(defaultParallelism)``) into
 the sf1/sf10 probe sets) and the mirror is served on every later read.
 Freshness is pinned to the source file's (size, mtime_ns): the driver
 regenerates testdata per round, and a changed source atomically
-rebuilds the mirror (tmp write + rename; a crash mid-build leaves the
-old mirror or no mirror, never a partial one).
+rebuilds the mirror.
+
+Commit protocol (r9 ADVICE: the shared ``.__tmp__`` dir let two
+processes rmtree/rename each other's in-flight build, and the
+rmtree(mdir)→rename gap left readers a transient missing mirror):
+the same manifest-pointer pattern as the serving sink — each build
+writes to a PROCESS-UNIQUE tmp, renames it to a process-unique
+VERSIONED dir, then atomically ``os.replace``s the meta pointer at it.
+Readers resolve through the pointer, so they never observe a missing
+or partial mirror; concurrent builders produce distinct versions and
+the last pointer wins; superseded versions are reaped only after a
+grace period, so an in-flight reader of the previous version finishes
+its scan.
 
 What is NOT mirrored:
 - directory datasets (already multi-split — the real-lake shape);
@@ -37,6 +48,7 @@ import hashlib
 import json
 import os
 import shutil
+import uuid
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -106,18 +118,16 @@ def multisplit_path(spark, src: str) -> str:
     # split count is part of the identity: a policy change (or a
     # different core count) must rebuild, never serve the old layout
     want = {"size": st.st_size, "mtime_ns": st.st_mtime_ns, "splits": n}
-    if os.path.isdir(mdir) and os.path.isfile(meta_path):
-        try:
-            with open(meta_path) as f:
-                have = json.load(f)
-        except Exception:  # noqa: BLE001 — unreadable meta ⇒ rebuild
-            have = None
-        if have == want:
-            _MIRROR_CACHE[src] = mdir
-            return mdir
+    served = _resolve_current(mdir, meta_path, want)
+    if served is not None:
+        _MIRROR_CACHE[src] = served
+        return served
 
-    tmp = mdir + ".__tmp__"
-    shutil.rmtree(tmp, ignore_errors=True)
+    # process-unique version tag: concurrent builders can never touch
+    # each other's tmp, and the committed dir name is collision-free
+    vtag = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    vdir = f"{mdir}.__v_{vtag}"
+    tmp = f"{mdir}.__tmp_{vtag}"
     try:
         os.makedirs(os.path.dirname(mdir), exist_ok=True)
         # round-robin repartition: balanced splits whatever the key
@@ -126,13 +136,69 @@ def multisplit_path(spark, src: str) -> str:
         spark.read.parquet(src).repartition(n).write.mode(
             "overwrite"
         ).parquet(tmp)
-        shutil.rmtree(mdir, ignore_errors=True)
-        os.rename(tmp, mdir)
-        with open(meta_path, "w") as f:
-            json.dump(want, f)
+        os.rename(tmp, vdir)
+        mtmp = f"{meta_path}.{vtag}"
+        with open(mtmp, "w") as f:
+            json.dump({**want, "dir": os.path.basename(vdir)}, f)
+        os.replace(mtmp, meta_path)  # the atomic commit point
     except Exception:  # noqa: BLE001 — mirror is an optimization only
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(vdir, ignore_errors=True)
         _MIRROR_CACHE[src] = src
         return src
-    _MIRROR_CACHE[src] = mdir
-    return mdir
+    _reap_superseded(mdir, keep=os.path.basename(vdir))
+    _MIRROR_CACHE[src] = vdir
+    return vdir
+
+
+# superseded versions / orphan tmps older than this are reaped; long
+# enough that any reader mid-scan of the previous version finishes
+_REAP_GRACE_SECONDS = 600
+
+
+def _resolve_current(mdir: str, meta_path: str, want: dict):
+    """Served path for the current (size, mtime_ns, splits) identity,
+    or None when absent/stale/corrupt. Meta without a ``dir`` field is
+    the pre-r10 layout (content at ``mdir`` itself) — still served
+    when fresh, so existing mirrors stay warm across the upgrade."""
+    if not os.path.isfile(meta_path):
+        return None
+    try:
+        with open(meta_path) as f:
+            have = json.load(f)
+    except Exception:  # noqa: BLE001 — unreadable meta ⇒ rebuild
+        return None
+    if not isinstance(have, dict):
+        return None
+    if {k: have.get(k) for k in want} != want:
+        return None
+    sub = have.get("dir")
+    sdir = os.path.join(os.path.dirname(mdir), sub) if sub else mdir
+    return sdir if os.path.isdir(sdir) else None
+
+
+def _reap_superseded(mdir: str, keep: str) -> None:
+    """Remove versioned mirrors and orphaned tmps of ``mdir`` other
+    than ``keep``, but only once they are older than the grace period
+    — a concurrent reader that resolved the previous pointer may still
+    be scanning it. Best-effort: reaping is hygiene, never load-bearing."""
+    import time
+
+    parent, base = os.path.dirname(mdir), os.path.basename(mdir)
+    now = time.time()
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    for name in names:
+        superseded = name == base or name.startswith(  # base = pre-r10 layout
+            (f"{base}.__v_", f"{base}.__tmp_", f"{base}.__tmp__")
+        )
+        if name == keep or not superseded:
+            continue
+        p = os.path.join(parent, name)
+        try:
+            if now - os.path.getmtime(p) > _REAP_GRACE_SECONDS:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue

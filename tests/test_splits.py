@@ -76,3 +76,69 @@ def test_kill_switch_serves_original(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_NO_SPLIT_MIRROR", "1")
     src = os.path.join(SF_DIR, "documents.parquet")
     assert S.multisplit_path(spark, src) == src
+
+
+def test_mirror_commit_is_pointer_swap_with_grace(spark, tmp_path, monkeypatch):
+    """r9 ADVICE: the commit must be an atomic meta-pointer replace —
+    a rebuild leaves the SUPERSEDED version on disk (an in-flight
+    reader of the old pointer finishes its scan; reaping waits out a
+    grace period), the new pointer resolves immediately, and tmp dirs
+    are process-unique (no shared .__tmp__ for two processes to
+    clobber)."""
+    import json
+
+    src_dir = tmp_path / "sfY"
+    src_dir.mkdir()
+    src = str(src_dir / "documents.parquet")
+    shutil.copyfile(os.path.join(SF_DIR, "documents.parquet"), src)
+    monkeypatch.setattr(S, "SPLITS_ROOT", str(tmp_path / "splits"))
+    monkeypatch.setattr(S, "_MIRROR_CACHE", {})
+    m1 = S.multisplit_path(spark, src)
+    assert os.path.isdir(m1) and ".__v_" in os.path.basename(m1)
+    mdir = S._mirror_dir(src)
+    meta = json.load(open(mdir + ".src.json"))
+    assert meta["dir"] == os.path.basename(m1)
+    # regenerate the source → rebuild commits a NEW version
+    n1 = spark.read.parquet(m1).count()
+    half = spark.read.parquet(src).limit(n1 // 2).toPandas()
+    os.remove(src)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(half), src)
+    S._MIRROR_CACHE.clear()
+    m2 = S.multisplit_path(spark, src)
+    assert m2 != m1
+    assert os.path.isdir(m1), "superseded version reaped inside grace"
+    assert spark.read.parquet(m2).count() == n1 // 2
+    # past the grace period, a later build reaps the superseded version
+    old = os.path.getmtime(m1) - S._REAP_GRACE_SECONDS - 5
+    os.utime(m1, (old, old))
+    S._reap_superseded(mdir, keep=os.path.basename(m2))
+    assert not os.path.isdir(m1)
+    assert os.path.isdir(m2)
+
+
+def test_mirror_legacy_layout_served_when_fresh(spark, tmp_path, monkeypatch):
+    """Meta without a `dir` field is the pre-r10 layout (content at
+    the mirror dir itself) — it must keep serving while fresh, so the
+    protocol upgrade does not cold-rebuild every existing mirror."""
+    import json
+
+    src_dir = tmp_path / "sfZ"
+    src_dir.mkdir()
+    src = str(src_dir / "documents.parquet")
+    shutil.copyfile(os.path.join(SF_DIR, "documents.parquet"), src)
+    monkeypatch.setattr(S, "SPLITS_ROOT", str(tmp_path / "splits"))
+    monkeypatch.setattr(S, "_MIRROR_CACHE", {})
+    m1 = S.multisplit_path(spark, src)
+    mdir = S._mirror_dir(src)
+    # rewrite as the legacy layout: content at mdir, meta without dir
+    meta_path = mdir + ".src.json"
+    meta = json.load(open(meta_path))
+    os.rename(m1, mdir)
+    legacy = {k: meta[k] for k in ("size", "mtime_ns", "splits")}
+    with open(meta_path, "w") as f:
+        json.dump(legacy, f)
+    S._MIRROR_CACHE.clear()
+    assert S.multisplit_path(spark, src) == mdir

@@ -130,3 +130,52 @@ def test_anchored_docs_cover_dense_pairs(spark):
     }
     missing = need - have
     assert not missing, f"anchor guarantee violated: {sorted(missing)[:5]}"
+
+
+def test_emb_fingerprint_sees_vector_content(spark, tmp_path):
+    """r9 ADVICE (medium): regenerated embeddings that reuse the same
+    vec_ids with DIFFERENT vector values must change the fingerprint —
+    (count, sum(vec_id)) alone could serve stale committed DBSCAN
+    labels on the oracle-free bench path."""
+    import shutil
+
+    import defi_features_data_pipeline_spark.queries.extensions as X
+
+    src_dir = tmp_path / "sfF"
+    src_dir.mkdir()
+    shutil.copyfile(
+        f"{SF_DIR}/embeddings.parquet", str(src_dir / "embeddings.parquet")
+    )
+    fp1 = X._emb_fingerprint(spark, str(src_dir))
+    # regenerate: same vec_ids, perturb one component of one vector
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(str(src_dir / "embeddings.parquet"))
+    df = t.to_pandas()
+    v = list(df.loc[0, "embedding"])
+    v[0] = float(v[0]) + 1.0
+    df.at[0, "embedding"] = v
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(src_dir / "embeddings.parquet"),
+    )
+    fp2 = X._emb_fingerprint(spark, str(src_dir))
+    assert fp1[:2] == fp2[:2], "id-level identity should be unchanged"
+    assert fp1[2] != fp2[2], "content checksum missed a value change"
+
+
+def test_artifact_subdir_distinguishes_same_basename(tmp_path):
+    """r9 ADVICE: two corpora whose dirs share a basename (any
+    .../sf0.1) must map to distinct artifact subdirectories."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _artifact_subdir,
+    )
+
+    a = _artifact_subdir(str(tmp_path / "a" / "sf0.1"))
+    b = _artifact_subdir(str(tmp_path / "b" / "sf0.1"))
+    assert a != b
+    assert a.startswith("sf0.1_") and b.startswith("sf0.1_")
+    # and stable for the same path
+    assert a == _artifact_subdir(str(tmp_path / "a" / "sf0.1"))

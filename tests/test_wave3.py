@@ -20,7 +20,11 @@ def _edges():
     """Verified near-dup edge list from the artifact store (its build
     is oracle-gated by dedup_lsh_verified; these tests check the
     ITERATION logic on top of it)."""
-    path = os.path.join(HERE, "artifacts", "lsh_edges", "sf0.001", "edges")
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        lsh_edges_dir,
+    )
+
+    path = os.path.join(lsh_edges_dir(SF_DIR), "edges")
     if not os.path.isdir(path):
         pytest.skip("lsh_edges artifact not built for sf0.001")
     rows = duckdb.sql(

@@ -143,7 +143,11 @@ def test_schema_evolution_null_backfill(spark):
 
 
 def _edges():
-    path = os.path.join(HERE, "artifacts", "lsh_edges", "sf0.001", "edges")
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        lsh_edges_dir,
+    )
+
+    path = os.path.join(lsh_edges_dir(SF_DIR), "edges")
     if not os.path.isdir(path):
         pytest.skip("lsh_edges artifact not built for sf0.001")
     rows = duckdb.sql(
@@ -421,7 +425,8 @@ def test_lsh_cc_labels_rebuilds_on_stale_meta(spark, tmp_path, monkeypatch):
     key = os.path.normpath(SF_DIR)
     # warm path first against the COMMITTED root (also builds if
     # missing); this is a pure read when the committed cache is fresh
-    mpath_committed = os.path.join(X.LSH_CC_ROOT, "sf0.001", "meta")
+    subdir = X._artifact_subdir(SF_DIR)
+    mpath_committed = os.path.join(X.LSH_CC_ROOT, subdir, "meta")
     was_fresh = os.path.isdir(mpath_committed)
     committed_before = _listing(X.LSH_CC_ROOT)
     before = {
@@ -435,7 +440,7 @@ def test_lsh_cc_labels_rebuilds_on_stale_meta(spark, tmp_path, monkeypatch):
     shutil.copytree(X.LSH_CC_ROOT, tmp_root)
     monkeypatch.setattr(X, "LSH_CC_ROOT", tmp_root)
     X._LSH_CC_CACHE.pop(key, None)
-    adir = os.path.join(tmp_root, "sf0.001")
+    adir = os.path.join(tmp_root, subdir)
     mpath = os.path.join(adir, "meta")
     # poison the meta: wrong row count
     spark.createDataFrame(

@@ -136,10 +136,10 @@ def test_dbscan_labels_artifact_freshness(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(X, "DBSCAN_LABELS_ROOT", tmp_root)
 
     # poisoned meta (wrong fingerprint) forces a rebuild to freshness
-    mpath = os.path.join(tmp_root, "sf0.001", "meta")
+    mpath = os.path.join(tmp_root, X._artifact_subdir(SF_DIR), "meta")
     spark.createDataFrame(
-        [(999999, 1, int(round(X.DBSCAN_EPS * 1e6)), X.DBSCAN_MINPTS)],
-        "n bigint, s bigint, eps_ppm bigint, minpts bigint",
+        [(999999, 1, 1, int(round(X.DBSCAN_EPS * 1e6)), X.DBSCAN_MINPTS)],
+        "n bigint, s bigint, c bigint, eps_ppm bigint, minpts bigint",
     ).coalesce(1).write.mode("overwrite").parquet(mpath)
     X._DBSCAN_LABELS_CACHE.pop(key, None)
     rebuilt = {
@@ -148,8 +148,8 @@ def test_dbscan_labels_artifact_freshness(spark, tmp_path, monkeypatch):
     }
     assert rebuilt == want
     m = spark.read.parquet(mpath).first()
-    n, s = X._emb_fingerprint(spark, SF_DIR)
-    assert (m["n"], m["s"]) == (n, s)
+    n, s, c = X._emb_fingerprint(spark, SF_DIR)
+    assert (m["n"], m["s"], m["c"]) == (n, s, c)
 
     # a parameter change alone (same corpus) also invalidates
     new_minpts = X.DBSCAN_MINPTS + 1
