@@ -296,6 +296,8 @@ HEADLINE = [
     "winnow_fingerprints",
     "dedup_winnowed_pairs",
     "index_segment_compaction",
+    # round-10: anchored composition of the two lines above
+    "dedup_longest_span_anchored",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
@@ -379,9 +381,20 @@ SCALE_PROBE = {
     # windows, and the probe's bijective vocab rename keeps window df
     # flat per replica — matches scale xD, islands window linear
     "dedup_longest_span": 1.0,
+    # r10: the anchored composition — winnow k'-grams (linear), thin
+    # the window relation to anchored docs, then the same extend
+    "dedup_longest_span_anchored": 1.0,
     # r9 winnowing: linear explode + O(w)-frame per-doc window min;
     # the pair join runs on the ~2/(w+1)-density anchor set
     "dedup_winnowed_pairs": 1.0,
+    # r10: LSM compaction — decode gap blocks (one aggregate lambda per
+    # block), canonical rebuild; postings are linear in corpus tokens
+    "index_segment_compaction": 1.0,
+    # artifact-served gates probed for their SERVE path + a __cold
+    # rebuild row each (ARTIFACT_SERVED): keep_best = lsh_cc family,
+    # ann_pq_adc = pq family (dbscan and ivf already above)
+    "dedup_keep_best": 1.0,
+    "ann_pq_adc": 1.0,
     "unigram_perplexity_buckets": 1.0,
     "dsir_importance_weights": 1.0,
     # r8 retrieval/CDC/batching/multimodal tail: explode+rank+window
@@ -457,10 +470,90 @@ SCALE_PROBE_100X = {
     # measurement instead of by argument at 100x)
     "streaming_novelty_incremental": 1.0,
     "streaming_index_segments": 1.0,
+    # r10 (r9 verdict item 6): the round-9 heavy gates get real 100x
+    # rows — gap-block decode + canonical rebuild (linear in postings),
+    # the winnowed anchor pair join (Σ df² over the thinned anchor
+    # set), and the anchored exact longest-span composition
+    "index_segment_compaction": 1.0,
+    "dedup_winnowed_pairs": 1.0,
+    "dedup_longest_span_anchored": 1.0,
 }
 SCALE_PROBE_100X_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "testdata_scale", "sf10"
 )
+
+# Artifact-SERVING gates (r9 verdict item 3 — the sf10 dbscan row was
+# a 0.104 s cache read presented beside compute rows): their
+# steady-state probe row measures the SERVE path (warm), which is the
+# honest steady-state number, but each family also gets ONE explicit
+# `<name>__cold` row measured right after invalidating the in-process
+# caches and the probe corpus's on-disk artifact — the full rebuild
+# cost, so the probe distinguishes compute from serve instead of
+# implying a rebuild takes 0.1 s. Maps gate → (extensions-module
+# artifact ROOT attrs to delete the probe subdir under, cache-dict
+# attrs to pop the probe key from).
+ARTIFACT_SERVED = {
+    "dbscan_clusters_blocked": (
+        ("DBSCAN_LABELS_ROOT",), ("_DBSCAN_LABELS_CACHE",)
+    ),
+    # lsh_cc labels chain through the lsh_edges artifact — cold means
+    # the whole shingle→minhash→band→verify→CC rebuild
+    "dedup_keep_best": (
+        ("LSH_CC_ROOT", "LSH_EDGES_ROOT"),
+        ("_LSH_CC_CACHE", "_LSH_EDGES_CACHE"),
+    ),
+    "ann_ivf_topk": (("IVF_ARTIFACT_ROOT",), ("_IVF_CACHE",)),
+    # PQ codebooks are trained on IVF residual structure-adjacent
+    # corpora; cold re-fits the codebooks (IVF artifacts left warm so
+    # the row isolates the PQ fit, not a compound rebuild)
+    "ann_pq_adc": (("PQ_ARTIFACT_ROOT",), ("_PQ_CACHE",)),
+}
+
+
+def _invalidate_artifacts(probe_dir: str, roots, caches) -> None:
+    """Delete the probe corpus's artifact subdirs and pop its
+    in-process cache entries, forcing the next call down the full
+    rebuild path. Scoped to the probe corpus: committed artifacts for
+    the driver SFs are keyed by their own subdir and stay untouched."""
+    import shutil
+
+    import defi_features_data_pipeline_spark.queries.extensions as X
+
+    subdir = X._artifact_subdir(probe_dir)
+    for root_attr in roots:
+        shutil.rmtree(
+            os.path.join(getattr(X, root_attr), subdir), ignore_errors=True
+        )
+    key = os.path.normpath(probe_dir)
+    for cache_attr in caches:
+        getattr(X, cache_attr).pop(key, None)
+
+
+def _probe_cold_rows(spark, probe_dir: str, gates, errors, prefix) -> dict:
+    """One cold-rebuild measurement per artifact-served gate present
+    in ``gates``: invalidate, time ONCE (the run both rebuilds and
+    answers), record with warm=False. Runs after the warm loop so the
+    rebuilt artifact leaves the store in the same committed-fresh
+    state it was found in."""
+    rows: dict[str, dict] = {}
+    for name in gates:
+        if name not in ARTIFACT_SERVED:
+            continue
+        roots, caches = ARTIFACT_SERVED[name]
+        fn = ALL_QUERIES.get(name)
+        if fn is None:
+            continue
+        try:
+            _invalidate_artifacts(probe_dir, roots, caches)
+            sec = round(_time_once(spark, fn, probe_dir), 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"{prefix}:{name}__cold"] = (
+                f"{type(exc).__name__}: {exc}"[:300]
+            )
+            continue
+        rows[f"{name}__cold"] = {"sec": sec, "warm": False}
+        _drop_stream_sinks(spark)
+    return rows
 
 
 def _time_once(spark, fn, sf_dir: str) -> float:
@@ -677,6 +770,53 @@ def _machine_ratio(
     return round(statistics.median(ratios), 3)
 
 
+def _finalize_canary(
+    canary: dict,
+    mr: float | None,
+    timings: dict[str, float],
+    prior: dict[str, float],
+) -> float:
+    """Mutates the canary block with the gate's correction ratio and
+    the r9-ADVICE accounting caveats, returning the ratio the gate
+    uses.
+
+    - The correction is CAPPED to [0.5, 2.0]: a machine is plausibly
+      0.5–2.0× its prior-round self; beyond that is estimator failure
+      or a change broad enough to shift the suite median, and in both
+      cases the gate must not absorb it.
+    - Pair-vs-median estimator DISAGREEMENT is computed and flagged
+      (>1.3×): a broad non-uniform regression shifts the suite median
+      while the plan-pinned canary pair holds — previously stored but
+      never alerted on.
+    - PRIOR COVERAGE (how many timed queries the normalized gate can
+      actually check) is recorded, with a low-coverage flag when the
+      prior map shrank below 80% of the timed set — a 'clean run' over
+      10 of 90 queries must say so."""
+    canary["machine_ratio_suite_median"] = mr
+    raw_ratio = mr if mr is not None else float(canary["ratio_vs_prior"])
+    ratio_used = min(max(raw_ratio, 0.5), 2.0)
+    canary["ratio_used_for_gate"] = ratio_used
+    canary["ratio_capped"] = ratio_used != raw_ratio
+    pair = float(canary.get("ratio_vs_prior") or 0.0)
+    if mr is not None and pair > 0:
+        disagreement = round(max(mr, pair) / max(min(mr, pair), 1e-6), 3)
+    else:
+        disagreement = None
+    canary["estimator_disagreement"] = disagreement
+    canary["estimator_disagreement_flag"] = bool(
+        disagreement is not None and disagreement > 1.3
+    )
+    n_prior_overlap = sum(1 for n in timings if prior.get(n))
+    canary["prior_coverage"] = {
+        "n_prior": n_prior_overlap,
+        "n_timed": len(timings),
+    }
+    canary["prior_coverage_low"] = bool(
+        timings and n_prior_overlap < 0.8 * len(timings)
+    )
+    return ratio_used
+
+
 def _normalized_regressions(
     timings: dict[str, float],
     prior: dict[str, float],
@@ -805,6 +945,13 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
+    # r9 verdict item 7: the bounded global-window gates emit
+    # WindowExec "No Partition Defined" WARNs (each is a ≤B-row total,
+    # deliberate — see featureops.py), and those lines compete with the
+    # compact JSON line for the driver's 2000-char stdout tail. The
+    # bench path runs at ERROR so the tail is the JSON line and nothing
+    # else; tests/interactive sessions keep WARN.
+    spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM codegen + parquet footer caches
     try:
@@ -937,8 +1084,15 @@ def main() -> None:
                 # >1 means growing faster than the documented workload;
                 # constant-cost queries (exp=0) compare against 1x
                 "vs_expected": round(ratio / max(expected, 1.0), 2),
+                # serve-vs-compute honesty: True = this row reads a
+                # fresh artifact (steady state), its __cold twin below
+                # carries the rebuild cost
+                "warm": name in ARTIFACT_SERVED,
             }
             _drop_stream_sinks(spark)
+        probe.update(
+            _probe_cold_rows(spark, probe_dir, probe, errors, "scale_probe")
+        )
         scale_probe = {
             "probe_dir": probe_dir,
             "data_ratio": data_ratio,
@@ -968,6 +1122,7 @@ def main() -> None:
                 "wall_ratio": ratio,
                 "expected_growth": expected,
                 "vs_expected": round(ratio / max(expected, 1.0), 2),
+                "warm": name in ARTIFACT_SERVED,
             }
             try:
                 from defi_features_data_pipeline_spark.queries.extensions import (
@@ -979,6 +1134,12 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — metric is optional
                 pass
             _drop_stream_sinks(spark)
+        rows.update(
+            _probe_cold_rows(
+                spark, SCALE_PROBE_100X_DIR, rows, errors,
+                "scale_probe_100x",
+            )
+        )
         probe_100x = {
             "probe_dir": SCALE_PROBE_100X_DIR,
             "data_ratio": 100.0,
@@ -1022,10 +1183,9 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[f"canary_last:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
     canary = _canary_ratio(prior, canary_first, canary_last)
-    mr = _machine_ratio(timings, prior)
-    canary["machine_ratio_suite_median"] = mr
-    ratio_used = mr if mr is not None else float(canary["ratio_vs_prior"])
-    canary["ratio_used_for_gate"] = ratio_used
+    ratio_used = _finalize_canary(
+        canary, _machine_ratio(timings, prior), timings, prior
+    )
     normalized = _normalized_regressions(timings, prior, ratio_used)
     # canary-normalized e2e rows (r8 verdict item 3: the close-of-round
     # e2e numbers moved +16% with warm slower than cold — a machine-
@@ -1085,9 +1245,27 @@ def main() -> None:
     # the refresh LOUDLY (rc 3) instead of hiding in the artifact. The
     # driver's plain `python bench.py` run stays rc 0 — the gate is for
     # the human/agent round-close loop.
-    if out.get("normalized_regressions") and os.environ.get(
-        "SPARK_GRAFT_BENCH_STRICT"
-    ) == "1":
+    strict = os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1"
+    cblock = out.get("canary") or {}
+    if strict and cblock.get("estimator_disagreement_flag"):
+        print(
+            "BENCH WARNING: canary-pair vs suite-median machine-speed "
+            f"estimators disagree {cblock.get('estimator_disagreement')}x "
+            "— a broad non-uniform regression shifts the median while "
+            "the plan-pinned pair holds; read the per-query map before "
+            "trusting an empty regressions block",
+            file=sys.stderr,
+        )
+    if strict and cblock.get("prior_coverage_low"):
+        cov = cblock.get("prior_coverage") or {}
+        print(
+            "BENCH WARNING: normalized gate covers only "
+            f"{cov.get('n_prior')}/{cov.get('n_timed')} timed queries "
+            "(prior map shrank — likely only a compact driver map "
+            "survived); a clean run claim is correspondingly weak",
+            file=sys.stderr,
+        )
+    if out.get("normalized_regressions") and strict:
         print(
             "BENCH STRICT: normalized per-query regressions: "
             + ", ".join(sorted(out["normalized_regressions"])),

@@ -202,3 +202,83 @@ def test_prior_round_prefers_full_map_on_round_tie(tmp_path):
     )
     prior = bench._prior_round_timings(str(tmp_path))
     assert prior == {"a": 2.0, "b": 3.0, "only_compact": 1.0}
+
+
+def test_finalize_canary_caps_ratio_band():
+    """r9 ADVICE: the correction ratio is capped to [0.5, 2.0] — an
+    estimator saying 'machine 5x faster' must not let the gate divide
+    every regression by 5."""
+    import bench as B
+
+    canary = {"ratio_vs_prior": 1.0}
+    used = B._finalize_canary(canary, 0.2, {"q": 1.0}, {"q": 1.0})
+    assert used == 0.5 and canary["ratio_capped"] is True
+    canary = {"ratio_vs_prior": 1.0}
+    used = B._finalize_canary(canary, 5.0, {"q": 1.0}, {"q": 1.0})
+    assert used == 2.0 and canary["ratio_capped"] is True
+    canary = {"ratio_vs_prior": 1.0}
+    used = B._finalize_canary(canary, 1.1, {"q": 1.0}, {"q": 1.0})
+    assert used == 1.1 and canary["ratio_capped"] is False
+
+
+def test_finalize_canary_flags_estimator_disagreement():
+    """The broad-regression signature: suite median shifted (many
+    queries slower) while the plan-pinned pair held — the two
+    estimators disagreeing >1.3x must raise the flag."""
+    import bench as B
+
+    canary = {"ratio_vs_prior": 1.0}
+    B._finalize_canary(canary, 1.6, {"q": 1.0}, {"q": 1.0})
+    assert canary["estimator_disagreement_flag"] is True
+    assert canary["estimator_disagreement"] == 1.6
+    canary = {"ratio_vs_prior": 1.0}
+    B._finalize_canary(canary, 1.1, {"q": 1.0}, {"q": 1.0})
+    assert canary["estimator_disagreement_flag"] is False
+
+
+def test_finalize_canary_reports_prior_coverage():
+    """r9 ADVICE: when only a compact top-10 prior map survives, the
+    gate must SAY it covers 10 of 90 — not report a clean run."""
+    import bench as B
+
+    timings = {f"q{i}": 1.0 for i in range(90)}
+    prior = {f"q{i}": 1.0 for i in range(10)}
+    canary = {"ratio_vs_prior": 1.0}
+    B._finalize_canary(canary, 1.0, timings, prior)
+    assert canary["prior_coverage"] == {"n_prior": 10, "n_timed": 90}
+    assert canary["prior_coverage_low"] is True
+    canary = {"ratio_vs_prior": 1.0}
+    B._finalize_canary(canary, 1.0, timings, dict(timings))
+    assert canary["prior_coverage_low"] is False
+
+
+def test_injected_broad_regression_division_of_labor():
+    """The ADVICE failure shape end-to-end, both halves:
+
+    (a) HALF the suite regresses 3x — the ratio-median lands between
+    the modes (2.0) and self-normalization absorbs the per-query
+    flags; the DISAGREEMENT alert (pair holds at 1.0, median says
+    2.0) is what catches this shape.
+
+    (b) the WHOLE suite regresses 4x — without the cap the estimator
+    says 'machine 4x slower' and normalizes everything clean; the CAP
+    at 2.0 keeps a 2x normalized residual, which flags every query."""
+    import bench as B
+
+    # (a) half regressed: disagreement alert, not per-query flags
+    prior = {f"q{i}": 2.0 for i in range(20)}
+    timings = {f"q{i}": (6.0 if i < 10 else 2.0) for i in range(20)}
+    canary = {"ratio_vs_prior": 1.0}
+    used = B._finalize_canary(
+        canary, B._machine_ratio(timings, prior), timings, prior
+    )
+    assert canary["estimator_disagreement_flag"] is True
+    # (b) uniform 4x: the cap forces the per-query flags through
+    timings = {f"q{i}": 8.0 for i in range(20)}
+    canary = {"ratio_vs_prior": 1.0}
+    used = B._finalize_canary(
+        canary, B._machine_ratio(timings, prior), timings, prior
+    )
+    assert used == 2.0 and canary["ratio_capped"] is True
+    flagged = B._normalized_regressions(timings, prior, used)
+    assert set(flagged) == set(timings), flagged
