@@ -11,16 +11,22 @@ window is an InputPartition, so the fan-out happens on executors —
 scheduler, and the result lands directly in DataFrame land (no pandas
 staging hop).
 
-The remote API itself is environment-specific; ``fetch_page`` is a
-deterministic synthetic backend standing in for the HTTP call (same
-pagination contract: page-size cap, offset, half-open time window).
 The backend is the SINGLE replacement seam, and it is mechanically
 injectable: pass ``.option("backend", "your.module:your_fetch")`` and
 every InputPartition resolves that function ON THE EXECUTOR (import by
-dotted path — the spec string pickles, a closure wouldn't), so a real
-HTTP client drops in without touching reader/partition logic.
-``tests/test_operators.py::test_api_source_backend_seam`` proves the
-claim with a fake backend.
+dotted path — the spec string pickles, a closure wouldn't; an optional
+``?key=value`` suffix binds keyword args like the endpoint URL at
+resolve time). Two backends ship:
+
+- ``fetch_page`` / ``fetch_positions`` (this module): deterministic
+  synthetic data, in-process — the hermetic default;
+- ``http_backend.fetch_page_http`` / ``fetch_positions_http``: a REAL
+  stdlib-urllib HTTP client POSTing like the reference's extractors,
+  exercised end-to-end against the loopback ``SyntheticAPIServer``
+  (tests/test_http_source.py: offset + keyset pagination, the
+  5-attempt retry ladder over injected 500s, and the concurrency
+  bound measured by server-side in-flight telemetry). The sandbox has
+  no external network; at deployment only the URL changes.
 """
 
 from __future__ import annotations
@@ -41,11 +47,19 @@ NUMBER_OF_THREADS = 5  # `config/settings.toml:11` — fetch-concurrency bound
 
 
 def fetch_page(
-    event: str, window_start: int, window_end: int, offset: int, limit: int
+    event: str,
+    window_start: int,
+    window_end: int,
+    offset: int,
+    limit: int,
+    *,
+    per_window: int = 120,
 ) -> list[dict]:
     """Synthetic stand-in for the remote paginated query. Deterministic
-    in (event, window, offset): ~120 events/day, stable ids/wallets."""
-    per_window = 120
+    in (event, window, offset): ~120 events/day, stable ids/wallets.
+    ``per_window`` is keyword-only (the seam calls with 5 positionals);
+    the loopback HTTP server raises it past PAGE_SIZE to exercise real
+    multi-page offset pagination over the wire."""
     total = per_window if window_end - window_start >= WINDOW_SECONDS else 0
     rows = []
     for i in range(offset, min(offset + limit, total)):
@@ -71,9 +85,22 @@ def _resolve_backend(spec: str):
     """Import ``module.path:function`` — called in the executor task so
     the worker process does its own import (cloudpickle would serialize
     a driver-side function by reference anyway; the explicit spec makes
-    the seam visible and configurable from SQL/option land)."""
-    mod_name, _, fn_name = spec.partition(":")
-    return getattr(importlib.import_module(mod_name), fn_name)
+    the seam visible and configurable from SQL/option land).
+
+    An optional query-string suffix binds keyword parameters at resolve
+    time — ``module:function?url=http://127.0.0.1:8443`` — which is how
+    the real HTTP client (http_backend.py) receives its endpoint: the
+    spec is a plain string, so it travels through .option()/SQL and
+    into every executor worker without pickling a closure."""
+    base, _, qs = spec.partition("?")
+    mod_name, _, fn_name = base.partition(":")
+    fn = getattr(importlib.import_module(mod_name), fn_name)
+    if qs:
+        import functools
+        from urllib.parse import parse_qsl
+
+        return functools.partial(fn, **dict(parse_qsl(qs)))
+    return fn
 
 
 class _WindowPartition(InputPartition):
