@@ -271,6 +271,7 @@ HEADLINE = [
     "changepoint_cusum",
     "stratified_kfold",
     "multimodal_decode_png",
+    "multimodal_decode_jpeg",
     "jsonl_gzip_ingest",
     # round-8 wave-7 additions (classifier eval + sketch/DQ tail)
     "classifier_auc_roc",

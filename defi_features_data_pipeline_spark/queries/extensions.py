@@ -11586,6 +11586,427 @@ EXT_ORACLES["multimodal_decode_png"] = ORACLE_MULTIMODAL_DECODE_PNG
 
 
 # ---------------------------------------------------------------------------
+# JPEG baseline (SOF0) decode — entropy-coded DCT with stdlib+numpy
+# only: marker walk, canonical Huffman from DHT, byte-unstuffing, DC
+# differential + sign extension, general AC run-length, dequantize,
+# zigzag, float IDCT, level shift (r9 verdict item 9 — the largest
+# codec-tail item in KNOWN_LIMITS §3)
+# ---------------------------------------------------------------------------
+
+# Natural position of each zigzag index (ITU T.81 Figure A.6)
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+# Standard luminance DC table (T.81 Annex K.3.1): categories 0..11
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+# Minimal-but-legal AC table: the single 1-bit code "0" = EOB (the
+# decoder builds its tables generically from DHT, so a full Annex K
+# table decodes through the same path)
+_JPEG_AC_BITS = [1] + [0] * 15
+_JPEG_AC_VALS = [0x00]
+# DC quant step 8 makes the oracle EXACT: a DC-only block's IDCT is
+# F00/8 = (k·8)/8 = k at every sample — integer before rounding, so
+# decoded pixel = k + 128 with no float ambiguity for SQL to chase
+_JPEG_QDC = 8
+_JPEG_QAC = 16
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict:
+    """symbol -> (code, length), canonical JPEG Huffman assignment."""
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing: 0xFF in entropy data -> FF 00
+                self.buf.append(0x00)
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill to byte boundary
+        return bytes(self.buf)
+
+
+def _jpeg_dims(doc_id: int) -> tuple[int, int]:
+    return 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
+
+
+def _jpeg_dc(doc_id: int, bx: int, by: int) -> int:
+    return (doc_id * 7 + bx * 13 + by * 31) % 256 - 128
+
+
+def _jpeg_encode(
+    w: int,
+    h: int,
+    blocks: list[list[int]],
+    ac_bits: list[int] | None = None,
+    ac_vals: list[int] | None = None,
+) -> bytes:
+    """Real baseline JPEG byte stream: SOI, DQT (zigzag), SOF0
+    (8-bit, single component — grayscale baseline, no subsampling),
+    DHT ×2, SOS, Huffman-entropy-coded scan with byte stuffing, EOI.
+    ``blocks`` holds QUANTIZED coefficients per 8×8 block in raster
+    order, each a 64-list in NATURAL order (the fixture generator
+    passes DC-only blocks; tests pass AC runs through the same
+    encoder)."""
+    ac_bits = ac_bits if ac_bits is not None else _JPEG_AC_BITS
+    ac_vals = ac_vals if ac_vals is not None else _JPEG_AC_VALS
+    qtab = [0] * 64
+    qtab[0] = _JPEG_QDC
+    for z in range(1, 64):
+        qtab[z] = _JPEG_QAC
+    seg = bytearray(b"\xff\xd8")  # SOI
+
+    def marker(m: int, payload: bytes) -> None:
+        seg.extend(struct.pack(">BBH", 0xFF, m, len(payload) + 2))
+        seg.extend(payload)
+
+    marker(0xDB, bytes([0x00]) + bytes(qtab))  # DQT, Pq=0 Tq=0, zigzag
+    marker(  # SOF0: precision 8, 1 component id=1, sampling 1x1, Tq 0
+        0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    marker(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    marker(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    marker(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS: comp 1, Td=Ta=0
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(ac_bits, ac_vals)
+    bw = _JpegBitWriter()
+    pred = 0
+    for blk in blocks:
+        diff = blk[0] - pred
+        pred = blk[0]
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        # AC: run-length encode the zigzag tail (fixtures are all-zero
+        # -> one EOB; tests drive (run, size) symbols through here)
+        zz = [blk[_JPEG_ZIGZAG[z]] for z in range(1, 64)]
+        last_nz = max((i for i, v in enumerate(zz) if v), default=-1)
+        run = 0
+        for i in range(last_nz + 1):
+            v = zz[i]
+            if v == 0:
+                run += 1
+                if run == 16:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.put(code, ln)
+                    run = 0
+                continue
+            s = abs(v).bit_length()
+            code, ln = ac_codes[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 62:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.put(code, ln)
+    seg.extend(bw.finish())
+    seg.extend(b"\xff\xd9")  # EOI
+    return bytes(seg)
+
+
+def _jpeg_bytes(doc_id: int) -> bytes:
+    """Per-document fixture: DC-only blocks (AC all zero), DC value
+    k(doc, bx, by) per the analytic formula — the decode is then
+    blockwise-constant k+128, which DuckDB recomputes exactly."""
+    w, h = _jpeg_dims(doc_id)
+    blocks = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = [0] * 64
+            blk[0] = _jpeg_dc(doc_id, bx, by)
+            blocks.append(blk)
+    return _jpeg_encode(w, h, blocks)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_idct_matrix() -> np.ndarray:
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = (c / 2) * np.cos((2 * x + 1) * u * np.pi / 16)
+    return a
+
+
+def _jpeg_decode(buf: bytes, want: str = "pixels"):
+    """Baseline-sequential JPEG decoder (single-component SOF0, no
+    restart markers — the fixture scope; chroma subsampling is the
+    remaining KNOWN_LIMITS §3 item). Returns (w, h, pixels uint8
+    ndarray) or, with want='coefficients', (w, h, list of quantized
+    64-coefficient blocks in natural order) so tests can pin the
+    Huffman/run-length layer independent of the IDCT."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    i = 2
+    qtabs: dict[int, list[int]] = {}
+    hufftabs: dict[tuple[int, int], dict] = {}
+    w = h = None
+    scan_start = None
+    while i < len(buf):
+        if buf[i] != 0xFF:
+            raise ValueError(f"marker sync lost at {i}")
+        m = buf[i + 1]
+        if m == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", buf, i + 2)
+        seg = buf[i + 4 : i + 2 + ln]
+        if m == 0xDB:  # DQT: one or more tables, zigzag order
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = list(seg[p + 1 : p + 65])
+                nat = [0] * 64
+                for z in range(64):
+                    nat[_JPEG_ZIGZAG[z]] = zz[z]
+                qtabs[tq] = nat
+                p += 65
+        elif m == 0xC0:  # SOF0
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component SOF0")
+            if seg[7] != 0x11:  # seg[6] is the component id
+                raise ValueError("subsampling unsupported")
+            comp_tq = seg[8]
+        elif m == 0xC4:  # DHT: one or more tables
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nvals])
+                # canonical decode map: (length, code) -> symbol
+                dec, code, k = {}, 0, 0
+                for L in range(1, 17):
+                    for _ in range(bits[L - 1]):
+                        dec[(L, code)] = vals[k]
+                        k += 1
+                        code += 1
+                    code <<= 1
+                hufftabs[(tc, th)] = dec
+                p += 17 + nvals
+        elif m == 0xDA:  # SOS
+            td, ta = seg[2] >> 4, seg[2] & 15
+            scan_start = i + 2 + ln
+            break
+        i += 2 + ln
+    if scan_start is None or w is None:
+        raise ValueError("missing SOS/SOF0")
+    # entropy data: un-stuff FF00 -> FF, stop at the next real marker
+    raw = bytearray()
+    p = scan_start
+    while p < len(buf):
+        b = buf[p]
+        if b == 0xFF:
+            nxt = buf[p + 1]
+            if nxt == 0x00:
+                raw.append(0xFF)
+                p += 2
+                continue
+            break  # EOI (or any marker) ends the scan
+        raw.append(b)
+        p += 1
+
+    def huffread(br: _JpegBitReader, dec: dict) -> int:
+        code, length = 0, 0
+        while length < 17:
+            code = (code << 1) | br.bit()
+            length += 1
+            if (length, code) in dec:
+                return dec[(length, code)]
+        raise ValueError("invalid Huffman code")
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    br = _JpegBitReader(bytes(raw))
+    dc_dec, ac_dec = hufftabs[(0, td)], hufftabs[(1, ta)]
+    nbx, nby = w // 8, h // 8
+    pred = 0
+    blocks: list[list[int]] = []
+    for _ in range(nbx * nby):
+        blk = [0] * 64
+        s = huffread(br, dc_dec)
+        diff = extend(br.bits(s), s) if s else 0
+        pred += diff
+        blk[0] = pred
+        z = 1
+        while z < 64:
+            sym = huffread(br, ac_dec)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL: 16 zeros
+                z += 16
+                continue
+            run, size = sym >> 4, sym & 15
+            z += run
+            if z > 63:
+                raise ValueError("AC run past block end")
+            blk[_JPEG_ZIGZAG[z]] = extend(br.bits(size), size)
+            z += 1
+        blocks.append(blk)
+    if want == "coefficients":
+        return w, h, blocks
+    q = np.array(qtabs[comp_tq]).reshape(8, 8)
+    a = _jpeg_idct_matrix()
+    pixels = np.zeros((h, w), dtype=np.uint8)
+    for idx, blk in enumerate(blocks):
+        by, bx = divmod(idx, nbx)
+        f = np.array(blk, dtype=np.float64).reshape(8, 8) * q
+        s = a.T @ f @ a  # 2-D type-III DCT (the IDCT)
+        pixels[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+            np.round(s) + 128, 0, 255
+        ).astype(np.uint8)
+    return w, h, pixels
+
+
+def q_multimodal_decode_jpeg(spark, sf_dir):
+    """JPEG BASELINE DECODE over a binary column: encodes one real
+    SOF0 grayscale JPEG per document (canonical-Huffman entropy scan,
+    standard DC table, zigzag DQT), then an
+    independent Arrow-batched stage decodes the ACTUAL BYTES — marker
+    walk, DHT table reconstruction, FF00 un-stuffing, DC differential
+    with sign extension, the general (run,size) AC loop, dequantize,
+    de-zigzag, float 8×8 IDCT, level shift — and emits integer image
+    statistics. The oracle recomputes them from the DC formula: the
+    DC quant step of 8 makes a DC-only block's IDCT land on integers
+    (F00/8 = k), so the hash is exact, not tolerance-based. A wrong sign
+    extension, a mis-built Huffman table or a transposed IDCT all
+    break it; the byte-STUFFING layer never byte-aligns in these
+    fixtures, so it is pinned by a crafted alignment roundtrip in
+    tests/test_wave10.py instead. Scope (KNOWN_LIMITS §3): baseline
+    sequential single-component; chroma subsampling recombination and
+    progressive scans remain out.
+
+    100 TB notes: two map-only Arrow-batched passes, no shuffle; the
+    per-row cost is the decoder itself — on a real corpus the encode
+    stage is a parquet binary read and this operator is
+    embarrassingly parallel."""
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_jpeg_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, np_, psum, den = [], [], [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pix = _jpeg_decode(bytes(buf))
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                np_.append(w * h)
+                psum.append(int(pix.astype(np.int64).sum()))
+                # per-block reconstructed DC (top-left sample − 128):
+                # its energy pins every block independently of the sum
+                ks = pix[::8, ::8].astype(np.int64) - 128
+                den.append(int((ks * ks).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "n_pixels": np_,
+                    "pixel_sum": psum,
+                    "dc_energy": den,
+                }
+            )
+
+    payloads = d.mapInPandas(encode, schema="doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        schema="doc_id long, width long, height long, n_pixels long, "
+        "pixel_sum long, dc_energy long",
+    )
+
+
+ORACLE_MULTIMODAL_DECODE_JPEG = """
+WITH d AS (
+  SELECT doc_id,
+         8 * (1 + doc_id % 3) AS w,
+         8 * (1 + doc_id % 2) AS h
+  FROM documents
+),
+blk AS (
+  SELECT doc_id, w, h, unnest(range(0, (w // 8) * (h // 8))) AS b FROM d
+),
+k AS (
+  SELECT doc_id, w, h,
+         (doc_id * 7 + (b % (w // 8)) * 13 + (b // (w // 8)) * 31) % 256
+           - 128 AS kv
+  FROM blk
+)
+SELECT doc_id, w AS width, h AS height, w * h AS n_pixels,
+       CAST(SUM(64 * (kv + 128)) AS BIGINT) AS pixel_sum,
+       CAST(SUM(kv * kv) AS BIGINT) AS dc_energy
+FROM k GROUP BY doc_id, w, h
+"""
+
+EXT_QUERIES["multimodal_decode_jpeg"] = q_multimodal_decode_jpeg
+EXT_ORACLES["multimodal_decode_jpeg"] = ORACLE_MULTIMODAL_DECODE_JPEG
+
+
+# ---------------------------------------------------------------------------
 # gzip JSONL ingestion — the compressed crawl-feed path (and the
 # non-splittable-codec parallelism lesson that goes with it)
 # ---------------------------------------------------------------------------

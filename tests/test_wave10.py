@@ -179,3 +179,111 @@ def test_artifact_subdir_distinguishes_same_basename(tmp_path):
     assert a.startswith("sf0.1_") and b.startswith("sf0.1_")
     # and stable for the same path
     assert a == _artifact_subdir(str(tmp_path / "a" / "sf0.1"))
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline decode (r9 verdict item 9)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_matches_dc_formula():
+    """Encoder → decoder roundtrip over the whole pipeline (Huffman,
+    stuffing, DC differential, dequant, IDCT, level shift): every
+    sample of every block must equal k + 128 EXACTLY (the q_dc=8
+    design makes the IDCT integer-valued, so no tolerance)."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _jpeg_bytes,
+        _jpeg_dc,
+        _jpeg_decode,
+        _jpeg_dims,
+    )
+
+    for doc in [0, 1, 2, 3, 7, 17, 123, 4242]:
+        w, h, pix = _jpeg_decode(_jpeg_bytes(doc))
+        assert (w, h) == _jpeg_dims(doc)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                k = _jpeg_dc(doc, bx, by)
+                blk = pix[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (blk == k + 128).all(), (doc, bx, by, k)
+
+
+def test_jpeg_ac_runlength_path():
+    """The general AC (run,size) machinery — zero runs, a ZRL (16-zero)
+    escape, negative coefficients with sign extension, mid-block EOB —
+    exercised through a fuller custom Huffman table and pinned at the
+    QUANTIZED-COEFFICIENT layer (independent of the IDCT)."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _JPEG_ZIGZAG,
+        _jpeg_decode,
+        _jpeg_encode,
+    )
+
+    # canonical table: all symbols at one length L with 2^L > n
+    syms = [0x00, 0xF0, 0x01, 0x11, 0x22, 0x02, 0x53, 0x13]
+    L = max(4, (len(syms) + 1).bit_length())
+    ac_bits = [0] * 16
+    ac_bits[L - 1] = len(syms)
+
+    blk1 = [0] * 64
+    blk1[0] = -37                      # negative DC
+    blk1[_JPEG_ZIGZAG[1]] = 1          # (run 0, size 1)
+    blk1[_JPEG_ZIGZAG[3]] = -1         # (run 1, size 1) negative
+    blk1[_JPEG_ZIGZAG[6]] = -2         # (run 2, size 2)
+    blk1[_JPEG_ZIGZAG[6 + 17]] = 3     # 16 zeros -> ZRL + (run 0, size 2)
+    blk1[_JPEG_ZIGZAG[6 + 17 + 6]] = -5  # (run 5, size 3)
+    blk2 = [0] * 64
+    blk2[0] = 90                       # positive diff after negative pred
+    blk2[_JPEG_ZIGZAG[2]] = 1          # then EOB mid-block
+
+    buf = _jpeg_encode(8, 16, [blk1, blk2], ac_bits=ac_bits, ac_vals=syms)
+    w, h, blocks = _jpeg_decode(buf, want="coefficients")
+    assert (w, h) == (8, 16)
+    assert blocks == [blk1, blk2]
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    """Byte stuffing, deterministically: six 3-bit filler blocks put
+    the bit cursor at 18 ≡ 2 (mod 8), the category-8 DC code (6 bits)
+    then ends ON a byte boundary, and diff=255's eight 1-bits form a
+    literal 0xFF in the entropy stream — which the encoder must stuff
+    (FF 00) and the decoder must un-stuff, or the coefficient layer
+    breaks. (The corpus fixtures' 1-runs max out at 8 bits and never
+    byte-align, so this path is pinned here rather than by the gate.)"""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _jpeg_decode,
+        _jpeg_encode,
+    )
+
+    zero = [0] * 64
+    target = [0] * 64
+    target[0] = 255  # diff from pred 0 -> category 8, bits 11111111
+    tail = [0] * 64
+    tail[0] = 1
+    blocks = [list(zero) for _ in range(6)] + [target, tail]
+    buf = _jpeg_encode(64, 8, blocks)
+    sos = buf.find(b"\xff\xda")
+    scan = buf[sos + 2 : buf.rfind(b"\xff\xd9")]
+    assert b"\xff\x00" in scan, "expected a stuffed byte"
+    w, h, got = _jpeg_decode(buf, want="coefficients")
+    assert (w, h) == (64, 8)
+    assert got == blocks
+
+
+def test_jpeg_decoder_rejects_corruption():
+    """Tamper checks: a flipped SOI and an unsupported subsampling
+    byte must raise, not mis-decode silently."""
+    import pytest
+
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _jpeg_bytes,
+        _jpeg_decode,
+    )
+
+    buf = bytearray(_jpeg_bytes(5))
+    with pytest.raises(ValueError, match="SOI"):
+        _jpeg_decode(b"\x00" + bytes(buf[1:]))
+    sof = bytes(buf).find(b"\xff\xc0")
+    buf[sof + 2 + 2 + 7] = 0x22  # component sampling factor
+    with pytest.raises(ValueError, match="subsampling"):
+        _jpeg_decode(bytes(buf))
