@@ -282,3 +282,65 @@ def test_injected_broad_regression_division_of_labor():
     assert used == 2.0 and canary["ratio_capped"] is True
     flagged = B._normalized_regressions(timings, prior, used)
     assert set(flagged) == set(timings), flagged
+
+
+def test_close_round_regenerates_notes(tmp_path):
+    """tools/close_round.py (r9 verdict item 8): the ROUND{N}.md
+    autogen block is rewritten from the FINAL artifacts — numbers in
+    notes cannot drift from the recording — and the exit code carries
+    the strict-gate condition."""
+    import json
+    import subprocess
+    import sys
+
+    bench = {
+        "value": 12.3, "sf": 0.1, "runs": 3,
+        "queries": {"a": 1.0, "b": 2.0},
+        "canary": {"ratio_used_for_gate": 1.0,
+                   "machine_ratio_suite_median": 1.0,
+                   "ratio_vs_prior": 1.0, "ratio_capped": False,
+                   "estimator_disagreement": 1.0,
+                   "prior_coverage": {"n_prior": 2, "n_timed": 2}},
+        "normalized_regressions": {},
+        "full_artifact": "BENCH_full_r07.json",
+        "scale_probe": {"queries": {
+            "a": {"vs_expected": 0.5},
+            "a__cold": {"sec": 9.9, "warm": False},
+        }},
+    }
+    (tmp_path / "BENCH_full_r07.json").write_text(json.dumps(bench))
+    (tmp_path / "CORRECTNESS_full_r07_sf0.01.json").write_text(
+        json.dumps({"matched": 5, "total": 5, "results": {}})
+    )
+    r = subprocess.run(
+        [sys.executable, "tools/close_round.py", "--round", "7",
+         "--repo", str(tmp_path)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    text = (tmp_path / "ROUND7.md").read_text()
+    assert "12.3 s over 2 queries" in text
+    assert "sf0.01: 5/5" in text
+    assert "cold rows: 1" in text
+    # idempotent re-run with a manual preamble preserved
+    (tmp_path / "ROUND7.md").write_text("# my prose\n\n" + text)
+    r2 = subprocess.run(
+        [sys.executable, "tools/close_round.py", "--round", "7",
+         "--repo", str(tmp_path)],
+        capture_output=True, text=True,
+    )
+    assert r2.returncode == 0
+    t2 = (tmp_path / "ROUND7.md").read_text()
+    assert t2.count("12.3 s over 2 queries") == 1 and "# my prose" in t2
+    # a regression in the final artifact fails the close
+    bench["normalized_regressions"] = {
+        "a": {"sec": 9, "normalized_sec": 9, "prior_sec": 1,
+              "normalized_ratio": 9.0}
+    }
+    (tmp_path / "BENCH_full_r07.json").write_text(json.dumps(bench))
+    r3 = subprocess.run(
+        [sys.executable, "tools/close_round.py", "--round", "7",
+         "--repo", str(tmp_path)],
+        capture_output=True, text=True,
+    )
+    assert r3.returncode == 3
