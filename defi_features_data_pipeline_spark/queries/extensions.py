@@ -5129,16 +5129,27 @@ def lsh_edges_dir(sf_dir: str) -> str:
 
 
 def _docs_fingerprint(spark, sf_dir: str):
-    """(row count, doc_id checksum) — column-pruned corpus identity for
-    edge-artifact freshness (the edge list does not cover every doc, so
-    unlike IVF's assignment table it cannot self-certify; a one-row
-    meta table records what the edges were built from)."""
+    """(row count, doc_id checksum, text-content checksum) — corpus
+    identity for edge-artifact freshness (the edge list does not cover
+    every doc, so unlike IVF's assignment table it cannot self-certify;
+    a one-row meta table records what the edges were built from).
+
+    The content term (r10, the _emb_fingerprint lesson applied to its
+    sibling): LSH edges are a function of the TEXT (shingles), so a
+    regenerated corpus reusing doc_ids with different text must change
+    the fingerprint — (count, sum(id)) alone would serve a stale
+    committed edge list on the oracle-free bench path. Order-independent
+    sum of a JVM crc32 per row (the _customer_fingerprint convention)."""
     r = (
         _t(spark, sf_dir, "documents")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("s"),
+            F.sum(F.crc32(F.col("text"))).alias("c"),
+        )
         .first()
     )
-    return int(r["n"] or 0), int(r["s"] or 0)
+    return int(r["n"] or 0), int(r["s"] or 0), int(r["c"] or 0)
 
 
 def _lsh_edges(spark, sf_dir: str) -> DataFrame:
@@ -5170,7 +5181,7 @@ def _lsh_edges(spark, sf_dir: str) -> DataFrame:
     if has_committed_data(spark, epath) and has_committed_data(spark, mpath):
         try:
             m = spark.read.parquet(mpath).first()
-            fresh = (int(m["n"]), int(m["s"])) == cur
+            fresh = (int(m["n"]), int(m["s"]), int(m["c"])) == cur
         except Exception:  # noqa: BLE001 — unreadable meta ⇒ rebuild
             fresh = False
     if not fresh:
@@ -5181,7 +5192,7 @@ def _lsh_edges(spark, sf_dir: str) -> DataFrame:
         tmp = epath + ".__tmp__"
         edges.coalesce(1).write.mode("overwrite").parquet(tmp)
         swap_dirs(spark, tmp, epath)
-        mdf = spark.createDataFrame([cur], "n bigint, s bigint")
+        mdf = spark.createDataFrame([cur], "n bigint, s bigint, c bigint")
         tmpm = mpath + ".__tmp__"
         mdf.coalesce(1).write.mode("overwrite").parquet(tmpm)
         swap_dirs(spark, tmpm, mpath)
@@ -5216,7 +5227,7 @@ def _lsh_cc_labels(spark, sf_dir: str) -> DataFrame:
     if has_committed_data(spark, lpath) and has_committed_data(spark, mpath):
         try:
             m = spark.read.parquet(mpath).first()
-            fresh = (int(m["n"]), int(m["s"])) == cur
+            fresh = (int(m["n"]), int(m["s"]), int(m["c"])) == cur
         except Exception:  # noqa: BLE001 — unreadable meta ⇒ rebuild
             fresh = False
     if not fresh:
@@ -5226,7 +5237,7 @@ def _lsh_cc_labels(spark, sf_dir: str) -> DataFrame:
         tmp = lpath + ".__tmp__"
         labels.coalesce(1).write.mode("overwrite").parquet(tmp)
         swap_dirs(spark, tmp, lpath)
-        mdf = spark.createDataFrame([cur], "n bigint, s bigint")
+        mdf = spark.createDataFrame([cur], "n bigint, s bigint, c bigint")
         tmpm = mpath + ".__tmp__"
         mdf.coalesce(1).write.mode("overwrite").parquet(tmpm)
         swap_dirs(spark, tmpm, mpath)

@@ -444,15 +444,15 @@ def test_lsh_cc_labels_rebuilds_on_stale_meta(spark, tmp_path, monkeypatch):
     mpath = os.path.join(adir, "meta")
     # poison the meta: wrong row count
     spark.createDataFrame(
-        [(999999, 1)], "n bigint, s bigint"
+        [(999999, 1, 1)], "n bigint, s bigint, c bigint"
     ).coalesce(1).write.mode("overwrite").parquet(mpath)
     after = {
         (r["node"], r["label"]) for r in X._lsh_cc_labels(spark, SF_DIR).collect()
     }
     assert after == before  # rebuilt from the same corpus -> same labels
     m = spark.read.parquet(mpath).first()
-    n, s_sum = X._docs_fingerprint(spark, SF_DIR)
-    assert (m["n"], m["s"]) == (n, s_sum)  # meta restored fresh
+    n, s_sum, c = X._docs_fingerprint(spark, SF_DIR)
+    assert (m["n"], m["s"], m["c"]) == (n, s_sum, c)  # meta restored fresh
     # leave no stale pointer into the (soon-deleted) tmp root behind
     X._LSH_CC_CACHE.pop(key, None)
 
