@@ -647,7 +647,10 @@ def _kmeans_fit(e: DataFrame, k: int, iters: int = IVF_ITERS):
     return centroids
 
 
-def _write_ivf_artifacts(spark, adir: str, centroids, assign: DataFrame) -> None:
+def _write_ivf_artifacts(
+    spark, adir: str, centroids, assign: DataFrame,
+    content_checksum: int | None = None,
+) -> None:
     from ..sources.fsutil import swap_dirs
 
     cdf = spark.createDataFrame(
@@ -668,7 +671,17 @@ def _write_ivf_artifacts(spark, adir: str, centroids, assign: DataFrame) -> None
     # coalesce(1): the artifacts are k rows / n_vec 2-col rows — at real
     # scale the assignment table would stay partitioned (drop the
     # coalesce); the swap keeps readers off partial writes.
-    for sub, df in (("centroids", cdf), ("assignments", assign)):
+    writes = [("centroids", cdf), ("assignments", assign)]
+    if content_checksum is not None:
+        # one-row corpus CONTENT fingerprint (see _vector_content_checksum):
+        # written LAST so a crash mid-write forces a rebuild, never a
+        # content-unverified serve
+        writes.append(
+            ("meta_fp", spark.createDataFrame(
+                [(int(content_checksum),)], "c bigint"
+            ))
+        )
+    for sub, df in writes:
         final = os.path.join(adir, sub)
         tmp = final + ".__tmp__"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -678,11 +691,31 @@ def _write_ivf_artifacts(spark, adir: str, centroids, assign: DataFrame) -> None
 def _corpus_fingerprint(corpus_or_assign: DataFrame):
     """(row count, sum(vec_id)) — a cheap column-pruned identity for
     the embedding corpus, used to decide index freshness without
-    touching the vectors themselves."""
+    touching the vectors themselves. The CONTENT term lives in a
+    separate stored fingerprint (`_vector_content_checksum` + the
+    index's ``meta_fp`` table) because this function also runs over
+    the vector-less assignments table."""
     r = corpus_or_assign.agg(
         F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("s")
     ).first()
     return int(r["n"] or 0), int(r["s"] or 0)
+
+
+def _vector_content_checksum(corpus: DataFrame, vec_col: str = "v") -> int:
+    """Order-independent content checksum over (vec_id, vector) — the
+    _emb_fingerprint lesson applied to the index artifacts: an index
+    fitted on one corpus must never serve a regenerated corpus that
+    reuses the same vec_ids with different vector VALUES, and the
+    assignments table alone cannot see that (it stores no vectors).
+    Stored at build time as a one-row ``meta_fp`` table; compared at
+    load time against the live corpus (one extra column scan of the
+    small embeddings table)."""
+    r = corpus.agg(
+        F.sum(
+            _h(F.to_json(F.struct(F.col("vec_id"), F.col(vec_col))))
+        ).alias("c")
+    ).first()
+    return int(r["c"] or 0)
 
 
 def _ivf_load_if_current(spark, adir: str, corpus: DataFrame):
@@ -706,11 +739,16 @@ def _ivf_load_if_current(spark, adir: str, corpus: DataFrame):
             for r in spark.read.parquet(cpath).collect()
         )
         disk_fp = _corpus_fingerprint(spark.read.parquet(apath))
-    except Exception:  # noqa: BLE001 — unreadable/corrupt ⇒ rebuild
+        disk_c = int(
+            spark.read.parquet(os.path.join(adir, "meta_fp")).first()["c"]
+        )
+    except Exception:  # noqa: BLE001 — unreadable/corrupt/absent ⇒ rebuild
         return None
     cur_fp = _corpus_fingerprint(corpus)
     if disk_fp != cur_fp or len(cent) != _ivf_k(cur_fp[0]):
         return None
+    if disk_c != _vector_content_checksum(corpus):
+        return None  # same ids, regenerated vectors — the index is stale
     return cent
 
 
@@ -742,7 +780,10 @@ def _ivf_index(spark, sf_dir: str):
             n = e.count()
             centroids = _kmeans_fit(e, _ivf_k(n))
             assign = _assign_frame(e, centroids)
-            _write_ivf_artifacts(spark, adir, centroids, assign)
+            _write_ivf_artifacts(
+                spark, adir, centroids, assign,
+                content_checksum=_vector_content_checksum(e),
+            )
         finally:
             e.unpersist()
     _IVF_CACHE[key] = centroids
@@ -6317,6 +6358,7 @@ def _pq_index(spark, sf_dir: str) -> dict[int, list]:
     kpath = os.path.join(adir, "codes")
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cur_n, cur_s = _corpus_fingerprint(emb)
+    cur_c = _vector_content_checksum(emb, vec_col="embedding")
 
     if has_committed_data(spark, cpath) and has_committed_data(spark, kpath):
         try:
@@ -6327,9 +6369,13 @@ def _pq_index(spark, sf_dir: str) -> dict[int, list]:
                     (int(r["cid"]), [float(x) for x in r["centroid"]])
                 )
             code_n, code_s = _corpus_fingerprint(spark.read.parquet(kpath))
+            disk_c = int(
+                spark.read.parquet(os.path.join(adir, "meta_fp")).first()["c"]
+            )
             fresh = (
                 code_n == PQ_SUBS * cur_n
                 and code_s == PQ_SUBS * cur_s
+                and disk_c == cur_c  # same ids, regenerated vectors ⇒ stale
                 and sorted(by_sub) == list(range(PQ_SUBS))
                 and all(len(v) == PQ_K for v in by_sub.values())
             )
@@ -6357,7 +6403,11 @@ def _pq_index(spark, sf_dir: str) -> dict[int, list]:
         ],
         "sub int, cid int, centroid array<double>",
     )
-    for p, df in ((cpath, cent), (kpath, codes)):
+    fp = spark.createDataFrame([(int(cur_c),)], "c bigint")
+    # meta_fp LAST: a crash mid-write forces a rebuild, never a
+    # content-unverified serve
+    for p, df in ((cpath, cent), (kpath, codes),
+                  (os.path.join(adir, "meta_fp"), fp)):
         tmp = p + ".__tmp__"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         swap_dirs(spark, tmp, p)

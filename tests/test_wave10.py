@@ -287,3 +287,48 @@ def test_jpeg_decoder_rejects_corruption():
     buf[sof + 2 + 2 + 7] = 0x22  # component sampling factor
     with pytest.raises(ValueError, match="subsampling"):
         _jpeg_decode(bytes(buf))
+
+
+def test_ivf_pq_index_stale_on_vector_content_change(spark, tmp_path):
+    """The index twins of the _emb_fingerprint fix: an IVF or PQ
+    artifact fitted on one corpus must NOT pass the freshness check
+    for a regenerated corpus that reuses the same vec_ids with
+    different vector values (the assignments/codes tables store no
+    vectors, so only the stored content fingerprint can see it)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import defi_features_data_pipeline_spark.queries.extensions as X
+
+    sf = str(tmp_path / "sf_fp")
+    shutil.copytree(SF_DIR, sf)
+    key = __import__("os").path.normpath(sf)
+    try:
+        cent1 = X._ivf_index(spark, sf)
+        books1 = X._pq_index(spark, sf)
+        # regenerate: same ids, one vector perturbed
+        t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+        v = list(t.loc[0, "embedding"])
+        v[0] = float(v[0]) + 1.0
+        t.at[0, "embedding"] = v
+        pq.write_table(
+            pa.Table.from_pandas(t, preserve_index=False),
+            f"{sf}/embeddings.parquet",
+        )
+        X._IVF_CACHE.pop(key, None)
+        X._PQ_CACHE.pop(key, None)
+        # load path must declare stale and REFIT (not serve cent1)
+        corpus = X._vectors(spark, sf, "vec_id", "v", "vn").drop("label")
+        assert X._ivf_load_if_current(
+            spark, X.ivf_artifact_dir(sf), corpus
+        ) is None
+        cent2 = X._ivf_index(spark, sf)
+        books2 = X._pq_index(spark, sf)
+        assert cent2 != cent1 or books2 != books1
+    finally:
+        shutil.rmtree(X.ivf_artifact_dir(sf), ignore_errors=True)
+        shutil.rmtree(X.pq_artifact_dir(sf), ignore_errors=True)
+        X._IVF_CACHE.pop(key, None)
+        X._PQ_CACHE.pop(key, None)
