@@ -297,8 +297,10 @@ HEADLINE = [
     "winnow_fingerprints",
     "dedup_winnowed_pairs",
     "index_segment_compaction",
-    # round-10: anchored composition of the two lines above
+    # round-10: anchored composition of the two lines above, and its
+    # ingest-time streaming twin (winnowed store, sub-linear state)
     "dedup_longest_span_anchored",
+    "streaming_winnowed_dedup",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound

@@ -936,6 +936,180 @@ LEARNOPS_QUERIES["dedup_longest_span_anchored"] = (
 
 
 # ---------------------------------------------------------------------------
+# Streaming winnowed dedup — the INGEST-TIME form of the anchor family
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_winnowed_dedup(spark, sf_dir):
+    """STREAMING WINNOWED DEDUP: documents arrive as doc_id-ordered
+    micro-batches; each batch winnows its docs (k={k}, w={w}) and flags
+    every doc sharing ≥1 selected fingerprint with ANY earlier doc —
+    earlier batch via the accumulated fingerprint store, earlier
+    in-batch via min-doc-id firsts — then appends its UNSEEN
+    fingerprints to the store. This is the ingest-path twin of
+    `dedup_winnowed_pairs`/`dedup_longest_span_anchored`: at 100 TB
+    the arrival-time question is "does this doc anchor-match anything
+    already ingested?", and the winnowed store answers it with
+    ~2/(w+1) the state of the full-window novelty ledger
+    (`streaming_novelty_incremental`) while keeping the MOSS
+    guarantee: any shared span ≥ w+k−1 tokens WILL anchor-hit.
+
+    Because the stream is doc_id-ordered, the final per-doc result
+    must equal the batch semantics exactly ("fingerprint first held by
+    a smaller doc_id") — the gate's oracle is that batch SQL, so the
+    incremental state transition is proven lossless, same discipline
+    as the novelty gate.
+
+    100 TB notes: per-batch work is batch-fps × (one anti-join + one
+    equi-join against the store); the store is append-only DISTINCT
+    hashes partitioned by batch (idempotent replay via overwrite);
+    per-batch appended-state counts land in STREAM_STATE_METRICS for
+    the sf10 probe."""
+    import glob as _glob
+    import tempfile
+    import time as _time
+
+    src = tempfile.mkdtemp(prefix="stream_winnow_src_")
+    seen_store = tempfile.mkdtemp(prefix="stream_winnow_seen_")
+    out_store = tempfile.mkdtemp(prefix="stream_winnow_out_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d.repartitionByRange(4, F.col("doc_id")).write.mode("overwrite").parquet(
+        src
+    )
+    # file-source trigger order = (mtime, path); restamp so batches
+    # arrive in doc_id-range order (same precondition as the novelty
+    # gate — partition id == doc_id range under repartitionByRange)
+    base = int(_time.time()) + 10
+    for i, p in enumerate(sorted(_glob.glob(os.path.join(src, "part-*")))):
+        os.utime(p, (base + i, base + i))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    from .extensions import STREAM_STATE_METRICS
+
+    STREAM_STATE_METRICS["streaming_winnowed_dedup"] = []
+
+    def score_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        sel = (
+            _winnow_selected_frame(batch_df, SPAN_WINDOW_TOKENS)
+            .select("doc_id", "fh")
+            .distinct()
+            .localCheckpoint(eager=True)  # one winnow pass, three uses
+        )
+        seen_dirs = [
+            p for p in os.listdir(seen_store) if p.startswith("dq_batch=")
+        ]
+        if seen_dirs:
+            seen = (
+                spark.read.option("basePath", seen_store)
+                .parquet(os.path.join(seen_store, "dq_batch=*"))
+                .select("fh")
+            )
+            in_store = sel.join(seen, "fh", "left_semi").withColumn(
+                "__prior", F.lit(True)
+            )
+        else:
+            seen = None
+            in_store = sel.limit(0).withColumn("__prior", F.lit(True))
+        firsts = sel.groupBy("fh").agg(F.min("doc_id").alias("first_doc"))
+        hits = (
+            sel.join(firsts, "fh")
+            .join(
+                in_store.select("doc_id", "fh", "__prior"),
+                ["doc_id", "fh"],
+                "left",
+            )
+            .select(
+                "doc_id",
+                (
+                    F.coalesce(F.col("__prior"), F.lit(False))
+                    | (F.col("first_doc") < F.col("doc_id"))
+                ).cast("int").alias("hit"),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_fps"),
+                F.sum("hit").alias("n_anchor_hits"),
+            )
+        )
+        hits.write.mode("overwrite").parquet(
+            os.path.join(out_store, f"dq_batch={batch_id}")
+        )
+        fresh = sel.select("fh").distinct()
+        if seen is not None:
+            fresh = fresh.join(seen, "fh", "left_anti")
+        seen_dir = os.path.join(seen_store, f"dq_batch={batch_id}")
+        fresh.write.mode("overwrite").parquet(seen_dir)
+        STREAM_STATE_METRICS["streaming_winnowed_dedup"].append(
+            {
+                "batch": int(batch_id),
+                "state_rows_appended": int(
+                    spark.read.parquet(seen_dir).count()
+                ),
+            }
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = (
+        spark.read.option("basePath", out_store)
+        .parquet(os.path.join(out_store, "dq_batch=*"))
+        .select("doc_id", "n_fps", "n_anchor_hits")
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(res, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fps"),
+            F.coalesce("n_anchor_hits", F.lit(0))
+            .cast("long")
+            .alias("n_anchor_hits"),
+            (F.coalesce("n_anchor_hits", F.lit(0)) > 0).alias(
+                "dup_candidate"
+            ),
+        )
+    )
+
+
+q_streaming_winnowed_dedup.__doc__ = q_streaming_winnowed_dedup.__doc__.format(
+    k=SPAN_WINDOW_TOKENS, w=WINNOW_WINDOW
+)
+
+# lossless incremental transition: the BATCH semantics as the oracle —
+# a fingerprint is a hit iff a smaller doc_id holds it anywhere in the
+# corpus (the stream is doc_id-ordered, so "earlier" == smaller id)
+LEARNOPS_ORACLES["streaming_winnowed_dedup"] = f"""
+WITH {_WINNOW_SEL_DUCK},
+dsel AS MATERIALIZED (SELECT DISTINCT doc_id, fh FROM sel),
+firsts AS (SELECT fh, min(doc_id) AS first_doc FROM dsel GROUP BY fh),
+per AS (
+  SELECT d.doc_id, count(*) AS n_fps,
+         SUM(CASE WHEN f.first_doc < d.doc_id THEN 1 ELSE 0 END) AS n_hits
+  FROM dsel d JOIN firsts f USING (fh)
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CAST(COALESCE(n_fps, 0) AS BIGINT) AS n_fps,
+       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_anchor_hits,
+       COALESCE(n_hits, 0) > 0 AS dup_candidate
+FROM documents LEFT JOIN per USING (doc_id)
+"""
+LEARNOPS_QUERIES["streaming_winnowed_dedup"] = q_streaming_winnowed_dedup
+
+
+# ---------------------------------------------------------------------------
 # Unigram-LM perplexity bucketing (CCNet head / middle / tail)
 # ---------------------------------------------------------------------------
 

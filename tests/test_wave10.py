@@ -332,3 +332,59 @@ def test_ivf_pq_index_stale_on_vector_content_change(spark, tmp_path):
         shutil.rmtree(X.pq_artifact_dir(sf), ignore_errors=True)
         X._IVF_CACHE.pop(key, None)
         X._PQ_CACHE.pop(key, None)
+
+
+def test_streaming_winnowed_dedup_covers_pair_gate(spark):
+    """Cross-gate link: for every candidate pair the batch anchor join
+    reports (≥2 shared fingerprints), the LATER doc must be flagged
+    dup_candidate by the streaming gate (which flags at ≥1 shared with
+    any earlier doc) — the ingest-time view can only be more
+    sensitive, never miss a pair the batch view found."""
+    from defi_features_data_pipeline_spark.queries.learnops import (
+        q_dedup_winnowed_pairs,
+        q_streaming_winnowed_dedup,
+    )
+
+    flagged = {
+        r["doc_id"]
+        for r in q_streaming_winnowed_dedup(spark, SF_DIR).collect()
+        if r["dup_candidate"]
+    }
+    pairs = q_dedup_winnowed_pairs(spark, SF_DIR).collect()
+    assert pairs, "vacuous"
+    missing = {r["doc_b"] for r in pairs} - flagged
+    assert not missing, sorted(missing)[:5]
+
+
+def test_streaming_winnowed_state_sublinear_vs_window_ledger(spark):
+    """The scale pitch of the winnowed store: total appended state
+    across batches must be well under the full-window ledger's state
+    (distinct window hashes) — ~2/(w+1) density by the MOSS rule."""
+    from pyspark.sql import functions as F2
+
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        STREAM_STATE_METRICS,
+        TOKENS_SPARK,
+        _h,
+        _t,
+    )
+    from defi_features_data_pipeline_spark.queries.learnops import (
+        _SPAN_WINDOWS_SPARK,
+        q_streaming_winnowed_dedup,
+    )
+
+    q_streaming_winnowed_dedup(spark, SF_DIR).count()
+    rows = STREAM_STATE_METRICS.get("streaming_winnowed_dedup") or []
+    assert rows, "no state metrics recorded"
+    winnow_state = sum(r["state_rows_appended"] for r in rows)
+    window_ledger = (
+        _t(spark, SF_DIR, "documents")
+        .withColumn("__toks", F2.expr(TOKENS_SPARK))
+        .select(F2.explode(F2.expr(_SPAN_WINDOWS_SPARK)).alias("w"))
+        .select(_h(F2.col("w")).alias("wh"))
+        .distinct()
+        .count()
+    )
+    assert 0 < winnow_state < 0.6 * window_ledger, (
+        winnow_state, window_ledger,
+    )
