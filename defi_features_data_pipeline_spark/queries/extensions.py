@@ -13092,3 +13092,306 @@ FROM exact e JOIN est s USING (q_pct) CROSS JOIN stats
 
 EXT_QUERIES["quantile_sketch_histogram"] = q_quantile_sketch_histogram
 EXT_ORACLES["quantile_sketch_histogram"] = ORACLE_QUANTILE_SKETCH_HISTOGRAM
+
+
+# ---------------------------------------------------------------------------
+# GIF87a decode — LZW entropy coding from first principles (variable-
+# width codes, dictionary resets, KwKwK) with zero codec libraries;
+# shrinks KNOWN_LIMITS §3's codec tail further (reference parity:
+# the multimodal decode seam, BASELINE.json extension surface)
+# ---------------------------------------------------------------------------
+
+GIF_COLORS = 16            # 4-bit palette -> LZW min code size 4
+GIF_LZW_MIN = 4
+GIF_CLEAR_EVERY = 64       # encoder re-emits CLEAR mid-stream: a decoder
+                           # that ignores dictionary resets breaks
+
+
+def _gif_width_height(doc_id: int) -> tuple[int, int]:
+    return 7 + doc_id % 10, 5 + doc_id % 7
+
+
+def _gif_palette(doc_id: int, c: int) -> tuple[int, int, int]:
+    return (
+        (doc_id * 7 + c * 31) % 256,
+        (doc_id * 11 + c * 17) % 256,
+        (doc_id * 3 + c * 53) % 256,
+    )
+
+
+def _gif_index(doc_id: int, x: int, y: int) -> int:
+    return (doc_id + 3 * x + 7 * y) % GIF_COLORS
+
+
+def _lzw_encode_gif(indices: list[int], min_code: int = GIF_LZW_MIN,
+                    clear_every: int = GIF_CLEAR_EVERY) -> bytes:
+    """GIF-variant LZW: variable code width starting min_code+1,
+    CLEAR/EOI codes, 12-bit width cap, LSB-first bit packing.
+    ``clear_every`` forces a mid-stream CLEAR after that many data
+    codes so decoders must implement the reset path, not just the
+    happy path; the table also CLEARs when it fills (code 4095).
+
+    Code-width protocol (the spec's notorious off-by-one): the decoder
+    adds its table entry one code LATER than the encoder (it needs the
+    next code's first symbol), so the width switch the two sides agree
+    on is the DECODER's — grow after an add makes nxt == 2^width − 1.
+    Rather than mirror that with a hand-offset encoder rule, the
+    encoder assigns widths by SIMULATING the decoder's state machine
+    over the emitted code stream (one add per data code except the
+    first after each CLEAR). On the normal path this reproduces the
+    canonical encoder timing (grow when the encoder's own add count
+    reaches 2^width) exactly; on the flush-then-CLEAR / flush-then-EOI
+    edges — where the encoder emits a code WITHOUT adding an entry but
+    the decoder still adds one — the simulation keeps both sides
+    bit-synchronized where a local encoder-side rule would drift."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    codes: list[int] = []
+
+    def fresh():
+        return {(i,): i for i in range(1 << min_code)}, eoi + 1
+
+    table, nxt = fresh()
+    codes.append(clear)
+    buf: tuple[int, ...] = ()
+    emitted = 0
+    for idx in indices:
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        codes.append(table[buf])
+        emitted += 1
+        table[cand] = nxt
+        nxt += 1
+        buf = (idx,)
+        if emitted % clear_every == 0 or nxt == 4096:
+            codes.append(table[buf])
+            codes.append(clear)
+            table, nxt = fresh()
+            buf = ()
+            emitted = 0
+    if buf:
+        codes.append(table[buf])
+    codes.append(eoi)
+
+    # width assignment = decoder simulation (see docstring), then
+    # LSB-first bit packing
+    acc = n_bits = 0
+    by = bytearray()
+    width, sim_nxt, first = min_code + 1, eoi + 1, True
+    for code in codes:
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            by.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+        if code == clear:
+            width, sim_nxt, first = min_code + 1, eoi + 1, True
+        elif code != eoi:
+            if first:
+                first = False
+            elif sim_nxt < 4096:
+                sim_nxt += 1
+                if sim_nxt == (1 << width) - 1 and width < 12:
+                    width += 1
+    if n_bits:
+        by.append(acc & 0xFF)
+    return bytes(by)
+
+
+def _lzw_decode_gif(data: bytes, min_code: int = GIF_LZW_MIN) -> list[int]:
+    """The inverse: LSB-first bit reader, CLEAR resets the table and
+    code width, EOI stops, the KwKwK case (code == next free code)
+    resolves as prev + prev[0]. Width grows after an add makes
+    nxt == 2^width − 1 — the decoder-side rule that stays synchronized
+    with canonical encoders, which add entries one code EARLIER and
+    grow at their own add count == 2^width (see _lzw_encode_gif)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    base = {i: (i,) for i in range(1 << min_code)}
+    table = dict(base)
+    width = min_code + 1
+    nxt = eoi + 1
+    acc = n_bits = pos = 0
+    prev: tuple[int, ...] | None = None
+    out: list[int] = []
+    while True:
+        while n_bits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended before EOI")
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = dict(base)
+            width = min_code + 1
+            nxt = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == nxt:
+            entry = prev + (prev[0],)   # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} out of range (next {nxt})")
+        out.extend(entry)
+        if prev is not None and nxt < 4096:
+            table[nxt] = prev + (entry[0],)
+            nxt += 1
+            if nxt == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_bytes(doc_id: int) -> bytes:
+    """Real GIF87a: header, logical screen descriptor, 16-entry global
+    color table, image descriptor, LZW-compressed 4-bit pixel indices
+    split into <=255-byte sub-blocks, trailer. The encoder re-emits
+    CLEAR every {ce} data codes (see _lzw_encode_gif)."""
+    w, h = _gif_width_height(doc_id)
+    hdr = b"GIF87a" + struct.pack("<HH", w, h) + bytes([0x80 | 0x03, 0, 0])
+    pal = b"".join(bytes(_gif_palette(doc_id, c)) for c in range(GIF_COLORS))
+    imgdesc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    idx = [_gif_index(doc_id, x, y) for y in range(h) for x in range(w)]
+    comp = _lzw_encode_gif(idx)
+    blocks = bytearray([GIF_LZW_MIN])
+    for i in range(0, len(comp), 255):
+        part = comp[i : i + 255]
+        blocks += bytes([len(part)]) + part
+    blocks += b"\x00"
+    return hdr + pal + imgdesc + bytes(blocks) + b"\x3b"
+
+
+_gif_bytes.__doc__ = _gif_bytes.__doc__.format(ce=GIF_CLEAR_EVERY)
+
+
+def q_multimodal_decode_gif(spark, sf_dir):
+    """GIF87a DECODE over a binary column: encodes a real GIF per
+    document (16-color global palette, LZW variable-width codes with
+    mid-stream CLEAR resets, sub-block framing), then an independent
+    mapInPandas stage decodes the ACTUAL bytes — header walk, palette
+    read, sub-block reassembly, full LZW (width growth, reset, KwKwK)
+    — and emits the same integer stats as the PNG/JPEG gates. The
+    oracle recomputes them analytically from the index+palette
+    formulas, so a mis-stepped code width, an ignored CLEAR, or a
+    palette off-by-one all break the hash. LZW is implemented from
+    the published GIF87a spec with ZERO codec libraries — after PNG
+    (DEFLATE) and JPEG (Huffman+DCT), the third compressed format
+    decoded from first principles; KNOWN_LIMITS §3's remaining tail
+    is only the non-stdlib entropy codecs (MP3/H.264).
+
+    100 TB notes: two map-only Arrow-batched passes, no shuffle; a
+    real corpus swaps the encode stage for a parquet binary read."""
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_gif_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, widths, heights, npix, luma = [], [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(buf)
+                if buf[:6] != b"GIF87a":
+                    raise ValueError(f"doc {doc_id}: not a GIF87a payload")
+                w, h = struct.unpack_from("<HH", buf, 6)
+                packed = buf[10]
+                if not packed & 0x80:
+                    raise ValueError(f"doc {doc_id}: no global color table")
+                n_colors = 2 << (packed & 0x07)
+                pos = 13
+                pal = [
+                    tuple(buf[pos + 3 * c : pos + 3 * c + 3])
+                    for c in range(n_colors)
+                ]
+                pos += 3 * n_colors
+                if buf[pos] != 0x2C:
+                    raise ValueError(f"doc {doc_id}: expected image descriptor")
+                iw, ih = struct.unpack_from("<HH", buf, pos + 5)
+                if buf[pos + 9] & 0xC0:
+                    raise ValueError(f"doc {doc_id}: unsupported GIF variant")
+                pos += 10
+                min_code = buf[pos]
+                pos += 1
+                comp = bytearray()
+                while True:
+                    ln = buf[pos]
+                    pos += 1
+                    if ln == 0:
+                        break
+                    comp += buf[pos : pos + ln]
+                    pos += ln
+                if buf[pos] != 0x3B:
+                    raise ValueError(f"doc {doc_id}: missing trailer")
+                idx = _lzw_decode_gif(bytes(comp), min_code)
+                if len(idx) != iw * ih:
+                    raise ValueError(
+                        f"doc {doc_id}: decoded {len(idx)} != {iw * ih} px"
+                    )
+                rgb = np.array([pal[i] for i in idx], dtype=np.int64)
+                out_ids.append(doc_id)
+                widths.append(iw)
+                heights.append(ih)
+                npix.append(iw * ih)
+                luma.append(
+                    int(
+                        (
+                            299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]
+                        ).sum()
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "width": widths,
+                    "height": heights,
+                    "n_pixels": npix,
+                    "luma_milli": luma,
+                }
+            )
+
+    payloads = d.mapInPandas(encode, schema="doc_id long, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        schema="doc_id long, width long, height long, n_pixels long, "
+        "luma_milli long",
+    )
+
+
+ORACLE_MULTIMODAL_DECODE_GIF = """
+WITH d AS (
+  SELECT doc_id, 7 + doc_id % 10 AS w, 5 + doc_id % 7 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d
+),
+idx AS (
+  SELECT doc_id, w, h,
+         (doc_id + 3 * (i % w) + 7 * (i // w)) % 16 AS c
+  FROM px
+)
+SELECT doc_id, w AS width, h AS height, COUNT(*) AS n_pixels,
+       CAST(SUM(
+         299 * ((doc_id * 7 + c * 31) % 256)
+       + 587 * ((doc_id * 11 + c * 17) % 256)
+       + 114 * ((doc_id * 3 + c * 53) % 256)
+       ) AS BIGINT) AS luma_milli
+FROM idx
+GROUP BY doc_id, w, h
+"""
+
+EXT_QUERIES["multimodal_decode_gif"] = q_multimodal_decode_gif
+EXT_ORACLES["multimodal_decode_gif"] = ORACLE_MULTIMODAL_DECODE_GIF

@@ -884,3 +884,148 @@ SELECT event_id, category,
 FROM ev JOIN stats USING (category) CROSS JOIN n
 """
 FEATOPS_QUERIES["rare_category_collapse"] = q_rare_category_collapse
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival curve — censoring-aware lifetime analysis
+# (churn/retention as a survival function, not a point rate)
+# ---------------------------------------------------------------------------
+
+# Right-censoring cutoff: customers whose LAST order predates this are
+# churned (event observed); later last-orders are censored — still
+# alive at the end of the observation window (orders span 1995..2001).
+KM_CUTOFF_EPOCH = 965_088_000  # 2000-08-01 UTC
+KM_RATIO_FLOOR = 1e-12  # (n-d)/n clamp when everyone at risk dies at t
+
+
+def q_survival_km_curve(spark, sf_dir):
+    """KAPLAN–MEIER estimator per market segment: lifetime = days
+    between a customer's first and last order; the event (churn) is
+    observed when the last order predates the cutoff, otherwise the
+    lifetime is RIGHT-CENSORED — the distinction a naive "avg days
+    active" rolls over (dropping censored rows biases lifetimes low;
+    counting them as deaths biases the curve low). At each distinct
+    event time t: n_risk = customers with lifetime ≥ t, d = events at
+    exactly t, and the survival function is Π (1 − d/n). The curve
+    ships as km_logsum = Σ round(ln((n−d)/n), 10): each ln is rounded
+    at 10 dp BEFORE accumulation (the drift_psi/doc_lm_score libm
+    discipline — the only libm call sits on identically-derived
+    doubles), summed in exact DECIMAL(38,10), so rows hash bit-exactly
+    cross-engine. The (n−d)/n ratio is floor-clamped at 1e-12 in BOTH
+    engines for the everyone-dies-at-t tail row (ln 0 otherwise).
+
+    100 TB notes: one orders scan → per-customer min/max epoch
+    (map-side combinable), one segment join, then per-(segment, day)
+    aggregation — the windowed prefix sums run over the AGGREGATED
+    relation (segments × distinct lifetimes, ≤ a few thousand rows by
+    construction), never the fact table, so the per-segment window
+    partitions are bounded metadata, not data."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ep = F.col("o_orderdate").cast("timestamp").cast("long")
+    life = (
+        o.groupBy("o_custkey")
+        .agg(F.min(ep).alias("__first"), F.max(ep).alias("__last"))
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            ((F.col("__last") - F.col("__first")) / 86400)
+            .cast("bigint")
+            .alias("dur_days"),
+            (F.col("__last") < KM_CUTOFF_EPOCH).cast("long").alias("__event"),
+        )
+    )
+    per_t = life.groupBy("segment", "dur_days").agg(
+        F.sum("__event").alias("d_events"),
+        F.count(F.lit(1)).alias("__tot"),
+    )
+    w_all = Window.partitionBy("segment")
+    w_prev = (
+        Window.partitionBy("segment")
+        .orderBy("dur_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("segment")
+        .orderBy("dur_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        per_t.withColumn(
+            "n_risk",
+            F.sum("__tot").over(w_all)
+            - F.coalesce(F.sum("__tot").over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "__term",
+            F.when(
+                F.col("d_events") > 0,
+                F.round(
+                    F.log(
+                        F.greatest(
+                            (F.col("n_risk") - F.col("d_events")).cast("double")
+                            / F.col("n_risk").cast("double"),
+                            F.lit(KM_RATIO_FLOOR),
+                        )
+                    ),
+                    10,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast(DEC),
+        )
+        .withColumn("km_logsum", F.round(F.sum("__term").over(w_cum).cast("double"), 10))
+    )
+    return staged.filter(F.col("d_events") > 0).select(
+        "segment", "dur_days", "n_risk", "d_events", "km_logsum"
+    )
+
+
+FEATOPS_ORACLES["survival_km_curve"] = f"""
+WITH life AS (
+  SELECT c_mktsegment AS segment,
+         (MAX({epoch_sql("o_orderdate")}) - MIN({epoch_sql("o_orderdate")})) // 86400
+           AS dur_days,
+         CASE WHEN MAX({epoch_sql("o_orderdate")}) < {KM_CUTOFF_EPOCH}
+              THEN 1 ELSE 0 END AS event
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY o_custkey, c_mktsegment
+),
+per_t AS (
+  SELECT segment, dur_days, SUM(event) AS d_events, COUNT(*) AS tot
+  FROM life GROUP BY 1, 2
+),
+staged AS (
+  SELECT segment, dur_days, d_events,
+         SUM(tot) OVER (PARTITION BY segment)
+           - COALESCE(SUM(tot) OVER (
+               PARTITION BY segment ORDER BY dur_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk,
+         tot
+  FROM per_t
+),
+terms AS (
+  SELECT segment, dur_days, d_events, n_risk,
+         CASE WHEN d_events > 0
+              THEN round(ln(greatest(
+                     CAST(n_risk - d_events AS DOUBLE) / n_risk,
+                     {KM_RATIO_FLOOR})), 10)
+              ELSE 0.0 END AS term
+  FROM staged
+),
+cum AS (
+  SELECT segment, dur_days, d_events, n_risk,
+         SUM(CAST(term AS DECIMAL(38,10))) OVER (
+           PARTITION BY segment ORDER BY dur_days
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumdec
+  FROM terms
+)
+SELECT segment, dur_days, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d_events AS BIGINT) AS d_events,
+       round(CAST(CAST(cumdec AS VARCHAR) AS DOUBLE), 10) AS km_logsum
+FROM cum WHERE d_events > 0
+"""
+FEATOPS_QUERIES["survival_km_curve"] = q_survival_km_curve

@@ -1557,3 +1557,103 @@ SELECT doc_id, lang, source,
 FROM documents WHERE doc_id % 2 = 1
 """
 WAREHOUSE_QUERIES["schema_evolution_read"] = q_schema_evolution_read
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the ORACLE-ABLE mergeable
+# sketch: fixed-k state like HLL, but fully deterministic given the
+# portable hash, so the whole estimate (not just bounds) hash-gates
+# against DuckDB
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_HASH_SPACE = 1 << 32  # _h maps into [0, 2^32)
+
+
+def kmv_sketch(df, group_cols: list[str], value_col: str, k: int = KMV_K):
+    """Per-group KMV sketch rows: the k smallest distinct hash values
+    of ``value_col``. The SKETCH is this k-row-per-group relation —
+    bounded state (k bigints/group), mergeable by taking the k
+    smallest of a union of sketches (associative+commutative+
+    idempotent, so partial sketches from shards/days combine exactly
+    like HLL registers do).
+
+    Ranks come from ``grouped_rank``, not a PARTITION BY window — a
+    low-cardinality group column would otherwise collapse each group
+    onto one task (the grouped_rank rationale; groups here are event
+    types)."""
+    from ..operators.ranking import grouped_rank
+
+    hashed = (
+        df.select(
+            *group_cols,
+            _h(
+                F.concat(F.lit("kmv:"), F.col(value_col).cast("string"))
+            ).alias("hh"),
+        )
+        .distinct()
+    )
+    ranked, _ = grouped_rank(hashed, group_cols, ["hh"], rank_col="__rk")
+    return ranked.filter(F.col("__rk") <= k).drop("__rk")
+
+
+def kmv_estimate(sketch, group_cols: list[str], k: int = KMV_K):
+    """Collapse sketch rows to (n_tracked, kth_min_hash, est_distinct).
+    With fewer than k distinct values the sketch IS the distinct set
+    (exact count); at k the estimator is the classic unbiased
+    (k−1)/U_(k) with U_(k) = kth_min/2^32, kept in BIGINT floor
+    arithmetic so both engines agree bit-for-bit."""
+    return (
+        sketch.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_tracked"),
+            F.max("hh").alias("kth_min_hash"),
+        )
+        .withColumn(
+            "est_distinct",
+            F.when(F.col("n_tracked") < k, F.col("n_tracked")).otherwise(
+                F.expr(f"({k - 1} * CAST({KMV_HASH_SPACE} AS BIGINT)) DIV kth_min_hash")
+            ),
+        )
+    )
+
+
+def q_kmv_distinct_sketch(spark, sf_dir):
+    """DISTINCT-COUNT SKETCH, third family: exact bitmaps
+    (``bitmap_count_distinct``) are exact but state grows with the id
+    domain; HLL (``approx_distinct_users``) is tiny but engine-specific
+    (rows-only gate). KMV is the middle: k bigints per group, exact
+    below k, ~1/sqrt(k) relative error above, mergeable across
+    shards/days by keeping the k smallest of the union — and, unlike
+    HLL, a DETERMINISTIC function of the portable md5 hash, so the
+    DuckDB oracle pins the estimate itself, not an accuracy band.
+
+    100 TB notes: ONE scan → distinct on (group, hash) (map-side
+    combinable) → grouped_rank keeps k per group; sketch state is
+    k·|groups| rows, storable and incrementally mergeable (tomorrow's
+    batch unions in and re-ranks k rows/group — never rescans
+    history)."""
+    ev = _events(spark, sf_dir)
+    sk = kmv_sketch(ev, ["event_type"], "user_id")
+    return kmv_estimate(sk, ["event_type"])
+
+
+WAREHOUSE_ORACLES["kmv_distinct_sketch"] = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         {H_SQL.format(x="'kmv:' || CAST(user_id AS VARCHAR)")} AS hh
+  FROM events
+),
+r AS (
+  SELECT event_type, hh,
+         row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rk
+  FROM h
+)
+SELECT event_type, COUNT(*) AS n_tracked, MAX(hh) AS kth_min_hash,
+       CASE WHEN COUNT(*) < {KMV_K} THEN COUNT(*)
+            ELSE ({KMV_K - 1} * CAST({KMV_HASH_SPACE} AS BIGINT)) // MAX(hh)
+       END AS est_distinct
+FROM r WHERE rk <= {KMV_K}
+GROUP BY 1
+"""
+WAREHOUSE_QUERIES["kmv_distinct_sketch"] = q_kmv_distinct_sketch

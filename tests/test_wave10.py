@@ -388,3 +388,315 @@ def test_streaming_winnowed_state_sublinear_vs_window_ledger(spark):
     assert 0 < winnow_state < 0.6 * window_ledger, (
         winnow_state, window_ledger,
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF87a / LZW decode (multimodal_decode_gif)
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_roundtrip_adversarial_shapes():
+    """LZW encode→decode is the identity across the hard layers: KwKwK
+    (runs of one symbol force code == next-free-code), width growth
+    (long varied streams), CLEAR resets at every cadence including
+    after EVERY data code, and the table-full (code 4095) deferred
+    path on a 200k-symbol stream."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    rng = random.Random(1042)
+    cases = [
+        [3] * 50,                                   # KwKwK
+        [15, 0, 15, 0, 15],
+        [0],
+        [i % 16 for i in range(1000)],
+        [rng.randrange(16) for _ in range(5000)],   # width growth
+    ]
+    for c in cases:
+        for ce in (1, 2, 63, 64, 65, 10**9):
+            assert _lzw_decode_gif(_lzw_encode_gif(c, clear_every=ce)) == c
+    big = [rng.randrange(16) for _ in range(200000)]
+    enc = _lzw_encode_gif(big, clear_every=10**9)   # dictionary fills
+    assert _lzw_decode_gif(enc) == big
+
+
+def test_lzw_width_switch_is_canonical():
+    """The code stream must switch 5→6 bits exactly when the canonical
+    encoder's dictionary add-count reaches 2^5 (the decoder-side −1
+    rule compensates its one-add lag): decoding with a deliberately
+    broken decoder that grows one add LATE must corrupt a varied
+    stream, proving the boundary is actually exercised."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    rng = random.Random(7)
+    sym = [rng.randrange(16) for _ in range(400)]
+    enc = _lzw_encode_gif(sym, clear_every=10**9)
+    assert _lzw_decode_gif(enc) == sym
+
+    def late_decoder(data, min_code=4):
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        base = {i: (i,) for i in range(1 << min_code)}
+        table, width, nxt = dict(base), min_code + 1, eoi + 1
+        acc = n_bits = pos = 0
+        prev, out = None, []
+        while True:
+            while n_bits < width:
+                if pos >= len(data):
+                    return None  # ran off the stream: desynced
+                acc |= data[pos] << n_bits
+                pos += 1
+                n_bits += 8
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n_bits -= width
+            if code == clear:
+                table, width, nxt = dict(base), min_code + 1, eoi + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == nxt:
+                entry = prev + (prev[0],)
+            else:
+                return None  # out-of-range code: desynced
+            out.extend(entry)
+            if prev is not None and nxt < 4096:
+                table[nxt] = prev + (entry[0],)
+                nxt += 1
+                if nxt == (1 << width) and width < 12:  # one add LATE
+                    width += 1
+            prev = entry
+
+    assert late_decoder(enc) != sym
+
+
+def test_gif_payload_decodes_to_analytic_pixels():
+    """Full-container check without Spark: the GIF bytes for a spread
+    of doc_ids walk back through the production decode path to exactly
+    the analytic index+palette pixels the oracle recomputes."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _gif_bytes,
+        _gif_index,
+        _gif_palette,
+        _gif_width_height,
+        _lzw_decode_gif,
+    )
+
+    for doc_id in [0, 1, 2, 15, 16, 97, 500, 12345]:
+        buf = _gif_bytes(doc_id)
+        w, h = _gif_width_height(doc_id)
+        assert buf[:6] == b"GIF87a" and buf[-1] == 0x3B
+        pos = 13 + 3 * 16  # header + LSD + 16-entry palette
+        assert buf[pos] == 0x2C
+        pos += 10
+        assert buf[pos] == 4  # LZW min code size
+        pos += 1
+        comp = bytearray()
+        while buf[pos]:
+            ln = buf[pos]
+            comp += buf[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode_gif(bytes(comp))
+        expect = [_gif_index(doc_id, x, y) for y in range(h) for x in range(w)]
+        assert idx == expect
+        pal = [tuple(buf[13 + 3 * c : 13 + 3 * c + 3]) for c in range(16)]
+        assert pal == [_gif_palette(doc_id, c) for c in range(16)]
+
+
+def test_gif_gate_matches_oracle_rows(spark):
+    """The Spark gate's stats equal a direct python recomputation for
+    every document at sf0.001 (the DuckDB oracle is exercised by
+    check_correctness; this pins the Spark side standalone)."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _gif_index,
+        _gif_palette,
+        _gif_width_height,
+        q_multimodal_decode_gif,
+    )
+
+    rows = {
+        r["doc_id"]: (r["width"], r["height"], r["n_pixels"], r["luma_milli"])
+        for r in q_multimodal_decode_gif(spark, SF_DIR).collect()
+    }
+    assert rows
+    for doc_id, (w, h, n, luma) in rows.items():
+        ew, eh = _gif_width_height(doc_id)
+        assert (w, h, n) == (ew, eh, ew * eh)
+        acc = 0
+        for y in range(eh):
+            for x in range(ew):
+                r, g, b = _gif_palette(doc_id, _gif_index(doc_id, x, y))
+                acc += 299 * r + 587 * g + 114 * b
+        assert luma == acc
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch (kmv_distinct_sketch)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_sketch_merges_exactly(spark):
+    """Mergeability IS the point of a fixed-k sketch: the k smallest
+    hashes of A∪B equal the k smallest of sketch(A) ∪ sketch(B) — so
+    per-shard/per-day sketches combine without rescans. Verified
+    row-for-row on a disjoint split of the events table."""
+    from defi_features_data_pipeline_spark.queries.extensions import _t
+    from defi_features_data_pipeline_spark.queries.warehouse import (
+        KMV_K,
+        kmv_sketch,
+    )
+
+    ev = _t(spark, SF_DIR, "events")
+    a = ev.filter(F.col("user_id") % 2 == 0)
+    b = ev.filter(F.col("user_id") % 2 == 1)
+
+    def rows(df):
+        return {(r["event_type"], r["hh"]) for r in df.collect()}
+
+    full = rows(kmv_sketch(ev, ["event_type"], "user_id"))
+    merged_pool = rows(kmv_sketch(a, ["event_type"], "user_id")) | rows(
+        kmv_sketch(b, ["event_type"], "user_id")
+    )
+    merged = set()
+    by_group: dict = {}
+    for g, hh in merged_pool:
+        by_group.setdefault(g, []).append(hh)
+    for g, hs in by_group.items():
+        merged |= {(g, hh) for hh in sorted(set(hs))[:KMV_K]}
+    assert full == merged
+
+
+def test_kmv_estimate_exact_below_k_and_bounded_above(spark):
+    """Below k distinct values the sketch IS the distinct set (est ==
+    exact); at/above k the (k−1)/U_(k) estimate lands within 5 sigma
+    (σ ≈ n/√k) of the true distinct count on the real table."""
+    from defi_features_data_pipeline_spark.queries.extensions import _t
+    from defi_features_data_pipeline_spark.queries.warehouse import (
+        KMV_K,
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    ev = _t(spark, SF_DIR, "events")
+    est = {
+        r["event_type"]: (r["n_tracked"], r["est_distinct"])
+        for r in kmv_estimate(
+            kmv_sketch(ev, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for g, (n_tracked, e) in est.items():
+        if n_tracked < KMV_K:
+            assert e == exact[g]
+        else:
+            sigma = exact[g] / (KMV_K ** 0.5)
+            assert abs(e - exact[g]) <= 5 * sigma, (g, e, exact[g])
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival curve (survival_km_curve)
+# ---------------------------------------------------------------------------
+
+
+def test_km_censoring_semantics_vs_python_reference(spark):
+    """The load-bearing claim: censored customers stay in n_risk at
+    every t ≤ their lifetime but never count as events. Recompute the
+    whole curve in pure python from the same orders/customer parquet
+    and compare every row; then pin that DROPPING censored rows (the
+    naive mistake) changes n_risk — i.e. the test would catch it."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from defi_features_data_pipeline_spark.queries.featureops import (
+        KM_CUTOFF_EPOCH,
+        KM_RATIO_FLOOR,
+        q_survival_km_curve,
+    )
+
+    got = {
+        (r["segment"], r["dur_days"]): (
+            r["n_risk"],
+            r["d_events"],
+            float(r["km_logsum"]),
+        )
+        for r in q_survival_km_curve(spark, SF_DIR).collect()
+    }
+    assert got
+
+    con = duckdb.connect()
+    lives = con.execute(
+        f"""
+        SELECT c_mktsegment,
+               (MAX(CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT))
+                - MIN(CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT))) // 86400,
+               CASE WHEN MAX(CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT))
+                         < {KM_CUTOFF_EPOCH} THEN 1 ELSE 0 END
+        FROM read_parquet('{SF_DIR}/orders.parquet') o
+        JOIN read_parquet('{SF_DIR}/customer.parquet') c ON o_custkey = c_custkey
+        GROUP BY o_custkey, c_mktsegment
+        """
+    ).fetchall()
+    by_seg: dict = defaultdict(list)
+    for seg, dur, ev in lives:
+        by_seg[seg].append((int(dur), int(ev)))
+    expect = {}
+    for seg, rows in by_seg.items():
+        times = sorted({d for d, _ in rows})
+        logsum = 0.0
+        for t in times:
+            n_risk = sum(1 for d, _ in rows if d >= t)
+            d_ev = sum(1 for d, e in rows if d == t and e == 1)
+            if d_ev == 0:
+                continue
+            ratio = max((n_risk - d_ev) / n_risk, KM_RATIO_FLOOR)
+            logsum += round(math.log(ratio), 10)
+            expect[(seg, t)] = (n_risk, d_ev, round(logsum, 10))
+    assert got == expect
+
+    # the naive dropped-censored curve must differ somewhere
+    naive_differs = False
+    for seg, rows in by_seg.items():
+        ev_rows = [(d, e) for d, e in rows if e == 1]
+        for t in sorted({d for d, e in ev_rows}):
+            n_naive = sum(1 for d, _ in ev_rows if d >= t)
+            n_true = sum(1 for d, _ in rows if d >= t)
+            if n_naive != n_true:
+                naive_differs = True
+    assert naive_differs, "no censored rows at sf0.001 — test is vacuous"
+
+
+def test_km_logsum_monotone_nonincreasing(spark):
+    """Survival probabilities only fall: within each segment the
+    cumulative logsum is non-increasing in t and strictly negative
+    after the first event."""
+    from collections import defaultdict
+
+    from defi_features_data_pipeline_spark.queries.featureops import (
+        q_survival_km_curve,
+    )
+
+    per_seg = defaultdict(list)
+    for r in q_survival_km_curve(spark, SF_DIR).collect():
+        per_seg[r["segment"]].append((r["dur_days"], float(r["km_logsum"])))
+    for seg, rows in per_seg.items():
+        rows.sort()
+        assert rows[0][1] < 0
+        for (_, a), (_, b) in zip(rows, rows[1:]):
+            assert b <= a
