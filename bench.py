@@ -406,6 +406,12 @@ SCALE_PROBE = {
     "cdc_chunk_dedup": 1.0,
     "length_bucketed_batches": 1.0,
     "multimodal_decode_avi": 1.0,
+    # r10 wave 2: LZW decode is map-only Arrow (linear in corpus
+    # bytes); KMV is one distinct + k-per-group rank; KM runs its
+    # windows over the aggregated segments x lifetimes relation
+    "multimodal_decode_gif": 1.0,
+    "kmv_distinct_sketch": 1.0,
+    "survival_km_curve": 1.0,
     # edge list is LSH-verify output (linear); labels are scan-stage
     "split_leakage_report": 1.0,
     # two range sorts (grouped + global rank) + one equi join — linear

@@ -1657,3 +1657,73 @@ FROM r WHERE rk <= {KMV_K}
 GROUP BY 1
 """
 WAREHOUSE_QUERIES["kmv_distinct_sketch"] = q_kmv_distinct_sketch
+
+
+def q_streaming_kmv_distinct(spark, sf_dir):
+    """STREAMING KMV: each micro-batch reduces to its OWN k-minimum
+    sketch (per-batch overwrite directory — idempotent replay, the
+    quarantine-sink discipline) and serve-time MERGE keeps the k
+    smallest of the union per group. Exactness of the merge is
+    structural: every member of the global k-minimum set is, within
+    its batch, among that batch's k smallest, so the union of
+    per-batch sketches contains the global sketch — the oracle is the
+    batch operator's verbatim. This is the third mergeable-sketch
+    stream twin (after streaming_count_min's linear counters and
+    streaming_bitmap_distinct's OR-idempotent bitmaps): KMV's merge is
+    an idempotent/commutative/associative k-min lattice join, so
+    replayed batches and any arrival order converge.
+
+    100 TB notes: per-batch work is batch-proportional; state is
+    ≤ k·|groups| rows per batch however many events arrive (recorded
+    per batch in STREAM_STATE_METRICS — measured, not argued); the
+    serve merge reads n_batches·k·|groups| fixed-size rows, the same
+    path per-executor partial sketches take on a real cluster."""
+    import os
+    import tempfile
+
+    from ..operators.ranking import grouped_rank
+    from .extensions import STREAM_STATE_METRICS
+
+    src = tempfile.mkdtemp(prefix="stream_kmv_src_")
+    store = tempfile.mkdtemp(prefix="stream_kmv_sketches_")
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    ev.repartition(4, F.col("user_id")).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    metrics: list = []
+
+    def build_sketch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        out = os.path.join(store, f"sketch={batch_id}")
+        kmv_sketch(batch_df, ["event_type"], "user_id").write.mode(
+            "overwrite"
+        ).parquet(out)
+        metrics.append(
+            {
+                "batch": int(batch_id),
+                "state_rows_appended": int(spark.read.parquet(out).count()),
+            }
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(build_sketch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    STREAM_STATE_METRICS["streaming_kmv_distinct"] = metrics
+    pool = spark.read.parquet(store).select("event_type", "hh").distinct()
+    ranked, _ = grouped_rank(pool, ["event_type"], ["hh"], rank_col="__rk")
+    merged = ranked.filter(F.col("__rk") <= KMV_K).drop("__rk", "sketch")
+    return kmv_estimate(merged, ["event_type"])
+
+
+WAREHOUSE_ORACLES["streaming_kmv_distinct"] = WAREHOUSE_ORACLES[
+    "kmv_distinct_sketch"
+]
+WAREHOUSE_QUERIES["streaming_kmv_distinct"] = q_streaming_kmv_distinct

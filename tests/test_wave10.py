@@ -700,3 +700,30 @@ def test_km_logsum_monotone_nonincreasing(spark):
         assert rows[0][1] < 0
         for (_, a), (_, b) in zip(rows, rows[1:]):
             assert b <= a
+
+
+def test_streaming_kmv_equals_batch_and_state_bounded(spark):
+    """The stream twin's merged estimate equals the batch operator
+    row-for-row (k-min lattice merge is exact, not approximate-on-
+    approximate), and every micro-batch's appended state is bounded by
+    k x |event types| rows regardless of batch size — the reason KMV
+    state survives 100 TB where raw-distinct stream state cannot."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        STREAM_STATE_METRICS,
+    )
+    from defi_features_data_pipeline_spark.queries.warehouse import (
+        KMV_K,
+        q_kmv_distinct_sketch,
+        q_streaming_kmv_distinct,
+    )
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    got = rows(q_streaming_kmv_distinct(spark, SF_DIR))
+    assert got == rows(q_kmv_distinct_sketch(spark, SF_DIR))
+    metrics = STREAM_STATE_METRICS.get("streaming_kmv_distinct") or []
+    assert len(metrics) >= 2, "expected multiple micro-batches"
+    n_types = 5
+    for m in metrics:
+        assert 0 < m["state_rows_appended"] <= KMV_K * n_types
