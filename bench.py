@@ -412,6 +412,7 @@ SCALE_PROBE = {
     "multimodal_decode_gif": 1.0,
     "kmv_distinct_sketch": 1.0,
     "survival_km_curve": 1.0,
+    "unicode_normalize_fold": 1.0,
     # edge list is LSH-verify output (linear); labels are scan-stage
     "split_leakage_report": 1.0,
     # two range sorts (grouped + global rank) + one equi join — linear

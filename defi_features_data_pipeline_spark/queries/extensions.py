@@ -13395,3 +13395,104 @@ GROUP BY doc_id, w, h
 
 EXT_QUERIES["multimodal_decode_gif"] = q_multimodal_decode_gif
 EXT_ORACLES["multimodal_decode_gif"] = ORACLE_MULTIMODAL_DECODE_GIF
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization + accent folding — the canonicalization
+# pass a multilingual corpus needs BEFORE any hash-based dedup (the
+# same text in composed vs decomposed form hashes differently and
+# silently defeats exact/minhash dedup)
+# ---------------------------------------------------------------------------
+
+# Injected decomposed sequences: every 'a'/'e' gains a COMBINING ACUTE
+# (U+0301) — the corpus is ASCII (asserted in tests), so the injection
+# is the entire non-ASCII surface and both engines corrupt with the
+# same literal SQL/column expression.
+_COMBINING_ACUTE = "́"
+
+
+def q_unicode_normalize_fold(spark, sf_dir):
+    """UNICODE CANONICALIZATION over a deliberately decomposed corpus:
+    inject combining acutes (NFD-style sequences), then (1) NFC-
+    normalize — 'a'+U+0301 composes to U+00E1 so the codepoint count
+    DROPS (n_raw vs n_nfc pins that composition actually happened, not
+    a pass-through) — and (2) accent-FOLD to the ASCII skeleton
+    (NFD → drop Mn marks → NFC), the form search/dedup keys use.
+    Normalization runs in python unicodedata inside ONE Arrow-batched
+    mapInPandas pass; hashes are computed JVM-side with the portable
+    md5-prefix hash ON the returned strings, so the gate pins the
+    UTF-8 bytes of both forms against DuckDB's ICU-backed
+    nfc_normalize/strip_accents — two independent Unicode
+    implementations agreeing byte-for-byte.
+
+    100 TB notes: map-only (no shuffle), linear in corpus bytes; the
+    Arrow batch is the unit of python work. In production this runs
+    once at ingest and PERSISTS the canonical text — every downstream
+    hash-keyed operator (dedup_exact, minhash, winnowing) reads the
+    canonical column."""
+    import unicodedata
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    corrupt = d.select(
+        "doc_id",
+        F.replace(
+            F.replace(
+                F.col("text"), F.lit("a"), F.lit("a" + _COMBINING_ACUTE)
+            ),
+            F.lit("e"),
+            F.lit("e" + _COMBINING_ACUTE),
+        ).alias("t"),
+    )
+
+    def canon(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nfc = pdf["t"].map(lambda x: unicodedata.normalize("NFC", x))
+            folded = nfc.map(
+                lambda x: unicodedata.normalize(
+                    "NFC",
+                    "".join(
+                        c
+                        for c in unicodedata.normalize("NFD", x)
+                        if unicodedata.category(c) != "Mn"
+                    ),
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_raw": pdf["t"].map(len),
+                    "nfc": nfc,
+                    "folded": folded,
+                }
+            )
+
+    out = corrupt.mapInPandas(
+        canon, schema="doc_id long, n_raw long, nfc string, folded string"
+    )
+    return out.select(
+        "doc_id",
+        "n_raw",
+        F.length("nfc").alias("n_nfc"),
+        _h(F.col("nfc")).alias("nfc_hash"),
+        _h(F.col("folded")).alias("folded_hash"),
+    )
+
+
+ORACLE_UNICODE_NORMALIZE_FOLD = f"""
+WITH c AS (
+  SELECT doc_id,
+         replace(replace(text, 'a', 'a' || chr(769)), 'e', 'e' || chr(769))
+           AS t
+  FROM documents
+),
+n AS (
+  SELECT doc_id, length(t) AS n_raw, nfc_normalize(t) AS nfc FROM c
+)
+SELECT doc_id, n_raw, length(nfc) AS n_nfc,
+       {H_SQL.format(x="nfc")} AS nfc_hash,
+       {H_SQL.format(x="strip_accents(nfc)")} AS folded_hash
+FROM n
+"""
+
+EXT_QUERIES["unicode_normalize_fold"] = q_unicode_normalize_fold
+EXT_ORACLES["unicode_normalize_fold"] = ORACLE_UNICODE_NORMALIZE_FOLD

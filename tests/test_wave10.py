@@ -727,3 +727,49 @@ def test_streaming_kmv_equals_batch_and_state_bounded(spark):
     n_types = 5
     for m in metrics:
         assert 0 < m["state_rows_appended"] <= KMV_K * n_types
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC + accent folding (unicode_normalize_fold)
+# ---------------------------------------------------------------------------
+
+
+def test_unicode_fold_inverts_injection_exactly(spark):
+    """Three pins: (1) the corpus is ASCII, so the injected combining
+    acutes are the ENTIRE Unicode surface (the precondition that makes
+    the oracle exact); (2) NFC composition really fired — every doc
+    containing 'a' or 'e' lost codepoints (n_nfc < n_raw), killing a
+    pass-through implementation; (3) accent folding is the exact
+    inverse of the injection — the folded hash equals the portable
+    hash of the ORIGINAL text, row for row."""
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _h,
+        _t,
+        q_unicode_normalize_fold,
+    )
+
+    d = _t(spark, SF_DIR, "documents").select("doc_id", "text")
+    non_ascii = d.filter(~F.col("text").rlike("^[\\x00-\\x7F]*$")).count()
+    assert non_ascii == 0, "corpus no longer ASCII — injection not exhaustive"
+
+    got = {
+        r["doc_id"]: (r["n_raw"], r["n_nfc"], r["folded_hash"])
+        for r in q_unicode_normalize_fold(spark, SF_DIR).collect()
+    }
+    orig = {
+        r["doc_id"]: (r["h"], r["has_ae"])
+        for r in d.select(
+            "doc_id",
+            _h(F.col("text")).alias("h"),
+            (F.col("text").rlike("[ae]")).alias("has_ae"),
+        ).collect()
+    }
+    assert set(got) == set(orig)
+    any_composed = False
+    for doc_id, (n_raw, n_nfc, fh) in got.items():
+        h0, has_ae = orig[doc_id]
+        assert fh == h0, f"doc {doc_id}: folding did not invert injection"
+        if has_ae:
+            assert n_nfc < n_raw, f"doc {doc_id}: NFC composition never fired"
+            any_composed = True
+    assert any_composed, "no doc contained 'a'/'e' — test is vacuous"
