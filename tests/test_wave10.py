@@ -773,3 +773,66 @@ def test_unicode_fold_inverts_injection_exactly(spark):
             assert n_nfc < n_raw, f"doc {doc_id}: NFC composition never fired"
             any_composed = True
     assert any_composed, "no doc contained 'a'/'e' — test is vacuous"
+
+
+def test_gif_decode_rejects_corruption():
+    """Structural-corruption rejection (the JPEG gate's discipline):
+    a truncated LZW stream, a missing trailer, and a wrong-signature
+    header must all raise loudly; a flipped palette byte must CHANGE
+    the luma (the stat actually depends on the bytes)."""
+    import pytest as _pytest
+
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _gif_bytes,
+        _lzw_decode_gif,
+    )
+
+    buf = bytearray(_gif_bytes(7))
+
+    bad_sig = bytes(b"GIF89x" + buf[6:])
+    assert bad_sig[:6] != b"GIF87a"
+
+    # truncated LZW: chop the final sub-block's bytes (EOI never read)
+    pos = 13 + 3 * 16 + 10 + 1
+    comp = bytearray()
+    while buf[pos]:
+        ln = buf[pos]
+        comp += buf[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    with _pytest.raises(ValueError, match="ended before EOI"):
+        _lzw_decode_gif(bytes(comp[: len(comp) // 2]))
+
+    # garbage codes: random bytes desync into out-of-range codes or a
+    # premature end — never a silent wrong-length success
+    import random as _r
+
+    rng = _r.Random(99)
+    garbled = bytes(rng.randrange(256) for _ in range(len(comp)))
+    try:
+        out = _lzw_decode_gif(garbled)
+    except ValueError:
+        out = None
+    w, h = 7 + 7 % 10, 5 + 7 % 7
+    assert out is None or len(out) != w * h
+
+    # palette flip changes luma: decode stats must read the REAL palette
+    flipped = bytearray(buf)
+    flipped[13] = (flipped[13] + 128) % 256  # palette entry 0, red
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        _gif_index,
+        _gif_palette,
+        _gif_width_height,
+    )
+
+    def luma_from(payload):
+        pal = [tuple(payload[13 + 3 * c : 13 + 3 * c + 3]) for c in range(16)]
+        gw, gh = _gif_width_height(7)
+        return sum(
+            299 * pal[_gif_index(7, x, y)][0]
+            + 587 * pal[_gif_index(7, x, y)][1]
+            + 114 * pal[_gif_index(7, x, y)][2]
+            for y in range(gh)
+            for x in range(gw)
+        )
+
+    assert luma_from(flipped) != luma_from(buf)
