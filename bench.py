@@ -1052,6 +1052,27 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["recall"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Session recycle before the scale probes: by this point the main
+    # sweep has run ~240 queries x 3 and the JVM holds every lazy
+    # localCheckpoint block, memory-sink table remnant and broadcast
+    # the ContextCleaner hasn't reclaimed yet. The r10 close's first
+    # sf10 probe OOMed an 8g heap on exactly that accumulation (the
+    # same anchored-span query runs in 34 s on a fresh session), and a
+    # probe timed against a junk-filled heap measures GC pressure, not
+    # the operator. A fresh context makes probe rows reproducible in
+    # isolation — which is the probe's contract.
+    def _recycle(s):
+        try:
+            s.stop()
+        except Exception:  # noqa: BLE001
+            pass
+        s2 = get_spark(app_name="bench")
+        s2.sparkContext.setLogLevel("ERROR")
+        return s2
+
+    if sf == "0.1":  # probes only run at sf0.1; other SFs keep one session
+        spark = _recycle(spark)
+
     scale_probe: dict[str, object] = {}
     probe_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", SCALE_PROBE_DIR)
     if not os.path.isdir(probe_dir) and probe_dir == SCALE_PROBE_DIR and sf == "0.1":
@@ -1112,6 +1133,7 @@ def main() -> None:
     probe_100x: dict[str, object] = {}
     want_100x = "--sf10" in sys.argv or os.environ.get("SPARK_GRAFT_SF10") == "1"
     if want_100x and os.path.isdir(SCALE_PROBE_100X_DIR) and sf == "0.1":
+        spark = _recycle(spark)  # 100x rows get the same fresh-heap contract
         rows: dict[str, dict[str, float]] = {}
         for name, exp in SCALE_PROBE_100X.items():
             fn = ALL_QUERIES.get(name)
