@@ -65,11 +65,20 @@ def get_spark(
         # sf10 probe lost). Long-running local sessions need scratch
         # space nothing else garbage-collects; on a real cluster this
         # is SPARK_LOCAL_DIRS on the executor disks.
+        # r10 addendum: the reaper found ~/.spark_graft_tmp too (a
+        # temp_local block vanished 13 min into the sf10 probe's
+        # session — whatever sweeps this box is not /tmp-specific).
+        # The repo tree is the one location with observed multi-hour
+        # file longevity (testdata_scale/ persists across the whole
+        # round), so scratch now defaults INSIDE the repo, gitignored.
         .config(
             "spark.local.dir",
             os.environ.get(
                 "SPARK_GRAFT_LOCAL_DIR",
-                os.path.join(os.path.expanduser("~"), ".spark_graft_tmp"),
+                os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    ".spark_scratch",
+                ),
             ),
         )
     )
