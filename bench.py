@@ -927,6 +927,19 @@ def _drop_stream_sinks(spark) -> None:
         pass
 
 
+def _release_probe_blocks() -> None:
+    """Drop python-side references so the ContextCleaner can reclaim
+    the lazy localCheckpoint blocks probe queries pin in executor
+    memory. At sf10 a single checkpointed window relation is GBs; the
+    r10 close OOMed the probe session twice on the ACCUMULATION across
+    probe rows (each query alone fits comfortably), because the py4j
+    refs held by collected frames keep the JVM blocks alive until a
+    python GC runs. Untimed — called between probe rows only."""
+    import gc
+
+    gc.collect()
+
+
 def _pipeline_e2e(spark, streaming: bool) -> float:
     """Wall-time of the full DeFi pipeline (raw→stage→analytics→
     features→DQ→serving) on a fresh fixture lake — fresh because the
@@ -1121,6 +1134,7 @@ def main() -> None:
                 "warm": name in ARTIFACT_SERVED,
             }
             _drop_stream_sinks(spark)
+            _release_probe_blocks()
         probe.update(
             _probe_cold_rows(spark, probe_dir, probe, errors, "scale_probe")
         )
@@ -1166,6 +1180,7 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — metric is optional
                 pass
             _drop_stream_sinks(spark)
+            _release_probe_blocks()
         rows.update(
             _probe_cold_rows(
                 spark, SCALE_PROBE_100X_DIR, rows, errors,
