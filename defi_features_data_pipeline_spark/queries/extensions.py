@@ -4511,10 +4511,17 @@ def q_entity_match_pairs(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
-    a = c.repartition(
-        spark.sparkContext.defaultParallelism, "c_nationkey", "c_mktsegment"
-    ).alias("a")
-    b = c.alias("b")
+    # BOTH sides carry the user-specified repartition: with only one
+    # side pinned, the planner still inserts its own exchange for the
+    # other, and AQE's byte-fed coalescing of THAT exchange
+    # intermittently re-collapsed the quadratic compare stage
+    # (observed r10: alternating 1.1 s / 5.3 s runs in one session —
+    # the r8 failure mode returning through the unpinned side). Two
+    # user shuffles on the same keys co-partition exchange-free and
+    # are both exempt from coalescing: deterministic 32-task compare.
+    n_parts = spark.sparkContext.defaultParallelism
+    a = c.repartition(n_parts, "c_nationkey", "c_mktsegment").alias("a")
+    b = c.repartition(n_parts, "c_nationkey", "c_mktsegment").alias("b")
     return (
         a.join(
             b,
