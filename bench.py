@@ -301,6 +301,13 @@ HEADLINE = [
     # ingest-time streaming twin (winnowed store, sub-linear state)
     "dedup_longest_span_anchored",
     "streaming_winnowed_dedup",
+    # round-10 wave 2 (r10 verdict item 3: new families are timed on
+    # arrival — these five landed in the close commit untimed)
+    "multimodal_decode_gif",
+    "kmv_distinct_sketch",
+    "streaming_kmv_distinct",
+    "survival_km_curve",
+    "unicode_normalize_fold",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
@@ -487,6 +494,12 @@ SCALE_PROBE_100X = {
     "index_segment_compaction": 1.0,
     "dedup_winnowed_pairs": 1.0,
     "dedup_longest_span_anchored": 1.0,
+    # r11 (r10 verdict item 4): the ANN index families get sf10 __cold
+    # rows — the IVF/PQ REBUILD (k-means iterations dominate) is the
+    # cost that matters at 100x, not just the warm serve path; both
+    # are in ARTIFACT_SERVED so _probe_cold_rows adds the rebuild row
+    "ann_ivf_topk": 1.0,
+    "ann_pq_adc": 1.0,
 }
 SCALE_PROBE_100X_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "testdata_scale", "sf10"
@@ -723,28 +736,63 @@ def _regressions(
 CANARY = ("pricing_summary", "asof_price")
 
 
+def _warm_median(samples: list[float]) -> float:
+    """Median of a canary leg's samples EXCLUDING its first run. The
+    first run of a leg is structurally cold (session start, post-probe
+    session recycle, VM cache state) — the r10 close recorded
+    pricing_summary 1.661 s first-run vs 0.474 s last-run inside one
+    session and the pair estimator built from those first-runs said
+    'machine 1.977× slower' while the suite median said 1.029×
+    (estimator_disagreement 1.921, flagged). The warm median is the
+    steady-state number the prior round's per-query map (itself a
+    warm-suite median) is actually comparable against; the cold sample
+    stays in the artifact as telemetry."""
+    if len(samples) <= 1:
+        return samples[0]
+    return statistics.median(samples[1:])
+
+
 def _canary_ratio(
     prior: dict[str, float],
-    first: dict[str, float],
-    last: dict[str, float],
+    first: dict[str, object],
+    last: dict[str, object],
 ) -> dict[str, object]:
-    """Machine-speed ratio vs the prior round. first/last are this
-    run's canary medians at sweep start/end; the prior values come from
-    the previous BENCH_full per-query map. Returns the canary block
-    recorded in the bench artifact: ratio 1.0 (no correction) when the
-    prior round has no canary data."""
-    names = [c for c in CANARY if c in first and c in last and prior.get(c)]
+    """Machine-speed ratio vs the prior round. first/last map canary
+    name → the leg's raw sample list (run 1 structurally cold — see
+    _warm_median); the prior values come from the previous BENCH_full
+    per-query map. ``ratio_vs_prior`` is computed from WARM leg
+    medians (r10 verdict item 2: first-run samples carried a 2× cold
+    bias into the pair estimator); ``ratio_vs_prior_cold`` keeps the
+    old all-samples estimate as telemetry so the bias stays visible.
+    Returns ratio 1.0 (no correction) when the prior round has no
+    canary data."""
+    first = {k: list(v) if isinstance(v, (list, tuple)) else [v]
+             for k, v in first.items()}
+    last = {k: list(v) if isinstance(v, (list, tuple)) else [v]
+            for k, v in last.items()}
+    names = [c for c in CANARY if first.get(c) and last.get(c) and prior.get(c)]
     if not names:
         return {"ratio_vs_prior": 1.0, "first": first, "last": last,
                 "drift_within_run": None}
-    now = sum((first[c] + last[c]) / 2 for c in names)
+    f_warm = {c: _warm_median(first[c]) for c in names}
+    l_warm = {c: _warm_median(last[c]) for c in names}
+    now = sum((f_warm[c] + l_warm[c]) / 2 for c in names)
+    cold = sum(
+        (statistics.median(first[c]) + statistics.median(last[c])) / 2
+        for c in names
+    )
     prev = sum(prior[c] for c in names)
-    f_sum = sum(first[c] for c in names)
-    l_sum = sum(last[c] for c in names)
+    f_sum = sum(f_warm[c] for c in names)
+    l_sum = sum(l_warm[c] for c in names)
     return {
         "ratio_vs_prior": round(now / max(prev, 1e-6), 3),
-        "first": {c: round(first[c], 3) for c in names},
-        "last": {c: round(last[c], 3) for c in names},
+        # the pre-r11 estimator (medians INCLUDING the cold run 1),
+        # recorded so the cold bias is auditable instead of silent
+        "ratio_vs_prior_cold": round(cold / max(prev, 1e-6), 3),
+        "first": {c: round(f_warm[c], 3) for c in names},
+        "last": {c: round(l_warm[c], 3) for c in names},
+        "first_cold_run": {c: round(first[c][0], 3) for c in names},
+        "last_cold_run": {c: round(last[c][0], 3) for c in names},
         # >1 means the machine slowed DURING the sweep — a warning that
         # even normalized comparisons within this run carry that spread
         "drift_within_run": round(l_sum / max(f_sum, 1e-6), 3),
@@ -813,9 +861,22 @@ def _finalize_canary(
     else:
         disagreement = None
     canary["estimator_disagreement"] = disagreement
-    canary["estimator_disagreement_flag"] = bool(
-        disagreement is not None and disagreement > 1.3
+    # r10 verdict item 2 (the 1.921 alert left unresolved): the pair
+    # and the suite median measure DIFFERENT TIME WINDOWS — the pair
+    # brackets the run's endpoints, the median integrates the whole
+    # sweep. When drift_within_run says the machine changed speed
+    # mid-run (outside [0.75, 1.33]), a pair-vs-median disagreement is
+    # the drift itself, not a regression signature: attribute it and
+    # de-escalate. The alarming shape — estimators disagree while the
+    # machine was STEADY (a broad non-uniform regression shifts the
+    # median while the plan-pinned pair holds) — still flags.
+    drift = canary.get("drift_within_run")
+    drifted = bool(
+        isinstance(drift, (int, float)) and not 0.75 <= drift <= 1.33
     )
+    raw_flag = bool(disagreement is not None and disagreement > 1.3)
+    canary["disagreement_attributed_to_drift"] = bool(raw_flag and drifted)
+    canary["estimator_disagreement_flag"] = bool(raw_flag and not drifted)
     n_prior_overlap = sum(1 for n in timings if prior.get(n))
     canary["prior_coverage"] = {
         "n_prior": n_prior_overlap,
@@ -928,19 +989,22 @@ def _drop_stream_sinks(spark) -> None:
 
 
 def _release_probe_blocks() -> None:
-    """Drop python-side references so the ContextCleaner can reclaim
-    the lazy localCheckpoint blocks probe queries pin in executor
-    memory. At sf10 a single checkpointed window relation is GBs; the
-    r10 close OOMed the probe session twice on the ACCUMULATION across
-    probe rows (each query alone fits comfortably), because the py4j
-    refs held by collected frames keep the JVM blocks alive until a
-    python GC runs. Untimed — called between probe rows only."""
+    """Force a python GC cycle so UNREACHABLE py4j DataFrame proxies
+    finalize and the ContextCleaner can reclaim the lazy
+    localCheckpoint blocks they pin in executor memory. At sf10 a
+    single checkpointed window relation is GBs; the r10 close OOMed
+    the probe session twice on the ACCUMULATION across probe rows
+    (each query alone fits comfortably). Note this only frees refs
+    already out of scope — a frame still live in the caller's locals
+    survives until the caller drops it (the probe loop holds no frame
+    across iterations, so one cycle here is enough). Untimed — called
+    between probe rows only."""
     import gc
 
     gc.collect()
 
 
-def _pipeline_e2e(spark, streaming: bool) -> float:
+def _pipeline_e2e(spark, streaming: bool, scale: float = 4.0) -> float:
     """Wall-time of the full DeFi pipeline (raw→stage→analytics→
     features→DQ→serving) on a fresh fixture lake — fresh because the
     layers are incremental: a re-run on a warm lake appends nothing
@@ -953,7 +1017,7 @@ def _pipeline_e2e(spark, streaming: bool) -> float:
 
     base = tempfile.mkdtemp(prefix="bench_defi_lake_")
     try:
-        generate(spark, base, scale=4.0)
+        generate(spark, base, scale=scale)
         t0 = time.time()
         run_pipeline(
             spark, base, now_epoch=1_700_000_000, streaming=streaming
@@ -991,21 +1055,41 @@ def main() -> None:
     # the sweep continues — a partial artifact beats an aborted one.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    canary_first: dict[str, float] = {}
+    # canary legs time runs+1 samples: sample 1 is structurally cold
+    # (dropped from the pair ratio by _warm_median, kept as telemetry)
+    canary_first: dict[str, list[float]] = {}
     for name in CANARY:
         try:
-            canary_first[name] = _time_median(
-                spark, ALL_QUERIES[name], sf_dir, runs
-            )
+            canary_first[name] = [
+                _time_once(spark, ALL_QUERIES[name], sf_dir)
+                for _ in range(runs + 1)
+            ]
         except Exception as exc:  # noqa: BLE001
             errors[f"canary_first:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
+    # r10 verdict item 8: the harness/operator split for streaming
+    # gates — foreachBatch body seconds (operator) vs everything
+    # around them (replay harness: fixture writes, file restamping,
+    # trigger scheduling). Populated from the LAST run's accumulator.
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        STREAM_OP_SECONDS,
+    )
+
+    streaming_split: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = ALL_QUERIES.get(name)
         if fn is None:
             continue
         try:
+            STREAM_OP_SECONDS.pop(name, None)
             samples = [_time_once(spark, fn, sf_dir) for _ in range(runs)]
             timings[name] = round(statistics.median(samples), 3)
+            op_sec = STREAM_OP_SECONDS.get(name)
+            if op_sec is not None:
+                streaming_split[name] = {
+                    "total_sec_last_run": round(samples[-1], 3),
+                    "operator_sec": round(op_sec, 3),
+                    "harness_sec": round(max(0.0, samples[-1] - op_sec), 3),
+                }
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         _drop_stream_sinks(spark)
@@ -1058,6 +1142,27 @@ def main() -> None:
             )
         except Exception as exc:  # noqa: BLE001
             errors[key] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # r10 verdict item 5: the e2e ENTRY-POINT path gets a measured
+    # scale row, not just individual gates — the same full 27-column
+    # pipeline on a 10x-bigger fixture lake (scale 40 vs the 4.0 the
+    # warm keys time). Expected ≪ 10x wall: the join chain is
+    # shuffle-bound and the per-run constant (session, planning,
+    # incremental-layer bookkeeping) dominates at fixture scale.
+    if sf == "0.1" and "pipeline_e2e_batch_sec_warm" in pipe:
+        try:
+            sec10 = round(_pipeline_e2e(spark, streaming=False, scale=40.0), 3)
+            base_sec = float(pipe["pipeline_e2e_batch_sec_warm"])
+            pipe["pipeline_e2e_scale_probe"] = {
+                "sec": sec10,
+                "base_sec": base_sec,
+                "data_ratio": 10.0,
+                "wall_ratio": round(sec10 / max(base_sec, 1e-3), 2),
+            }
+        except Exception as exc:  # noqa: BLE001
+            errors["pipeline_e2e_scale_probe"] = (
+                f"{type(exc).__name__}: {exc}"[:500]
+            )
 
     recall = {}
     try:
@@ -1221,12 +1326,13 @@ def main() -> None:
 
     # closing canary bracket: re-time the canaries AFTER everything so
     # drift across the whole run window is visible next to the ratio
-    canary_last: dict[str, float] = {}
+    canary_last: dict[str, list[float]] = {}
     for name in CANARY:
         try:
-            canary_last[name] = _time_median(
-                spark, ALL_QUERIES[name], sf_dir, runs
-            )
+            canary_last[name] = [
+                _time_once(spark, ALL_QUERIES[name], sf_dir)
+                for _ in range(runs + 1)
+            ]
         except Exception as exc:  # noqa: BLE001
             errors[f"canary_last:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
     canary = _canary_ratio(prior, canary_first, canary_last)
@@ -1243,11 +1349,25 @@ def main() -> None:
         if isinstance(v, (int, float))
     }
 
+    # r10 verdict item 3: the gates NOT timed by this sweep were a
+    # silent cap (53 of 297). Record them so the artifact says what it
+    # skips — mostly streaming twins of timed batch gates and trivial
+    # sub-100 ms scalar/plan gates; anything promoted into HEADLINE
+    # drops out of this list automatically.
+    untimed = sorted(
+        name
+        for name in ALL_QUERIES
+        if name not in timings and name not in errors
+    )
+
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "untimed": untimed,
+        "n_untimed": len(untimed),
+        "streaming_split": streaming_split,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs": runs,
         "scaling": scaling,

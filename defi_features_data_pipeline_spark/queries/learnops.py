@@ -1055,8 +1055,12 @@ def q_streaming_winnowed_dedup(spark, sf_dir):
             }
         )
 
+    from .extensions import timed_foreach
+
     q = (
-        stream.writeStream.foreachBatch(score_batch)
+        stream.writeStream.foreachBatch(
+            timed_foreach("streaming_winnowed_dedup", score_batch)
+        )
         .trigger(availableNow=True)
         .start()
     )
@@ -2445,8 +2449,12 @@ def q_streaming_novelty_incremental(spark, sf_dir):
             }
         )
 
+    from .extensions import timed_foreach
+
     q = (
-        stream.writeStream.foreachBatch(score_batch)
+        stream.writeStream.foreachBatch(
+            timed_foreach("streaming_novelty_incremental", score_batch)
+        )
         .trigger(availableNow=True)
         .start()
     )

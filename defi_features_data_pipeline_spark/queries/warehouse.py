@@ -1710,8 +1710,12 @@ def q_streaming_kmv_distinct(spark, sf_dir):
             }
         )
 
+    from .extensions import timed_foreach
+
     q = (
-        stream.writeStream.foreachBatch(build_sketch)
+        stream.writeStream.foreachBatch(
+            timed_foreach("streaming_kmv_distinct", build_sketch)
+        )
         .trigger(availableNow=True)
         .start()
     )
@@ -1719,7 +1723,7 @@ def q_streaming_kmv_distinct(spark, sf_dir):
     STREAM_STATE_METRICS["streaming_kmv_distinct"] = metrics
     pool = spark.read.parquet(store).select("event_type", "hh").distinct()
     ranked, _ = grouped_rank(pool, ["event_type"], ["hh"], rank_col="__rk")
-    merged = ranked.filter(F.col("__rk") <= KMV_K).drop("__rk", "sketch")
+    merged = ranked.filter(F.col("__rk") <= KMV_K).drop("__rk")
     return kmv_estimate(merged, ["event_type"])
 
 

@@ -107,16 +107,79 @@ def test_noisy_prior_canary_pair_does_not_mass_flag():
 
 def test_canary_ratio_mean_of_brackets_vs_prior():
     prior = {"pricing_summary": 1.0, "asof_price": 1.0}
-    first = {"pricing_summary": 1.5, "asof_price": 1.5}
-    last = {"pricing_summary": 2.5, "asof_price": 2.5}
+    first = {"pricing_summary": [1.5], "asof_price": [1.5]}
+    last = {"pricing_summary": [2.5], "asof_price": [2.5]}
     blk = bench._canary_ratio(prior, first, last)
     assert blk["ratio_vs_prior"] == 2.0  # mean(1.5, 2.5) * 2 / 2
     assert blk["drift_within_run"] == round(5.0 / 3.0, 3)
 
 
 def test_canary_ratio_defaults_to_one_without_prior():
-    blk = bench._canary_ratio({}, {"pricing_summary": 1.0}, {})
+    blk = bench._canary_ratio({}, {"pricing_summary": [1.0]}, {})
     assert blk["ratio_vs_prior"] == 1.0
+
+
+def test_canary_ratio_drops_cold_first_run(  # r10 verdict item 2
+):
+    """The cold-first-run shape: a leg's run 1 is structurally cold
+    (session start / post-recycle JIT). The pair ratio must come from
+    the WARM median (run 1 dropped); the cold sample stays as
+    telemetry in first_cold_run and in ratio_vs_prior_cold."""
+    prior = {"pricing_summary": 0.642, "asof_price": 0.433}
+    # run 1 is 2.5-5x the warm tail — the r10 close's recorded shape
+    first = {
+        "pricing_summary": [1.661, 0.71, 0.68],
+        "asof_price": [1.769, 0.53, 0.50],
+    }
+    last = {
+        "pricing_summary": [0.60, 0.48, 0.46],
+        "asof_price": [0.45, 0.35, 0.34],
+    }
+    blk = bench._canary_ratio(prior, first, last)
+    # warm medians: first 0.695/0.515, last 0.47/0.345
+    assert blk["first"] == {"pricing_summary": 0.695, "asof_price": 0.515}
+    assert blk["first_cold_run"] == {
+        "pricing_summary": 1.661, "asof_price": 1.769,
+    }
+    # warm ratio ~0.94 — the cold estimator would say ~1.1+; the 2x
+    # cold bias must NOT reach the ratio the gate normalizes by
+    assert blk["ratio_vs_prior"] < 1.0
+    assert blk["ratio_vs_prior_cold"] > blk["ratio_vs_prior"]
+    # with the warm pair, the r10 disagreement alert stays quiet
+    canary = dict(blk)
+    bench._finalize_canary(canary, 1.029, {"q": 1.0}, {"q": 1.0})
+    assert canary["estimator_disagreement"] < 1.3
+    assert canary["estimator_disagreement_flag"] is False
+
+
+def test_disagreement_attributed_to_drift_not_flagged():
+    """The full r10 close shape: the ENTIRE first leg ran inside a
+    cold/slow VM window (all samples ~1.66 s), so no sample-dropping
+    can warm it — but drift_within_run 0.24 says the machine changed
+    speed mid-run, so the pair-vs-median disagreement IS the drift.
+    It must be attributed and de-escalated, not left as an unresolved
+    alert; a disagreement on a STEADY machine (the broad non-uniform
+    regression signature) must still flag."""
+    prior = {"pricing_summary": 0.642, "asof_price": 0.433}
+    first = {
+        "pricing_summary": [1.66, 1.661, 1.67],
+        "asof_price": [1.77, 1.769, 1.76],
+    }
+    last = {
+        "pricing_summary": [0.48, 0.474, 0.47],
+        "asof_price": [0.35, 0.345, 0.34],
+    }
+    canary = bench._canary_ratio(prior, first, last)
+    assert canary["drift_within_run"] < 0.75  # machine sped up mid-run
+    bench._finalize_canary(canary, 1.029, {"q": 1.0}, {"q": 1.0})
+    assert canary["estimator_disagreement"] > 1.3
+    assert canary["disagreement_attributed_to_drift"] is True
+    assert canary["estimator_disagreement_flag"] is False
+    # steady machine, same disagreement: the flag must fire
+    steady = {"ratio_vs_prior": 1.0, "drift_within_run": 1.0}
+    bench._finalize_canary(steady, 1.6, {"q": 1.0}, {"q": 1.0})
+    assert steady["estimator_disagreement_flag"] is True
+    assert steady["disagreement_attributed_to_drift"] is False
 
 
 # ---------------------------------------------------------------------------

@@ -724,7 +724,13 @@ def test_streaming_kmv_equals_batch_and_state_bounded(spark):
     assert got == rows(q_kmv_distinct_sketch(spark, SF_DIR))
     metrics = STREAM_STATE_METRICS.get("streaming_kmv_distinct") or []
     assert len(metrics) >= 2, "expected multiple micro-batches"
-    n_types = 5
+    # bound derives from the DATA's event_type cardinality, not a
+    # hardcoded 5 — the assertion must track the fixture
+    from defi_features_data_pipeline_spark.queries.extensions import _t
+
+    n_types = (
+        _t(spark, SF_DIR, "events").select("event_type").distinct().count()
+    )
     for m in metrics:
         assert 0 < m["state_rows_appended"] <= KMV_K * n_types
 
