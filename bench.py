@@ -308,6 +308,11 @@ HEADLINE = [
     "streaming_kmv_distinct",
     "survival_km_curve",
     "unicode_normalize_fold",
+    # round-11: URL/host canonicalization family (webops.py)
+    "url_canonicalize",
+    "url_dedup_canonical",
+    "host_reputation_rollup",
+    "host_filtered_docs",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
@@ -450,6 +455,12 @@ SCALE_PROBE = {
     "bloom_membership": 1.0,
     "preference_pairs": 1.0,
     "quantile_sketch_histogram": 1.0,
+    # r11 URL family: map-only canonicalization; one groupBy rollup on
+    # registrable_domain; canon-key dedup groupBy; rollup + join-back
+    "url_canonicalize": 1.0,
+    "url_dedup_canonical": 1.0,
+    "host_reputation_rollup": 1.0,
+    "host_filtered_docs": 1.0,
 }
 
 # 100x probe (r7 verdict item 8 → r8): the sf10 run that caught the

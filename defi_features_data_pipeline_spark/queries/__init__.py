@@ -22,15 +22,20 @@ try:  # learned-model operators build on extensions' token helpers
 except ImportError:  # pragma: no cover
     LEARNOPS_QUERIES, LEARNOPS_ORACLES = {}, {}
 
+try:  # web-curation operators (URL/host canonicalization family)
+    from .webops import WEBOPS_ORACLES, WEBOPS_QUERIES
+except ImportError:  # pragma: no cover
+    WEBOPS_QUERIES, WEBOPS_ORACLES = {}, {}
+
 ALL_QUERIES = {
     **CORE_QUERIES, **TPCH_QUERIES, **STAR_QUERIES,
     **EXT_QUERIES, **FEATOPS_QUERIES, **WAREHOUSE_QUERIES,
-    **LEARNOPS_QUERIES,
+    **LEARNOPS_QUERIES, **WEBOPS_QUERIES,
 }
 ALL_ORACLES = {
     **CORE_ORACLES, **TPCH_ORACLES, **STAR_ORACLES,
     **EXT_ORACLES, **FEATOPS_ORACLES, **WAREHOUSE_ORACLES,
-    **LEARNOPS_ORACLES,
+    **LEARNOPS_ORACLES, **WEBOPS_ORACLES,
 }
 
 __all__ = ["ALL_QUERIES", "ALL_ORACLES"]
