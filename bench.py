@@ -313,6 +313,7 @@ HEADLINE = [
     "url_dedup_canonical",
     "host_reputation_rollup",
     "host_filtered_docs",
+    "streaming_url_dedup",
 ]
 
 # representative subset for the cross-SF scaling row: one scan-bound
@@ -511,6 +512,11 @@ SCALE_PROBE_100X = {
     # are in ARTIFACT_SERVED so _probe_cold_rows adds the rebuild row
     "ann_ivf_topk": 1.0,
     "ann_pq_adc": 1.0,
+    # r11 URL family representatives at 100x: the map-only
+    # canonicalizer (scan-bound) and the domain rollup (one
+    # map-side-combinable groupBy + the decimal avg)
+    "url_canonicalize": 1.0,
+    "host_reputation_rollup": 1.0,
 }
 SCALE_PROBE_100X_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "testdata_scale", "sf10"

@@ -489,3 +489,168 @@ WEBOPS_ORACLES = {
     "host_reputation_rollup": ORACLE_HOST_ROLLUP,
     "host_filtered_docs": ORACLE_HOST_FILTERED,
 }
+
+
+# ---------------------------------------------------------------------------
+# streaming twin: ingest-time canonical-URL dedup
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_url_dedup(spark, sf_dir):
+    """STREAMING CANONICAL-URL DEDUP — the ingest-path twin of
+    ``url_dedup_canonical`` and THE crawl-frontier pattern: mirrors/
+    syndicated copies of a page arrive over time as differently-messy
+    raw URLs; each micro-batch canonicalizes its arrivals and flags
+    every arrival whose canonical form was already seen — an earlier
+    batch via the accumulated canonical-URL store, earlier in-batch
+    via min-arrival firsts — then appends its UNSEEN canonical URLs to
+    the store. Arrivals are ordered (arrival = doc_id*3 + variant;
+    batches partitioned by arrival range), so the final per-arrival
+    verdict must equal the batch semantics exactly ("canonical URL
+    first held by a smaller arrival") — the gate's oracle is that
+    batch SQL, proving the incremental state transition lossless, the
+    same discipline as the novelty/winnowed gates.
+
+    100 TB notes: state is ONE ROW PER DISTINCT CANONICAL URL — the
+    minimal exact dedup ledger (what a crawl frontier keeps anyway);
+    per-batch work is one anti-join + one semi-join against the store
+    plus an in-batch min rollup; per-batch appended-state counts land
+    in STREAM_STATE_METRICS; the store is append-only per-batch
+    partitions (overwrite = idempotent replay)."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+    import time as _time
+
+    src = tempfile.mkdtemp(prefix="stream_url_src_")
+    seen_store = tempfile.mkdtemp(prefix="stream_url_seen_")
+    out_store = tempfile.mkdtemp(prefix="stream_url_out_")
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    arrivals = d.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.expr(messy_url_spark(0)),
+                F.expr(messy_url_spark(1)),
+                F.expr(messy_url_spark(2)),
+            )
+        ).alias("variant", "url"),
+    ).withColumn("arrival", F.col("doc_id") * 3 + F.col("variant"))
+    arrivals.repartitionByRange(4, F.col("arrival")).write.mode(
+        "overwrite"
+    ).parquet(src)
+    # file-source trigger order = (mtime, path); restamp so batches
+    # arrive in arrival-range order (partition id == arrival range
+    # under repartitionByRange) — the precondition of min-arrival logic
+    base = int(_time.time()) + 10
+    for i, p in enumerate(sorted(_glob.glob(_os.path.join(src, "part-*")))):
+        _os.utime(p, (base + i, base + i))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    from .extensions import STREAM_STATE_METRICS, timed_foreach
+
+    STREAM_STATE_METRICS["streaming_url_dedup"] = []
+
+    def score_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        sel = (
+            with_canonical_url(batch_df)
+            .select("doc_id", "variant", "arrival", "canon_url")
+            .localCheckpoint(eager=True)  # one canonicalize, three uses
+        )
+        seen_dirs = [
+            p for p in _os.listdir(seen_store) if p.startswith("dq_batch=")
+        ]
+        if seen_dirs:
+            seen = (
+                spark.read.option("basePath", seen_store)
+                .parquet(_os.path.join(seen_store, "dq_batch=*"))
+                .select("canon_url")
+            )
+            in_store = sel.join(seen, "canon_url", "left_semi").withColumn(
+                "__prior", F.lit(True)
+            )
+        else:
+            seen = None
+            in_store = sel.limit(0).withColumn("__prior", F.lit(True))
+        firsts = sel.groupBy("canon_url").agg(
+            F.min("arrival").alias("first_arrival")
+        )
+        verdicts = (
+            sel.join(firsts, "canon_url")
+            .join(
+                in_store.select("arrival", "canon_url", "__prior"),
+                ["arrival", "canon_url"],
+                "left",
+            )
+            .select(
+                "doc_id",
+                "variant",
+                (
+                    F.coalesce(F.col("__prior"), F.lit(False))
+                    | (F.col("first_arrival") < F.col("arrival"))
+                ).alias("is_dup"),
+            )
+        )
+        verdicts.write.mode("overwrite").parquet(
+            _os.path.join(out_store, f"dq_batch={batch_id}")
+        )
+        fresh = sel.select("canon_url").distinct()
+        if seen is not None:
+            fresh = fresh.join(seen, "canon_url", "left_anti")
+        seen_dir = _os.path.join(seen_store, f"dq_batch={batch_id}")
+        fresh.write.mode("overwrite").parquet(seen_dir)
+        STREAM_STATE_METRICS["streaming_url_dedup"].append(
+            {
+                "batch": int(batch_id),
+                "arrivals": int(batch_df.count()),
+                "state_rows_appended": int(
+                    spark.read.parquet(seen_dir).count()
+                ),
+            }
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(
+            timed_foreach("streaming_url_dedup", score_batch)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.option("basePath", out_store)
+        .parquet(_os.path.join(out_store, "dq_batch=*"))
+        .select("doc_id", "variant", "is_dup")
+    )
+
+
+_ARRIVALS_DUCK = " UNION ALL ".join(
+    f"SELECT doc_id, {v} AS variant, doc_id * 3 + {v} AS arrival, "
+    + messy_url_duck(v)
+    + " AS url FROM documents"
+    for v in (0, 1, 2)
+)
+
+# lossless incremental state transition: the BATCH semantics, verbatim
+ORACLE_STREAMING_URL_DEDUP = (
+    _canon_cte_duck(_ARRIVALS_DUCK)
+    + """
+, firsts AS (
+  SELECT canon_url, min(arrival) AS first_arrival FROM canon
+  GROUP BY canon_url
+)
+SELECT c.doc_id, c.variant, c.arrival > f.first_arrival AS is_dup
+FROM canon c JOIN firsts f USING (canon_url)
+"""
+)
+
+WEBOPS_QUERIES["streaming_url_dedup"] = q_streaming_url_dedup
+WEBOPS_ORACLES["streaming_url_dedup"] = ORACLE_STREAMING_URL_DEDUP

@@ -195,3 +195,32 @@ def test_url_canonicalize_is_map_only(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_streaming_url_dedup_equals_batch_and_state_bounded(spark):
+    """The stream twin's verdicts equal the batch first-arrival
+    semantics row-for-row (proven by the shared oracle; pinned here
+    cross-gate too), every doc keeps exactly one non-dup arrival, and
+    the per-batch appended state is the COLLAPSED canonical ledger —
+    at most 1/3 of the batch's arrivals, the reason ingest-time
+    canonical dedup state survives crawl scale."""
+    from collections import defaultdict
+
+    from defi_features_data_pipeline_spark.queries.extensions import (
+        STREAM_STATE_METRICS,
+    )
+    from defi_features_data_pipeline_spark.queries.webops import (
+        q_streaming_url_dedup,
+    )
+
+    rows = q_streaming_url_dedup(spark, SF_DIR).collect()
+    assert len(rows) == 3 * 500
+    per_doc = defaultdict(int)
+    for r in rows:
+        per_doc[r["doc_id"]] += 0 if r["is_dup"] else 1
+    # exactly one keeper per doc (the doc's first-arriving variant)
+    assert set(per_doc.values()) == {1} and len(per_doc) == 500
+    metrics = STREAM_STATE_METRICS.get("streaming_url_dedup") or []
+    assert len(metrics) >= 2, "expected multiple micro-batches"
+    for m in metrics:
+        assert 0 < m["state_rows_appended"] <= m["arrivals"] / 3 + 1
