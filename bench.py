@@ -954,6 +954,9 @@ def _compact_line(out: dict, max_len: int = 1900) -> str:
         vals = [v for v in vals if isinstance(v, (int, float))]
         if vals:
             probes[f"{key}_worst_vs_expected"] = max(vals)
+    e2e_probe = out.get("pipeline_e2e_scale_probe")
+    if isinstance(e2e_probe, dict):
+        probes["pipeline_e2e_scale_wall_ratio"] = e2e_probe.get("wall_ratio")
     for n_q, n_r in ((10, 8), (10, 4), (5, 2), (3, 0), (0, 0)):
         compact = {
             "metric": out["metric"],
