@@ -155,9 +155,14 @@ _PCT_DUCK = (
     " ELSE '%' || upper(substr(x, 1, 2)) || substr(x, 3) END), '')"
 )
 
+# two-step on the Spark side (params array first, CASE second): the
+# one-expression form inlines the filter TWICE and, combined with the
+# rest of the chain, pushed url_canonicalize's single-Project codegen
+# method past janino's 64 KB hard cap — interpreted fallback, ~4x wall
+_QPARAMS_SPARK = "array_sort(filter(split({q}, '&'), {flt}))"
 _QCANON_SPARK = (
-    "CASE WHEN size(filter(split({q}, '&'), {flt})) = 0 THEN ''"
-    " ELSE '?' || array_join(array_sort(filter(split({q}, '&'), {flt})), '&') END"
+    "CASE WHEN size({p}) = 0 THEN ''"
+    " ELSE '?' || array_join({p}, '&') END"
 )
 _QCANON_DUCK = (
     "CASE WHEN len(list_filter(str_split({q}, '&'), {flt})) = 0 THEN ''"
@@ -167,14 +172,16 @@ _QCANON_DUCK = (
 # 2-label public suffixes that push the registrable domain to 3 labels
 _SUFFIX2 = "('co.uk', 'org.uk', 'com.au', 'co.jp')"
 
+# {l} is a pre-split label-array column (same codegen-size rationale
+# as _QPARAMS_SPARK: the one-expression form re-split the host 7x)
 _REG_SPARK = (
-    "CASE WHEN size(split({h}, '\\\\.')) <= 1 THEN {h}"
-    " WHEN size(split({h}, '\\\\.')) >= 3"
-    "  AND element_at(split({h}, '\\\\.'), -2) || '.' || element_at(split({h}, '\\\\.'), -1)"
+    "CASE WHEN size({l}) <= 1 THEN {h}"
+    " WHEN size({l}) >= 3"
+    "  AND element_at({l}, -2) || '.' || element_at({l}, -1)"
     f"  IN {_SUFFIX2}"
-    " THEN element_at(split({h}, '\\\\.'), -3) || '.'"
-    "  || element_at(split({h}, '\\\\.'), -2) || '.' || element_at(split({h}, '\\\\.'), -1)"
-    " ELSE element_at(split({h}, '\\\\.'), -2) || '.' || element_at(split({h}, '\\\\.'), -1) END"
+    " THEN element_at({l}, -3) || '.'"
+    "  || element_at({l}, -2) || '.' || element_at({l}, -1)"
+    " ELSE element_at({l}, -2) || '.' || element_at({l}, -1) END"
 )
 _REG_DUCK = (
     "CASE WHEN len(str_split({h}, '.')) <= 1 THEN {h}"
@@ -249,16 +256,23 @@ def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
                 " ELSE __path1 END"
             ),
         )
-        .withColumn("__qc", F.expr(_QCANON_SPARK.format(q="__query0", flt=flt)))
+        .withColumn(
+            "__qparams", F.expr(_QPARAMS_SPARK.format(q="__query0", flt=flt))
+        )
+        .withColumn("__qc", F.expr(_QCANON_SPARK.format(p="__qparams")))
         .withColumn(
             "canon_url",
             F.expr("__scheme || '://' || host || __portc || __pathc || __qc"),
         )
-        .withColumn("registrable_domain", F.expr(_REG_SPARK.format(h="host")))
+        .withColumn("__labels", F.expr("split(host, '\\\\.')"))
+        .withColumn(
+            "registrable_domain",
+            F.expr(_REG_SPARK.format(h="host", l="__labels")),
+        )
         .drop(
             "__nofrag", "__scheme", "__rest", "__auth", "__pathq", "__host0",
             "__port", "__portc", "__path0", "__query0", "__path1", "__pathc",
-            "__qc",
+            "__qparams", "__qc", "__labels",
         )
     )
 
@@ -444,20 +458,74 @@ FROM rollup_agg
 def q_host_filtered_docs(spark, sf_dir):
     """HOST-REPUTATION FILTER: docs joined back against the domains
     that pass the rollup rule — the pre-pass a crawl pipeline runs
-    before any per-document scoring. Shuffle equi-join on
-    registrable_domain (AQE skew-split handles mega-hosts; the rollup
-    side is corpus-scaled so no explicit broadcast)."""
-    per_doc = with_canonical_url(_docs_with_url(spark, sf_dir)).select(
-        "doc_id", "registrable_domain"
+    before any per-document scoring.
+
+    Plan shape: ONE repartition(registrable_domain) exchange feeds
+    BOTH the rollup aggregate and the join's doc side — ReuseExchange
+    dedups the identical subtrees, so the canonicalization chain runs
+    ONCE and the post-shuffle stages (agg, join) carry none of it.
+    Two reasons over the naive rollup-then-join composition: (a) the
+    per-doc rows must shuffle on registrable_domain for the join
+    anyway, so pre-partitioning costs nothing extra while saving the
+    rollup's second canonicalization pass + its separate agg exchange;
+    (b) fusing the full canon chain into a partial-HashAggregate stage
+    pushed the generated hashAgg method past janino's 64 KB cap
+    (interpreted fallback, measured ~3x wall). AQE skew-split handles
+    mega-hosts; the rollup side is corpus-scaled so never broadcast."""
+    # host-only extraction: this gate's keep rule reads n_docs +
+    # avg_quality, so the heavy path/query normalization is dead code
+    # on this path — registrable_domain derives from the authority
+    # alone (oracle-identical; the full chain's stage also blew the
+    # 64 KB codegen method cap when fused here)
+    per_doc = (
+        _docs_with_url(spark, sf_dir)
+        .withColumn("__auth", F.expr(
+            "lower(split_part(split_part(split_part(url, '#', 1),"
+            " '://', 2), '/', 1))"
+        ))
+        .withColumn("__host0", F.expr("split_part(__auth, ':', 1)"))
+        .withColumn("host", F.expr(
+            "CASE WHEN __host0 LIKE 'www.%' THEN substr(__host0, 5)"
+            " ELSE __host0 END"
+        ))
+        .withColumn("__labels", F.expr("split(host, '\\\\.')"))
+        .withColumn(
+            "registrable_domain",
+            F.expr(_REG_SPARK.format(h="host", l="__labels")),
+        )
+        .select(
+            "doc_id",
+            "registrable_domain",
+            F.least(F.col("n_chars"), F.lit(400)).alias("__quality"),
+        )
     )
+    part = per_doc.repartition(F.col("registrable_domain"))
     good = (
-        _host_rollup(spark, sf_dir)
-        .filter(F.col("keep"))
+        part.groupBy("registrable_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _davg(F.col("__quality")).alias("avg_quality"),
+        )
+        .filter(
+            (F.col("n_docs") >= _MIN_DOCS)
+            & (F.col("avg_quality") >= _MIN_AVG_QUALITY)
+        )
         .select("registrable_domain")
     )
-    return per_doc.join(good, "registrable_domain").select(
-        "doc_id", "registrable_domain"
-    )
+    # null-safe equi-join, deliberately: an inner equi-join makes
+    # Catalyst infer isnotnull(registrable_domain) and push it below
+    # the exchange, SUBSTITUTING the whole synthesis+derivation
+    # expression into one Filter whose generated method blows the
+    # janino 64 KB cap (measured: interpreted fallback). The key is
+    # never null (non-null string concat), so <=> is semantically
+    # identical and keeps every stage inside codegen.
+    docs_side = part.select("doc_id", "registrable_domain")
+    return docs_side.join(
+        good,
+        docs_side["registrable_domain"].eqNullSafe(
+            good["registrable_domain"]
+        ),
+    ).select(docs_side["doc_id"], docs_side["registrable_domain"])
 
 
 ORACLE_HOST_FILTERED = (
