@@ -968,6 +968,7 @@ def _compact_line(out: dict, max_len: int = 1900) -> str:
             "queries": dict(slow[:n_q]),
             "canary": out.get("canary"),
             "n_regressions": len(regs),
+            "n_flag_retries": len(out.get("flag_retries") or {}),
             "normalized_regressions": dict(
                 sorted(
                     regs.items(),
@@ -1359,6 +1360,35 @@ def main() -> None:
     ratio_used = _finalize_canary(
         canary, _machine_ratio(timings, prior), timings, prior
     )
+    # Flag-retry pass (r11, after the r10/r11 cold-window incidents):
+    # the box stalls in multi-minute whole-VM windows, and a window
+    # that covers one query's 3 samples covers its NEIGHBORS' too —
+    # the r11 first pass flagged 21 queries in 4 CONTIGUOUS sweep
+    # blocks (positions 83-86, 164-167, 222-229, 232-233), none of
+    # whose code had changed. So every first-pass flag is re-measured
+    # ONCE, here at the end of the run (a different time window):
+    # window noise clears and the retry median replaces the timing
+    # (both values recorded in flag_retries); a genuine plan
+    # regression reproduces and stays flagged. One retry only — a
+    # query that flags in two separate windows is not noise.
+    flag_retries: dict[str, dict[str, float]] = {}
+    first_pass = _normalized_regressions(timings, prior, ratio_used)
+    for name in sorted(first_pass):
+        fn = ALL_QUERIES.get(name)
+        if fn is None:
+            continue
+        try:
+            _time_once(spark, fn, sf_dir)  # warm throwaway
+            sec = round(_time_median(spark, fn, sf_dir, runs), 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"flag_retry:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
+        flag_retries[name] = {
+            "first_pass_sec": timings[name],
+            "retry_sec": sec,
+        }
+        timings[name] = sec
+        _drop_stream_sinks(spark)
     normalized = _normalized_regressions(timings, prior, ratio_used)
     # canary-normalized e2e rows (r8 verdict item 3: the close-of-round
     # e2e numbers moved +16% with warm slower than cold — a machine-
@@ -1393,6 +1423,7 @@ def main() -> None:
         "scaling": scaling,
         "recall": recall,
         "canary": canary,
+        "flag_retries": flag_retries,
         "normalized_regressions": normalized,
         "regressions": _regressions(timings, prior),
         "scale_probe": scale_probe,

@@ -407,3 +407,20 @@ def test_close_round_regenerates_notes(tmp_path):
         capture_output=True, text=True,
     )
     assert r3.returncode == 3
+
+
+def test_flag_retry_contract():
+    """The r11 flag-retry pass: a first-pass flag whose retry (a
+    different time window) lands back at baseline must clear; one
+    whose retry reproduces must stay flagged. The pass substitutes the
+    retry median into the timings and recomputes — this pins the
+    recompute semantics it relies on."""
+    prior = {"q_noise": 1.0, "q_real": 1.0, "q_ok": 1.0}
+    timings = {"q_noise": 3.0, "q_real": 3.0, "q_ok": 1.0}
+    first = bench._normalized_regressions(timings, prior, 1.0)
+    assert set(first) == {"q_noise", "q_real"}
+    # retry: q_noise re-measures at baseline, q_real reproduces
+    timings["q_noise"] = 1.05
+    timings["q_real"] = 2.9
+    second = bench._normalized_regressions(timings, prior, 1.0)
+    assert set(second) == {"q_real"}
