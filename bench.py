@@ -1049,6 +1049,12 @@ def _pipeline_e2e(spark, streaming: bool, scale: float = 4.0) -> float:
 
 
 def main() -> None:
+    # 12g default for the BENCH process only (SPARK_DRIVER_MEMORY still
+    # overrides): the sf10 streaming probe rows hold multi-GB window
+    # relations and OOMed the 8g default twice across r10/r11 closes —
+    # on this 128 GiB box the headroom is free, and on a real cluster
+    # executor sizing is a deployment knob, not an operator property.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "12g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -1209,6 +1215,20 @@ def main() -> None:
         s2.sparkContext.setLogLevel("ERROR")
         return s2
 
+    # Context-death containment (r11: an OOM inside ONE sf10 streaming
+    # probe row stopped the SparkContext and every later phase — the
+    # remaining probe rows, the closing canary bracket, and ALL flag
+    # retries — died on "stopped SparkContext". One row may fail; the
+    # run must keep recording.) Checked before each probe row / retry
+    # / canary leg; recycles only when the context is actually dead.
+    def _alive(s):
+        try:
+            if s.sparkContext._jsc.sc().isStopped():
+                return _recycle(s)
+            return s
+        except Exception:  # noqa: BLE001
+            return _recycle(s)
+
     if sf == "0.1":  # probes only run at sf0.1; other SFs keep one session
         spark = _recycle(spark)
 
@@ -1239,6 +1259,7 @@ def main() -> None:
             fn = ALL_QUERIES.get(name)
             if fn is None or name not in timings:
                 continue
+            spark = _alive(spark)
             try:
                 _time_once(spark, fn, probe_dir)  # warm-up + artifacts
                 sec = round(_time_once(spark, fn, probe_dir), 3)
@@ -1261,6 +1282,7 @@ def main() -> None:
             }
             _drop_stream_sinks(spark)
             _release_probe_blocks()
+        spark = _alive(spark)
         probe.update(
             _probe_cold_rows(spark, probe_dir, probe, errors, "scale_probe")
         )
@@ -1279,6 +1301,11 @@ def main() -> None:
             fn = ALL_QUERIES.get(name)
             if fn is None or name not in timings:
                 continue
+            spark = _alive(spark)
+            # periodic recycle: the r10/r11 sf10 OOMs were ACCUMULATION
+            # across rows (each row alone fits an 8g heap comfortably)
+            if len(rows) and len(rows) % 6 == 0:
+                spark = _recycle(spark)
             try:
                 _time_once(spark, fn, SCALE_PROBE_100X_DIR)  # warm artifacts
                 sec = round(_time_once(spark, fn, SCALE_PROBE_100X_DIR), 3)
@@ -1307,6 +1334,7 @@ def main() -> None:
                 pass
             _drop_stream_sinks(spark)
             _release_probe_blocks()
+        spark = _alive(spark)
         rows.update(
             _probe_cold_rows(
                 spark, SCALE_PROBE_100X_DIR, rows, errors,
@@ -1349,6 +1377,7 @@ def main() -> None:
     # drift across the whole run window is visible next to the ratio
     canary_last: dict[str, list[float]] = {}
     for name in CANARY:
+        spark = _alive(spark)
         try:
             canary_last[name] = [
                 _time_once(spark, ALL_QUERIES[name], sf_dir)
@@ -1377,6 +1406,7 @@ def main() -> None:
         fn = ALL_QUERIES.get(name)
         if fn is None:
             continue
+        spark = _alive(spark)
         try:
             _time_once(spark, fn, sf_dir)  # warm throwaway
             sec = round(_time_median(spark, fn, sf_dir, runs), 3)
