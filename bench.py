@@ -789,8 +789,20 @@ def _canary_ratio(
             for k, v in last.items()}
     names = [c for c in CANARY if first.get(c) and last.get(c) and prior.get(c)]
     if not names:
-        return {"ratio_vs_prior": 1.0, "first": first, "last": last,
-                "drift_within_run": None}
+        # r11 ADVICE (bench.py:792): the no-prior branch used to emit
+        # raw unrounded sample LISTS under first/last while the main
+        # branch emits rounded warm-median scalars — same shape here so
+        # downstream parsers never special-case on prior availability.
+        f_ok = [c for c in CANARY if first.get(c)]
+        l_ok = [c for c in CANARY if last.get(c)]
+        return {
+            "ratio_vs_prior": 1.0,
+            "first": {c: round(_warm_median(first[c]), 3) for c in f_ok},
+            "last": {c: round(_warm_median(last[c]), 3) for c in l_ok},
+            "first_cold_run": {c: round(first[c][0], 3) for c in f_ok},
+            "last_cold_run": {c: round(last[c][0], 3) for c in l_ok},
+            "drift_within_run": None,
+        }
     f_warm = {c: _warm_median(first[c]) for c in names}
     l_warm = {c: _warm_median(last[c]) for c in names}
     now = sum((f_warm[c] + l_warm[c]) / 2 for c in names)
@@ -935,6 +947,104 @@ def _normalized_regressions(
                 "normalized_ratio": round(norm / prev, 2),
             }
     return out
+
+
+def _embed_probe_errors(block: dict, errors: dict[str, str]) -> None:
+    """Copy this run's ``scale_probe_100x:``-prefixed error records
+    into the probe block itself (r11 verdict item 2: the r11 carry-
+    forward reused the builder's 100x queries but DROPPED the
+    top-level ``errors`` field, so a probe that died on 10 of 22
+    planned rows shipped as 12 clean rows with no trace). With the
+    errors embedded, the block is self-describing and any future
+    carry-forward preserves them for free. ``incomplete`` lists the
+    planned-but-missing row names for quick reading."""
+    blk_errors = {
+        k.split(":", 1)[1]: v
+        for k, v in errors.items()
+        if k.startswith("scale_probe_100x:")
+    }
+    if blk_errors:
+        block["errors"] = blk_errors
+        block["incomplete"] = sorted(blk_errors)
+
+
+def _carry_forward_100x(here: str) -> dict:
+    """Newest recorded sf10 probe block, stamped with its source round
+    — INCLUDING its failure records. A reused block must carry its
+    source's ``errors``/``incomplete`` (embedded by
+    ``_embed_probe_errors`` since r12; for older artifacts they are
+    reconstructed here from the source document's top-level ``errors``
+    map) so a dead probe can never ship as a clean block."""
+    import glob as _glob
+    import re as _re
+
+    newest: tuple[int, dict, dict] | None = None
+    for path in _glob.glob(os.path.join(here, "BENCH_full_r*.json")):
+        m = _re.search(r"BENCH_full_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except Exception:  # noqa: BLE001
+            continue
+        blk = doc.get("scale_probe_100x")
+        if isinstance(blk, dict) and blk.get("queries"):
+            n = int(m.group(1))
+            if newest is None or n > newest[0]:
+                newest = (n, blk, doc.get("errors") or {})
+    if not newest:
+        return {}
+    n, blk, doc_errors = newest
+    out = {**blk, "reused_from_round": n}
+    if "errors" not in out:
+        # pre-r12 artifact: errors lived only at the document top level
+        _embed_probe_errors(out, doc_errors)
+    # a block that was ITSELF a carry of an older round keeps the
+    # original source stamp if present
+    out["reused_from_round"] = blk.get("reused_from_round", n)
+    return out
+
+
+def _flag_retry_pass(
+    first_pass: dict,
+    timings: dict[str, float],
+    retime,
+    errors: dict[str, str],
+) -> tuple[dict[str, dict[str, float]], dict[str, float]]:
+    """End-of-run retry of first-pass normalized-regression flags
+    (r11: the box stalls in multi-minute whole-VM windows, and a
+    window covering one query's 3 samples covers its NEIGHBORS' too —
+    r11's first pass flagged 21 queries in 4 CONTIGUOUS sweep blocks,
+    none of whose code had changed). Each flagged query is re-timed
+    ONCE via ``retime(name) -> median_sec`` in a different time
+    window; window noise clears, a genuine plan regression reproduces
+    and stays flagged.
+
+    Returns ``(flag_retries, effective)`` where ``effective`` is a
+    COPY of ``timings`` with retry medians substituted. Per the r11
+    ADVICE (bench.py:1420): the retry median feeds ONLY the
+    normalized-regressions recompute via ``effective`` — the headline
+    ``value``/``queries`` map keeps the first-pass medians so every
+    query's recorded baseline comes from the same measurement window
+    and next round's ``_prior_round_timings`` stays comparable across
+    neighbors. Both values are recorded in ``flag_retries``."""
+    flag_retries: dict[str, dict[str, float]] = {}
+    effective = dict(timings)
+    for name in sorted(first_pass):
+        try:
+            sec = retime(name)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"flag_retry:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
+        if sec is None:
+            continue
+        flag_retries[name] = {
+            "first_pass_sec": timings[name],
+            "retry_sec": sec,
+        }
+        effective[name] = sec
+    return flag_retries, effective
 
 
 def _compact_line(out: dict, max_len: int = 1900) -> str:
@@ -1178,10 +1288,22 @@ def main() -> None:
     # incremental-layer bookkeeping) dominates at fixture scale.
     if sf == "0.1" and "pipeline_e2e_batch_sec_warm" in pipe:
         try:
-            sec10 = round(_pipeline_e2e(spark, streaming=False, scale=40.0), 3)
+            # r11 verdict item 10: builder and driver recorded 1.04x
+            # vs 1.43x for the SAME 10x probe — a 1.4x run-to-run
+            # spread on the flagship scaling number. Median-of-3 (each
+            # run on its own fresh fixture lake; the first run doubles
+            # as the code-path warm-up) with the spread recorded.
+            samples10 = sorted(
+                round(_pipeline_e2e(spark, streaming=False, scale=40.0), 3)
+                for _ in range(3)
+            )
+            sec10 = round(statistics.median(samples10), 3)
             base_sec = float(pipe["pipeline_e2e_batch_sec_warm"])
             pipe["pipeline_e2e_scale_probe"] = {
                 "sec": sec10,
+                "runs": len(samples10),
+                "samples": samples10,
+                "spread": round(samples10[-1] / max(samples10[0], 1e-3), 2),
                 "base_sec": base_sec,
                 "data_ratio": 10.0,
                 "wall_ratio": round(sec10 / max(base_sec, 1e-3), 2),
@@ -1346,32 +1468,15 @@ def main() -> None:
             "data_ratio": 100.0,
             "queries": rows,
         }
+        # r11 verdict item 2: the block must be self-describing about
+        # its OWN failures — embed this run's sf10 error records (and
+        # the derived incomplete-row list) INSIDE the block so a later
+        # carry-forward can never present a partial probe as clean.
+        _embed_probe_errors(probe_100x, errors)
     elif sf == "0.1":
         # flag off: carry the newest recorded block forward so each
         # round's BENCH_full stays self-contained
-        import glob as _glob
-        import re as _re
-
-        newest: tuple[int, dict] | None = None
-        for path in _glob.glob(os.path.join(here, "BENCH_full_r*.json")):
-            m = _re.search(r"BENCH_full_r(\d+)\.json$", path)
-            if not m:
-                continue
-            try:
-                with open(path) as f:
-                    doc = json.load(f)
-            except Exception:  # noqa: BLE001
-                continue
-            blk = doc.get("scale_probe_100x")
-            if isinstance(blk, dict) and blk.get("queries"):
-                n = int(m.group(1))
-                if newest is None or n > newest[0]:
-                    newest = (n, blk)
-        if newest:
-            probe_100x = {
-                **newest[1],
-                "reused_from_round": newest[0],
-            }
+        probe_100x = _carry_forward_100x(here)
 
     # closing canary bracket: re-time the canaries AFTER everything so
     # drift across the whole run window is visible next to the ratio
@@ -1389,37 +1494,25 @@ def main() -> None:
     ratio_used = _finalize_canary(
         canary, _machine_ratio(timings, prior), timings, prior
     )
-    # Flag-retry pass (r11, after the r10/r11 cold-window incidents):
-    # the box stalls in multi-minute whole-VM windows, and a window
-    # that covers one query's 3 samples covers its NEIGHBORS' too —
-    # the r11 first pass flagged 21 queries in 4 CONTIGUOUS sweep
-    # blocks (positions 83-86, 164-167, 222-229, 232-233), none of
-    # whose code had changed. So every first-pass flag is re-measured
-    # ONCE, here at the end of the run (a different time window):
-    # window noise clears and the retry median replaces the timing
-    # (both values recorded in flag_retries); a genuine plan
-    # regression reproduces and stays flagged. One retry only — a
-    # query that flags in two separate windows is not noise.
-    flag_retries: dict[str, dict[str, float]] = {}
+    # Flag-retry pass — see _flag_retry_pass. One retry only: a query
+    # that flags in two separate windows is not noise.
     first_pass = _normalized_regressions(timings, prior, ratio_used)
-    for name in sorted(first_pass):
+
+    def _retime_flag(name: str) -> float | None:
+        nonlocal spark
         fn = ALL_QUERIES.get(name)
         if fn is None:
-            continue
+            return None
         spark = _alive(spark)
-        try:
-            _time_once(spark, fn, sf_dir)  # warm throwaway
-            sec = round(_time_median(spark, fn, sf_dir, runs), 3)
-        except Exception as exc:  # noqa: BLE001
-            errors[f"flag_retry:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
-            continue
-        flag_retries[name] = {
-            "first_pass_sec": timings[name],
-            "retry_sec": sec,
-        }
-        timings[name] = sec
+        _time_once(spark, fn, sf_dir)  # warm throwaway
+        sec = round(_time_median(spark, fn, sf_dir, runs), 3)
         _drop_stream_sinks(spark)
-    normalized = _normalized_regressions(timings, prior, ratio_used)
+        return sec
+
+    flag_retries, effective = _flag_retry_pass(
+        first_pass, timings, _retime_flag, errors
+    )
+    normalized = _normalized_regressions(effective, prior, ratio_used)
     # canary-normalized e2e rows (r8 verdict item 3: the close-of-round
     # e2e numbers moved +16% with warm slower than cold — a machine-
     # noise signature the raw keys cannot distinguish from regression)

@@ -424,3 +424,145 @@ def test_flag_retry_contract():
     timings["q_real"] = 2.9
     second = bench._normalized_regressions(timings, prior, 1.0)
     assert set(second) == {"q_real"}
+
+
+# ---------------------------------------------------------------------------
+# _flag_retry_pass — r11 verdict item 4 (the retry machinery had never
+# executed successfully; exercised here end-to-end with a synthetic flag)
+# and r11 ADVICE bench.py:1420 (retry medians must not contaminate the
+# headline queries map / next round's baseline)
+# ---------------------------------------------------------------------------
+
+
+def test_flag_retry_pass_clears_synthetic_flag():
+    """Synthetic flag injection: q_noise's first pass is 3x its prior
+    (a VM slow window); the retry in a different time window lands at
+    baseline. The pass must (a) record both values in flag_retries,
+    (b) clear the flag in the recompute over `effective`, and (c)
+    leave the first-pass median in `timings` so the headline map and
+    next round's baseline stay single-window."""
+    prior = {"q_noise": 1.0, "q_real": 1.0, "q_ok": 1.0}
+    timings = {"q_noise": 3.0, "q_real": 3.0, "q_ok": 1.0}
+    first = bench._normalized_regressions(timings, prior, 1.0)
+    assert set(first) == {"q_noise", "q_real"}
+    retries = {"q_noise": 1.05, "q_real": 2.9}
+    errors = {}
+    flag_retries, effective = bench._flag_retry_pass(
+        first, timings, retries.__getitem__, errors
+    )
+    assert flag_retries == {
+        "q_noise": {"first_pass_sec": 3.0, "retry_sec": 1.05},
+        "q_real": {"first_pass_sec": 3.0, "retry_sec": 2.9},
+    }
+    assert errors == {}
+    # headline map untouched — first-pass medians survive
+    assert timings == {"q_noise": 3.0, "q_real": 3.0, "q_ok": 1.0}
+    # recompute over effective: noise cleared, real regression stays
+    second = bench._normalized_regressions(effective, prior, 1.0)
+    assert set(second) == {"q_real"}
+
+
+def test_flag_retry_pass_records_errors_and_keeps_flag():
+    """A retry that dies (e.g. stopped SparkContext — the r11 failure
+    mode) must record the error and leave the first-pass timing in
+    effect so the flag is not silently dropped."""
+    prior = {"q_bad": 1.0}
+    timings = {"q_bad": 3.0}
+    first = bench._normalized_regressions(timings, prior, 1.0)
+
+    def boom(name):
+        raise RuntimeError("stopped SparkContext")
+
+    errors = {}
+    flag_retries, effective = bench._flag_retry_pass(
+        first, timings, boom, errors
+    )
+    assert flag_retries == {}
+    assert "flag_retry:q_bad" in errors
+    assert set(bench._normalized_regressions(effective, prior, 1.0)) == {
+        "q_bad"
+    }
+
+
+# ---------------------------------------------------------------------------
+# sf10 carry-forward — r11 verdict item 2 (the r11 carry reused the
+# builder's 100x queries but dropped the errors field, shipping a dead
+# probe as 12 clean rows)
+# ---------------------------------------------------------------------------
+
+
+def test_embed_probe_errors_stamps_block():
+    block = {"queries": {"a": {"sec": 1.0}}}
+    errors = {
+        "scale_probe_100x:b": "OutOfMemoryError: Java heap space",
+        "scale_probe_100x:c__cold": "IllegalStateException: stopped",
+        "canary_last:pricing_summary": "unrelated",
+    }
+    bench._embed_probe_errors(block, errors)
+    assert block["errors"] == {
+        "b": "OutOfMemoryError: Java heap space",
+        "c__cold": "IllegalStateException: stopped",
+    }
+    assert block["incomplete"] == ["b", "c__cold"]
+    # clean run: no errors key at all
+    clean = {"queries": {"a": {"sec": 1.0}}}
+    bench._embed_probe_errors(clean, {"other:x": "y"})
+    assert "errors" not in clean and "incomplete" not in clean
+
+
+def test_carry_forward_preserves_embedded_errors(tmp_path):
+    """A carried block with errors must still show them (r12 style:
+    errors embedded in the block by _embed_probe_errors)."""
+    doc = {
+        "scale_probe_100x": {
+            "queries": {"a": {"sec": 1.0}},
+            "errors": {"b": "OutOfMemoryError"},
+            "incomplete": ["b"],
+        }
+    }
+    (tmp_path / "BENCH_full_r09.json").write_text(json.dumps(doc))
+    out = bench._carry_forward_100x(str(tmp_path))
+    assert out["reused_from_round"] == 9
+    assert out["errors"] == {"b": "OutOfMemoryError"}
+    assert out["incomplete"] == ["b"]
+
+
+def test_carry_forward_reconstructs_top_level_errors(tmp_path):
+    """Pre-r12 artifacts kept probe failures only in the document's
+    top-level errors map — the carry must reconstruct them instead of
+    shipping a silently-clean block (the exact r11 failure)."""
+    doc = {
+        "scale_probe_100x": {"queries": {"a": {"sec": 1.0}}},
+        "errors": {
+            "scale_probe_100x:streaming_novelty_incremental": "OOM",
+            "flag_retry:x": "unrelated",
+        },
+    }
+    (tmp_path / "BENCH_full_r11.json").write_text(json.dumps(doc))
+    out = bench._carry_forward_100x(str(tmp_path))
+    assert out["reused_from_round"] == 11
+    assert out["errors"] == {"streaming_novelty_incremental": "OOM"}
+    assert out["incomplete"] == ["streaming_novelty_incremental"]
+    # newest round wins; a clean newest block carries no error keys
+    clean = {"scale_probe_100x": {"queries": {"a": {"sec": 0.9}}}}
+    (tmp_path / "BENCH_full_r12.json").write_text(json.dumps(clean))
+    out2 = bench._carry_forward_100x(str(tmp_path))
+    assert out2["reused_from_round"] == 12
+    assert "errors" not in out2 and "incomplete" not in out2
+
+
+def test_canary_ratio_no_prior_shape_matches_main_branch():
+    """r11 ADVICE bench.py:792: the no-prior early return must emit
+    the same rounded warm-median scalar shape as the main branch, not
+    raw sample lists."""
+    blk = bench._canary_ratio(
+        {},
+        {"pricing_summary": [1.661, 0.71, 0.68]},
+        {"pricing_summary": [0.60, 0.48, 0.46]},
+    )
+    assert blk["ratio_vs_prior"] == 1.0
+    assert blk["first"] == {"pricing_summary": round(0.695, 3)}
+    assert blk["last"] == {"pricing_summary": 0.47}
+    assert blk["first_cold_run"] == {"pricing_summary": 1.661}
+    assert blk["last_cold_run"] == {"pricing_summary": 0.6}
+    assert blk["drift_within_run"] is None

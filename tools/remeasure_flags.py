@@ -61,9 +61,19 @@ def main() -> None:
     for name in CANARY:
         _time_once(spark, ALL_QUERIES[name], sf_dir)
         canary[name] = _time_median(spark, ALL_QUERIES[name], sf_dir, runs)
-    prev = sum(prior[c] for c in CANARY if prior.get(c))
-    now = sum(canary.values())
-    machine_ratio = round(now / max(prev, 1e-6), 3)
+    # r11 ADVICE (this file:65): restrict BOTH sums to the same name
+    # set — summing only prior-present canaries in prev but both live
+    # legs in now inflates machine_ratio arbitrarily when the prior
+    # round lacks a canary timing, collapsing normalized_sec and
+    # silently clearing every flag. No usable prior → ratio None and
+    # flag_cleared is skipped rather than inverted.
+    names = [c for c in CANARY if prior.get(c) and c in canary]
+    if names:
+        prev = sum(prior[c] for c in names)
+        now = sum(canary[c] for c in names)
+        machine_ratio = round(now / max(prev, 1e-6), 3)
+    else:
+        machine_ratio = None
 
     out = {
         "sf_dir": sf_dir,
@@ -80,16 +90,24 @@ def main() -> None:
         samples = [_time_once(spark, fn, sf_dir) for _ in range(runs)]
         med = statistics.median(samples)
         prev_q = prior.get(name)
-        norm = med / max(machine_ratio, 1e-6)
+        norm = med / max(machine_ratio, 1e-6) if machine_ratio else None
         out["queries"][name] = {
             "samples": [round(s, 3) for s in samples],
             "median_sec": round(med, 3),
-            "normalized_sec": round(norm, 3),
+            "normalized_sec": round(norm, 3) if norm is not None else None,
             "prior_sec": prev_q,
             "normalized_ratio": (
-                round(norm / prev_q, 2) if prev_q else None
+                round(norm / prev_q, 2)
+                if prev_q and norm is not None
+                else None
             ),
-            "flag_cleared": bool(prev_q and norm <= 1.5 * prev_q),
+            # tri-state: None = verdict unavailable (no machine ratio
+            # or no prior), never a defaulted True
+            "flag_cleared": (
+                bool(norm <= 1.5 * prev_q)
+                if prev_q and norm is not None
+                else None
+            ),
         }
     print(json.dumps(out, indent=1))
 
