@@ -122,6 +122,14 @@ def render_block(n: int, bench, corr) -> str:
                 worst_q, worst_v = max(vals, key=lambda t: t[1])
                 cold = [q for q in rows if q.endswith("__cold")]
                 extra = f", cold rows: {len(cold)}" if cold else ""
+                # r11 verdict item 2: a probe block that failed rows
+                # must say so in the close note, not just the artifact
+                inc = blk.get("incomplete") or []
+                if inc:
+                    extra += (
+                        f", INCOMPLETE — {len(inc)} planned rows "
+                        f"failed: {inc[:4]}"
+                    )
                 lines.append(
                     f"- {key}: {len(vals)} rows, worst vs_expected "
                     f"{worst_v} ({worst_q}){extra}"
