@@ -321,6 +321,9 @@ HEADLINE = [
     # PageRank, the host-authority signal next to host reputation)
     "host_link_edges",
     "host_pagerank",
+    # round-12: per-host politeness scheduling (one corpus-scaled
+    # PARTITION BY host window)
+    "crawl_budget_waves",
 ]
 
 # Streaming gates deliberately ABSENT from streaming_split, with the

