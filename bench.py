@@ -324,6 +324,12 @@ HEADLINE = [
     # round-12: per-host politeness scheduling (one corpus-scaled
     # PARTITION BY host window)
     "crawl_budget_waves",
+    # round-12 wave 2: fetch-policy + host-level dedup/authority
+    # closers (webops.py — robots longest-prefix match, fingerprint-
+    # blocked mirror Jaccard, exact-integer HITS)
+    "robots_prefix_filter",
+    "host_mirror_detect",
+    "host_hits",
 ]
 
 # Streaming gates deliberately ABSENT from streaming_split, with the
@@ -486,6 +492,15 @@ SCALE_PROBE = {
     "url_dedup_canonical": 1.0,
     "host_reputation_rollup": 1.0,
     "host_filtered_docs": 1.0,
+    # r12 wave 2: robots match is the canonicalize scan + ONE shuffle
+    # on host + a per-row 4-element array fold (linear); mirror pairs
+    # are a fingerprint-blocked self-join with <=3 editions/fp (pair
+    # mass linear in docs); HITS is 10 half-iteration equi-joins over
+    # the DISTINCT host edge list, which SATURATES with corpus growth
+    # (host domain is fixed by the template) — near-flat expected
+    "robots_prefix_filter": 1.0,
+    "host_mirror_detect": 1.0,
+    "host_hits": 1.0,
 }
 
 # 100x probe (r7 verdict item 8 → r8): the sf10 run that caught the

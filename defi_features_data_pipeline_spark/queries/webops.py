@@ -1175,3 +1175,431 @@ WHERE rk <= {CRAWL_BUDGET_PER_WAVE * CRAWL_MAX_WAVES}
 
 WEBOPS_QUERIES["crawl_budget_waves"] = q_crawl_budget_waves
 WEBOPS_ORACLES["crawl_budget_waves"] = ORACLE_CRAWL_BUDGET_WAVES
+
+
+# ---------------------------------------------------------------------------
+# robots-style longest-prefix policy filter (r12)
+# ---------------------------------------------------------------------------
+
+# per-host rule synthesis: the testdata has no robots.txt corpus, so
+# each host derives a deterministic 4-rule ladder from two portable
+# host scalars (a = ascii(first char), h = length(host)) — same
+# discipline as the messy-URL template. The ladder is genuinely
+# hierarchical (allow -> disallow -> re-allow -> re-disallow by
+# strictly increasing prefix length), so the longest-match semantics
+# decide real verdicts:
+#   r0  '/'                                  allow   (crawl default)
+#   r1  '/articles/<d>'        d=(a*7+h)%10  disallow (RAW prefix: for
+#       d=1 this blocks sections 1 and 10-19 — robots.txt prefixes
+#       are plain string prefixes, not path segments, and the gate
+#       keeps that faithful sharpness)
+#   r2  '/articles/<d><s>'     s=(a+h)%10    re-allow (the two-digit
+#       section d*10+s, when it exists; for d>=3 no section matches
+#       and the rule is inert — a normal robots.txt reality)
+#   r3  r2 || '/~user<u>'      u=(a+h)%7     re-disallow (one user's
+#       pages inside the re-allowed section)
+# Rule lengths are pairwise distinct, so the match is a total order;
+# the standard allow-wins-on-tie rule is still encoded for fidelity.
+_ROBOTS_RULES_SPARK = (
+    "array("
+    " named_struct('prefix', '/', 'allow', true),"
+    " named_struct('prefix', '/articles/' || CAST((__ra * 7 + __rh) % 10 AS STRING),"
+    "              'allow', false),"
+    " named_struct('prefix', '/articles/' || CAST((__ra * 7 + __rh) % 10 AS STRING)"
+    "              || CAST((__ra + __rh) % 10 AS STRING), 'allow', true),"
+    " named_struct('prefix', '/articles/' || CAST((__ra * 7 + __rh) % 10 AS STRING)"
+    "              || CAST((__ra + __rh) % 10 AS STRING)"
+    "              || '/~user' || CAST((__ra + __rh) % 7 AS STRING),"
+    "              'allow', false))"
+)
+
+
+def q_robots_prefix_filter(spark, sf_dir):
+    """ROBOTS LONGEST-PREFIX FILTER — the fetch-policy gate a crawler
+    runs between frontier scheduling (crawl_budget_waves) and the
+    fetch itself: each host publishes prefix rules (robots.txt
+    Allow/Disallow), a URL's verdict is the rule with the LONGEST
+    matching prefix (allow wins ties, per the de-facto standard).
+
+    Plan: ONE repartition(host) exchange feeds BOTH the per-host rule
+    derivation (distinct hosts -> 4-rule array; partial agg reuses
+    the partitioning, no second keyed exchange) and the doc side of
+    the rules join (host-equi, null-safe per the r11 janino lesson —
+    rules are PER-HOST relations, corpus-scaled in host count at
+    crawl scale, so the join is a shuffle equi-join, never a
+    broadcast). The match itself is a JVM higher-order pass over the
+    4-element rule array (filter + aggregate pick-longest) — no row
+    blow-up, no window, zero UDFs. AQE skew-split handles mega-hosts."""
+    per_doc = (
+        with_canonical_url(_docs_with_url(spark, sf_dir), registrable=False)
+        .withColumn(
+            "__rest", F.expr("substr(canon_url, instr(canon_url, '://') + 3)")
+        )
+        .withColumn(
+            "path",
+            F.expr("split_part(substr(__rest, instr(__rest, '/')), '?', 1)"),
+        )
+        .select("doc_id", "host", "path")
+    )
+    # the join below is null-safe (r11 janino lesson: plain equality
+    # infers isnotnull(host) and substitutes the whole synthesis chain
+    # into a pushed Filter), and a null-safe equi-join hashes on
+    # (coalesce(key, ''), isnull(key)) — so the ONE big exchange
+    # partitions by EXACTLY those derived keys: the doc side then
+    # satisfies the join requirement as-is, ReuseExchange dedups the
+    # rules branch, and the only other exchanges move host-cardinality
+    # post-partial-agg rows (tiny at any scale)
+    part = per_doc.repartition(
+        F.expr("coalesce(host, '')"), F.expr("isnull(host)")
+    )
+    rules = (
+        part.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__ra", F.expr("ascii(host)"))
+        .withColumn("__rh", F.expr("length(host)"))
+        .select(
+            F.col("host").alias("__rhost"),
+            F.expr(_ROBOTS_RULES_SPARK).alias("__rules"),
+        )
+    )
+    docs_side = part.select("doc_id", "host", "path")
+    joined = docs_side.join(
+        rules, docs_side["host"].eqNullSafe(rules["__rhost"])
+    )
+    winner = (
+        "aggregate("
+        " filter(__rules, r -> startswith(path, r.prefix)),"
+        " cast(null AS struct<prefix: string, allow: boolean>),"
+        " (acc, r) -> CASE"
+        "   WHEN acc IS NULL THEN r"
+        "   WHEN length(r.prefix) > length(acc.prefix) THEN r"
+        "   WHEN length(r.prefix) = length(acc.prefix)"
+        "        AND r.allow AND NOT acc.allow THEN r"
+        "   ELSE acc END)"
+    )
+    return joined.select(
+        "doc_id",
+        docs_side["host"].alias("host"),
+        "path",
+        F.expr(winner + ".prefix").alias("rule_prefix"),
+        F.expr(winner + ".allow").alias("allowed"),
+    )
+
+
+ORACLE_ROBOTS_PREFIX = (
+    _canon_cte_duck(
+        "SELECT doc_id, " + messy_url_duck(0) + " AS url FROM documents"
+    )
+    + """
+, hp AS (SELECT host, ascii(host) AS a, length(host) AS h
+         FROM (SELECT DISTINCT host FROM canon)),
+rules AS (
+  SELECT host, '/' AS prefix, TRUE AS allow FROM hp
+  UNION ALL
+  SELECT host, '/articles/' || CAST((a * 7 + h) % 10 AS VARCHAR), FALSE FROM hp
+  UNION ALL
+  SELECT host, '/articles/' || CAST((a * 7 + h) % 10 AS VARCHAR)
+               || CAST((a + h) % 10 AS VARCHAR), TRUE FROM hp
+  UNION ALL
+  SELECT host, '/articles/' || CAST((a * 7 + h) % 10 AS VARCHAR)
+               || CAST((a + h) % 10 AS VARCHAR)
+               || '/~user' || CAST((a + h) % 7 AS VARCHAR), FALSE FROM hp
+),
+matched AS (
+  SELECT c.doc_id, c.host, c.pathc AS path, r.prefix, r.allow,
+         row_number() OVER (
+           PARTITION BY c.doc_id
+           ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix
+         ) AS rn
+  FROM canon c JOIN rules r
+    ON r.host = c.host AND starts_with(c.pathc, r.prefix)
+)
+SELECT doc_id, host, path, prefix AS rule_prefix, allow AS allowed
+FROM matched WHERE rn = 1
+"""
+)
+
+WEBOPS_QUERIES["robots_prefix_filter"] = q_robots_prefix_filter
+WEBOPS_ORACLES["robots_prefix_filter"] = ORACLE_ROBOTS_PREFIX
+
+
+# ---------------------------------------------------------------------------
+# host mirror detection (r12)
+# ---------------------------------------------------------------------------
+
+# edition synthesis: the corpus assigns each doc exactly ONE canonical
+# host (the messy-URL template's host fields are variant-independent),
+# so cross-host content duplication — the thing mirror detection
+# exists to find — cannot occur naturally and is SYNTHESIZED, same
+# discipline as the outlink template: every doc keeps its original
+# edition (tag 0); docs with id % 7 == 0 gain a partial-mirror edition
+# on 'mirror.' || host (tag 1: one mirror site per origin — J ~ 1/7,
+# flagged); docs with id % 11 == 0 gain a syndicated edition on the
+# single aggregator host 'digest.example' (tag 2: pulls a slice of
+# EVERY host — J ~ 0.02 vs any origin, a candidate pair that must
+# NOT be flagged, so the Jaccard computation decides, not candidacy).
+# The moduli are deliberately COPRIME to the host template's own id
+# dependence (host identity is a function of id mod 60 + source: the
+# (id+1)%6 / id%3 / id%4 fields): a modulus sharing a factor with 60
+# makes mirror membership correlate with host identity — measured
+# with mod 3, every '-news' host mirrored ALL its docs (J = 1.0) and
+# every other host none, a degenerate gate. Coprime moduli make the
+# mirrored slice independent of which host a doc lands on.
+# The content fingerprint is doc_id — an exact stand-in (testdata docs
+# are unique); a real pipeline feeds the dedup family's MinHash/
+# SimHash fingerprints into the same pair plan.
+MIRROR_MOD, DIGEST_MOD = 7, 11
+MIRROR_TAU, MIRROR_MIN_SHARED = 0.08, 2
+
+
+def q_host_mirror_detect(spark, sf_dir):
+    """HOST MIRROR DETECTION — flag host pairs serving near-identical
+    content sets (full mirrors, resellers, scraper sites), THE
+    host-level dedup signal crawl curation applies before per-page
+    passes: pairwise Jaccard over per-host content-fingerprint sets,
+    candidates generated by a fingerprint-blocked self-join.
+
+    Plan: the editions relation (tagged union of original + mirror +
+    digest rows) self-joins on the FINGERPRINT with a tag inequality
+    — one shuffle equi-join whose per-key fan-out is bounded by the
+    edition count (<= 3 editions/fp, <= 3 pairs), never a cartesian.
+    The tag (a per-branch literal) carries the inequality instead of
+    the computed host strings, so no synthesis expression is
+    substituted into a pushed-down filter (the r11 janino lesson);
+    pair order is normalized AFTER the join via least/greatest.
+    Host-pair counts and per-host sizes are map-side-combinable
+    groupBys; the sizes join back is host-keyed — host cardinality is
+    corpus-scaled at crawl scale, so shuffle joins, never broadcast.
+    Jaccard is exact small-integer double division (< 2^53)."""
+    hosts = _doc_hosts(spark, sf_dir)
+    editions = (
+        hosts.select("doc_id", "host", F.lit(0).alias("tag"))
+        .unionByName(
+            hosts.filter(F.col("doc_id") % MIRROR_MOD == 0).select(
+                "doc_id",
+                F.concat(F.lit("mirror."), F.col("host")).alias("host"),
+                F.lit(1).alias("tag"),
+            )
+        )
+        .unionByName(
+            hosts.filter(F.col("doc_id") % DIGEST_MOD == 0).select(
+                "doc_id",
+                F.lit("digest.example").alias("host"),
+                F.lit(2).alias("tag"),
+            )
+        )
+    )
+    e1 = editions.select(
+        F.col("doc_id").alias("fp"),
+        F.col("host").alias("__h1"),
+        F.col("tag").alias("__t1"),
+    )
+    e2 = editions.select(
+        F.col("doc_id").alias("fp"),
+        F.col("host").alias("__h2"),
+        F.col("tag").alias("__t2"),
+    )
+    pairs = (
+        e1.join(e2, "fp")
+        .filter(F.col("__t1") < F.col("__t2"))
+        .select(
+            F.least("__h1", "__h2").alias("host_a"),
+            F.greatest("__h1", "__h2").alias("host_b"),
+        )
+    )
+    inter = pairs.groupBy("host_a", "host_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    sizes = editions.groupBy("host").agg(F.count(F.lit(1)).alias("n_docs"))
+    sa = sizes.select(
+        F.col("host").alias("host_a"), F.col("n_docs").alias("__na")
+    )
+    sb = sizes.select(
+        F.col("host").alias("host_b"), F.col("n_docs").alias("__nb")
+    )
+    return (
+        inter.join(sa, "host_a")
+        .join(sb, "host_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "is_mirror",
+            (F.col("jaccard") >= MIRROR_TAU)
+            & (F.col("n_shared") >= MIRROR_MIN_SHARED),
+        )
+        .select("host_a", "host_b", "n_shared", "jaccard", "is_mirror")
+    )
+
+
+ORACLE_HOST_MIRROR = (
+    _canon_cte_duck(
+        "SELECT doc_id, " + messy_url_duck(0) + " AS url FROM documents"
+    )
+    + f"""
+, editions AS (
+  SELECT doc_id, host, 0 AS tag FROM canon
+  UNION ALL
+  SELECT doc_id, 'mirror.' || host, 1 FROM canon WHERE doc_id % {MIRROR_MOD} = 0
+  UNION ALL
+  SELECT doc_id, 'digest.example', 2 FROM canon WHERE doc_id % {DIGEST_MOD} = 0
+),
+pairs AS (
+  SELECT least(e1.host, e2.host) AS host_a,
+         greatest(e1.host, e2.host) AS host_b
+  FROM editions e1 JOIN editions e2
+    ON e1.doc_id = e2.doc_id AND e1.tag < e2.tag
+),
+inter AS (SELECT host_a, host_b, count(*) AS n_shared
+          FROM pairs GROUP BY host_a, host_b),
+sizes AS (SELECT host, count(*) AS n_docs FROM editions GROUP BY host)
+SELECT i.host_a, i.host_b, i.n_shared,
+       round(CAST(i.n_shared AS DOUBLE)
+             / CAST(sa.n_docs + sb.n_docs - i.n_shared AS DOUBLE), 6)
+         AS jaccard,
+       round(CAST(i.n_shared AS DOUBLE)
+             / CAST(sa.n_docs + sb.n_docs - i.n_shared AS DOUBLE), 6)
+         >= {MIRROR_TAU}
+       AND i.n_shared >= {MIRROR_MIN_SHARED} AS is_mirror
+FROM inter i
+JOIN sizes sa ON sa.host = i.host_a
+JOIN sizes sb ON sb.host = i.host_b
+"""
+)
+
+WEBOPS_QUERIES["host_mirror_detect"] = q_host_mirror_detect
+WEBOPS_ORACLES["host_mirror_detect"] = ORACLE_HOST_MIRROR
+
+
+# ---------------------------------------------------------------------------
+# host HITS hubs/authorities (r12)
+# ---------------------------------------------------------------------------
+
+HOST_HITS_ITERS = 5
+
+
+def q_host_hits(spark, sf_dir):
+    """HOST HITS (hubs & authorities, 5 fixed iterations) over the
+    DIRECTED distinct host link graph — the complement of
+    host_pagerank a crawl ranker actually wants both halves of: an
+    AUTHORITY is a host good hubs point AT (fetch its pages first), a
+    HUB is a host that points at good authorities (harvest its
+    outlinks first). PageRank conflates the two; HITS separates them.
+
+    Exactness: the classical per-iteration normalization exists only
+    to stop float growth — with a FIXED iteration count the unnormal-
+    ized recurrence (hub/auth init 1; a_t = Σ_in h_{t-1};
+    h_t = Σ_out a_t) is pure INTEGER arithmetic, so scores stay in
+    decimal(38,0) and the 5 unrolled oracle iterations are exact, no
+    rounding discipline needed (bounded: scores ≤ (d_in·d_out)^5·n ~
+    10^17 on the corpus graph, far inside decimal(38,0); ranking is
+    normalization-invariant). The final cast goes decimal → STRING →
+    double so both engines round the same exact integer the same way.
+
+    Plan: edges/nodes materialize once (eager localCheckpoint — the
+    URL-synthesis plan must not replay per iteration); each
+    half-iteration is one equi-join on a host key + one map-side-
+    combinable keyed aggregate + one left join against the node set
+    (hosts with no in-links keep score 0 — the relation stays
+    complete). Node cardinality is the host domain: corpus-scaled at
+    crawl scale, never broadcast."""
+    e = (
+        _host_edges(spark, sf_dir)
+        .select("src_host", "dst_host")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src_host").alias("node"))
+        .union(e.select(F.col("dst_host").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    hub = nodes.select("node", F.lit(1).cast("decimal(38,0)").alias("hub"))
+    auth = None
+    for _ in range(HOST_HITS_ITERS):
+        a_agg = (
+            e.join(hub, e.src_host == hub.node)
+            .groupBy(F.col("dst_host").alias("node"))
+            .agg(F.sum("hub").alias("__s"))
+        )
+        auth = nodes.join(a_agg, "node", "left").select(
+            "node", F.coalesce(F.col("__s"), zero).alias("auth")
+        )
+        h_agg = (
+            e.join(auth, e.dst_host == auth.node)
+            .groupBy(F.col("src_host").alias("node"))
+            .agg(F.sum("auth").alias("__s"))
+        )
+        hub = nodes.join(h_agg, "node", "left").select(
+            "node", F.coalesce(F.col("__s"), zero).alias("hub")
+        )
+    return (
+        auth.join(hub, "node")
+        .select(
+            F.col("node").alias("host"),
+            F.expr("CAST(CAST(auth AS STRING) AS DOUBLE)").alias(
+                "auth_score"
+            ),
+            F.expr("CAST(CAST(hub AS STRING) AS DOUBLE)").alias("hub_score"),
+        )
+    )
+
+
+def _host_hits_oracle() -> str:
+    prev_h = "h0"
+    iters = []
+    for i in range(1, HOST_HITS_ITERS + 1):
+        iters.append(
+            f"""a{i} AS (
+  SELECT nd.node,
+         COALESCE(agg.s, CAST(0 AS DECIMAL(38,0))) AS auth
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst_host AS node, SUM({prev_h}.hub) AS s
+    FROM edges e JOIN {prev_h} ON {prev_h}.node = e.src_host
+    GROUP BY e.dst_host
+  ) agg ON agg.node = nd.node
+)"""
+        )
+        iters.append(
+            f"""h{i} AS (
+  SELECT nd.node,
+         COALESCE(agg.s, CAST(0 AS DECIMAL(38,0))) AS hub
+  FROM nodes nd LEFT JOIN (
+    SELECT e.src_host AS node, SUM(a{i}.auth) AS s
+    FROM edges e JOIN a{i} ON a{i}.node = e.dst_host
+    GROUP BY e.src_host
+  ) agg ON agg.node = nd.node
+)"""
+        )
+        prev_h = f"h{i}"
+    k = HOST_HITS_ITERS
+    return (
+        _canon_cte_duck(
+            "SELECT doc_id, " + messy_url_duck(0) + " AS url FROM documents"
+        )
+        + _EDGES_DUCK_TAIL
+        + f""",
+edges AS (SELECT DISTINCT src_host, dst_host FROM edge_rows),
+nodes AS (SELECT src_host AS node FROM edges
+          UNION SELECT dst_host FROM edges),
+h0 AS (SELECT node, CAST(1 AS DECIMAL(38,0)) AS hub FROM nodes),
+{','.join(iters)}
+SELECT a{k}.node AS host,
+       CAST(CAST(a{k}.auth AS VARCHAR) AS DOUBLE) AS auth_score,
+       CAST(CAST(h{k}.hub AS VARCHAR) AS DOUBLE) AS hub_score
+FROM a{k} JOIN h{k} ON h{k}.node = a{k}.node
+"""
+    )
+
+
+WEBOPS_QUERIES["host_hits"] = q_host_hits
+WEBOPS_ORACLES["host_hits"] = _host_hits_oracle()
