@@ -556,6 +556,23 @@ SCALE_PROBE_100X = {
     # map-side-combinable groupBy + the decimal avg)
     "url_canonicalize": 1.0,
     "host_reputation_rollup": 1.0,
+    # r12: the rest of the crawl-curation family gets real 100x rows —
+    # canon-key dedup groupBy, the rollup+join-back, the outlink edge
+    # join, the iterative rank pair over the SATURATING host graph
+    # (host domain is template-fixed, so edge growth flattens), the
+    # per-host politeness window, the robots rules join + array fold,
+    # the fingerprint-blocked mirror pair join, and the ingest-path
+    # streaming frontier dedup (per-batch state ledger measured via
+    # state_per_batch like the other streaming rows)
+    "url_dedup_canonical": 1.0,
+    "host_filtered_docs": 1.0,
+    "host_link_edges": 1.0,
+    "host_pagerank": 1.0,
+    "host_hits": 1.0,
+    "crawl_budget_waves": 1.0,
+    "robots_prefix_filter": 1.0,
+    "host_mirror_detect": 1.0,
+    "streaming_url_dedup": 1.0,
 }
 SCALE_PROBE_100X_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "testdata_scale", "sf10"
