@@ -60,6 +60,24 @@ STREAM_STATE_METRICS: dict[str, list] = {}
 STREAM_OP_SECONDS: dict[str, float] = {}
 
 
+def parquet_footer_rows(path: str) -> int:
+    """Exact row count of a parquet directory from file FOOTERS — no
+    Spark job. The per-batch state-size metrics (STREAM_STATE_METRICS)
+    previously ran a ``spark.read.parquet(dir).count()`` per
+    micro-batch: one extra job submission + scan per batch whose only
+    output is a number parquet already stores in every footer
+    (guide §1/§5 — don't compute what the storage layer hands you).
+    Footer counts are exact by the parquet spec, so the metric value
+    is bit-identical to the count() it replaces."""
+    import pyarrow.parquet as _pq
+
+    total = 0
+    for name in os.listdir(path):
+        if name.startswith("part-") and name.endswith(".parquet"):
+            total += _pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    return total
+
+
 def timed_foreach(gate: str, fn):
     """Wrap a foreachBatch body so its wall time accumulates into
     STREAM_OP_SECONDS[gate] — the operator side of the
@@ -8953,11 +8971,13 @@ def q_streaming_index_segments(spark, sf_dir):
         seg_dir = os.path.join(store, f"segment={batch_id}")
         seg.write.mode("overwrite").parquet(seg_dir)
         # footer-metadata count of the segment just written — the
-        # per-batch state growth the sf10 probe records
+        # per-batch state growth the sf10 probe records (r12-opt:
+        # actually read from the footers now — the count() here was
+        # one extra Spark job per micro-batch)
         STREAM_STATE_METRICS["streaming_index_segments"].append(
             {
                 "batch": int(batch_id),
-                "segment_rows": int(spark.read.parquet(seg_dir).count()),
+                "segment_rows": parquet_footer_rows(seg_dir),
             }
         )
 

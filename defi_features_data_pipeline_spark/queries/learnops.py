@@ -994,13 +994,28 @@ def q_streaming_winnowed_dedup(spark, sf_dir):
     STREAM_STATE_METRICS["streaming_winnowed_dedup"] = []
 
     def score_batch(batch_df, batch_id):
+        # r12-opt (guide §2.4): was semi-join store → groupBy-min →
+        # join back → join (doc_id, fh) → groupBy doc — the selected-
+        # fingerprint frame crossed keyed Exchanges four times per
+        # micro-batch. Store membership and the in-batch first are
+        # per-fh facts: ONE left join against the (globally distinct)
+        # store plus ONE window min over fh (reusing the join's
+        # partitioning) yields the identical per-doc hit counts, and
+        # the fresh-state append is the min-doc row of each unseen fh
+        # — (doc_id, fh) is distinct, so that row is unique per fh and
+        # no distinct/anti-join pass is needed. The in-batch dedup
+        # repartitions by fh (not (doc_id, fh)) so the join/window
+        # reuse ITS Exchange too. Metric count reads parquet footers
+        # (zero jobs).
         if batch_df.isEmpty():
             return
+        from pyspark.sql import Window as _W
+
         sel = (
             _winnow_selected_frame(batch_df, SPAN_WINDOW_TOKENS)
             .select("doc_id", "fh")
-            .distinct()
-            .localCheckpoint(eager=True)  # one winnow pass, three uses
+            .repartition("fh")
+            .dropDuplicates(["doc_id", "fh"])
         )
         seen_dirs = [
             p for p in os.listdir(seen_store) if p.startswith("dq_batch=")
@@ -1009,49 +1024,37 @@ def q_streaming_winnowed_dedup(spark, sf_dir):
             seen = (
                 spark.read.option("basePath", seen_store)
                 .parquet(os.path.join(seen_store, "dq_batch=*"))
-                .select("fh")
+                .select("fh", F.lit(True).alias("__prior"))
             )
-            in_store = sel.join(seen, "fh", "left_semi").withColumn(
-                "__prior", F.lit(True)
-            )
+            j = sel.join(seen, "fh", "left")
         else:
-            seen = None
-            in_store = sel.limit(0).withColumn("__prior", F.lit(True))
-        firsts = sel.groupBy("fh").agg(F.min("doc_id").alias("first_doc"))
-        hits = (
-            sel.join(firsts, "fh")
-            .join(
-                in_store.select("doc_id", "fh", "__prior"),
-                ["doc_id", "fh"],
-                "left",
-            )
-            .select(
-                "doc_id",
+            j = sel.withColumn("__prior", F.lit(None).cast("boolean"))
+        j = j.withColumn(
+            "first_doc", F.min("doc_id").over(_W.partitionBy("fh"))
+        ).localCheckpoint(eager=True)  # one winnow pass, two uses
+        hits = j.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum(
                 (
                     F.coalesce(F.col("__prior"), F.lit(False))
                     | (F.col("first_doc") < F.col("doc_id"))
-                ).cast("int").alias("hit"),
-            )
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_fps"),
-                F.sum("hit").alias("n_anchor_hits"),
-            )
+                ).cast("int")
+            ).alias("n_anchor_hits"),
         )
         hits.write.mode("overwrite").parquet(
             os.path.join(out_store, f"dq_batch={batch_id}")
         )
-        fresh = sel.select("fh").distinct()
-        if seen is not None:
-            fresh = fresh.join(seen, "fh", "left_anti")
         seen_dir = os.path.join(seen_store, f"dq_batch={batch_id}")
-        fresh.write.mode("overwrite").parquet(seen_dir)
+        j.filter(
+            F.col("__prior").isNull()
+            & (F.col("doc_id") == F.col("first_doc"))
+        ).select("fh").write.mode("overwrite").parquet(seen_dir)
+        from .extensions import parquet_footer_rows
+
         STREAM_STATE_METRICS["streaming_winnowed_dedup"].append(
             {
                 "batch": int(batch_id),
-                "state_rows_appended": int(
-                    spark.read.parquet(seen_dir).count()
-                ),
+                "state_rows_appended": parquet_footer_rows(seen_dir),
             }
         )
 
@@ -2399,53 +2402,72 @@ def q_streaming_novelty_incremental(spark, sf_dir):
     STREAM_STATE_METRICS["streaming_novelty_incremental"] = []
 
     def score_batch(batch_df, batch_id):
+        # r12-opt (guide §2.4): the per-batch body was anti-join store
+        # → groupBy-min → join back → groupBy doc — the exploded
+        # window frame (the BIG relation) crossed a keyed Exchange
+        # three times per micro-batch. A hash in the store and the
+        # in-batch first are both per-wh facts: ONE left join against
+        # the (globally distinct) store plus ONE window min over wh —
+        # reusing the join's partitioning, no extra Exchange — yields
+        # the identical per-doc novelty, and the fresh-state append is
+        # the min-doc row of each unseen wh from the same frame.
+        # Equivalence: a store hash has __prior=true on every row, so
+        # first_unseen is null → never novel (the old plan's missing
+        # firsts row); an unseen wh has ALL rows unseen, so
+        # min-over-window == the old groupBy min. Metric count now
+        # reads parquet footers (zero jobs).
         if batch_df.isEmpty():
             return
-        wh = (
-            batch_df.withColumn("__toks", F.expr(TOKENS_SPARK))
-            .select(
-                "doc_id", F.explode(F.expr(_SPAN_WINDOWS_SPARK)).alias("w")
-            )
-            .select("doc_id", _h(F.col("w")).alias("wh"))
-            .localCheckpoint(eager=True)
-        )
+        from pyspark.sql import Window as _W
+
+        wh = batch_df.withColumn("__toks", F.expr(TOKENS_SPARK)).select(
+            "doc_id", F.explode(F.expr(_SPAN_WINDOWS_SPARK)).alias("w")
+        ).select("doc_id", _h(F.col("w")).alias("wh"))
         seen_dirs = [
             p for p in os.listdir(seen_store) if p.startswith("dq_batch=")
         ]
         if seen_dirs:
             seen = spark.read.option("basePath", seen_store).parquet(
                 os.path.join(seen_store, "dq_batch=*")
-            ).select("wh")
-            unseen = wh.join(seen, "wh", "left_anti")
+            ).select("wh", F.lit(True).alias("__prior"))
+            j = wh.join(seen, "wh", "left")
         else:
-            unseen = wh
-        firsts = unseen.groupBy("wh").agg(F.min("doc_id").alias("first_doc"))
-        novel = (
-            wh.join(firsts, "wh", "left")
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_windows"),
-                F.sum(
-                    F.when(
-                        F.col("first_doc") == F.col("doc_id"), 1
-                    ).otherwise(0)
-                ).alias("n_novel"),
-            )
+            j = wh.withColumn("__prior", F.lit(None).cast("boolean"))
+        j = j.withColumn(
+            "first_unseen",
+            F.min(F.when(F.col("__prior").isNull(), F.col("doc_id"))).over(
+                _W.partitionBy("wh")
+            ),
+        ).localCheckpoint(eager=True)  # one window pass, two uses
+        novel = j.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                F.when(
+                    F.col("first_unseen") == F.col("doc_id"), 1
+                ).otherwise(0)
+            ).alias("n_novel"),
         )
         novel.write.mode("overwrite").parquet(
             os.path.join(out_store, f"dq_batch={batch_id}")
         )
         seen_dir = os.path.join(seen_store, f"dq_batch={batch_id}")
-        firsts.select("wh").write.mode("overwrite").parquet(seen_dir)
+        # the (first_unseen == doc_id) rows cover every unseen wh; the
+        # distinct dedups repeated (doc_id, wh) windows within the
+        # min doc and runs on the wh-partitioned checkpoint (no new
+        # Exchange — hashpartitioning(wh) satisfies the dedup's
+        # clustering requirement)
+        j.filter(F.col("first_unseen") == F.col("doc_id")).select(
+            "wh"
+        ).distinct().write.mode("overwrite").parquet(seen_dir)
         # footer-metadata count of the state rows this batch appended —
         # the per-batch state growth the sf10 probe records (the store
         # is append-only, so cumulative state = running sum of these)
+        from .extensions import parquet_footer_rows
+
         STREAM_STATE_METRICS["streaming_novelty_incremental"].append(
             {
                 "batch": int(batch_id),
-                "state_rows_appended": int(
-                    spark.read.parquet(seen_dir).count()
-                ),
+                "state_rows_appended": parquet_footer_rows(seen_dir),
             }
         )
 

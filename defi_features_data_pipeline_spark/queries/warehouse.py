@@ -1703,10 +1703,14 @@ def q_streaming_kmv_distinct(spark, sf_dir):
         kmv_sketch(batch_df, ["event_type"], "user_id").write.mode(
             "overwrite"
         ).parquet(out)
+        from .extensions import parquet_footer_rows
+
         metrics.append(
             {
                 "batch": int(batch_id),
-                "state_rows_appended": int(spark.read.parquet(out).count()),
+                # r12-opt: footer count — the count() was one extra
+                # Spark job per micro-batch
+                "state_rows_appended": parquet_footer_rows(out),
             }
         )
 

@@ -773,65 +773,84 @@ def q_streaming_url_dedup(spark, sf_dir):
     STREAM_STATE_METRICS["streaming_url_dedup"] = []
 
     def score_batch(batch_df, batch_id):
+        # r12-opt (guide §2.4, §1.4): the per-batch body was
+        # canonicalize → semi-join store → groupBy-min → join → join —
+        # three keyed joins + one aggregate, every one re-planned per
+        # micro-batch, plus two metric count() jobs. The store flag and
+        # the in-batch first are both per-canon_url facts, so ONE left
+        # join against the (globally distinct) store plus ONE window
+        # min over canon_url — which reuses the join's partitioning,
+        # no extra Exchange — produces the identical verdicts, and the
+        # fresh-state append falls out of the same frame (the row with
+        # arrival == first_arrival and no store hit IS the distinct
+        # unseen canonical, arrivals being unique). Metric counts now
+        # come from parquet footers (zero jobs). Measured 6.0 → ~3.4 s;
+        # per-batch joins 3 → 1, aggregates 2 → 0 (one window).
         if batch_df.isEmpty():
             return
+        from pyspark.sql import Window as _W
+
         sel = (
             # registrable=False: this gate never reads the registrable
             # domain, and the dead PSL join would re-plan+re-broadcast
             # per micro-batch (measured 4.2 -> 6.0 s for the gate)
             with_canonical_url(batch_df, registrable=False)
             .select("doc_id", "variant", "arrival", "canon_url")
-            .localCheckpoint(eager=True)  # one canonicalize, three uses
+            # keep the canonicalizer chain in its OWN map-only codegen
+            # unit (the r11 janino-64KB lesson): fused into the
+            # join+window stage it falls out of WholeStageCodegen
+            .localCheckpoint(eager=True)
         )
         seen_dirs = [
             p for p in _os.listdir(seen_store) if p.startswith("dq_batch=")
         ]
         if seen_dirs:
+            # store rows are globally distinct canon_urls (each batch
+            # appends only unseen ones), so the left join is 1:≤1 —
+            # row count preserved, __prior true iff already seen
             seen = (
                 spark.read.option("basePath", seen_store)
                 .parquet(_os.path.join(seen_store, "dq_batch=*"))
-                .select("canon_url")
+                .select("canon_url", F.lit(True).alias("__prior"))
             )
-            in_store = sel.join(seen, "canon_url", "left_semi").withColumn(
-                "__prior", F.lit(True)
-            )
+            j = sel.join(seen, "canon_url", "left")
         else:
-            seen = None
-            in_store = sel.limit(0).withColumn("__prior", F.lit(True))
-        firsts = sel.groupBy("canon_url").agg(
-            F.min("arrival").alias("first_arrival")
-        )
-        verdicts = (
-            sel.join(firsts, "canon_url")
-            .join(
-                in_store.select("arrival", "canon_url", "__prior"),
-                ["arrival", "canon_url"],
-                "left",
-            )
-            .select(
-                "doc_id",
-                "variant",
-                (
-                    F.coalesce(F.col("__prior"), F.lit(False))
-                    | (F.col("first_arrival") < F.col("arrival"))
-                ).alias("is_dup"),
-            )
+            j = sel.withColumn("__prior", F.lit(None).cast("boolean"))
+        j = j.withColumn(
+            "first_arrival",
+            F.min("arrival").over(_W.partitionBy("canon_url")),
+        ).localCheckpoint(eager=True)  # one canonicalize+join, two uses
+        verdicts = j.select(
+            "doc_id",
+            "variant",
+            (
+                F.coalesce(F.col("__prior"), F.lit(False))
+                | (F.col("first_arrival") < F.col("arrival"))
+            ).alias("is_dup"),
         )
         verdicts.write.mode("overwrite").parquet(
             _os.path.join(out_store, f"dq_batch={batch_id}")
         )
-        fresh = sel.select("canon_url").distinct()
-        if seen is not None:
-            fresh = fresh.join(seen, "canon_url", "left_anti")
+        # arrival ids are unique, so exactly ONE row per canon_url has
+        # arrival == first_arrival; keeping the unseen ones IS the
+        # distinct-unseen set the old distinct + anti-join computed
+        fresh = j.filter(
+            F.col("__prior").isNull()
+            & (F.col("arrival") == F.col("first_arrival"))
+        ).select("canon_url")
         seen_dir = _os.path.join(seen_store, f"dq_batch={batch_id}")
         fresh.write.mode("overwrite").parquet(seen_dir)
+        from .extensions import parquet_footer_rows
+
         STREAM_STATE_METRICS["streaming_url_dedup"].append(
             {
                 "batch": int(batch_id),
-                "arrivals": int(batch_df.count()),
-                "state_rows_appended": int(
-                    spark.read.parquet(seen_dir).count()
+                # footer counts — exact, no extra jobs (verdicts rows
+                # == batch arrivals: the left join is 1:≤1)
+                "arrivals": parquet_footer_rows(
+                    _os.path.join(out_store, f"dq_batch={batch_id}")
                 ),
+                "state_rows_appended": parquet_footer_rows(seen_dir),
             }
         )
 
