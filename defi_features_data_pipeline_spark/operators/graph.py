@@ -70,6 +70,7 @@ def connected_components(
     jumps_per_phase: int = 1,
     stats: dict | None = None,
     symmetrize: bool = False,
+    input_materialized: bool = False,
 ) -> DataFrame:
     """(node, label) for every node in ``edges``, where ``label`` is
     the minimum node id of the node's connected component.
@@ -82,7 +83,16 @@ def connected_components(
     nodes (no edges) are the caller's concern — they never appear
     here. Raises RuntimeError if ``max_iters`` rounds do not
     converge. If ``stats`` is a dict, ``stats["rounds"]`` is set to
-    the number of rounds executed (tests pin this)."""
+    the number of rounds executed (tests pin this).
+
+    ``input_materialized=True`` skips the up-front edge round-trip:
+    callers whose edge frame is ALREADY a cheap zero/short-lineage
+    plan (an artifact parquet read, or a column filter over one) pass
+    this so the setup pays one write less; the frame is still scanned
+    a handful of times (mirror union + node distinct + edge-table
+    write), which for a parquet-backed plan costs less than the extra
+    write+read. Never pass it for a live candidate-generation plan —
+    that is exactly the case the round-trip exists for."""
     from pyspark.sql import Observation
 
     spark = edges.sparkSession
@@ -119,10 +129,10 @@ def connected_components(
     # from it: nodes-distinct and the self-loop union would otherwise
     # each re-execute the (potentially expensive) upstream
     # candidate-generation plan — measured 3-4 re-executions of the
-    # blocked-pair pipeline per call before this cut.
-    raw = _roundtrip(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")), "edges_raw"
-    )
+    # blocked-pair pipeline per call before this cut. Skipped when the
+    # caller vouches the plan is already materialized (artifact read).
+    sel = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    raw = sel if input_materialized else _roundtrip(sel, "edges_raw")
     if symmetrize:
         raw = raw.union(
             raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -132,21 +142,25 @@ def connected_components(
         .union(raw.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # r0 labels ARE the node set (label := own id) — write them FIRST,
+    # so the self-loop branch below can read the labels PARQUET back
+    # instead of re-running the node distinct, and the old second
+    # distinct over the full edge table (e.src) is gone entirely: one
+    # keyed shuffle over the edge list per call instead of two
+    # (distinct(e.src) == nodes because the self-loops put every node
+    # in src — same rows, computed once).
+    labels, prev_sum, n_nodes = _roundtrip_labels(
+        nodes.withColumn("label", F.col("node")), "r0"
+    )
+    prev_dir = os.path.join(workdir, "r0")
     # self-loops folded in: neighbor-min over e then includes the
     # node's own label, so propagation is a single join + aggregate.
     e = _roundtrip(
         raw.union(
-            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+            labels.select(F.col("node").alias("src"), F.col("node").alias("dst"))
         ),
         "edges",
     )
-    labels, prev_sum, n_nodes = _roundtrip_labels(
-        e.select(F.col("src").alias("node")).distinct().withColumn(
-            "label", F.col("node")
-        ),
-        "r0",
-    )
-    prev_dir = os.path.join(workdir, "r0")
 
     # Loop tuning: the label frame is node-count rows — orders smaller
     # than the corpus — so the propagation joins are tiny relative to
@@ -252,9 +266,9 @@ def chain_closure(
     workdir = tempfile.mkdtemp(prefix="chain_closure_")
     atexit.register(shutil.rmtree, workdir, ignore_errors=True)
 
-    def _roundtrip(df: DataFrame, name: str) -> tuple[DataFrame, int]:
-        """Write one round's frame; the live-pointer count rides the
-        same job through observe."""
+    def _roundtrip(df: DataFrame, name: str) -> tuple[DataFrame, int, int]:
+        """Write one round's frame; the live-pointer count AND the row
+        count ride the same job through observe (zero extra jobs)."""
         path = os.path.join(workdir, name)
         obs = Observation(f"chain_live_{name}")
         df.observe(
@@ -262,36 +276,23 @@ def chain_closure(
             F.coalesce(
                 F.sum(F.col("ptr").isNotNull().cast("long")), F.lit(0)
             ).alias("live"),
+            F.count(F.lit(1)).alias("n"),
         ).write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path), int(obs.get["live"])
+        got = obs.get
+        return spark.read.parquet(path), int(got["live"]), int(got["n"])
 
-    cur, live = _roundtrip(
-        nodes.select(
-            F.col(id_col).alias("id"),
-            F.col(prev_col).alias("ptr"),
-            F.lit(1).alias("rank"),
-            F.col(value_col).cast("decimal(38,10)").alias("acc"),
-        ),
-        "r0",
-    )
-    prev_dir = os.path.join(workdir, "r0")
-    rounds = 0
-    while live > 0:
-        if rounds >= max_rounds:
-            raise RuntimeError(
-                f"chain_closure did not converge in {max_rounds} rounds "
-                f"({live} pointers still live) — chains deeper than "
-                f"2^{max_rounds} nodes, or a cycle in the prev-pointer "
-                "graph (a cycle never reaches a null head). Returning "
-                "would silently truncate prefix sums."
-            )
+    def _jump(cur: DataFrame) -> DataFrame:
+        """One pointer-doubling step. Once every ptr is null the step
+        is an IDENTITY (left join matches nothing: rank/acc gain 0,
+        ptr stays null) — which is what makes running two steps per
+        round-trip below safe when live hits 0 mid-pair."""
         lookup = cur.select(
             F.col("id").alias("p_id"),
             F.col("ptr").alias("p_ptr"),
             F.col("rank").alias("p_rank"),
             F.col("acc").alias("p_acc"),
         )
-        nxt = cur.join(lookup, cur.ptr == F.col("p_id"), "left").select(
+        return cur.join(lookup, cur.ptr == F.col("p_id"), "left").select(
             "id",
             # ptr null ⇒ no match ⇒ p_ptr null ⇒ stays null (done);
             # ptr non-null always matches (prev_id references a row)
@@ -308,13 +309,60 @@ def chain_closure(
             .cast("decimal(38,10)")
             .alias("acc"),
         )
-        rounds += 1
-        new_dir = os.path.join(workdir, f"r{rounds}")
-        cur, live = _roundtrip(nxt, f"r{rounds}")
-        shutil.rmtree(prev_dir, ignore_errors=True)
-        prev_dir = new_dir
-        if stats is not None:
-            stats["rounds"] = rounds
+
+    cur, live, n_rows = _roundtrip(
+        nodes.select(
+            F.col(id_col).alias("id"),
+            F.col(prev_col).alias("ptr"),
+            F.lit(1).alias("rank"),
+            F.col(value_col).cast("decimal(38,10)").alias("acc"),
+        ),
+        "r0",
+    )
+    prev_dir = os.path.join(workdir, "r0")
+    # Same loop tuning as connected_components (measured ~25% of
+    # per-round wall there): the doubling frame is |nodes| rows of 4
+    # narrow columns — size the loop's shuffles to the data instead of
+    # the session default, and switch off AQE's per-stage re-planning
+    # for the micro-stages. Both confs restored after. TWO doubling
+    # steps ride each round-trip (the jump-composition trick from the
+    # CC phases): pointer distance still doubles per STEP, but the
+    # parquet write + job overhead is paid per PAIR — ceil(log2 d)/2
+    # writes instead of ceil(log2 d). The trailing step of a pair can
+    # run after live reaches 0; it is an identity then (see _jump).
+    conf = spark.conf
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    rounds = 0
+    jumps = 0
+    try:
+        conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(4, min(int(old_parts), n_rows // 50_000 + 4))),
+        )
+        conf.set("spark.sql.adaptive.enabled", "false")
+        while live > 0:
+            if rounds >= max_rounds:
+                raise RuntimeError(
+                    f"chain_closure did not converge in {max_rounds} rounds "
+                    f"({live} pointers still live) — chains deeper than "
+                    f"4^{max_rounds} nodes, or a cycle in the prev-pointer "
+                    "graph (a cycle never reaches a null head). Returning "
+                    "would silently truncate prefix sums."
+                )
+            nxt = _jump(_jump(cur))
+            rounds += 1
+            jumps += 2
+            new_dir = os.path.join(workdir, f"r{rounds}")
+            cur, live, _ = _roundtrip(nxt, f"r{rounds}")
+            shutil.rmtree(prev_dir, ignore_errors=True)
+            prev_dir = new_dir
+            if stats is not None:
+                stats["rounds"] = rounds
+                stats["jumps"] = jumps
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_parts)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
     return cur.select(
         "id", F.col("rank").alias("hop"), F.col("acc").alias("cum")
     )

@@ -3446,7 +3446,12 @@ def q_dedup_clusters_lsh(spark, sf_dir):
     from ..operators.graph import connected_components
 
     pairs = _lsh_edges(spark, sf_dir)
-    labels = connected_components(pairs, "doc_a", "doc_b", symmetrize=True)
+    # input_materialized: the edge list is the load-first artifact — a
+    # zero-lineage parquet read — so CC's up-front edge round-trip
+    # would only re-write what is already on disk
+    labels = connected_components(
+        pairs, "doc_a", "doc_b", symmetrize=True, input_materialized=True
+    )
     out = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("node").alias("keeper_doc_id"),
@@ -3533,9 +3538,17 @@ def q_dedup_clusters_incremental(spark, sf_dir):
     is_new_b = F.col("doc_b") % 5 == 0
     old_edges = pairs.filter(~is_new_a & ~is_new_b)
     delta_edges = pairs.filter(is_new_a | is_new_b)
-    base = connected_components(old_edges, "doc_a", "doc_b", symmetrize=True)
+    # input_materialized on BOTH CC passes: the old/delta frames are
+    # column filters over the load-first artifact parquet, and the
+    # incremental pass unions the base labels (themselves a CC
+    # round-trip read) with that same filtered artifact — all cheap
+    # short-lineage plans the up-front edge round-trip exists to
+    # protect against re-running, which re-scanning does not here
+    base = connected_components(
+        old_edges, "doc_a", "doc_b", symmetrize=True, input_materialized=True
+    )
     labels = connected_components_incremental(
-        base, delta_edges, "doc_a", "doc_b"
+        base, delta_edges, "doc_a", "doc_b", input_materialized=True
     )
     out = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size"),
@@ -7263,10 +7276,14 @@ def q_entity_resolution_clusters(spark, sf_dir):
             symmetrize=True,
             phases_per_round=6,
             jumps_per_phase=0,
+            # the match-pair list is the load-first artifact parquet —
+            # skip CC's up-front edge round-trip
+            input_materialized=True,
         )
     except RuntimeError:  # deep-chain corpus: fall back to jumping
         labels = connected_components(
-            pairs, "left_id", "right_id", symmetrize=True
+            pairs, "left_id", "right_id", symmetrize=True,
+            input_materialized=True,
         )
     return labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("entity_size"),
