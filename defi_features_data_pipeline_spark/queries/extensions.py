@@ -1984,7 +1984,19 @@ def q_dedup_lsh_verified(spark, sf_dir):
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = _doc_shingles(spark, sf_dir).join(ids, "doc_id", "left_semi")
+    # Materialize the candidate-touched shingle frame ONCE: it feeds
+    # FOUR subtrees (both verify-join sides + both size lookups), and
+    # the executed plan showed four separate tokenize→shingle→explode→
+    # semi-join pipelines with zero exchange reuse (plans/r12/
+    # dedup_lsh_verified_before.txt). The frame is bounded by
+    # |candidate-touched docs| × shingles-per-doc — NOT corpus-scaled —
+    # so eager checkpoint is safe at any corpus size (the same
+    # discipline as jaccard_join_prefix's token-frame cut).
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .join(ids, "doc_id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s"))
