@@ -3777,42 +3777,98 @@ def q_bm25_search(spark, sf_dir):
     rounded result; final ORDER BY uses the rounded score with doc_id
     as the total tie-break.
 
-    100 TB notes: tf shuffles only rows whose token is in the query
-    (tiny after pruning); dl shuffles on doc_id once. The top-20 is a
-    TakeOrdered (per-partition heap + driver merge of 20-row heads),
+    100 TB notes (single-pass form, r12): ONE exploded-token pass
+    builds the per-doc sidecar (dl + one tf column per query term —
+    the query is a fixed 3-term literal, so per-term tf is a
+    conditional count in the SAME groupBy instead of a second
+    aggregate behind a semi-join). The pre-r12 shape re-ran the
+    tokenize+explode FOUR times (tf on both sides of the dfreq join,
+    dl in the score join and again under the avgdl scalar — zero
+    exchange reuse, plans/r12/bm25_search_before.txt); the sidecar is
+    eager-cut once and everything downstream reads it. avgdl / df /
+    N are three scalars collected from one cached aggregate — bounded
+    driver metadata (the grouped_rank pattern); they re-enter the
+    score expression as literals with the SAME types and operation
+    order as the old scalar subqueries, and idf/log still evaluate
+    INSIDE Spark, so every double is bit-identical to the oracle's.
+    The top-20 is a TakeOrdered (per-partition heap + driver merge),
     never a global sort."""
-    from .core import DEC
+    d, wide = _bm25_doc_stats(spark, sf_dir)
+    return _bm25_ranking(d, wide)
 
+
+def _bm25_doc_stats(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
+    """(documents frame, per-doc BM25 sidecar): ``wide`` is
+    (doc_id, dl, tf0..tf{k-1}) over docs with >= 1 token, built in ONE
+    tokenize pass + ONE doc-keyed shuffle and eager-cut (it feeds the
+    stats collect, the scoring scan, and — in retrieval_ndcg — the
+    relevance grades). Per-doc narrow rows: the standard doc-length
+    sidecar a BM25 deployment materializes anyway."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = (
         d.withColumn("__toks", F.expr(TOKENS_SPARK))
         .select("doc_id", F.explode_outer("__toks").alias("t"))
         .filter(F.col("t").isNotNull())
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
-    qt = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "t string")
-    tf = (
-        toks.join(F.broadcast(qt), "t")
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    wide = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum((F.col("t") == F.lit(t)).cast("long")).alias(f"tf{i}")
+                for i, t in enumerate(BM25_QUERY_TERMS)
+            ],
+        )
+        .localCheckpoint(eager=True)
     )
-    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (n.scalar() - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
+    return d, wide
+
+
+def _bm25_ranking(d: DataFrame, wide: DataFrame) -> DataFrame:
+    """Top-{n} (doc_id, bm25) from the per-doc sidecar — the scoring
+    arithmetic, operand types and decimal summation are the pre-r12
+    expressions verbatim; only WHERE the df/avgdl/N scalars come from
+    changed (driver literals off one cached aggregate instead of
+    scalar subqueries over recomputed token passes)."""
+    from .core import DEC
+
+    k = len(BM25_QUERY_TERMS)
+    stats = wide.agg(
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(k)
+        ],
+    ).first()
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n")).first()["n"]
     norm = F.lit(BM25_K1) * (
-        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl.scalar()
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl") / F.lit(float(stats["avgdl"]))
     )
-    part = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (F.col("tf") + norm)
-    parts = tf.join(dfreq, "t").join(dl, "doc_id").select(
-        "doc_id", part.cast(DEC).alias("sc")
-    )
+    parts = []
+    for i in range(k):
+        # df enters as a LONG literal and n as a DOUBLE literal — the
+        # exact operand types of the old (count-subquery, cast-double)
+        # pair, so promotion order and every libm input are unchanged
+        df_i = F.lit(int(stats[f"df{i}"]))
+        idf = F.log(
+            F.lit(1.0) + (F.lit(n_docs) - df_i + F.lit(0.5)) / (df_i + F.lit(0.5))
+        )
+        tf = F.col(f"tf{i}")
+        part = idf * (tf * F.lit(BM25_K1 + 1.0)) / (tf + norm)
+        # absent term contributed NO row before; an exact decimal zero
+        # in the sum is the same value
+        parts.append(
+            F.when(tf > 0, part.cast(DEC)).otherwise(F.lit(0).cast(DEC))
+        )
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
     return (
-        parts.groupBy("doc_id")
-        .agg(F.round(F.sum("sc").cast("double"), 6).alias("bm25"))
+        wide.filter(
+            F.greatest(*[F.col(f"tf{i}") for i in range(k)]) > 0
+        )
+        .select("doc_id", F.round(total.cast("double"), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(BM25_TOP_N)
     )
@@ -3942,6 +3998,15 @@ def q_dedup_containment(spark, sf_dir):
     g = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     kept = (
         sh.join(g, "s").filter(F.col("df") <= CONTAINMENT_DF_CAP).select("doc_id", "s")
+        # NOT materialized, deliberately (r12 optimization round): the
+        # executed plan does run six tokenize→shingle pipelines (three
+        # consumers × the two sh subtrees in this join), but an eager
+        # cut here was MEASURED SLOWER (1.9 → 3.1 s median at sf0.1):
+        # unlike dedup_lsh_verified's candidate-bounded frame, ``kept``
+        # is nearly the FULL shingle table (the df cap is a no-op on
+        # this corpus), and serializing it once costs more than five
+        # extra parallel tokenize passes. Same verdict as the postings
+        # persist experiment in _blocks_from_postings.
     )
     sz = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = kept.select(F.col("doc_id").alias("id_a"), "s")
@@ -9629,17 +9694,23 @@ def q_retrieval_ndcg(spark, sf_dir):
     LIMIT-{n} candidate frame — bounded, one partition is the plan."""
     from pyspark.sql import Window
 
-    ranked = q_bm25_search(spark, sf_dir)  # 20 rows, (bm25 desc, doc_id)
+    # ONE _bm25_doc_stats sidecar serves both the ranking and the
+    # relevance grades (pre-r12 this gate ran its own tokenize+join
+    # pass for rel on top of bm25_search's four — now one total):
+    # "number of distinct query terms present" IS the count of
+    # positive per-term tf columns.
+    d, wide = _bm25_doc_stats(spark, sf_dir)
+    ranked = _bm25_ranking(d, wide)  # 20 rows, (bm25 desc, doc_id)
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     ranked = ranked.withColumn("rank", F.row_number().over(w))
-    d = _spread(spark, _t(spark, sf_dir, "documents"))
-    qt = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "t string")
+    k = len(BM25_QUERY_TERMS)
+    ind = [(F.col(f"tf{i}") > 0).cast("long") for i in range(k)]
+    rel_expr = ind[0]
+    for x in ind[1:]:
+        rel_expr = rel_expr + x
     rel = (
-        d.withColumn("__toks", F.expr(TOKENS_SPARK))
-        .select("doc_id", F.explode("__toks").alias("t"))
-        .join(F.broadcast(qt), "t")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("t").alias("rel"))
+        wide.select("doc_id", rel_expr.alias("rel"))
+        .filter(F.col("rel") > 0)
     )
     scored = (
         ranked.join(rel, "doc_id", "left")
