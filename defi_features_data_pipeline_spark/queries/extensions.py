@@ -3206,11 +3206,25 @@ def q_dedup_incremental_minhash(spark, sf_dir):
     bands = lsh_bands(minhash_signature(sh))
     is_new = F.col("doc_id") % 4 == 0
 
+    # r12-opt (guide §1.2/§2.4 "don't compute things you throw away"):
+    # the band pipeline (tokenize→shingle→minhash-groupBy→band) used to
+    # execute FIVE times per call — once writing the index (existing
+    # docs) and once per appearance of the lazy ``new_bands`` frame
+    # (probe side, both intra-join sides, maintenance append). ONE
+    # partitioned write now materializes the full band table in a
+    # single corpus pass; the persisted index and the new batch are its
+    # two partition directories, and every later consumer reads parquet
+    # instead of recomputing minhashes (1.0 corpus passes vs 1.75, and
+    # the result job loses three shingle→minhash subtrees).
+    stage = tempfile.mkdtemp(prefix="lsh_index_")
+    bands.withColumn("__new", is_new.cast("int")).write.partitionBy(
+        "__new"
+    ).mode("overwrite").parquet(stage)
     # previous batch state: persisted index over the existing corpus
-    idx_path = os.path.join(tempfile.mkdtemp(prefix="lsh_index_"), "bands")
-    bands.filter(~is_new).write.mode("overwrite").parquet(idx_path)
+    # (the __new=0 partition directory IS the index parquet table)
+    idx_path = os.path.join(stage, "__new=0")
     idx = spark.read.parquet(idx_path)
-    new_bands = bands.filter(is_new)
+    new_bands = spark.read.parquet(os.path.join(stage, "__new=1"))
 
     def _pairs(left: DataFrame, right: DataFrame, anti_sym: bool) -> DataFrame:
         """One row per shared band; pair normalized (doc_a < doc_b).
@@ -3250,7 +3264,8 @@ def q_dedup_incremental_minhash(spark, sf_dir):
         .localCheckpoint()  # eager
     )
 
-    # index maintenance: next batch sees old + new signatures
+    # index maintenance: next batch sees old + new signatures — now a
+    # parquet copy of the new batch's band rows, no minhash recompute
     new_bands.write.mode("append").parquet(idx_path)
     return result
 
@@ -7133,7 +7148,11 @@ def q_bpe_learn_merges(spark, sf_dir):
             F.expr("transform(split(w, ''), c -> c)").alias("sym"),
         )
         .filter(F.size("sym") >= 2)
-        .localCheckpoint()
+        # lazy: the round-1 pair-count job is the first action and
+        # materializes this checkpoint as its input — same work, one
+        # fewer job (r12-opt, guide §1.2: the loop's wall-clock is
+        # jobs × stage-schedule cost, not data)
+        .localCheckpoint(eager=False)
     )
 
     merges = []
@@ -7175,7 +7194,14 @@ def q_bpe_learn_merges(spark, sf_dir):
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        cur = cur.select("freq", folded.alias("sym")).localCheckpoint()
+        # lazy checkpoint: round r+1's argmax job materializes round
+        # r's fold as its input (2 jobs/round → 1); the final round's
+        # fold is never materialized at all — its merge row is already
+        # on the driver. Plans stay constant-size either way (the
+        # checkpoint still truncates lineage at materialization).
+        cur = cur.select("freq", folded.alias("sym")).localCheckpoint(
+            eager=False
+        )
 
     return spark.createDataFrame(
         merges,
