@@ -649,40 +649,49 @@ def _winnow_selected_frame(d: DataFrame, gram_tokens: int) -> DataFrame:
     documents frame — the parameterized core of `_winnow_selected`
     (docstring and guarantee there). The anchored longest-span
     operator calls this with gram_tokens = k − w + 1 so the
-    w+k'−1 guarantee threshold lands exactly at SPAN_WINDOW_TOKENS."""
-    toks = d.withColumn("__toks", F.expr(TOKENS_SPARK))
-    wh = toks.select(
-        "doc_id",
-        F.posexplode(F.expr(_gram_windows_spark(gram_tokens))).alias(
-            "__p0", "w"
-        ),
-    ).select(
-        "doc_id",
-        (F.col("__p0") + 1).cast("long").alias("pos"),
-        _h(F.col("w")).alias("wh"),
-    )
-    from pyspark.sql import Window as _W
+    w+k'−1 guarantee threshold lands exactly at SPAN_WINDOW_TOKENS.
 
-    frame = (
-        _W.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(_W.currentRow, WINNOW_WINDOW - 1)
+    r12-opt (guide §2.4 "remove shuffles outright" / §4.1 higher-order
+    functions): selection is MAP-ONLY. The original shape posexploded
+    every k'-gram hash, paid one keyed Exchange + sort for the per-doc
+    sliding min (Window over doc_id) and a second full shuffle for the
+    row-level ``distinct()``. Winnowing is a per-document computation
+    over consecutive positions, so both now happen inside array
+    expressions on the scan task: the combined h·2^B + (2^B−1−pos)
+    encoding is built per element (``transform`` with index), the
+    sliding min is ``array_min(slice(...))`` per window start (O(w)
+    per position — the same work the window frame did), and the
+    per-doc dedup is ``array_distinct`` (equivalent to the old global
+    distinct because doc_id was part of the key). Only the SELECTED
+    fingerprints (density ≈ 2/(w+1)) are exploded to rows; zero keyed
+    exchanges remain. explode_outer per the doc_shingles_df note —
+    plain explode infers a size()>0 filter that re-evaluates the whole
+    array chain a second time."""
+    b = 1 << WINNOW_POS_BITS
+    mask = b - 1
+    w = WINNOW_WINDOW
+    h_g = "CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)"
+    cmb_arr = (
+        f"transform({_gram_windows_spark(gram_tokens)}, "
+        f"(g, i) -> {h_g} * {b} + {mask} - (CAST(i AS BIGINT) + 1))"
     )
-    sel = (
-        wh.withColumn("__cmb", F.min(F.expr(_WINNOW_COMBINED)).over(frame))
-        .withColumn("__nf", F.count(F.lit(1)).over(frame))
-        .filter(F.col("__nf") == WINNOW_WINDOW)  # full windows only
+    sel_arr = (
+        f"CASE WHEN size(__cmb) >= {w} THEN "
+        f"array_distinct(transform(sequence(1, size(__cmb) - {w - 1}), "
+        f"i -> array_min(slice(__cmb, i, {w})))) "
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    return (
+        d.withColumn("__toks", F.expr(TOKENS_SPARK))
+        .withColumn("__cmb", F.expr(cmb_arr))
+        .select("doc_id", F.explode_outer(F.expr(sel_arr)).alias("__s"))
+        .filter(F.col("__s").isNotNull())
         .select(
             "doc_id",
-            (
-                F.lit((1 << WINNOW_POS_BITS) - 1)
-                - F.col("__cmb") % (1 << WINNOW_POS_BITS)
-            ).alias("pos"),
-            F.expr(f"__cmb div {1 << WINNOW_POS_BITS}").alias("fh"),
+            (F.lit(mask) - F.col("__s") % F.lit(b)).alias("pos"),
+            F.expr(f"__s div {b}").alias("fh"),
         )
-        .distinct()
     )
-    return sel
 
 
 _winnow_selected.__doc__ = _winnow_selected.__doc__.format(
