@@ -13,6 +13,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def _range_parts(df: DataFrame) -> int:
+    """Partition count for the parallel range sorts below. Deliberately
+    NOT ``df.rdd.getNumPartitions()``: under AQE, materializing ``.rdd``
+    finalizes the adaptive plan, which EXECUTES every upstream shuffle
+    stage as a throwaway job — the checkpoint pass then re-plans and
+    re-runs the same subtree, so each ranking call paid one full extra
+    execution of its input (r13-opt, guide §1.2 "don't compute things
+    you throw away"). The session's default parallelism is the
+    scale-adaptive stand-in: locally the core count, on a cluster the
+    total executor cores — the same order the input partitioning had.
+    Ranks/offsets are exact for ANY partition count (offset + local
+    row_number is position-exact under range partitioning), so this
+    changes job shape only, never results."""
+    return max(df.sparkSession.sparkContext.defaultParallelism, 1)
+
+
 def top_k_per_group(
     df: DataFrame,
     group_by: str | list[str],
@@ -72,7 +88,7 @@ def global_rank(df: DataFrame, order_by: list[str], rank_col: str = "rank") -> D
     size-collect, the ntile count, and the caller's action all share.
     """
     cols = [F.col(c) for c in order_by]
-    n_part = max(df.rdd.getNumPartitions(), 1)
+    n_part = _range_parts(df)
     ranged = (
         df.repartitionByRange(n_part, *cols)
         .sortWithinPartitions(*cols)
@@ -151,7 +167,7 @@ def grouped_rank(
     consuming job."""
     gcols = [F.col(c) for c in group_by]
     ocols = [F.col(c) for c in order_by]
-    n_part = max(df.rdd.getNumPartitions(), 1)
+    n_part = _range_parts(df)
     ranged = (
         df.repartitionByRange(n_part, *gcols, *ocols)
         .sortWithinPartitions(*gcols, *ocols)
@@ -269,7 +285,7 @@ def global_prefix_sum(
     Integer/decimal value columns give bit-exact results; the offsets
     collected to the driver are P scalars."""
     cols = [F.col(c) for c in order_by]
-    n_part = max(df.rdd.getNumPartitions(), 1)
+    n_part = _range_parts(df)
     ranged = (
         df.repartitionByRange(n_part, *cols)
         .sortWithinPartitions(*cols)

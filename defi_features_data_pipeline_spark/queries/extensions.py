@@ -3221,10 +3221,21 @@ def q_dedup_incremental_minhash(spark, sf_dir):
         "__new"
     ).mode("overwrite").parquet(stage)
     # previous batch state: persisted index over the existing corpus
-    # (the __new=0 partition directory IS the index parquet table)
+    # (the __new=0 partition directory IS the index parquet table).
+    # Read through the STAGE ROOT with basePath + a partition filter:
+    # the partitioned write only creates directories for non-empty
+    # partitions, and a direct read of a missing path throws where the
+    # pre-staging shape returned a valid empty frame (r12 ADVICE). A
+    # fully empty bands table leaves no parquet at all under the root
+    # — fall back to an empty frame of the same schema.
     idx_path = os.path.join(stage, "__new=0")
-    idx = spark.read.parquet(idx_path)
-    new_bands = spark.read.parquet(os.path.join(stage, "__new=1"))
+    try:
+        staged = spark.read.option("basePath", stage).parquet(stage)
+        idx = staged.filter(F.col("__new") == 0).drop("__new")
+        new_bands = staged.filter(F.col("__new") == 1).drop("__new")
+    except Exception:  # no partition dir at all: zero documents
+        idx = spark.createDataFrame([], bands.schema)
+        new_bands = spark.createDataFrame([], bands.schema)
 
     def _pairs(left: DataFrame, right: DataFrame, anti_sym: bool) -> DataFrame:
         """One row per shared band; pair normalized (doc_a < doc_b).
@@ -3267,6 +3278,12 @@ def q_dedup_incremental_minhash(spark, sf_dir):
     # index maintenance: next batch sees old + new signatures — now a
     # parquet copy of the new batch's band rows, no minhash recompute
     new_bands.write.mode("append").parquet(idx_path)
+    # the eager checkpoint above cut every file reference, so the
+    # per-call staging copy of the band table is garbage now — reclaim
+    # it instead of leaking a corpus-sized dir per call (r12 ADVICE)
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
     return result
 
 
@@ -7199,6 +7216,13 @@ def q_bpe_learn_merges(spark, sf_dir):
         # fold is never materialized at all — its merge row is already
         # on the driver. Plans stay constant-size either way (the
         # checkpoint still truncates lineage at materialization).
+        # INVARIANT (what makes eager=False safe): every round issues
+        # exactly ONE action — the argmax .first() above — and that
+        # action computes ALL partitions of the prior round's marked
+        # RDD (a global orderBy), so each lazy checkpoint is fully
+        # materialized before the next fold builds on it. Adding a
+        # second per-round action or an early exit before the argmax
+        # would silently re-grow lineage across rounds.
         cur = cur.select("freq", folded.alias("sym")).localCheckpoint(
             eager=False
         )
@@ -8489,11 +8513,24 @@ def _index_blocks_from(d: DataFrame) -> DataFrame:
 
 def _blocks_from_postings(tok: DataFrame) -> DataFrame:
     """Block build from a (term, doc_id) posting frame — the part a
-    COMPACTOR runs (it reads segment blocks, never source text)."""
+    COMPACTOR runs (it reads segment blocks, never source text).
+
+    r13-opt (guide §2.4; r12 verdict item 3): the posting frame is
+    eagerly cut BEFORE grouped_rank, whose repartitionByRange executes
+    its input twice (boundary-sampling pass + the real shuffle). For
+    every caller the input is an expensive subtree — tokenize→explode→
+    DISTINCT for fresh builds, block-decode for the compactor — while
+    the frame itself is two narrow columns, so one materialization is
+    cheaper than a second execution. (The r12 experiment that measured
+    a persist here as WORSE predates the _range_parts fix, when the
+    input additionally ran a third time under df.rdd materialization
+    and the persist competed with those executions for memory;
+    re-measured after it — numbers in OPTIMIZATION_r13.md.)"""
     from pyspark.sql import Window
 
     from ..operators.ranking import grouped_rank
 
+    tok = tok.localCheckpoint(eager=True)
     ranked, _ = grouped_rank(tok, ["term"], ["doc_id"], rank_col="__rk")
     blk = ranked.withColumn(
         "block_id", F.floor((F.col("__rk") - 1) / POSTING_BLOCK)

@@ -1030,9 +1030,12 @@ def q_streaming_winnowed_dedup(spark, sf_dir):
             p for p in os.listdir(seen_store) if p.startswith("dq_batch=")
         ]
         if seen_dirs:
+            # r13-opt (guide §1.4): schema pinned + explicit dir list —
+            # no per-batch footer schema inference, no glob/partition
+            # discovery (see the novelty gate's note)
             seen = (
-                spark.read.option("basePath", seen_store)
-                .parquet(os.path.join(seen_store, "dq_batch=*"))
+                spark.read.schema("fh bigint")
+                .parquet(*[os.path.join(seen_store, p) for p in seen_dirs])
                 .select("fh", F.lit(True).alias("__prior"))
             )
             j = sel.join(seen, "fh", "left")
@@ -2436,8 +2439,14 @@ def q_streaming_novelty_incremental(spark, sf_dir):
             p for p in os.listdir(seen_store) if p.startswith("dq_batch=")
         ]
         if seen_dirs:
-            seen = spark.read.option("basePath", seen_store).parquet(
-                os.path.join(seen_store, "dq_batch=*")
+            # r13-opt (guide §1.4): the store read is per-batch hot
+            # path — pin the schema (the store holds exactly the wh
+            # hashes this loop writes) and pass the explicit dir list,
+            # so each micro-batch skips the footer-based schema
+            # inference and the dq_batch=* glob/partition discovery
+            # the old basePath read re-ran every trigger.
+            seen = spark.read.schema("wh bigint").parquet(
+                *[os.path.join(seen_store, p) for p in seen_dirs]
             ).select("wh", F.lit(True).alias("__prior"))
             j = wh.join(seen, "wh", "left")
         else:

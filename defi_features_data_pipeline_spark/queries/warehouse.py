@@ -131,6 +131,49 @@ SELECT ck AS o_custkey, ok AS o_orderkey, hop, {cast} AS cum_spend
 FROM chain
 """
 
+# r13-opt (guide §1.2; r12 verdict item 9 — the chain_closure
+# precedent): the Spark side advances TWO hops per recursion level, so
+# the per-level stage-scheduling constant (the gate's entire residual
+# wall at bench SF) is paid ceil(depth/2) times instead of depth times.
+# Mechanics: the anchor emits hop 1; each level consumes only the
+# ODD-hop frontier rows of the previous level (hop % 2 = 1 — the
+# even-hop rows it also emitted are result rows, not frontier), joins
+# the next-pointer table twice, and explodes one or two named_structs
+# per frontier row (two only when a second pointer exists). Hop/value
+# assembly is CASTed exactly like two sequential one-hop steps
+# (CAST(CAST(c+n) + n2)), so every emitted row is bit-identical to the
+# one-hop recursion's. The DuckDB oracle keeps the ORIGINAL one-hop
+# _RCTE_BODY — result equivalence is proven against the unfused
+# semantics, not assumed.
+_RCTE_BODY_FUSED = """
+WITH RECURSIVE chain AS (
+  SELECT ck, ok, next_ok, 1 AS hop, price AS cum_price
+  FROM {nxt} WHERE rn = 1
+  UNION ALL
+  SELECT n.ck AS ck, s.ok AS ok, s.next_ok AS next_ok,
+         s.hop AS hop, s.cum_price AS cum_price
+  FROM chain c
+  JOIN {nxt} n ON n.ok = c.next_ok AND c.hop % 2 = 1
+  LEFT JOIN {nxt} n2 ON n2.ok = n.next_ok
+  LATERAL VIEW explode(
+    CASE WHEN n2.ok IS NULL THEN
+      array(named_struct(
+        'ok', n.ok, 'next_ok', n.next_ok, 'hop', c.hop + 1,
+        'cum_price', CAST(c.cum_price + n.price AS DECIMAL(38,10))))
+    ELSE
+      array(named_struct(
+        'ok', n.ok, 'next_ok', n.next_ok, 'hop', c.hop + 1,
+        'cum_price', CAST(c.cum_price + n.price AS DECIMAL(38,10))),
+      named_struct(
+        'ok', n2.ok, 'next_ok', n2.next_ok, 'hop', c.hop + 2,
+        'cum_price', CAST(CAST(c.cum_price + n.price AS DECIMAL(38,10))
+                          + n2.price AS DECIMAL(38,10))))
+    END) t AS s
+)
+SELECT ck AS o_custkey, ok AS o_orderkey, hop, {cast} AS cum_spend
+FROM chain
+"""
+
 
 def q_recursive_order_chain(spark, sf_dir):
     """RECURSIVE CTE (Spark 4.x `WITH RECURSIVE`): walk each
@@ -170,7 +213,7 @@ def q_recursive_order_chain(spark, sf_dir):
         # inside this window — localCheckpoint executes it eagerly
         # (|orders| output rows, cheap to hold) before the restore below
         return spark.sql(
-            _RCTE_BODY.format(
+            _RCTE_BODY_FUSED.format(
                 nxt="v_order_nxt", cast="CAST(cum_price AS DOUBLE)"
             )
         ).localCheckpoint()

@@ -807,10 +807,13 @@ def q_streaming_url_dedup(spark, sf_dir):
         if seen_dirs:
             # store rows are globally distinct canon_urls (each batch
             # appends only unseen ones), so the left join is 1:≤1 —
-            # row count preserved, __prior true iff already seen
+            # row count preserved, __prior true iff already seen.
+            # r13-opt (guide §1.4): schema pinned + explicit dir list —
+            # no per-batch footer schema inference, no glob/partition
+            # discovery (see the novelty gate's note)
             seen = (
-                spark.read.option("basePath", seen_store)
-                .parquet(_os.path.join(seen_store, "dq_batch=*"))
+                spark.read.schema("canon_url string")
+                .parquet(*[_os.path.join(seen_store, p) for p in seen_dirs])
                 .select("canon_url", F.lit(True).alias("__prior"))
             )
             j = sel.join(seen, "canon_url", "left")

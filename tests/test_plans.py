@@ -553,3 +553,19 @@ def test_cache_table_serves_from_memory(spark, sf_dir):
         assert "Scan In-memory table" in plan or "InMemoryTableScan" in plan
     finally:
         spark.sql("UNCACHE TABLE cache_probe")
+
+
+def test_winnow_cmb_single_evaluation(spark):
+    """r12 ADVICE (learnops.py): the map-only winnowing rewrite
+    references ``__cmb`` three times inside the selection array
+    expression, and ``__cmb`` is itself an O(n·k) transform — whether
+    it is evaluated once hangs on CollapseProject's isCheap guard,
+    which is fragile across Spark versions. Pin the single-evaluation
+    assumption: the md5 hash subtree (the expensive core of __cmb)
+    must appear exactly once in the physical plan."""
+    from defi_features_data_pipeline_spark.queries.learnops import (
+        _winnow_selected,
+    )
+
+    plan = explain_str(_winnow_selected(spark, SF))
+    assert plan.count("md5") == 1
