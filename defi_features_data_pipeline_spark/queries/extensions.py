@@ -9112,7 +9112,9 @@ def q_streaming_index_segments(spark, sf_dir):
     store = tempfile.mkdtemp(prefix="stream_index_segs_")
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     d.repartition(4, F.col("doc_id")).write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
+    # r13-opt (guide §1.4): the stream schema IS the written frame's —
+    # no footer-inference read-back of the fixture we just wrote
+    schema = d.schema
     docs = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -11199,7 +11201,7 @@ def q_streaming_count_min(spark, sf_dir):
     store = tempfile.mkdtemp(prefix="stream_cm_grids_")
     ev = _events(spark, sf_dir).select("event_id", "user_id")
     ev.repartition(4, F.col("event_id")).write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
+    schema = ev.schema  # r13-opt: no footer re-inference (see index gate)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

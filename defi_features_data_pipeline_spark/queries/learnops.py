@@ -991,7 +991,7 @@ def q_streaming_winnowed_dedup(spark, sf_dir):
     base = int(_time.time()) + 10
     for i, p in enumerate(sorted(_glob.glob(os.path.join(src, "part-*")))):
         os.utime(p, (base + i, base + i))
-    schema = spark.read.parquet(src).schema
+    schema = d.schema  # r13-opt: no footer re-inference (see index gate)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -2402,7 +2402,7 @@ def q_streaming_novelty_incremental(spark, sf_dir):
     base = int(_time.time()) + 10
     for i, p in enumerate(sorted(_glob.glob(os.path.join(src, "part-*")))):
         os.utime(p, (base + i, base + i))
-    schema = spark.read.parquet(src).schema
+    schema = d.schema  # r13-opt: no footer re-inference (see index gate)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -1731,7 +1731,7 @@ def q_streaming_kmv_distinct(spark, sf_dir):
     store = tempfile.mkdtemp(prefix="stream_kmv_sketches_")
     ev = _events(spark, sf_dir).select("event_type", "user_id")
     ev.repartition(4, F.col("user_id")).write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
+    schema = ev.schema  # r13-opt: no footer re-inference (see index gate)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -761,7 +761,7 @@ def q_streaming_url_dedup(spark, sf_dir):
     base = int(_time.time()) + 10
     for i, p in enumerate(sorted(_glob.glob(_os.path.join(src, "part-*")))):
         _os.utime(p, (base + i, base + i))
-    schema = spark.read.parquet(src).schema
+    schema = arrivals.schema  # r13-opt: no footer re-inference (see index gate)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -80,11 +80,13 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             out[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
             continue
-        cons, plan, execs, jobs, stages, tasks = [], [], [], [], [], []
+        cons, plan, execs, jobs, stages, tasks, cjobs = [], [], [], [], [], [], []
         for _ in range(runs):
+            c0 = job_stage_task_count()
             t0 = time.time()
             df = fn(spark, sf_dir)
             t1 = time.time()
+            c1 = job_stage_task_count()
             jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
@@ -96,11 +98,13 @@ def main() -> None:
             cons.append(t1 - t0)
             plan.append(t2 - t1)
             execs.append(t3 - t2)
+            cjobs.append(c1[0] - c0[0])
             jobs.append(j1[0] - j0[0])
             stages.append(j1[1] - j0[1])
             tasks.append(j1[2] - j0[2])
         out[name] = {
             "construct_s": round(statistics.median(cons), 3),
+            "construct_jobs": int(statistics.median(cjobs)),
             "plan_s": round(statistics.median(plan), 3),
             "exec_s": round(statistics.median(execs), 3),
             "total_s": round(
@@ -112,6 +116,10 @@ def main() -> None:
             "tasks": int(statistics.median(tasks)),
         }
         print(json.dumps({name: out[name]}), flush=True)
+    outfile = os.environ.get("PROFILE_OUT")
+    if outfile:
+        with open(outfile, "w") as f:
+            json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 
 
